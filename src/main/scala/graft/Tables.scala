@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (see repo:TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. `events.ts` is physically
+  * TIMESTAMP(NANOS) which Spark's vectorized reader cannot represent as
+  * TimestampType (micros); we read it with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` session conf set in
+  * [[GraftSession]] and normalize to a micros TimestampType column here so
+  * every downstream operator (and the DuckDB oracle, which truncates
+  * ns -> us on cast) sees identical values.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Set here (not only in GraftSession) so driver-created sessions that
+    // didn't go through our builder still read events.parquet correctly.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** ts read as LongType (nanos) under nanosAsLong=true -> micros timestamp.
+    * Integer division truncates exactly like DuckDB's TIMESTAMP_NS->TIMESTAMP
+    * cast, keeping oracle parity bit-exact.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      case _        => df
+    }
+  }
+
+  /** Register all tables as temp views for `spark.sql` queries. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

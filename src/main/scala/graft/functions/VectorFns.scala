@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built on SQL
+  * higher-order functions so everything stays inside whole-stage codegen —
+  * no UDF/serialization cost, which is what matters when scanning billions
+  * of embeddings.
+  *
+  * Accumulation is in DOUBLE with left-to-right element order, which matches
+  * DuckDB's `list_dot_product` on `DOUBLE[]` bit-for-bit (verified) — this is
+  * the oracle-parity contract for every similarity query.
+  */
+object VectorFns {
+
+  /** Σ a_i * b_i in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket from the first `nBits` dimensions: bit i set iff
+    * v[i] > 0. A deterministic bit-sampling LSH for cosine space — crude but
+    * fully portable to the SQL oracle, and the bucketing pattern (hash ->
+    * shuffle by bucket -> local exact search) is the real 100 TB ANN path.
+    */
+  def signBucket(v: Column, nBits: Int): Column =
+    aggregate(
+      zip_with(
+        slice(v, 1, nBits),
+        transform(sequence(lit(0), lit(nBits - 1)), i => pow(lit(2.0), i).cast("long")),
+        (x, p) => when(x > 0f, p).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc + b)
+}

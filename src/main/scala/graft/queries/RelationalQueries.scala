@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generic relational operator surface (SURVEY §2.2, §2.3, §2.5–§2.8) over
+  * the TPC-H-ish test tables. Every query has an exact DuckDB oracle in
+  * [[oracle]] — aggregate doubles are rounded to 4 decimals on BOTH sides so
+  * sum-order ulp drift cannot flip the hash compare.
+  *
+  * Scale notes are per query; the common posture: filters/projections sit
+  * directly on the parquet scan (pushdown), small dimensions are
+  * broadcast-joined, aggregations are partial (map-side combine) before the
+  * one shuffle on the group keys.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q1-style pricing summary: scan-side filter pushdown + 8-way aggregate
+    // with map-side partial agg; groups are tiny (6) so the shuffle is trivial
+    // at any scale.
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Pure filter+project: no shuffle at all; the predicate and the 3-column
+    // ReadSchema both reach the parquet scan.
+    "q02_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-02-01")) &&
+          col("l_extendedprice") > 4000.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+    },
+
+    // Q3-style shipping priority: two joins + agg + global top-10. Orders and
+    // customer filters push down; Spark plans TakeOrderedAndProject for the
+    // limit (no full sort at scale).
+    "q03_shipping_priority" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q4-style: left-semi join (EXISTS) then count per priority.
+    "q04_order_priority" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      val li = t(s, dir, "lineitem").select("l_orderkey").distinct()
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Q5-style: 6-way join through region; dimensions broadcast, lineitem is
+    // the only big side so exactly one shuffle (the final groupBy).
+    "q05_region_revenue" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    },
+
+    // Q6-style: single filtered sum — everything pushes to the scan.
+    "q06_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Anti join: customers with no order in 1995 H1 (SURVEY F3 semantics).
+    "q07_customers_without_orders" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-07-01")))
+        .select("o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+    },
+
+    // Ranking window: top-3 orders per customer (SURVEY §2.6 row_number).
+    // Rank on rounded value + unique key so ordering is engine-independent.
+    "q08_window_topn" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(round(col("o_totalprice"), 4).desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("totalprice"), col("rk"))
+    },
+
+    // Running-total window (frame rowsBetween unboundedPreceding..current):
+    // sequential adds in identical order on both engines.
+    "q09_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 4).as("running_qty"))
+    },
+
+    // ROLLUP (SURVEY §2.5 note: free generalization of the reference's aggs).
+    "q10_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    },
+
+    // CUBE over orders dims.
+    "q11_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+    },
+
+    // GROUPING SETS through the SQL layer (also exercises view registration).
+    "q12_grouping_sets" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(1) AS n,
+          |       round(sum(l_extendedprice), 4) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    // Distinct aggregates (§2.5 "free from Spark" family).
+    "q13_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Conditional aggregation / manual pivot (K-family when/otherwise math).
+    "q14_conditional_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 4).as("f_price"))
+    },
+
+    // Monthly time-series rollup: date_trunc month (K18 date functions).
+    "q15_monthly_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+    },
+
+    // String functions (K17 identifier assembly analog).
+    "q16_string_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          concat(col("p_brand"), lit("_"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          length(col("p_name")).as("name_len"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"))
+    },
+
+    // Scalar subquery (Q17-style): parts ordered in quantities below 50% of
+    // their own average. The subquery side is a broadcast of per-part avgs.
+    "q17_avg_subquery" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(partAvg), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("small_lot_revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q18-style: HAVING on a big-group aggregate, join back to dims.
+    "q18_big_orders" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("total_qty"))
+    },
+
+    // Deterministic top-1 per group (max_by/A4 first-as-template semantics).
+    "q19_top_customer_per_nation" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(round(col("c_acctbal"), 4).desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+    },
+
+    // Set operations: customers active in both Jan-1996 and Jan-1997
+    // (INTERSECT) and in Jan-1996 only (EXCEPT), tagged and unioned.
+    "q20_setops" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      def active(from: String, until: String) = ord
+        .filter(col("o_orderdate") >= to_timestamp(lit(from)) &&
+          col("o_orderdate") < to_timestamp(lit(until)))
+        .select(col("o_custkey"))
+      val a = active("1996-01-01", "1996-07-01")
+      val b = active("1997-01-01", "1997-07-01")
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("first_only")))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(1)::BIGINT AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+        |  AND l_extendedprice > 4000.0""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(1)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(1)::BIGINT AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_customers_without_orders" ->
+      """SELECT c_mktsegment, count(1)::BIGINT AS n_customers,
+        | round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1995-07-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q08_window_topn" ->
+      """SELECT o_custkey, o_orderkey, totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY round(o_totalprice,4) DESC, o_orderkey)::INT AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q09_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS running_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(1)::BIGINT AS n,
+        | round(sum(l_quantity),4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1)::BIGINT AS n,
+        | round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q12_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(1)::BIGINT AS n,
+        | round(sum(l_extendedprice),4) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q13_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey)::BIGINT AS n_supp,
+        | count(DISTINCT l_partkey)::BIGINT AS n_part,
+        | count(1)::BIGINT AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q14_conditional_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus='F' THEN 1 END)::BIGINT AS n_f,
+        | count(CASE WHEN o_orderstatus='O' THEN 1 END)::BIGINT AS n_o,
+        | count(CASE WHEN o_orderstatus='P' THEN 1 END)::BIGINT AS n_p,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0.0 END),4) AS f_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q15_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+        | count(1)::BIGINT AS n_orders, round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_uc,
+        | substr(p_type, 1, 6) AS type_prefix,
+        | p_brand || '_' || p_type AS brand_type,
+        | coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        | length(p_name)::INT AS name_len,
+        | lpad(p_partkey::VARCHAR, 10, '0') AS padded_key
+        |FROM part""".stripMargin,
+
+    "q17_avg_subquery" ->
+      """SELECT round(sum(l_extendedprice),4) AS small_lot_revenue, count(1)::BIGINT AS n
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY 1) p ON l.l_partkey = p.pk
+        |WHERE l.l_quantity < 0.5 * p.avg_qty""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity),4) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),4) > 150) b
+        |JOIN orders ON b.l_orderkey = o_orderkey""".stripMargin,
+
+    "q19_top_customer_per_nation" ->
+      """SELECT n_name, c_custkey, acctbal FROM (
+        | SELECT c_nationkey, c_custkey, round(c_acctbal,4) AS acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |                     ORDER BY round(c_acctbal,4) DESC, c_custkey) AS rk
+        | FROM customer) c
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk = 1""".stripMargin,
+
+    "q20_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'),
+        |     b AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01')
+        |SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'first_only' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)""".stripMargin)
+}
