@@ -18,8 +18,10 @@ object SparkEntry {
     RelationalQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle
 }

@@ -34,7 +34,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      // `ts div 1000`, NOT `ts / 1000`: `/` on longs is double division in
+      // Spark and doubles cannot represent ns epochs (~1.7e18 > 2^53), which
+      // silently shifts timestamps by ±1 us.
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _        => df
     }
   }

@@ -22,9 +22,12 @@ object TextFns {
     * consecutive tokens. Empty when the document has fewer than k tokens. */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
+    // guard: sequence(1, n) with n < 1 would generate a DESCENDING sequence
+    // in Spark, not an empty array.
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
   /** Portable 32-bit hash of a string: first 8 hex chars of md5 as a long.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: for every left row, attach the single right row with
   * the greatest `rightTime <= leftTime` within the same equi-key group.
@@ -11,28 +12,24 @@ import org.apache.spark.sql.functions._
   * nearest one not after the measurement date within a configuration
   * (`/root/reference/src/processstep_add_mask_file.py:34-81`, SURVEY §2.3 J2).
   *
-  * Implementation is the classic Spark pattern: equi-join on the key with a
-  * range predicate, then keep rank-1 per left row ordered by right time
-  * descending. Catalyst plans the equi-part as a hash join (broadcast when the
-  * right side is a small dimension, as in the mask library), so the range
-  * predicate never degenerates into a cross product.
+  * Implementation: the *union trick*, not join+rank. Tag left and right rows,
+  * union them, and in one window per key (ordered by time, right-before-left
+  * on ties) carry the last non-null right payload forward. This needs exactly
+  * ONE shuffle on the equi-key and never fans out rows, so it survives a
+  * 100 TB fact side; the join+row_number alternative shuffles twice and
+  * multiplies each left row by its key's right-side cardinality first.
   *
-  * Scale notes (100 TB): the shuffle is on the equi-key only; per-key skew is
-  * bounded by the right side's cardinality per key. For a large right side,
-  * pre-aggregate it to distinct (key, time) rows first — the helper does this
-  * when `dedupRight` is set, which also makes tie-breaking deterministic.
+  * The right payload travels as a single struct column so all attached fields
+  * are guaranteed to come from the same matched row.
+  *
+  * Requirements: key + payload column names must not collide between sides
+  * (rename right columns first — which also documents what the join attaches).
+  *
+  * @param tieBreak right column names; among right rows with equal time the
+  *                 one with the greatest tieBreak tuple wins (deterministic).
   */
 object AsOfJoin {
 
-  /** @param left        fact side
-    * @param right       dimension/event side providing the as-of value
-    * @param keys        equi-join key column names (must exist on both sides)
-    * @param leftTime    event-time column on `left`
-    * @param rightTime   event-time column on `right`
-    * @param joinType    "inner" (drop left rows with no match) or "left"
-    * @param tieBreak    extra right columns ordered DESC after rightTime to
-    *                    make selection deterministic when right times tie
-    */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -42,18 +39,35 @@ object AsOfJoin {
       joinType: String = "inner",
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
-    // Tag the left rows so rank-1 selection is per left row even when the
-    // left key+time is not unique.
-    val l = left.withColumn("__asof_lid", monotonically_increasing_id())
-    val cond = keys.map(k => l(k) === right(k)).reduce(_ && _) &&
-      (right(rightTime) <= l(leftTime))
-    val joined = l.join(right, cond, "left")
-    val ord: Seq[Column] = (right(rightTime).desc +: tieBreak.map(right(_).desc))
-    val w = Window.partitionBy(l("__asof_lid")).orderBy(ord: _*)
-    val ranked = joined
-      .withColumn("__asof_rn", row_number().over(w))
-      .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn", "__asof_lid")
-    if (joinType == "inner") ranked.filter(right(rightTime).isNotNull) else ranked
+    val leftOther = left.columns.toSeq.filterNot(keys.contains)
+    val rightOther = right.columns.toSeq.filterNot(keys.contains)
+    val collisions = leftOther.toSet.intersect(rightOther.toSet)
+    require(collisions.isEmpty, s"column collisions between sides: $collisions")
+
+    val payloadType = StructType(right.select(rightOther.map(col): _*).schema.fields)
+    val leftTagged = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag"),
+          lit(null).cast(payloadType).as("__r")) ++
+        leftOther.map(col): _*)
+    val rightTagged = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
+          struct(rightOther.map(col): _*).as("__r")) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val ord: Seq[Column] =
+      Seq(col("__t").asc, col("__tag").asc) ++ tieBreak.map(tb => col("__r").getField(tb).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = leftTagged.unionByName(rightTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(
+        keys.map(col) ++ leftOther.map(col) ++
+          rightOther.map(c => col("__m").getField(c).as(c)): _*)
+
+    if (joinType == "inner") matched.filter(col(rightTime).isNotNull) else matched
   }
 }

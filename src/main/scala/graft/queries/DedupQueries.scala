@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication surface over `documents` / `embeddings`: exact (content
+  * hash), MinHash+LSH banding, SimHash, bounded n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale posture: the LSH pipeline (shingle -> minhash -> band -> bucket
+  * join) is the 100 TB path — candidate generation is a hash-bucket
+  * equi-join, never an all-pairs product; the bounded all-pairs variants
+  * (d04/d05) exist to validate the quality of the candidate generation and
+  * are capped by key range.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val nBands = 6
+  private val shingleK = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup metrics per source: hash-groupBy on md5(text).
+    "d01_exact_dedup" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          min(col("doc_id")).as("min_doc_id"))
+    },
+
+    // MinHash + LSH near-dup pairs: 6 bands x 1 row; candidates share any
+    // band minhash, then verified with true shingle-set Jaccard >= 0.5.
+    "d02_minhash_lsh" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextFns.shingles(col("text"), shingleK)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = sh.select(col("doc_id"), explode(array(
+          (1 to nBands).map(b =>
+            struct(lit(b).as("band"), TextFns.minHash(col("sh"), b).as("mh"))): _*)).as("bm"))
+        .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .withColumn("jaccard", TextFns.jaccard(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
+    },
+
+    // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
+    "d03_simhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.simHash32(TextFns.tokens(col("text"))).as("simhash"))
+    },
+
+    // Bounded all-pairs token-3-gram Jaccard via inverted shingle index
+    // (pairs must share >= 1 shingle, so the index join is lossless for
+    // jaccard > 0).
+    "d04_ngram_jaccard" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+        .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
+    },
+
+    // Embedding-cosine near-dup, bounded all-pairs (validation variant; the
+    // scale path is the LSH bucketing in s02_lsh_ann).
+    "d05_embedding_dup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cs", VectorFns.cosine(col("a.embedding"), col("b.embedding")))
+      pairs.filter(col("cs") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cs"), 4).as("cosine"))
+    })
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // distinct 3-shingles per doc, built with lead() windows (same strings as
+  // TextFns.shingles).
+  private def shdSql(bound: String = "") =
+    s"""tk AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |         generate_subscripts($toksSql, 1) AS pos
+       |  FROM documents $bound),
+       |shd AS (
+       |  SELECT DISTINCT doc_id,
+       |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
+       |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(tok, 2) OVER w IS NOT NULL)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT source, count(1)::BIGINT AS n_docs,
+        | count(DISTINCT md5(text))::BIGINT AS n_distinct,
+        | min(doc_id)::BIGINT AS min_doc_id
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "d02_minhash_lsh" ->
+      s"""WITH ${shdSql()},
+         |sig AS (
+         |  SELECT doc_id, band,
+         |    min(('0x' || substr(md5(band::VARCHAR || ':' || s), 1, 8))::BIGINT) AS mh
+         |  FROM shd CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS band)
+         |  GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.doc_a
+         |  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  floor(i::DOUBLE / (ca.c + cb.c - i) * 10000) / 10000 AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+
+    "d03_simhash" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (hv // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  sum(CASE WHEN v > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "d04_ngram_jaccard" ->
+      s"""WITH ${shdSql("WHERE doc_id < 200")},
+         |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  floor(i::DOUBLE / (ca.c + cb.c - i) * 10000) / 10000 AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+
+    "d05_embedding_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cs, 4) AS cosine FROM p WHERE cs >= 0.4""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Event-time operators over the `events` table: as-of join (SURVEY §2.3 J2),
+  * tumbling / sliding / session windows (SURVEY §2.9 — same transforms the
+  * streaming module runs with `readStream`; batch here for the oracle gate).
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Backward as-of join: each purchase gets the user's latest click at or
+    // before it. Single-shuffle union-window implementation (AsOfJoin).
+    "q21_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // Pre-aggregate the right side to distinct (user, ts) so tie-breaking
+      // is deterministic in both engines.
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts",
+          joinType = "inner")
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+          col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    },
+
+    // Tumbling window aggregation (10-minute buckets, epoch-aligned — same
+    // alignment as DuckDB time_bucket).
+    "q22_tumbling_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // Sliding window: 20-minute windows every 10 minutes — each event lands
+    // in exactly two windows.
+    "q23_sliding_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // Session windows with a 30-minute gap per user. Spark's session_window
+    // end = last event + gap; the oracle reproduces it with gaps-and-islands.
+    "q24_session_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q21_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT event_id, p.user_id, p.ts::TIMESTAMP AS ts, c.click_ts, c.click_event_id,
+        |  (epoch_us(p.ts::TIMESTAMP) - epoch_us(c.click_ts))::BIGINT AS gap_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts::TIMESTAMP >= c.click_ts""".stripMargin,
+
+    "q22_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS w_start, event_type,
+        | count(1)::BIGINT AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q23_sliding_window" ->
+      """SELECT w_start, event_type, count(1)::BIGINT AS n, round(sum(value),4) AS sum_value
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP),
+        |                 time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) - INTERVAL '10 minutes']) AS w_start,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q24_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value,
+        |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |           OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       user_id, count(1)::BIGINT AS n_events, round(sum(value),4) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin)
+}

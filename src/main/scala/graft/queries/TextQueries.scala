@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis surface over the `documents` table: token statistics,
+  * quality scoring, marker-based language-ID, and content fingerprinting.
+  * All pure column expressions (whole-stage codegen; no UDFs) — the shape
+  * that scans 100 TB of text without python/serialization overhead.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val stopwords = Seq("the", "a")
+
+  // marker vocabularies for the language-ID heuristic; tie-break order en,
+  // es, fr, de, zh (alphabetical on score-equality is encoded in the CASE
+  // chain both here and in the oracle).
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("key", "value", "data"),
+    "fr" -> Seq("table", "column", "row"),
+    "de" -> Seq("stream", "batch", "spark"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token statistics: count / distinct count / average token length.
+    "t01_token_stats" -> { (s, dir) =>
+      val toks = TextFns.tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        (floor(
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+            size(toks).cast("double") * 10000) / 10000).as("avg_token_len"))
+    },
+
+    // Quality heuristics: char-class ratios + stopword ratio + type-token
+    // ratio, combined into one score (weights arbitrary but fixed).
+    // floor-scaling instead of round(): these are ratios of small integers,
+    // which land exactly on .5 decimal ties where Spark (HALF_UP) and DuckDB
+    // disagree; floor is tie-free since both engines hold identical doubles.
+    "t02_quality_score" -> { (s, dir) =>
+      def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
+      val toks = TextFns.tokens(col("text"))
+      val alphaRatio = TextFns.charClassRatio(col("text"), "[a-z]")
+      val spaceRatio = TextFns.charClassRatio(col("text"), "[ ]")
+      val stopRatio = TextFns.tokenSetRatio(toks, stopwords)
+      val ttr = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+      docs(s, dir).select(
+        col("doc_id"),
+        f4(alphaRatio).as("alpha_ratio"),
+        f4(spaceRatio).as("space_ratio"),
+        f4(stopRatio).as("stopword_ratio"),
+        f4(ttr).as("ttr"),
+        f4(alphaRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 + ttr * 0.4).as("quality"))
+    },
+
+    // Marker-vocabulary language ID (n-gram-heuristic family): score each
+    // language by marker-token hits, argmax with a fixed tie-break chain.
+    "t03_langid_markers" -> { (s, dir) =>
+      val toks = TextFns.tokens(col("text"))
+      val scored = docs(s, dir).select(
+        (col("doc_id") +: col("lang").as("actual_lang") +:
+          langMarkers.map { case (lang, markers) =>
+            size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+              .as(s"score_$lang")
+          }): _*)
+      val maxScore = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      scored.withColumn("pred_lang",
+        langMarkers.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+          when(acc.isNotNull, acc).otherwise(when(col(s"score_$l") === maxScore, lit(l)))
+        })
+    },
+
+    // Content fingerprints: full-text md5 prefix, portable 32-bit hash, and
+    // a min-shingle-hash (winnowing-style document fingerprint).
+    "t04_fingerprint" -> { (s, dir) =>
+      val sh = TextFns.shingles(col("text"), 5)
+      docs(s, dir).select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("md5_16"),
+        TextFns.md5Hash32(col("text")).as("fp32"),
+        TextFns.minHash(sh, 0).as("min_shingle_hash"))
+    })
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def markerScoreSql(markers: Seq[String]): String = {
+    val set = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter($toksSql, t -> t IN ($set)))::INT"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+         | len($toksSql)::INT AS n_tokens,
+         | len(list_distinct($toksSql))::INT AS n_distinct,
+         | floor(list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE
+         |       / len($toksSql) * 10000) / 10000 AS avg_token_len
+         |FROM documents""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""SELECT doc_id,
+         | floor((length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE / length(text) * 10000) / 10000 AS alpha_ratio,
+         | floor((length(text) - length(regexp_replace(text, '[ ]', '', 'g')))::DOUBLE / length(text) * 10000) / 10000 AS space_ratio,
+         | floor(len(list_filter($toksSql, t -> t IN ('the', 'a')))::DOUBLE / len($toksSql) * 10000) / 10000 AS stopword_ratio,
+         | floor(len(list_distinct($toksSql))::DOUBLE / len($toksSql) * 10000) / 10000 AS ttr,
+         | floor(((length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE / length(text) * 0.3
+         |   + (1.0 - len(list_filter($toksSql, t -> t IN ('the', 'a')))::DOUBLE / len($toksSql)) * 0.3
+         |   + len(list_distinct($toksSql))::DOUBLE / len($toksSql) * 0.4) * 10000) / 10000 AS quality
+         |FROM documents""".stripMargin,
+
+    "t03_langid_markers" ->
+      s"""SELECT doc_id, lang AS actual_lang,
+         | ${markerScoreSql(Seq("the", "a", "fast", "slow"))} AS score_en,
+         | ${markerScoreSql(Seq("key", "value", "data"))} AS score_es,
+         | ${markerScoreSql(Seq("table", "column", "row"))} AS score_fr,
+         | ${markerScoreSql(Seq("stream", "batch", "spark"))} AS score_de,
+         | CASE
+         |  WHEN ${markerScoreSql(Seq("the", "a", "fast", "slow"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'en'
+         |  WHEN ${markerScoreSql(Seq("key", "value", "data"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'es'
+         |  WHEN ${markerScoreSql(Seq("table", "column", "row"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'fr'
+         |  ELSE 'de' END AS pred_lang
+         |FROM documents""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok,
+         |         generate_subscripts($toksSql, 1) AS pos
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+         |        || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS s
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+         |mh AS (
+         |  SELECT doc_id, min(('0x' || substr(md5(s), 1, 8))::BIGINT) AS min_shingle_hash
+         |  FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | substr(md5(text), 1, 16) AS md5_16,
+         | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32,
+         | mh.min_shingle_hash
+         |FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id""".stripMargin)
+}
