@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++ PipelineQueries.oracle
 }
