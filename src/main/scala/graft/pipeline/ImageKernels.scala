@@ -1,0 +1,254 @@
+package graft.pipeline
+
+import Model.BeamAnalysis
+
+/** Per-record image kernels (SURVEY §2.4 K1–K10), re-implemented from the
+  * reference's numpy/scikit-image semantics as deterministic pure-Scala
+  * functions. They run inside Spark UDFs over `Array[Float]` image columns;
+  * each is row-local so the pipeline stays embarrassingly parallel — these
+  * never break the partitioning of the repetition table, only codegen
+  * (which is why stages isolate them in dedicated projections, SURVEY §4).
+  *
+  * Images are flattened row-major float arrays with explicit (h, w).
+  */
+object ImageKernels {
+
+  /** K2 `prepare_eiger_image`: zero-out invalid pixels (keep 0 <= v <= 2e7)
+    * — `/root/reference/src/utilities.py:119-134`. The mean-collapse of
+    * leading axes (K1) happens at ingest; 2-D input assumed here. */
+  def prepareImage(img: Array[Float]): Array[Float] =
+    img.map(v => if (v >= 0f && v <= 2e7f) v else 0f)
+
+  /** K3 `label_main_feature`: threshold at max(1, mean), connected components
+    * (4-connectivity, union-find), keep the largest — semantics of
+    * `/root/reference/src/utilities.py:137-175` (small-object/hole removal
+    * and convex hull are refinement steps; the contract downstream kernels
+    * rely on is "a 0/1 mask of the dominant connected beam region"). */
+  def labelMainFeature(img: Array[Float], h: Int, w: Int): Array[Int] = {
+    require(img.length == h * w, s"image length ${img.length} != $h x $w")
+    val n = img.length
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += img(i); i += 1 }
+    val thresh = math.max(1.0, sum / n)
+    val fg = new Array[Boolean](n)
+    i = 0
+    while (i < n) { fg(i) = img(i) > thresh; i += 1 }
+
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val idx = y * w + x
+        if (fg(idx)) {
+          if (x > 0 && fg(idx - 1)) union(idx, idx - 1)
+          if (y > 0 && fg(idx - w)) union(idx, idx - w)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // size per root; argmax root = largest component (np.bincount argmax)
+    val sizes = new scala.collection.mutable.HashMap[Int, Int]()
+    i = 0
+    while (i < n) {
+      if (fg(i)) {
+        val r = find(i)
+        sizes.update(r, sizes.getOrElse(r, 0) + 1)
+      }
+      i += 1
+    }
+    val labels = new Array[Int](n)
+    if (sizes.nonEmpty) {
+      // deterministic argmax: largest size, smallest root index on ties
+      val best = sizes.toSeq.minBy { case (root, size) => (-size, root) }._1
+      i = 0
+      while (i < n) {
+        if (fg(i) && find(i) == best) labels(i) = 1
+        i += 1
+      }
+    }
+    labels
+  }
+
+  /** K4 weighted centroid over labeled pixels (regionprops.weighted_centroid)
+    * — `/root/reference/src/processstep_determine_beam_center.py:62-63`.
+    * Returns (y, x); (NaN, NaN) when the region carries no intensity. */
+  def weightedCentroid(img: Array[Float], labels: Array[Int], h: Int, w: Int): (Double, Double) = {
+    var sy = 0.0; var sx = 0.0; var sv = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val idx = y * w + x
+        if (labels(idx) == 1) {
+          val v = img(idx).toDouble
+          sy += v * y; sx += v * x; sv += v
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (sv == 0.0) (Double.NaN, Double.NaN) else (sy / sv, sx / sv)
+  }
+
+  /** K5 circular mask: 1 inside `radius` of (cy, cx)
+    * — `/root/reference/src/processstep_make_beam_mask.py:27-35`. */
+  def circularMask(h: Int, w: Int, cy: Double, cx: Double, radius: Double): Array[Float] = {
+    val out = new Array[Float](h * w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dy = y - cy; val dx = x - cx
+        if (math.sqrt(dy * dy + dx * dx) <= radius) out(y * w + x) = 1f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** K6 `dynamic_beam_analysis`: intensity-weighted covariance -> Mahalanobis
+    * ellipse at target coverage (bisection-refined k over 8 steps), eigen
+    * decomposition of the 2x2 covariance by hand —
+    * `/root/reference/src/processstep_calc_beam_flux_and_transmissions.py:24-145`
+    * (ellipse 36-81, bisection 83-104, stats 137-145). */
+  def dynamicBeamAnalysis(
+      img: Array[Float], h: Int, w: Int,
+      targetCoverage: Double = 0.997,
+      bisectionSteps: Int = 8): BeamAnalysis = {
+    val n = h * w
+    require(img.length == n, s"image length ${img.length} != $h x $w")
+    var total = 0.0
+    var i = 0
+    while (i < n) { total += img(i); i += 1 }
+    if (total <= 0.0)
+      return BeamAnalysis(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, 0.0, 0.0, total, new Array[Float](n))
+
+    // weighted centroid + covariance
+    var sy = 0.0; var sx = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img(y * w + x).toDouble
+        sy += v * y; sx += v * x
+        x += 1
+      }
+      y += 1
+    }
+    val cy = sy / total; val cx = sx / total
+    var cyy = 0.0; var cxx = 0.0; var cxy = 0.0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img(y * w + x).toDouble
+        val dy = y - cy; val dx = x - cx
+        cyy += v * dy * dy; cxx += v * dx * dx; cxy += v * dy * dx
+        x += 1
+      }
+      y += 1
+    }
+    cyy /= total; cxx /= total; cxy /= total
+
+    // eigen decomposition of [[cyy, cxy], [cxy, cxx]]
+    val tr = cyy + cxx
+    val det = cyy * cxx - cxy * cxy
+    val disc = math.sqrt(math.max(0.0, tr * tr / 4.0 - det))
+    val l1 = tr / 2.0 + disc // major variance
+    val l2 = tr / 2.0 - disc // minor variance
+    val sigmaMajor = math.sqrt(math.max(l1, 0.0))
+    val sigmaMinor = math.sqrt(math.max(l2, 0.0))
+    val theta = 0.5 * math.atan2(2.0 * cxy, cxx - cyy)
+
+    // inverse covariance for the Mahalanobis distance (regularized if flat)
+    val safeDet = if (det <= 1e-300) 1e-300 else det
+    val inv00 = cxx / safeDet // multiplies dy*dy
+    val inv11 = cyy / safeDet // multiplies dx*dx
+    val inv01 = -cxy / safeDet
+
+    def coverageAt(k: Double): Double = {
+      val k2 = k * k
+      var inside = 0.0
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val dy = yy - cy; val dx = xx - cx
+          val m = inv00 * dy * dy + 2.0 * inv01 * dy * dx + inv11 * dx * dx
+          if (m <= k2) inside += img(yy * w + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      inside / total
+    }
+
+    // bisection on k in [1, 6] toward targetCoverage
+    var lo = 1.0; var hi = 6.0
+    var k = hi
+    var step = 0
+    while (step < bisectionSteps) {
+      val mid = (lo + hi) / 2.0
+      if (coverageAt(mid) >= targetCoverage) hi = mid else lo = mid
+      step += 1
+    }
+    k = hi
+    val k2 = k * k
+    val mask = new Array[Float](n)
+    var region = 0.0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dy = y - cy; val dx = x - cx
+        val m = inv00 * dy * dy + 2.0 * inv01 * dy * dx + inv11 * dx * dx
+        if (m <= k2) { mask(y * w + x) = 1f; region += img(y * w + x) }
+        x += 1
+      }
+      y += 1
+    }
+    BeamAnalysis(cy, cx, sigmaMinor, sigmaMajor, theta, k,
+      region / total, region, total, mask)
+  }
+
+  /** K7 flux image: img/duration - darkcurrent per pixel
+    * — `.../processstep_calc_beam_flux_and_transmissions.py:208-209`. */
+  def fluxImage(img: Array[Float], duration: Double, darkcurrent: Double): Array[Float] =
+    img.map(v => (v / duration - darkcurrent).toFloat)
+
+  /** K8 masked NaN-skipping sum — `.py:211-214`. */
+  def maskedNanSum(img: Array[Float], mask: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < img.length) {
+      val v = img(i)
+      if (!v.isNaN) s += v * mask(i)
+      i += 1
+    }
+    s
+  }
+
+  /** K8 unmasked NaN-skipping sum. */
+  def nanSum(img: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < img.length) { if (!img(i).isNaN) s += img(i); i += 1 }
+    s
+  }
+}

@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for suites (one per suite via lazy val). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4)
+    .appName("graft-test")
+    .getOrCreate()
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end: Gaussian fixtures through the full stage chain + stacker,
+  * asserting the derived physics against analytic expectations
+  * (SURVEY §5 test strategy #3). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val ctx = Fixtures.context(spark)
+  private lazy val processed =
+    Stages.run(Fixtures.repetitions(spark), ctx).cache()
+
+  test("full chain runs and keeps one row per repetition") {
+    assert(processed.count() == 12) // 2 batches x 2 configs x 3 reps
+  }
+
+  test("beam center recovered from the direct beam") {
+    val Row(cy: Double, cx: Double) = processed
+      .select(col("beam_center")(0), col("beam_center")(1)).head()
+    assert(math.abs(cy - Fixtures.CY) < 0.05)
+    assert(math.abs(cx - Fixtures.CX) < 0.05)
+  }
+
+  test("as-of mask join never selects a future-dated mask") {
+    val picks = processed.select("configuration", "mask_path").distinct()
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(picks(1) == "Masks/20240101_1.nxs") // not the 20240201 future mask
+    assert(picks(2) == "Masks/20231201_2.nxs")
+  }
+
+  test("transmission = sample/direct flux ratio; TCF = 1 for scaled beams") {
+    val rows = processed.select("batch", "transmission",
+      "transmission_correction_factor").distinct().collect()
+    rows.foreach { r =>
+      val expected = if (r.getInt(0) == 1) 0.56 else 0.8
+      assert(math.abs(r.getDouble(1) - expected) < 1e-4,
+        s"batch ${r.getInt(0)}: T=${r.getDouble(1)}")
+      // sample = c * direct exactly -> image and total transmission agree
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-4)
+    }
+  }
+
+  test("bg-corrected thickness: derived for batch 1, logbook wins for batch 2") {
+    val byBatch = processed.select("batch", "thickness").distinct()
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // batch 1: T_sample = 0.56/0.8 = 0.7, a = 0.3, mu = 100
+    val expected = -math.log(1.0 - 0.3) / 100.0
+    assert(math.abs(byBatch(1) - expected) < 1e-6, s"got ${byBatch(1)}")
+    // batch 2: bg == self (short-circuit), logbook thickness 0.001 >= 0 wins
+    assert(byBatch(2) == 0.001)
+  }
+
+  test("energy from wavelength (K11): 1.54 A -> ~8.05 keV") {
+    val e = processed.select("energy_kev").head().getDouble(0)
+    assert(math.abs(e - 8.0509) < 1e-3, s"E=$e")
+  }
+
+  test("stacker: n=3 per group, identical reps give zero per-pixel std") {
+    val stacked = Stages.registry("stacker")(processed, ctx)
+    assert(stacked.count() == 4) // 2 batches x 2 configs
+    val r = stacked.select("n_repetitions", "repetitions",
+      "stacked_image_stats.n", "mean_transmission", "std_transmission").head()
+    assert(r.getLong(0) == 3)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getLong(2) == 3)
+    val stats = stacked.select("stacked_image_stats.std").head().getSeq[Double](0)
+    assert(stats.forall(_ < 1e-6)) // identical repetitions
+  }
+
+  test("flux table stage emits one summary row per repetition") {
+    val table = Stages.registry("transmission_thickness_flux_table")(processed, ctx)
+    assert(table.count() == 12)
+    assert(table.columns.contains("thickness"))
+  }
+
+  test("quarantine split (F7/S15): rows failing canStack are separated") {
+    val broken = processed.withColumn("mask",
+      when(col("batch") === 1, col("mask")))
+    val good = broken.filter(Stages.canStack)
+    val bad = broken.filter(!Stages.canStack)
+    assert(good.count() == 6 && bad.count() == 6)
+  }
+}
