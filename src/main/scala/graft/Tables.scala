@@ -42,6 +42,15 @@ object Tables {
     }
   }
 
+  /** Load with an explicit repartition: the small dimension parquet files
+    * arrive as a single input split, which would serialize any
+    * compute-heavy downstream (hashing, dot products) onto one task. The
+    * tiny shuffle buys full-cluster parallelism for the expensive part —
+    * at real scale the source has enough splits and this becomes a no-op
+    * decision. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** Register all tables as temp views for `spark.sql` queries. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

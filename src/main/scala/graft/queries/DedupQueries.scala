@@ -37,40 +37,71 @@ object DedupQueries {
 
     // MinHash + LSH near-dup pairs: 6 bands x 1 row; candidates share any
     // band minhash, then verified with true shingle-set Jaccard >= 0.5.
+    // Explode form: each (shingle, band) hash computed exactly once — the
+    // array-HOF form re-evaluates the md5 chain per reuse (3x slower at
+    // sf0.1, and the re-evaluation would multiply at 100 TB).
     "d02_minhash_lsh" -> { (s, dir) =>
-      val sh = t(s, dir, "documents")
+      // ONE md5 per distinct shingle; the 6 band hashes are an affine
+      // universal family over it ((A_b*h + B_b) mod M, all < 2^62 so exact
+      // in both engines), and all 6 band-minima + the set size come out of a
+      // single groupBy pass. The shingle frame feeds three consumers
+      // (signatures + both sides of the intersection join) -> persisted.
+      val shd = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
-          array_distinct(TextFns.shingles(col("text"), shingleK)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sig = sh.select(col("doc_id"), explode(array(
-          (1 to nBands).map(b =>
-            struct(lit(b).as("band"), TextFns.minHash(col("sh"), b).as("mh"))): _*)).as("bm"))
-        .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hs = shd.select(col("doc_id"), TextFns.md5Hash32(col("s")).as("h"))
+      val bandMins = (1 to nBands).map { b =>
+        min((col("h") * lit(1000003L + b * 7919L) + lit(b * 104729L)) % lit(2147483647L))
+          .as(s"mh$b")
+      }
+      val sigw = hs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("c"), bandMins: _*)
+      val sig = sigw.select(col("doc_id"), col("c"), explode(array(
+          (1 to nBands).map(b => struct(lit(b).as("band"), col(s"mh$b").as("mh"))): _*)).as("bm"))
+        .select(col("doc_id"), col("c"), col("bm.band").as("band"), col("bm.mh").as("mh"))
       val cand = sig.as("a").join(sig.as("b"),
           col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.c").as("ca"), col("b.c").as("cb"))
         .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-        .withColumn("jaccard", TextFns.jaccard(col("sha"), col("shb")))
+      val inter = shd.join(broadcast(cand), col("doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("s"))
+        .join(shd.select(col("doc_id").as("doc_b2"), col("s").as("s2")),
+          col("doc_b2") === col("doc_b") && col("s2") === col("s"))
+        .groupBy(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     },
 
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
+    // Explode form: one md5 per token, 32 conditional sums in one groupBy —
+    // the nested-HOF form (TextFns.simHash32) re-evaluates every token hash
+    // per bit (32x the md5 work).
     "d03_simhash" -> { (s, dir) =>
-      t(s, dir, "documents")
+      val tok = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), TextFns.md5Hash32(col("tok")).as("hv"))
+      val bitVotes = (0 until 32).map { b =>
+        val p = 1L << b
+        sum(when((col("hv") / p).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+      }
+      tok.groupBy(col("doc_id"))
+        .agg(bitVotes.head, bitVotes.tail: _*)
         .select(col("doc_id"),
-          TextFns.simHash32(TextFns.tokens(col("text"))).as("simhash"))
+          (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
     },
 
     // Bounded all-pairs token-3-gram Jaccard via inverted shingle index
     // (pairs must share >= 1 shingle, so the index join is lossless for
     // jaccard > 0).
     "d04_ngram_jaccard" -> { (s, dir) =>
-      val sh = t(s, dir, "documents")
+      val sh = Tables.loadSpread(s, dir, "documents")
         .filter(col("doc_id") < 200)
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
@@ -90,7 +121,7 @@ object DedupQueries {
     // Embedding-cosine near-dup, bounded all-pairs (validation variant; the
     // scale path is the LSH bucketing in s02_lsh_ann).
     "d05_embedding_dup" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = Tables.loadSpread(s, dir, "embeddings")
         .filter(col("vec_id") < 300)
         .select(col("vec_id"), col("embedding"))
       val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -124,10 +155,12 @@ object DedupQueries {
 
     "d02_minhash_lsh" ->
       s"""WITH ${shdSql()},
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shd),
          |sig AS (
          |  SELECT doc_id, band,
-         |    min(('0x' || substr(md5(band::VARCHAR || ':' || s), 1, 8))::BIGINT) AS mh
-         |  FROM shd CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS band)
+         |    min((h * (1000003 + band*7919) + band*104729) % 2147483647) AS mh
+         |  FROM hs CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS band)
          |  GROUP BY doc_id, band),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -22,7 +22,7 @@ import graft.functions.VectorFns
 object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Tables.loadSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
 
   private val nQueries = 5
   private val lshBits = 8

@@ -14,7 +14,7 @@ import graft.functions.TextFns
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   private val stopwords = Seq("the", "a")
 
