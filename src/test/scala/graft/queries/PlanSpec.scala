@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan invariants (SURVEY §4): these are the properties that keep
+  * the queries viable at 100 TB, asserted against the actual planned
+  * execution so regressions in query structure get caught — filters reach
+  * the parquet scan, dimensions broadcast, top-k avoids a global sort,
+  * the as-of join shuffles exactly once.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: predicate and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // ReadSchema carries only the 7 needed columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q03: dimension joins broadcast; top-10 is TakeOrderedAndProject") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q05: all five dimension joins are broadcast (single big-side shuffle)") {
+    val p = plan("q05_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimensions must not sort-merge")
+  }
+
+  test("q21 as-of join: the as-of core adds exactly one shuffle, no join") {
+    val p = plan("q21_asof_join")
+    // two exchanges total: one belongs to the right-side dedup
+    // pre-aggregation (groupBy user_id, ts), ONE to the as-of window
+    // itself. The join+rank formulation would add a join exchange pair and
+    // a row-multiplying join node.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 shuffles, plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of must not be a join at all")
+  }
+
+  test("s01: query set is broadcast against the embedding scan") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("q08 window top-n: single shuffle on the partition key") {
+    val p = plan("q08_window_topn")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("whole-stage codegen covers the scan-side of the flagship query") {
+    // AQE prints no codegen stages until the plan is final — execute first
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(1)"), p.take(1000))
+  }
+
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "every query must carry an oracle (or consciously drop it)")
+  }
+}
