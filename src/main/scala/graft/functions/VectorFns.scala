@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Σ a_i * b_i in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i * b_i in double — the native codegen expression
+    * [[DotProductF]]; same accumulation order/width as [[dotHof]]. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(DotProductF(expression(a), expression(b)))
+  }
+
+  /** Higher-order-function formulation of [[dot]] (kept as the reference
+    * implementation / for engines without the custom expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
