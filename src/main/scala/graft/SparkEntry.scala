@@ -19,7 +19,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ PipelineQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ PipelineQueries.queries ++
+      SketchQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
