@@ -243,6 +243,54 @@ object RelationalQueries {
         .select(col("n_name"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
     },
 
+    // Exact interpolated percentiles (the approximate path is x02).
+    "q25_percentile_exact" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25_qty"))
+    },
+
+    // Moment statistics: correlation / covariance / skewness / kurtosis.
+    "q26_moment_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(var_samp(col("l_discount")), 4).as("var_disc"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+    },
+
+    // Full outer join with coalesced keys: per-month order counts vs
+    // shipment counts, months present on either side.
+    "q27_full_outer" -> { (s, dir) =>
+      val om = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m1"))
+        .agg(count(lit(1)).as("n_orders"))
+      val sm = t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("m2"))
+        .agg(count(lit(1)).as("n_ships"))
+      om.join(sm, col("m1") === col("m2"), "full_outer")
+        .select(coalesce(col("m1"), col("m2")).as("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+    },
+
+    // Generator / lateral unnest with ordinality (posexplode).
+    "q28_posexplode" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 1000 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+          x => x.getField("l_quantity")).as("qty_series"))
+        .select(col("l_orderkey"), posexplode(col("qty_series")).as(Seq("pos", "qty")))
+    },
+
     // Set operations: customers active in both Jan-1996 and Jan-1997
     // (INTERSECT) and in Jan-1996 only (EXCEPT), tagged and unioned.
     "q20_setops" -> { (s, dir) =>
@@ -406,6 +454,39 @@ object RelationalQueries {
         | FROM customer) c
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk = 1""".stripMargin,
+
+    "q25_percentile_exact" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price,
+        | round(quantile_cont(l_quantity, 0.25),4) AS p25_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q26_moment_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice),4) AS covar_qty_price,
+        | round(var_samp(l_discount),4) AS var_disc,
+        | round(skewness(l_quantity),4) AS skew_qty,
+        | round(kurtosis(l_quantity),4) AS kurt_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q27_full_outer" ->
+      """SELECT coalesce(m1, m2) AS month,
+        | coalesce(n_orders, 0)::BIGINT AS n_orders,
+        | coalesce(n_ships, 0)::BIGINT AS n_ships
+        |FROM (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m1, count(1) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS m2, count(1) AS n_ships
+        |      FROM lineitem GROUP BY 1) s ON m1 = m2""".stripMargin,
+
+    "q28_posexplode" ->
+      """WITH g AS (
+        | SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_series
+        | FROM lineitem WHERE l_orderkey % 1000 = 0 GROUP BY 1)
+        |SELECT l_orderkey, (generate_subscripts(qty_series, 1) - 1)::INT AS pos,
+        |       unnest(qty_series) AS qty
+        |FROM g""".stripMargin,
 
     "q20_setops" ->
       """WITH a AS (SELECT o_custkey FROM orders

@@ -7,5 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4)
     .appName("graft-test")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_warehouse_${sys.props.getOrElse("user.name", "u")}")
     .getOrCreate()
 }
