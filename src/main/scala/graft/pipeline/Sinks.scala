@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Materialization sinks (SURVEY §2.1 S11/S13/S14/S15).
+  *
+  * The reference mutates HDF5 files in place; this engine writes immutable
+  * snapshots instead — re-running a stage is idempotent by construction
+  * (SURVEY §7.4 item 3).
+  */
+object Sinks {
+
+  /** S11/S14: partitioned snapshot — ymd/batch directories give partition
+    * pruning on the two keys every reference query filters by. */
+  def writeSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("ymd", "batch")
+      .parquet(path)
+
+  /** S13: the append-mode flux/thickness summary table
+    * (`processstep_transmission_thickness_flux_table.py:81-89`). */
+  def appendCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("header", "true")
+      .csv(path)
+
+  /** S15: quarantine split — rows failing `gate` go to the error path, the
+    * rest are returned for further processing (`.stacking_error_list`
+    * semantics of the stacker). */
+  def quarantine(df: DataFrame, gate: org.apache.spark.sql.Column, errorPath: String): DataFrame = {
+    df.filter(!gate).write.mode(SaveMode.Append).parquet(errorPath)
+    df.filter(gate)
+  }
+}

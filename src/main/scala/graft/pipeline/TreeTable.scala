@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Long-format HDF5/NeXus tree table (SURVEY §1.3/§7.1): arbitrary
+  * `path -> value` pairs per source file, for the dynamic part of the schema
+  * that the curated repetition table does not model.
+  *
+  * Schema: one row per (file, path) with a typed value column per kind
+  * (double / string / float-array) plus units and free-form attributes —
+  * exactly the information a `TranslationElement` writes
+  * (`/root/reference/src/processstep_determine_beam_center.py:66-114`).
+  *
+  * Read helpers reproduce the reference's tolerate-missing semantics
+  * (`/root/reference/src/utilities.py:11-63`): a missing path yields the
+  * documented default (0.0 / '' / (NaN, dimensionless)) instead of failing.
+  */
+object TreeTable {
+
+  case class TreeRow(
+      file: String,
+      path: String,
+      valueF64: Option[Double],
+      valueStr: Option[String],
+      valueArr: Option[Array[Float]],
+      units: Option[String],
+      attrs: Map[String, String])
+
+  /** S3: scalar read with 0.0 default on missing path. One output row per
+    * input file (left join against the requested path). */
+  def readF64(tree: DataFrame, files: DataFrame, path: String, as: String): DataFrame =
+    readTyped(tree, files, path, as, coalesce(col("valueF64"), lit(0.0)))
+
+  /** S4: string read, '' default. */
+  def readStr(tree: DataFrame, files: DataFrame, path: String, as: String): DataFrame =
+    readTyped(tree, files, path, as, coalesce(col("valueStr"), lit("")))
+
+  /** S5: quantity read, (NaN, dimensionless) default. */
+  def readQuantity(tree: DataFrame, files: DataFrame, path: String, as: String): DataFrame =
+    readTyped(tree, files, path, as,
+      struct(
+        coalesce(col("valueF64"), lit(Double.NaN)).as("value"),
+        coalesce(col("units"), lit("dimensionless")).as("units")))
+
+  private def readTyped(
+      tree: DataFrame, files: DataFrame, path: String, as: String,
+      valueExpr: Column): DataFrame = {
+    val slice = tree.filter(col("path") === path)
+      .select(col("file"), valueExpr.as(as))
+    files.join(slice, Seq("file"), "left")
+      .withColumn(as, coalesce(col(as),
+        slice.schema(as).dataType match {
+          case org.apache.spark.sql.types.DoubleType => lit(0.0)
+          case org.apache.spark.sql.types.StringType => lit("")
+          case st: org.apache.spark.sql.types.StructType =>
+            struct(lit(Double.NaN).as("value"), lit("dimensionless").as("units"))
+          case _ => lit(null)
+        }))
+  }
+
+  /** K20: one declarative translator rule — the HDF5Translator YAML row
+    * (source path, destination column, dtype, destination units). */
+  case class MappingRule(
+      srcPath: String,
+      dstColumn: String,
+      dtype: String, // "f64" | "str" | "quantity"
+      toUnits: Option[String] = None)
+
+  /** Fixed unit-conversion table (§1.2 pint equivalent): factor to convert
+    * `from` into `to`. Unknown pairs -> NaN (reference warns + degrades). */
+  private val conversions: Map[(String, String), Double] = Map(
+    ("m", "m") -> 1.0, ("mm", "m") -> 1e-3, ("cm", "m") -> 1e-2,
+    ("um", "m") -> 1e-6, ("m", "mm") -> 1e3, ("mm", "mm") -> 1.0,
+    ("angstrom", "angstrom") -> 1.0, ("nm", "angstrom") -> 10.0)
+
+  /** K20 applied: fold a rule list over the tree table to produce one wide
+    * row per file — the translator step as a config-driven column mapping
+    * (no subprocess, no per-file mutation; SURVEY §3.1). */
+  def translate(tree: DataFrame, rules: Seq[MappingRule]): DataFrame = {
+    val files = tree.select(col("file")).distinct()
+    rules.foldLeft(files) { (acc, rule) =>
+      rule.dtype match {
+        case "f64" => readF64(tree, acc, rule.srcPath, rule.dstColumn)
+        case "str" => readStr(tree, acc, rule.srcPath, rule.dstColumn)
+        case "quantity" =>
+          val read = readQuantity(tree, acc, rule.srcPath, rule.dstColumn)
+          rule.toUnits match {
+            case None => read
+            case Some(target) =>
+              val factor = conversions.foldLeft(lit(Double.NaN)) {
+                case (acc2, ((from, to), f)) if to == target =>
+                  when(col(s"${rule.dstColumn}.units") === from, lit(f)).otherwise(acc2)
+                case (acc2, _) => acc2
+              }
+              read.withColumn(rule.dstColumn,
+                struct(
+                  (col(s"${rule.dstColumn}.value") * factor).as("value"),
+                  lit(target).as("units")))
+          }
+        case other => throw new IllegalArgumentException(s"unknown dtype $other")
+      }
+    }
+  }
+}
