@@ -81,3 +81,20 @@ object DotProductF {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs.head, exprs(1)), "scala_udf")
 }
+
+/** SparkSessionExtensions wiring — install the engine's native expressions
+  * at session build time:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductF].getName, "dot_f"),
+      (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+}

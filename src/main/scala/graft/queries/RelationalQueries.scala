@@ -243,6 +243,24 @@ object RelationalQueries {
         .select(col("n_name"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
     },
 
+    // Remaining analytic window functions: lag/lead, first/last in frame,
+    // ntile, percent_rank — per-supplier shipment timeline.
+    "q29_window_analytics" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          first(col("l_quantity")).over(wf).as("first_qty"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"))
+    },
+
     // Exact interpolated percentiles (the approximate path is x02).
     "q25_percentile_exact" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -454,6 +472,17 @@ object RelationalQueries {
         | FROM customer) c
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk = 1""".stripMargin,
+
+    "q29_window_analytics" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | lag(l_quantity, 1) OVER w AS prev_qty,
+        | lead(l_quantity, 1) OVER w AS next_qty,
+        | first_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_qty,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
 
     "q25_percentile_exact" ->
       """SELECT l_returnflag,

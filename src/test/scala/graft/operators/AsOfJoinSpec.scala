@@ -34,6 +34,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(inner.count() == 2)
   }
 
+  test("randomized: union-window result equals brute-force per-row lookup") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1 to 300).map { i =>
+      (rnd.nextInt(5), new java.sql.Date(86400000L * rnd.nextInt(1000)), i)
+    }
+    val rightRows = (1 to 200).map { j =>
+      (rnd.nextInt(5), new java.sql.Date(86400000L * rnd.nextInt(1000)), s"p$j")
+    }
+    val left = leftRows.toDF("k", "lt", "lid")
+    val right = rightRows.toDF("k", "rt", "payload")
+
+    val got = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", "left",
+        tieBreak = Seq("payload"))
+      .select("lid", "payload").as[(Int, Option[String])].collect().toMap
+
+    leftRows.foreach { case (k, lt, lid) =>
+      val candidates = rightRows.filter(r => r._1 == k && !r._2.after(lt))
+      val expected =
+        if (candidates.isEmpty) None
+        else Some(candidates.maxBy(r => (r._2.getTime, r._3))._3)
+      assert(got(lid) == expected, s"lid=$lid k=$k lt=$lt")
+    }
+  }
+
   test("equal timestamps match (<=) and tieBreak picks greatest") {
     val left = Seq((1, d("2024-01-10"), "x")).toDF("k", "lt", "tag")
     val right = Seq(
