@@ -26,6 +26,7 @@ object SimilarityQueries {
 
   private val nQueries = 5
   private val lshBits = 8
+  private val nCells = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -41,6 +42,37 @@ object SimilarityQueries {
         .withColumn("cs", VectorFns.cosine(col("q_emb"), col("embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), round(col("cs"), 4).as("cosine"), col("rank"))
+    },
+
+    // IVF-style ANN: a deterministic coarse quantizer (first nCells vectors
+    // as centroids — deterministic "training" keeps the oracle exact),
+    // vectors assigned to their nearest cell map-side against broadcast
+    // centroids, queries probe only their own cell's inverted list. This is
+    // the real 100 TB layout: partition/bucket the corpus by cell id and a
+    // query touches one partition instead of the full scan.
+    "s03_ivf_ann" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // nearest cell per vector (rank on rounded cosine, cent_id tie-break)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("ccs"), 6).desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccs", VectorFns.cosine(col("embedding"), col("cent_emb")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell").as("q_cell"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cs"), 6).desc, col("vec_id"))
+      assigned.join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cs", VectorFns.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"), round(col("cs"), 4).as("cosine"), col("rank"))
     },
 
@@ -75,6 +107,33 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY q_id ORDER BY round(cs, 6) DESC, vec_id)::INT AS rank
         |  FROM p)
         |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "s03_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        |ac AS (
+        |  SELECT vec_id, cent_id,
+        |    list_dot_product(v, cv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccs
+        |  FROM e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(ccs, 6) DESC, cent_id) AS arn
+        |    FROM ac) WHERE arn = 1),
+        |ea AS (SELECT e.vec_id, v, cell FROM e JOIN assigned USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM ea WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q_id, ea.vec_id,
+        |    list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cs
+        |  FROM ea JOIN q ON ea.cell = q_cell AND ea.vec_id <> q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cs,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY round(cs, 6) DESC, vec_id)::INT AS rank
+        |  FROM p)
+        |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "s02_lsh_ann" ->
       """WITH bk AS (
