@@ -118,6 +118,18 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     },
 
+    // Exact dedup with representative selection: keep the lowest doc_id per
+    // content hash — the output a dedup pass actually ships. On unique-text
+    // data this keeps everything; the mechanism (hash -> groupBy -> min_by
+    // -> semi-join back) is the 100 TB exact-dedup shape.
+    "d06_dedup_keep" -> { (s, dir) =>
+      val hashed = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+      val keep = hashed.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      keep.select(col("doc_id"), col("n_copies"))
+    },
+
     // Embedding-cosine near-dup, bounded all-pairs (validation variant; the
     // scale path is the LSH bucketing in s02_lsh_ann).
     "d05_embedding_dup" -> { (s, dir) =>
@@ -207,6 +219,10 @@ object DedupQueries {
          |JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+
+    "d06_dedup_keep" ->
+      """SELECT min(doc_id)::BIGINT AS doc_id, count(1)::BIGINT AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "d05_embedding_dup" ->
       """WITH e AS (

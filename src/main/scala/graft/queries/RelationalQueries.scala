@@ -309,6 +309,22 @@ object RelationalQueries {
         .select(col("l_orderkey"), posexplode(col("qty_series")).as(Seq("pos", "qty")))
     },
 
+    // Date/time function battery: extraction, month arithmetic, month-end,
+    // quarter bucketing.
+    "q30_date_funcs" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 500 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          to_date(col("o_orderdate")).as("as_date"))
+    },
+
     // Set operations: customers active in both Jan-1996 and Jan-1997
     // (INTERSECT) and in Jan-1996 only (EXCEPT), tagged and unioned.
     "q20_setops" -> { (s, dir) =>
@@ -516,6 +532,17 @@ object RelationalQueries {
         |SELECT l_orderkey, (generate_subscripts(qty_series, 1) - 1)::INT AS pos,
         |       unnest(qty_series) AS qty
         |FROM g""".stripMargin,
+
+    "q30_date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate)::INT AS y,
+        | month(o_orderdate)::INT AS m,
+        | day(o_orderdate)::INT AS d,
+        | quarter(o_orderdate)::INT AS q,
+        | (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m,
+        | last_day(o_orderdate::DATE) AS month_end,
+        | o_orderdate::DATE AS as_date
+        |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
 
     "q20_setops" ->
       """WITH a AS (SELECT o_custkey FROM orders

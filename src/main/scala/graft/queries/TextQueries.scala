@@ -79,6 +79,20 @@ object TextQueries {
         })
     },
 
+    // Cleaning/normalization transform: lowercase, strip non-alpha chars,
+    // collapse whitespace, drop stopwords — the canonical pre-tokenization
+    // scrub of a training-data pipeline, pure codegen'd column ops.
+    "t05_clean_normalize" -> { (s, dir) =>
+      val collapsed = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " ")
+      val cleanToks = filter(split(trim(collapsed), " "),
+        t => !array_contains(array(stopwords.map(lit): _*), t) && t =!= "")
+      docs(s, dir).select(
+        col("doc_id"),
+        concat_ws(" ", cleanToks).as("clean_text"),
+        size(cleanToks).as("n_clean_tokens"))
+    },
+
     // Content fingerprints: full-text md5 prefix, portable 32-bit hash, and
     // a min-shingle-hash (winnowing-style document fingerprint).
     "t04_fingerprint" -> { (s, dir) =>
@@ -129,6 +143,16 @@ object TextQueries {
          |  WHEN ${markerScoreSql(Seq("table", "column", "row"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'fr'
          |  ELSE 'de' END AS pred_lang
          |FROM documents""".stripMargin,
+
+    "t05_clean_normalize" ->
+      """SELECT doc_id,
+        | array_to_string(list_filter(
+        |   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |   t -> t NOT IN ('the', 'a') AND t <> ''), ' ') AS clean_text,
+        | len(list_filter(
+        |   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |   t -> t NOT IN ('the', 'a') AND t <> ''))::INT AS n_clean_tokens
+        |FROM documents""".stripMargin,
 
     "t04_fingerprint" ->
       s"""WITH tk AS (
