@@ -36,6 +36,28 @@ object EventQueries {
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     },
 
+    // Funnel conversion: per day, how many purchases had a click at most
+    // one hour before (as-of left join -> conditional aggregation).
+    "q31_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts",
+          joinType = "left")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("click_ts")).as("n_with_prior_click"),
+          count(when(unix_micros(col("ts")) - unix_micros(col("click_ts")) <= 3600000000L, 1))
+            .as("n_converted_1h"))
+        .withColumn("conversion_rate",
+          floor(col("n_converted_1h") / col("n_purchases") * 10000) / 10000)
+    },
+
     // Tumbling window aggregation (10-minute buckets, epoch-aligned — same
     // alignment as DuckDB time_bucket).
     "q22_tumbling_window" -> { (s, dir) =>
@@ -74,6 +96,22 @@ object EventQueries {
         |  (epoch_us(p.ts::TIMESTAMP) - epoch_us(c.click_ts))::BIGINT AS gap_us
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts::TIMESTAMP >= c.click_ts""".stripMargin,
+
+    "q31_funnel" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |conv AS (
+        |  SELECT p.ts::TIMESTAMP AS ts, c.click_ts
+        |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts::TIMESTAMP >= c.click_ts)
+        |SELECT ts::DATE AS day,
+        | count(1)::BIGINT AS n_purchases,
+        | count(click_ts)::BIGINT AS n_with_prior_click,
+        | count(CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000 THEN 1 END)::BIGINT AS n_converted_1h,
+        | floor(count(CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000 THEN 1 END)::DOUBLE
+        |       / count(1) * 10000) / 10000 AS conversion_rate
+        |FROM conv GROUP BY 1""".stripMargin,
 
     "q22_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS w_start, event_type,

@@ -93,6 +93,17 @@ object TextQueries {
         size(cleanToks).as("n_clean_tokens"))
     },
 
+    // Edit-distance near-dup on text prefixes (bounded all-pairs; the
+    // fuzzy-matching counterpart of the hash-based dedup family).
+    "t06_edit_distance" -> { (s, dir) =>
+      val d = docs(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
+        .filter(col("edit_dist") <= 20)
+    },
+
     // Content fingerprints: full-text md5 prefix, portable 32-bit hash, and
     // a min-shingle-hash (winnowing-style document fingerprint).
     "t04_fingerprint" -> { (s, dir) =>
@@ -153,6 +164,13 @@ object TextQueries {
         |   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
         |   t -> t NOT IN ('the', 'a') AND t <> ''))::INT AS n_clean_tokens
         |FROM documents""".stripMargin,
+
+    "t06_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | levenshtein(a.prefix, b.prefix)::INT AS edit_dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20""".stripMargin,
 
     "t04_fingerprint" ->
       s"""WITH tk AS (
