@@ -68,6 +68,66 @@ class WatcherSpec extends SparkSpec {
     assert(out.head.complete && out.head.nFiles == 6)
   }
 
+  test("gate times out and emits incomplete after the stabilization window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FileEvent]
+    // 1-second stabilization timeout so the give-up path actually fires
+    val gated = completenessGate(input.toDS(), stabilizationTimeoutMs = 1000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_to_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gate_to_out").toString
+    def drain(): Unit = {
+      val q = gated.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    input.addData(Seq(FileEvent("20240115_7_1", "im_craw.nxs", ts("2024-01-15 10:00:00"))))
+    drain()
+    Thread.sleep(1500) // let the processing-time timeout expire
+    // any new batch triggers timeout processing for expired groups
+    input.addData(Seq(FileEvent("20240115_8_1", "im_craw.nxs", ts("2024-01-15 10:00:02"))))
+    drain()
+    val out = spark.read.schema(
+      org.apache.spark.sql.Encoders.product[RepetitionReady].schema)
+      .parquet(outDir).as[RepetitionReady].collect()
+    // the AvailableNow drain keeps evaluating pending timeouts, so the
+    // second (also-incomplete) dir may give up too — assert on the first
+    val first = out.find(_.repDir == "20240115_7_1")
+    assert(first.isDefined, s"expected a timeout record, got ${out.toSeq}")
+    assert(!first.get.complete && first.get.nFiles == 1)
+    assert(out.forall(!_.complete))
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val counts = EventStream.tumblingCounts(
+      input.toDS().toDF("ts", "event_type", "value", "user_id"),
+      watermark = "30 minutes")
+    val q = counts.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1 advances the watermark to 11:30
+    input.addData(Seq(
+      (ts("2024-01-15 10:05:00"), "click", 1.0, 1L),
+      (ts("2024-01-15 12:00:00"), "click", 1.0, 2L)))
+    q.processAllAvailable()
+    // batch 2: one event far behind the watermark (dropped), one fresh
+    input.addData(Seq(
+      (ts("2024-01-15 09:00:00"), "click", 100.0, 3L), // late -> dropped
+      (ts("2024-01-15 13:00:00"), "click", 1.0, 4L)))
+    q.processAllAvailable()
+    // advance watermark far enough to finalize every surviving window
+    input.addData(Seq((ts("2024-01-15 15:00:00"), "view", 1.0, 5L)))
+    q.processAllAvailable()
+    val rows = spark.table("wm_out")
+      .select("w_start", "sum_value").as[(Timestamp, Double)].collect().toMap
+    q.stop()
+    assert(!rows.contains(ts("2024-01-15 09:00:00")), "late window must not appear")
+    assert(rows(ts("2024-01-15 10:00:00")) == 1.0)
+  }
+
   test("tumbling window transform: stream result equals batch result") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
