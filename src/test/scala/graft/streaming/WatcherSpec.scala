@@ -43,7 +43,10 @@ class WatcherSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      // the still-incomplete second dir holds a pending 600s timeout, which
+      // keeps AvailableNow evaluating no-data batches — cap the drain well
+      // below that; the data batches themselves process in ~2s
+      q.awaitTermination(15000)
       q.stop()
     }
     def results() = spark.read.schema(
@@ -81,7 +84,9 @@ class WatcherSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000); q.stop()
+      // with pending timeouts AvailableNow keeps evaluating no-data
+      // batches; 10s is plenty for the 1s stabilization window to fire
+      q.awaitTermination(10000); q.stop()
     }
     input.addData(Seq(FileEvent("20240115_7_1", "im_craw.nxs", ts("2024-01-15 10:00:00"))))
     drain()
