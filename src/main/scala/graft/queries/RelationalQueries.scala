@@ -309,6 +309,20 @@ object RelationalQueries {
         .select(col("l_orderkey"), posexplode(col("qty_series")).as(Seq("pos", "qty")))
     },
 
+    // Correlated subqueries through the SQL layer (Catalyst decorrelates
+    // both the scalar subquery and the correlated EXISTS into joins).
+    "q32_correlated_subquery" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  (SELECT max(o_orderdate) FROM orders WHERE o_custkey = c_custkey) AS last_order,
+          |  (SELECT count(1) FROM orders WHERE o_custkey = c_custkey
+          |     AND o_totalprice > 100000) AS n_big_orders
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |              AND o_orderstatus = 'O')""".stripMargin)
+    },
+
     // Date/time function battery: extraction, month arithmetic, month-end,
     // quarter bucketing.
     "q30_date_funcs" -> { (s, dir) =>
@@ -532,6 +546,15 @@ object RelationalQueries {
         |SELECT l_orderkey, (generate_subscripts(qty_series, 1) - 1)::INT AS pos,
         |       unnest(qty_series) AS qty
         |FROM g""".stripMargin,
+
+    "q32_correlated_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_orderdate) FROM orders WHERE o_custkey = c_custkey) AS last_order,
+        |  (SELECT count(1) FROM orders WHERE o_custkey = c_custkey
+        |     AND o_totalprice > 100000)::BIGINT AS n_big_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderstatus = 'O')""".stripMargin,
 
     "q30_date_funcs" ->
       """SELECT o_orderkey,
