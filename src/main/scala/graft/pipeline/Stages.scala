@@ -167,6 +167,10 @@ object Stages {
     * thickness with guards and the logbook-wins selection
     * (`processstep_thickness_from_absorption.py:36-52,90-108,167-202`). */
   val thicknessFromAbsorption: Stage = (df, _) => {
+    // bgStats branches off `df` itself, so without materialization the
+    // upstream plan (including the UDF image kernels) evaluates twice per
+    // action — persist/checkpoint the frame before this stage when running
+    // the full chain over large inputs.
     val bgStats = df.groupBy(
         col("collection_identifier").as("bg_id"),
         col("configuration").as("bg_config"))

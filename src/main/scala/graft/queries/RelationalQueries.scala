@@ -71,7 +71,8 @@ object RelationalQueries {
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1996-04-01")))
-      val li = t(s, dir, "lineitem").select("l_orderkey").distinct()
+      // no distinct: left_semi already emits each left row at most once
+      val li = t(s, dir, "lineitem").select("l_orderkey")
       ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
