@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.operators.AsOfJoin
 
@@ -167,15 +168,17 @@ object Stages {
     * thickness with guards and the logbook-wins selection
     * (`processstep_thickness_from_absorption.py:36-52,90-108,167-202`). */
   val thicknessFromAbsorption: Stage = (df, _) => {
-    // bgStats branches off `df` itself, so without materialization the
-    // upstream plan (including the UDF image kernels) evaluates twice per
-    // action — persist/checkpoint the frame before this stage when running
-    // the full chain over large inputs.
-    val bgStats = df.groupBy(
+    // bgStats branches off `df` itself — persist the frame so the upstream
+    // plan (including the UDF image kernels) evaluates ONCE: the aggregate
+    // stage fills the cache, the probe side of the join reads it back.
+    // No broadcast hint on bgStats: one row per (collection, configuration)
+    // is unbounded, so AQE must stay free to pick a shuffle join at scale.
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val bgStats = input.groupBy(
         col("collection_identifier").as("bg_id"),
         col("configuration").as("bg_config"))
       .agg(avg(col("transmission")).as("bg_transmission"))
-    val joined = df.join(broadcast(bgStats),
+    val joined = input.join(bgStats,
       col("background_identifier") === col("bg_id") &&
         col("configuration") === col("bg_config"), "left")
       .drop("bg_id", "bg_config")

@@ -45,11 +45,14 @@ object DedupQueries {
       // universal family over it ((A_b*h + B_b) mod M, all < 2^62 so exact
       // in both engines), and all 6 band-minima + the set size come out of a
       // single groupBy pass. The shingle frame feeds three consumers
-      // (signatures + both sides of the intersection join) -> persisted.
+      // (signatures + both sides of the intersection join); it is RECOMPUTED
+      // per consumer, not persisted — the exploded frame is larger than the
+      // corpus itself, so at 100 TB caching it costs more than re-scanning
+      // the pruned (doc_id, text) columns. A long-lived pipeline would
+      // checkpoint it to parquet instead.
       val shd = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hs = shd.select(col("doc_id"), TextFns.md5Hash32(col("s")).as("h"))
       val bandMins = (1 to nBands).map { b =>
         min((col("h") * lit(1000003L + b * 7919L) + lit(b * 104729L)) % lit(2147483647L))
@@ -66,7 +69,10 @@ object DedupQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.c").as("ca"), col("b.c").as("cb"))
         .distinct()
-      val inter = shd.join(broadcast(cand), col("doc_id") === col("doc_a"))
+      // Plain equi-join on doc_id: the candidate-pair set grows with corpus
+      // size x duplication density, so broadcasting it would cap scale —
+      // AQE may still choose broadcast when the measured size is small.
+      val inter = shd.join(cand, col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("s"))
         .join(shd.select(col("doc_id").as("doc_b2"), col("s").as("s2")),
           col("doc_b2") === col("doc_b") && col("s2") === col("s"))

@@ -127,11 +127,13 @@ object PipelineQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
-          transform(
+          // Serialized (printf %.2f, comma-joined) so the driver's comparator
+          // can sort/hash the column; the ordered-concat semantics (A2) are
+          // unchanged. l_linenumber is NOT unique within an order in this
+          // data — the composite sort key keeps tie-breaking deterministic.
+          concat_ws(",", transform(
             array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
-            x => x.getField("l_quantity")).as("qty_series"),
-          // l_linenumber is NOT unique within an order in this data — the
-          // composite key makes tie-breaking deterministic in both engines.
+            x => format_string("%.2f", x.getField("l_quantity")))).as("qty_series"),
           min_by(col("l_extendedprice"),
             col("l_linenumber") * lit(1e9) + col("l_extendedprice")).as("first_price"),
           count(lit(1)).as("n"))
@@ -140,11 +142,17 @@ object PipelineQueries {
     // §1.2: physical-quantity-with-units struct + the fixed conversions the
     // reference does with pint (mm -> m, px -> m via pixel pitch).
     "p09_quantity_units" -> { (s, dir) =>
+      // The quantity-with-units pair is carried as (value, units) scalar
+      // column pairs — flattened struct fields — so the driver's comparator
+      // can hash them; graft.pipeline keeps the struct form internally.
       val mm = struct(col("l_quantity").as("value"), lit("mm").as("units"))
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 97 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"), mm.as("q_mm"),
-          struct((mm.getField("value") / 1000.0).as("value"), lit("m").as("units")).as("q_m"),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          mm.getField("value").as("q_mm_value"),
+          mm.getField("units").as("q_mm_units"),
+          round(mm.getField("value") / 1000.0, 6).as("q_m_value"),
+          lit("m").as("q_m_units"),
           round(col("l_partkey") * lit(75e-6), 6).as("det_pos_m"))
     })
 
@@ -208,15 +216,17 @@ object PipelineQueries {
 
     "p08_stack_collect" ->
       """SELECT l_orderkey,
-        | list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_series,
+        | string_agg(printf('%.2f', l_quantity), ',' ORDER BY l_linenumber, l_quantity) AS qty_series,
         | arg_min(l_extendedprice, l_linenumber * 1e9 + l_extendedprice) AS first_price,
         | count(1)::BIGINT AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "p09_quantity_units" ->
       """SELECT l_orderkey, l_linenumber,
-        | {'value': l_quantity, 'units': 'mm'} AS q_mm,
-        | {'value': l_quantity/1000.0, 'units': 'm'} AS q_m,
+        | l_quantity AS q_mm_value,
+        | 'mm' AS q_mm_units,
+        | round(l_quantity/1000.0, 6) AS q_m_value,
+        | 'm' AS q_m_units,
         | round(l_partkey * 75e-6, 6) AS det_pos_m
         |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin)
 }

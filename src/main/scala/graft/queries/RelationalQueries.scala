@@ -212,12 +212,14 @@ object RelationalQueries {
     },
 
     // Scalar subquery (Q17-style): parts ordered in quantities below 50% of
-    // their own average. The subquery side is a broadcast of per-part avgs.
+    // their own average. No broadcast hint: partAvg has one row per distinct
+    // partkey (unbounded — grows with the fact table), so AQE must be free
+    // to pick sort-merge at scale and broadcast only when it measures small.
     "q17_avg_subquery" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val partAvg = li.groupBy(col("l_partkey").as("pk"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
-      li.join(broadcast(partAvg), col("l_partkey") === col("pk"))
+      li.join(partAvg, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(round(sum(col("l_extendedprice")), 4).as("small_lot_revenue"),
           count(lit(1)).as("n"))

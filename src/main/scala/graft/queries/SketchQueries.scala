@@ -34,9 +34,12 @@ object SketchQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          // one sketch pass for both percentiles (array form), not two
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)).as("p50_p95_price"),
+          // one sketch pass for both percentiles (array form), not two;
+          // split into scalar columns so the result is comparison-friendly
+          element_at(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 1).as("p50_price"),
+          element_at(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 2).as("p95_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
     })

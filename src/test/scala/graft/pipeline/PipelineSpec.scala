@@ -77,6 +77,30 @@ class PipelineSpec extends SparkSpec {
     assert(table.columns.contains("thickness"))
   }
 
+  test("thickness stage evaluates its upstream exactly once (persisted diamond)") {
+    // bgStats branches off the stage input; without the in-stage persist the
+    // whole upstream (UDF image kernels included) would run twice per action.
+    val acc = spark.sparkContext.longAccumulator("upstream-evals")
+    val countingUdf = udf { (t: Double) => acc.add(1); t }.asNondeterministic()
+    val dir = java.nio.file.Files.createTempDirectory("thick").toString
+    spark.range(100).selectExpr(
+        "concat('c', id % 4) AS collection_identifier",
+        "cast(id % 2 AS int) AS configuration",
+        "concat('c', (id + 1) % 4) AS background_identifier",
+        "0.5 + (id % 10) * 0.01 AS transmission",
+        "100.0 AS overallMu",
+        "cast(null AS double) AS samplethickness")
+      .write.mode("overwrite").parquet(dir)
+    val input = spark.read.parquet(dir)
+      .withColumn("transmission", countingUdf(col("transmission")))
+    val out = Stages.thicknessFromAbsorption(input, ctx)
+    out.collect()
+    assert(acc.value == 100, s"upstream evaluated ${acc.value} / 100 times")
+    // and the background join is hint-free (AQE picks the strategy)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("quarantine split (F7/S15): rows failing canStack are separated") {
     val broken = processed.withColumn("mask",
       when(col("batch") === 1, col("mask")))

@@ -67,6 +67,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(1000))
   }
 
+  test("q17/d02: no forced broadcast of fact-derived aggregates") {
+    // partAvg (one row per distinct partkey) and the LSH candidate-pair set
+    // both grow with the fact table — a broadcast HINT would pin a plan that
+    // OOMs the driver at 100x. The analyzed plan must carry no hint so AQE
+    // stays free to choose (it may still broadcast when it measures small —
+    // that is correct behavior, so we assert hint absence, not join type).
+    for (name <- Seq("q17_avg_subquery", "d02_minhash_lsh")) {
+      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), s"$name still carries a join hint")
+    }
+  }
+
+  test("s03: cell assignment is persisted (computed once, read twice)") {
+    val df = SparkEntry.queries("s03_ivf_ann")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
