@@ -32,7 +32,12 @@ object Stages {
       masks: DataFrame,
       refBeamDiameterPx: Double = 10.0,
       refDistanceM: Double = 1.0,
-      hcKevAngstrom: Double = 12.398419843320026)
+      hcKevAngstrom: Double = 12.398419843320026,
+      // raw long-format tree table + translator mapping configs, for replays
+      // that start from untranslated instrument files (K20 / S3-S6)
+      tree: Option[DataFrame] = None,
+      translatorRules1: Seq[TreeTable.MappingRule] = Nil,
+      translatorRules2: Seq[TreeTable.MappingRule] = Nil)
 
   type Stage = (DataFrame, Context) => DataFrame
 
@@ -262,6 +267,62 @@ object Stages {
         min_by(col("mask_path"), col("repetition")).as("template_mask_path"))
   }
 
+  /** K20 / S3–S6: first translator pass (`processstep_translator_step_1.py:
+    * 24-45` — HDF5Translator with the instrument YAML config). When the
+    * incoming frame is the raw long-format tree table, fold the configured
+    * mapping into one wide row per file; an already-translated frame passes
+    * through, mirroring the reference's already-processed skip (F3). */
+  val translatorStep1: Stage = (df, ctx) =>
+    if (ctx.translatorRules1.nonEmpty &&
+        df.columns.contains("path") && df.columns.contains("valueF64"))
+      TreeTable.translate(df, ctx.translatorRules1)
+    else df
+
+  /** Second translator pass (`processstep_translator_step_2.py` — refines
+    * the step-1 file with a second mapping config): enriches the wide frame
+    * with further tree-derived columns, keyed on `file`. */
+  val translatorStep2: Stage = (df, ctx) => ctx.tree match {
+    case Some(tree) if ctx.translatorRules2.nonEmpty && df.columns.contains("file") =>
+      TreeTable.translateOnto(tree, df, ctx.translatorRules2)
+    case _ => df
+  }
+
+  /** Background-file linkage (`processstep_add_background_files.py:58-85`):
+    * resolve each background identifier to the relative path of its stacked
+    * file (`../../<yyyy>/<yyyymmdd>/MOUSE_<id>_<config>_stacked.nxs`), the
+    * 'None'/missing sentinel becoming '' exactly as the reference writes. */
+  val addBackgroundFiles: Stage = (df, _) => {
+    def stackedPath(id: Column): Column =
+      when(id.isNotNull && id =!= "" && id =!= "None",
+        concat(lit("../../"), substring(id, 1, 4), lit("/"), substring(id, 1, 8),
+          lit("/MOUSE_"), id, lit("_"), col("configuration"), lit("_stacked.nxs")))
+        .otherwise(lit(""))
+    df.withColumn("background_file", stackedPath(col("background_identifier")))
+      .withColumn("dispersed_background_file",
+        stackedPath(col("dispersant_background_identifier")))
+  }
+
+  /** Beam-shape info (`processstep_calc_beam_shape_info.py:31-56`): sigma
+    * minor/major and theta of the direct-beam profile. The flux step already
+    * emits these as a by-product of its beam analysis; run standalone, the
+    * stage computes them from the direct beam without the flux machinery. */
+  val calcBeamShapeInfo: Stage = (df, _) =>
+    if (df.columns.contains("sigma_minor")) df
+    else df
+      .withColumn("__shape",
+        when(col("directBeam").isNotNull,
+          beamAnalysisUdf(col("directBeam"), col("directH"), col("directW"))))
+      .withColumn("sigma_minor", col("__shape.sigmaMinor"))
+      .withColumn("sigma_major", col("__shape.sigmaMajor"))
+      .withColumn("beam_theta", col("__shape.theta"))
+      .drop("__shape")
+
+  /** S16 (`processstep_cleanup_files.py:20-40`): the reference deletes its
+    * step-1 intermediate `.nxs`; this engine never materializes one (the
+    * whole chain is one lazy plan), so the step is an explicit no-op kept
+    * for step-list parity. */
+  val cleanupFiles: Stage = (df, _) => df
+
   /** S13: the per-repetition summary row for the CSV append sink
     * (`processstep_transmission_thickness_flux_table.py:57-89`). */
   val fluxThicknessTable: Stage = (df, _) =>
@@ -277,6 +338,11 @@ object Stages {
   /** Step registry mirroring the reference's `--steps` names
     * (`directory_processor_multibatch_nostack.sh:18-33`). */
   val registry: Map[String, Stage] = Map(
+    "translator_step_1" -> translatorStep1,
+    "translator_step_2" -> translatorStep2,
+    "add_background_files" -> addBackgroundFiles,
+    "calc_beam_shape_info" -> calcBeamShapeInfo,
+    "cleanup_files" -> cleanupFiles,
     "metadata_update" -> metadataUpdate,
     "add_mask_file" -> addMaskFile,
     "determine_beam_center" -> determineBeamCenter,
@@ -296,8 +362,35 @@ object Stages {
     "thickness_from_absorption", "transmission_correction_factor_propagator",
     "apply_transmission_correction_factor", "average_to_counts")
 
+  /** The reference's verbatim 15-step production list
+    * (`directory_processor_multibatch_nostack.sh:18-33`), accepted as-is. */
+  val referenceSteps: Seq[String] = Seq(
+    "processstep_translator_step_1",
+    "processstep_translator_step_2",
+    "processstep_average_to_counts",
+    "processstep_cleanup_files",
+    "processstep_add_mask_file",
+    "processstep_metadata_update",
+    "processstep_determine_beam_center",
+    "processstep_make_beam_mask",
+    "processstep_calc_beam_flux_and_transmissions",
+    "processstep_calc_beam_shape_info",
+    "processstep_add_background_files",
+    "processstep_transmission_correction_factor_propagator",
+    "processstep_apply_transmission_correction_factor",
+    "processstep_thickness_from_absorption",
+    "processstep_transmission_thickness_flux_table")
+
+  /** Look up a step by either the short name or the reference's
+    * `processstep_`-prefixed form, with a did-you-mean error. */
+  def stage(name: String): Stage = {
+    val key = name.stripPrefix("processstep_")
+    registry.getOrElse(key, throw new NoSuchElementException(
+      s"unknown step '$name'; known: ${registry.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
   /** Fold the ordered step list over the repetition frame — the reference's
     * `process_batch` loop as one lazy Catalyst plan (SURVEY §3.1). */
   def run(df: DataFrame, ctx: Context, steps: Seq[String] = defaultSteps): DataFrame =
-    steps.foldLeft(df)((d, name) => registry(name)(d, ctx))
+    steps.foldLeft(df)((d, name) => stage(name)(d, ctx))
 }

@@ -77,9 +77,13 @@ object TreeTable {
   /** K20 applied: fold a rule list over the tree table to produce one wide
     * row per file — the translator step as a config-driven column mapping
     * (no subprocess, no per-file mutation; SURVEY §3.1). */
-  def translate(tree: DataFrame, rules: Seq[MappingRule]): DataFrame = {
-    val files = tree.select(col("file")).distinct()
-    rules.foldLeft(files) { (acc, rule) =>
+  def translate(tree: DataFrame, rules: Seq[MappingRule]): DataFrame =
+    translateOnto(tree, tree.select(col("file")).distinct(), rules)
+
+  /** Second-pass translation (`processstep_translator_step_2.py`): enrich an
+    * already-wide frame (keyed by `file`) with more tree-derived columns. */
+  def translateOnto(tree: DataFrame, base: DataFrame, rules: Seq[MappingRule]): DataFrame = {
+    rules.foldLeft(base) { (acc, rule) =>
       rule.dtype match {
         case "f64" => readF64(tree, acc, rule.srcPath, rule.dstColumn)
         case "str" => readStr(tree, acc, rule.srcPath, rule.dstColumn)

@@ -101,6 +101,54 @@ class PipelineSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("verbatim reference --steps list replays through the registry") {
+    // the 15 processstep_-prefixed names from
+    // directory_processor_multibatch_nostack.sh:18-33, accepted as-is
+    val out = Stages.run(Fixtures.repetitions(spark), ctx, Stages.referenceSteps)
+    assert(out.count() == 12)
+    assert(out.columns.contains("thickness"))
+    // unknown names fail with a did-you-mean, not a bare key lookup
+    val e = intercept[NoSuchElementException] {
+      Stages.stage("processstep_nonexistent")
+    }
+    assert(e.getMessage.contains("known:"))
+  }
+
+  test("add_background_files: identifier -> relative stacked path, '' sentinel") {
+    import spark.implicits._
+    val df = Seq(
+      ("20240115_1", 1, "20240110_2", "None"),
+      ("20240115_1", 2, null, null))
+      .toDF("collection_identifier", "configuration",
+        "background_identifier", "dispersant_background_identifier")
+    val out = Stages.addBackgroundFiles(df, ctx)
+      .select("background_file", "dispersed_background_file").collect()
+    val linked = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(linked.contains(
+      ("../../2024/20240110/MOUSE_20240110_2_1_stacked.nxs", "")))
+    assert(linked.contains(("", "")))
+  }
+
+  test("translator steps via registry: raw tree in, wide frame out") {
+    import spark.implicits._
+    val tree = Seq(
+      TreeTable.TreeRow("f1", "/entry1/instrument/configuration",
+        Some(3.0), None, None, None, Map()),
+      TreeTable.TreeRow("f1", "/entry1/sample/name",
+        None, Some("caffeine"), None, None, Map())).toDS().toDF()
+    val ctx2 = ctx.copy(
+      tree = Some(tree),
+      translatorRules1 = Seq(
+        TreeTable.MappingRule("/entry1/instrument/configuration", "configuration", "f64")),
+      translatorRules2 = Seq(
+        TreeTable.MappingRule("/entry1/sample/name", "sample_name", "str")))
+    val out = Stages.run(tree, ctx2,
+      Seq("processstep_translator_step_1", "processstep_translator_step_2"))
+    val r = out.head()
+    assert(r.getDouble(r.fieldIndex("configuration")) == 3.0)
+    assert(r.getString(r.fieldIndex("sample_name")) == "caffeine")
+  }
+
   test("quarantine split (F7/S15): rows failing canStack are separated") {
     val broken = processed.withColumn("mask",
       when(col("batch") === 1, col("mask")))
