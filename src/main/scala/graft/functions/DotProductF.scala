@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   * so swapping implementations never changes oracle results.
   *
   * Null elements inside the arrays are not supported (embedding vectors are
-  * dense); null arrays propagate null via `BinaryExpression` null-safety.
+  * dense); null arrays propagate null via `BinaryExpression` null-safety,
+  * and length-mismatched arrays yield null — the same result as the HOF
+  * form, where `zip_with` pads the shorter array with nulls.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -45,14 +49,17 @@ case class DotProductF(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,12 +68,16 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

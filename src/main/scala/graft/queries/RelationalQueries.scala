@@ -511,7 +511,7 @@ object RelationalQueries {
         | lag(l_quantity, 1) OVER w AS prev_qty,
         | lead(l_quantity, 1) OVER w AS next_qty,
         | first_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_qty,
-        | ntile(4) OVER w AS quartile,
+        | (ntile(4) OVER w)::INT AS quartile,
         | round(percent_rank() OVER w, 4) AS pct_rank
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'

@@ -30,6 +30,14 @@ class DotProductFSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("length mismatch yields null, matching the HOF zip_with semantics") {
+    val mm = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("id", "a", "b")
+    val r = mm.select(
+      VectorFns.dot($"a", $"b").as("native"),
+      VectorFns.dotHof($"a", $"b").as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("registered SQL function dot_f works and matches") {
     DotProductF.register(spark)
     df.where($"a".isNotNull).createOrReplaceTempView("vecs")

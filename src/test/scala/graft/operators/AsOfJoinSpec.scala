@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Date
 
+import org.apache.spark.sql.functions.{datediff, floor, lit}
+
 import graft.SparkSpec
 
 /** As-of join semantics: nearest preceding match, ties, misses, tie-break
@@ -56,6 +58,47 @@ class AsOfJoinSpec extends SparkSpec {
         else Some(candidates.maxBy(r => (r._2.getTime, r._3))._3)
       assert(got(lid) == expected, s"lid=$lid k=$k lt=$lt")
     }
+  }
+
+  test("bucketed variant: identical result to plain backward (randomized)") {
+    // low-cardinality key (2 values) x wide time range — the exact shape
+    // where the plain window would funnel the fact side into 2 partitions
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map { i =>
+      (rnd.nextInt(2), new java.sql.Date(86400000L * rnd.nextInt(2000)), i)
+    }.toDF("k", "lt", "lid")
+    val right = (1 to 150).map { j =>
+      (rnd.nextInt(2), new java.sql.Date(86400000L * rnd.nextInt(2000)), s"p$j")
+    }.toDF("k", "rt", "payload")
+    // ~90-day buckets over dates, monotone in time
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      floor(datediff(c, lit("1970-01-01")) / 90)
+
+    val plain = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", "left",
+      tieBreak = Seq("payload"))
+    val bucketed = AsOfJoin.backwardBucketed(left, right, Seq("k"), "lt", "rt",
+      bucketOf, "left", tieBreak = Seq("payload"))
+    val p = plain.orderBy("lid").collect()
+    val b = bucketed.orderBy("lid").collect()
+    assert(p.sameElements(b))
+
+    // the fact-side window shuffle is keyed by (k, bucket), not k alone —
+    // partitions stay bounded no matter how big one key grows
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val windowPartitionings = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("windowspecdefinition"))
+      .toSeq
+    assert(windowPartitionings.exists(l => l.contains("__b")),
+      s"expected a window partitioned by __b:\n${windowPartitionings.mkString("\n")}")
+  }
+
+  test("reserved internal column names are rejected up front") {
+    val left = Seq((1, d("2024-01-10"), "x")).toDF("k", "lt", "__tag")
+    val right = Seq((1, d("2024-01-01"), "m")).toDF("k", "rt", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "lt", "rt")
+    }
+    assert(e.getMessage.contains("__tag"))
   }
 
   test("equal timestamps match (<=) and tieBreak picks greatest") {
