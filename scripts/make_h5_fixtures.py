@@ -1,0 +1,500 @@
+#!/usr/bin/env python3
+"""Hand-write minimal-but-valid HDF5 files for the graft Hdf5 reader tests.
+
+No HDF5 library exists in this environment, so the fixtures are produced
+directly from the public HDF5 File Format Specification (v3,
+https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
+
+- mouse_v0.h5: superblock v0, v1 object headers, old-style groups
+  (B-tree v1 + SNOD + local heap) — the layout h5py writes with
+  libver='earliest'. Contains scalar f64 / i64, fixed and vlen strings,
+  a contiguous f32 image, a chunked f32 image, and a gzip-compressed
+  chunked f32 image, with units attributes in both fixed and vlen form.
+- mouse_v2.h5: superblock v2, v2 object headers ("OHDR"), compact link
+  messages — the layout h5py writes with libver='latest'.
+
+Both mimic the MOUSE .nxs tree shape (entry1/instrument|sample|detector).
+Only stdlib struct is used. Checksums are real Jenkins lookup3 so the v2
+file is spec-valid, not merely self-consistent.
+"""
+import struct
+import sys
+import zlib
+from pathlib import Path
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def pad8(n):
+    return (n + 7) & ~7
+
+
+# ---------------------------------------------------------------- lookup3 ---
+def _rot(x, k):
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def _mix(a, b, c):
+    a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4);  c = (c + b) & 0xFFFFFFFF
+    b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6);  a = (a + c) & 0xFFFFFFFF
+    c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8);  b = (b + a) & 0xFFFFFFFF
+    a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+    b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+    c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4);  b = (b + a) & 0xFFFFFFFF
+    return a, b, c
+
+
+def _final(a, b, c):
+    c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+    a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+    b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+    a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+    b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+def lookup3(data, initval=0):
+    """Bob Jenkins' hashlittle over bytes — HDF5's metadata checksum."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & 0xFFFFFFFF
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], 'little')) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4:i + 8], 'little')) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8:i + 12], 'little')) & 0xFFFFFFFF
+        a, b, c = _mix(a, b, c)
+        i += 12
+        length -= 12
+    tail = data[i:] + b"\x00" * (12 - length)
+    if length == 0:
+        return c
+    a = (a + int.from_bytes(tail[0:4], 'little')) & 0xFFFFFFFF
+    b = (b + int.from_bytes(tail[4:8], 'little')) & 0xFFFFFFFF
+    c = (c + int.from_bytes(tail[8:12], 'little')) & 0xFFFFFFFF
+    return _final(a, b, c)
+
+
+# ------------------------------------------------------------------ buffer --
+class FileBuf:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def alloc(self, size, align=8):
+        while len(self.buf) % align:
+            self.buf.append(0)
+        addr = len(self.buf)
+        self.buf += bytes(size)
+        return addr
+
+    def write(self, addr, data):
+        self.buf[addr:addr + len(data)] = data
+
+    def append(self, data, align=8):
+        addr = self.alloc(len(data), align)
+        self.write(addr, data)
+        return addr
+
+
+# ------------------------------------------------------------- type/space ---
+def dt_f64():
+    # class 1 float, v1; LE, IEEE double
+    return struct.pack('<B3sI2H4BI', 0x11, bytes([0x20, 0x3F, 0x00]), 8,
+                       0, 64, 52, 11, 0, 52, 1023)
+
+
+def dt_f32():
+    return struct.pack('<B3sI2H4BI', 0x11, bytes([0x20, 0x1F, 0x00]), 4,
+                       0, 32, 23, 8, 0, 23, 127)
+
+
+def dt_i64():
+    # class 0 fixed-point, signed LE
+    return struct.pack('<B3sI2H', 0x10, bytes([0x08, 0x00, 0x00]), 8, 0, 64)
+
+
+def dt_str(size):
+    # class 3 string, null-terminated, ASCII
+    return struct.pack('<B3sI', 0x13, bytes([0x00, 0x00, 0x00]), size)
+
+
+def dt_vlen_str():
+    # class 9 vlen, type=string, ASCII; base type = 1-byte string
+    return struct.pack('<B3sI', 0x19, bytes([0x01, 0x00, 0x00]), 16) + dt_str(1)
+
+
+def space_scalar():
+    return struct.pack('<4B4x', 1, 0, 0, 0)
+
+
+def space_simple(dims):
+    return struct.pack('<4B4x', 1, len(dims), 0, 0) + b''.join(
+        struct.pack('<Q', d) for d in dims)
+
+
+# ------------------------------------------------------------ global heap ---
+class GlobalHeap:
+    """One 4096-byte GCOL collection; returns (addr, index) per object."""
+
+    def __init__(self, f: FileBuf):
+        self.f = f
+        self.addr = None
+        self.objs = []
+
+    def add(self, data: bytes):
+        self.objs.append(data)
+        return len(self.objs)  # 1-based object index
+
+    def flush(self):
+        size = 4096
+        body = bytearray()
+        body += b'GCOL' + struct.pack('<B3x', 1) + struct.pack('<Q', size)
+        for i, data in enumerate(self.objs, start=1):
+            body += struct.pack('<2HIQ', i, 1, 0, len(data))
+            body += data + bytes(pad8(len(data)) - len(data))
+        free = size - len(body)
+        if free >= 16:  # object 0: free space, size includes its header
+            body += struct.pack('<2HIQ', 0, 0, 0, free)
+        body += bytes(size - len(body))
+        self.addr = self.f.append(bytes(body))
+        return self.addr
+
+
+def vlen_ref(gheap_addr, index, length):
+    return struct.pack('<IQI', length, gheap_addr, index)
+
+
+# ---------------------------------------------------------------- messages --
+def msg_v1(mtype, body):
+    body = body + bytes(pad8(len(body)) - len(body))
+    return struct.pack('<2HB3x', mtype, len(body), 0) + body
+
+
+def object_header_v1(f: FileBuf, messages):
+    block = b''.join(msg_v1(t, b) for t, b in messages)
+    hdr = struct.pack('<BxHII4x', 1, len(messages), 1, len(block))
+    return f.append(hdr + block)
+
+
+def msg_v2(mtype, body):
+    return struct.pack('<BHB', mtype, len(body), 0) + body
+
+
+def object_header_v2(f: FileBuf, messages):
+    block = b''.join(msg_v2(t, b) for t, b in messages)
+    # flags: size-of-chunk0 stored as u32 (value 2)
+    prefix = b'OHDR' + struct.pack('<BB', 2, 2) + struct.pack('<I', len(block))
+    csum = lookup3(prefix + block)
+    return f.append(prefix + block + struct.pack('<I', csum))
+
+
+def attr_v1(name, dtype, dspace, data):
+    nm = name.encode() + b'\x00'
+    body = struct.pack('<BxHHH', 1, len(nm), len(dtype), len(dspace))
+    body += nm + bytes(pad8(len(nm)) - len(nm))
+    body += dtype + bytes(pad8(len(dtype)) - len(dtype))
+    body += dspace + bytes(pad8(len(dspace)) - len(dspace))
+    return body + data
+
+
+def attr_v3(name, dtype, dspace, data):
+    nm = name.encode() + b'\x00'
+    body = struct.pack('<BBHHHB', 3, 0, len(nm), len(dtype), len(dspace), 0)
+    return body + nm + dtype + dspace + data
+
+
+def layout_contiguous(addr, size):
+    return struct.pack('<BBQQ', 3, 1, addr, size)
+
+
+def layout_chunked(btree_addr, chunk_dims, elem_size):
+    body = struct.pack('<BBB', 3, 2, len(chunk_dims) + 1)
+    body += struct.pack('<Q', btree_addr)
+    for d in chunk_dims:
+        body += struct.pack('<I', d)
+    return body + struct.pack('<I', elem_size)
+
+
+def filter_deflate(level=6):
+    # filter pipeline v1: one filter, id 1 (deflate), one client value
+    body = struct.pack('<BB2x4x', 1, 1)
+    name = b'deflate\x00'
+    body += struct.pack('<4H', 1, len(name), 1, 1) + name
+    body += struct.pack('<I4x', level)  # odd # of client values -> pad 4
+    return body
+
+
+def chunk_btree(f: FileBuf, rank, entries):
+    """entries: list of (rank-tuple of chunk offsets, nbytes, addr). One leaf.
+    Keys carry rank+1 offsets — the trailing one is the element offset 0."""
+    body = bytearray()
+    body += b'TREE' + struct.pack('<BBH', 1, 0, len(entries))
+    body += struct.pack('<QQ', UNDEF, UNDEF)
+
+    def key(offsets, nbytes):
+        k = struct.pack('<II', nbytes, 0)
+        for o in offsets:
+            k += struct.pack('<Q', o)
+        return k + struct.pack('<Q', 0)
+
+    for offsets, nbytes, addr in entries:
+        body += key(offsets, nbytes) + struct.pack('<Q', addr)
+    # final key: one past the last chunk
+    last = entries[-1][0]
+    body += key(tuple(o + 1 for o in last), 0)
+    return f.append(bytes(body))
+
+
+# ------------------------------------------------------- old-style groups ---
+class LocalHeap:
+    def __init__(self, f: FileBuf):
+        self.f = f
+        self.data = bytearray(8)  # offset 0: empty string (root link name)
+        self.offsets = {}
+
+    def add(self, name):
+        off = len(self.data)
+        nm = name.encode() + b'\x00'
+        self.data += nm + bytes(pad8(len(nm)) - len(nm))
+        self.offsets[name] = off
+        return off
+
+    def flush(self):
+        seg = self.f.append(bytes(self.data))
+        hdr = b'HEAP' + struct.pack('<B3x', 0)
+        hdr += struct.pack('<QQQ', len(self.data), UNDEF, seg)
+        return self.f.append(hdr)
+
+
+def ste(link_off, oh_addr):
+    return struct.pack('<QQI4x16x', link_off, oh_addr, 0)
+
+
+def group_v0(f: FileBuf, children):
+    """children: {name: object_header_addr}; returns group OH address."""
+    heap = LocalHeap(f)
+    entries = []
+    for name in sorted(children):
+        entries.append((heap.add(name), children[name]))
+    heap_addr = heap.flush()
+    snod = b'SNOD' + struct.pack('<BxH', 1, len(entries))
+    snod += b''.join(ste(off, addr) for off, addr in entries)
+    snod_addr = f.append(snod)
+    btree = b'TREE' + struct.pack('<BBH', 0, 0, 1)
+    btree += struct.pack('<QQ', UNDEF, UNDEF)
+    btree += struct.pack('<Q', 0)                    # key 0: empty string
+    btree += struct.pack('<Q', snod_addr)            # child 0
+    btree += struct.pack('<Q', entries[-1][0])       # key 1: largest name
+    btree_addr = f.append(btree)
+    stab = struct.pack('<QQ', btree_addr, heap_addr)
+    return object_header_v1(f, [(0x11, stab)])
+
+
+# ------------------------------------------------------------ the fixtures --
+def f32_grid(h, w, scale=1.0):
+    vals = [scale * (r * w + c) for r in range(h) for c in range(w)]
+    return vals, b''.join(struct.pack('<f', v) for v in vals)
+
+
+def chunked_dataset(f, h, w, ch, cw, compress=False):
+    """Write chunk data + btree for an h x w f32 grid; edge chunks padded."""
+    vals, _ = f32_grid(h, w)
+    entries = []
+    for r0 in range(0, h, ch):
+        for c0 in range(0, w, cw):
+            chunk = []
+            for r in range(r0, r0 + ch):
+                for c in range(c0, c0 + cw):
+                    chunk.append(vals[r * w + c] if r < h and c < w else 0.0)
+            raw = b''.join(struct.pack('<f', v) for v in chunk)
+            if compress:
+                raw = zlib.compress(raw, 6)
+            addr = f.append(raw)
+            entries.append(((r0, c0), len(raw), addr))
+    btree_addr = chunk_btree(f, 2, entries)
+    return btree_addr, vals
+
+
+def make_v0(path: Path):
+    f = FileBuf()
+    f.alloc(96)  # superblock placeholder at offset 0
+    gh = GlobalHeap(f)
+
+    # vlen payloads (flush heap before anything references it)
+    vlen_items = {
+        'sample_name': b'caffeine powder',
+        'units_m': b'm',
+        'units_deg': b'degrees',
+    }
+    idx = {k: gh.add(v) for k, v in vlen_items.items()}
+    gh_addr = gh.flush()
+
+    def vref(key):
+        return vlen_ref(gh_addr, idx[key], len(vlen_items[key]))
+
+    # --- leaf datasets -------------------------------------------------
+    # /entry1/instrument/configuration : f64 scalar, fixed-str units attr
+    cfg_raw = f.append(struct.pack('<d', 3.0))
+    cfg = object_header_v1(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(cfg_raw, 8)),
+        (0x0C, attr_v1('units', dt_str(14), space_scalar(),
+                       b'dimensionless\x00')),
+    ])
+
+    # /entry1/instrument/n_frames : i64 scalar
+    nf_raw = f.append(struct.pack('<q', 42))
+    nframes = object_header_v1(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_i64()),
+        (0x08, layout_contiguous(nf_raw, 8)),
+    ])
+
+    # /entry1/sample/thickness : f64 scalar with VLEN units attr 'm'
+    th_raw = f.append(struct.pack('<d', 0.00123))
+    thickness = object_header_v1(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(th_raw, 8)),
+        (0x0C, attr_v1('units', dt_vlen_str(), space_scalar(), vref('units_m'))),
+    ])
+
+    # /entry1/sample/name : vlen string scalar dataset
+    nm_raw = f.append(vref('sample_name'))
+    name = object_header_v1(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_vlen_str()),
+        (0x08, layout_contiguous(nm_raw, 16)),
+    ])
+
+    # /entry1/sample/position : fixed string dataset
+    pos_bytes = b'top_left\x00\x00\x00\x00'
+    pos_raw = f.append(pos_bytes)
+    position = object_header_v1(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_str(len(pos_bytes))),
+        (0x08, layout_contiguous(pos_raw, len(pos_bytes))),
+    ])
+
+    # /entry1/sample/angles : 1-D f64 array (contiguous)
+    angles_vals = [0.0, 0.5, 1.0, 1.5]
+    ang_raw = f.append(b''.join(struct.pack('<d', v) for v in angles_vals))
+    angles = object_header_v1(f, [
+        (0x01, space_simple([4])),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(ang_raw, 32)),
+        (0x0C, attr_v1('units', dt_vlen_str(), space_scalar(), vref('units_deg'))),
+    ])
+
+    # /entry1/detector/data : 6x5 f32 contiguous image
+    H, W = 6, 5
+    _, img_bytes = f32_grid(H, W)
+    img_raw = f.append(img_bytes)
+    data = object_header_v1(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x08, layout_contiguous(img_raw, len(img_bytes))),
+    ])
+
+    # /entry1/detector/chunked : same grid, 4x4 chunks (edge-padded)
+    cb, _ = chunked_dataset(f, H, W, 4, 4, compress=False)
+    chunked = object_header_v1(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x08, layout_chunked(cb, [4, 4], 4)),
+    ])
+
+    # /entry1/detector/compressed : same grid, 4x4 chunks, deflate
+    cbz, _ = chunked_dataset(f, H, W, 4, 4, compress=True)
+    compressed = object_header_v1(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_chunked(cbz, [4, 4], 4)),
+    ])
+
+    # --- groups, bottom-up ----------------------------------------------
+    instrument = group_v0(f, {'configuration': cfg, 'n_frames': nframes})
+    sample = group_v0(f, {'thickness': thickness, 'name': name,
+                          'position': position, 'angles': angles})
+    detector = group_v0(f, {'data': data, 'chunked': chunked,
+                            'compressed': compressed})
+    entry1 = group_v0(f, {'instrument': instrument, 'sample': sample,
+                          'detector': detector})
+    root = group_v0(f, {'entry1': entry1})
+
+    # --- superblock v0 ----------------------------------------------------
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<8B', 0, 0, 0, 0, 0, 8, 8, 0)
+    sb += struct.pack('<HHI', 4, 16, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), UNDEF)
+    sb += ste(0, root)
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
+def link_msg(name, oh_addr):
+    nm = name.encode()
+    return struct.pack('<BBB', 1, 0, len(nm)) + nm + struct.pack('<Q', oh_addr)
+
+
+def link_info_msg():
+    return struct.pack('<BBQQ', 0, 0, UNDEF, UNDEF)
+
+
+def group_v2(f: FileBuf, children):
+    msgs = [(0x02, link_info_msg())]
+    msgs += [(0x06, link_msg(n, a)) for n, a in sorted(children.items())]
+    return object_header_v2(f, msgs)
+
+
+def make_v2(path: Path):
+    f = FileBuf()
+    f.alloc(48)  # superblock v2 placeholder
+    gh = GlobalHeap(f)
+    i_units = gh.add(b'mm')
+    gh_addr = gh.flush()
+
+    # /entry1/detector/distance : f64 scalar, vlen units attr (v3 attrs)
+    d_raw = f.append(struct.pack('<d', 2507.5))
+    dist = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(d_raw, 8)),
+        (0x0C, attr_v3('units', dt_vlen_str(), space_scalar(),
+                       vlen_ref(gh_addr, i_units, 2))),
+    ])
+
+    # /entry1/detector/frame : 3x4 f32 contiguous
+    H, W = 3, 4
+    _, img = f32_grid(H, W, scale=0.5)
+    img_raw = f.append(img)
+    frame = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x08, layout_contiguous(img_raw, len(img))),
+    ])
+
+    detector = group_v2(f, {'distance': dist, 'frame': frame})
+    entry1 = group_v2(f, {'detector': detector})
+    root = group_v2(f, {'entry1': entry1})
+
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 2, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
+if __name__ == '__main__':
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else \
+        Path(__file__).resolve().parent.parent / 'src/test/resources/h5'
+    out.mkdir(parents=True, exist_ok=True)
+    make_v0(out / 'mouse_v0.h5')
+    make_v2(out / 'mouse_v2.h5')
+    print(f"wrote {out}/mouse_v0.h5 and {out}/mouse_v2.h5")

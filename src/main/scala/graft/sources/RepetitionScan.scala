@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/src/YMD_class.py:33-44`), the readiness predicate is the
   * 4-condition file-count gate (`src/checkers.py:19-46`).
   *
-  * The HDF5 byte-parse step is intentionally a boundary: `repetitionFiles`
-  * returns (key columns, relPath, bytes, mtime); converting `.nxs/.h5` bytes
-  * into the typed repetition table needs an HDF5 reader (jHDF or offline
-  * pre-conversion, SURVEY §7.1) which this container does not ship. All
-  * downstream stages consume the already-typed Model.Repetition schema.
+  * The HDF5 byte-parse step lives behind this boundary: `repetitionFiles`
+  * returns (key columns, relPath, bytes, mtime); [[Hdf5Source.treeTable]]
+  * (the pure-JVM [[Hdf5]] reader) converts `.nxs/.h5` bytes into the
+  * long-format tree table, and `TreeTable.translate` produces the typed
+  * repetition columns from it. All downstream stages consume the
+  * already-typed Model.Repetition schema.
   */
 object RepetitionScan {
 

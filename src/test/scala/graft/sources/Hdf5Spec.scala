@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.TreeTable
+
+/** The HDF5 byte-parse boundary (S3–S6): real `.h5` fixture bytes — written
+  * from the public file-format spec by `scripts/make_h5_fixtures.py` — read
+  * end to end into the tree table and through the typed read helpers. */
+class Hdf5Spec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] = {
+    val url = getClass.getResource(s"/h5/$name")
+    assert(url != null, s"missing fixture $name — run scripts/make_h5_fixtures.py")
+    Files.readAllBytes(Paths.get(url.toURI))
+  }
+
+  private lazy val v0 = Hdf5.read(fixture("mouse_v0.h5"))
+  private lazy val byPath = v0.map(n => n.path -> n).toMap
+
+  test("superblock v0: walks symbol-table groups to all datasets") {
+    assert(v0.size == 9, v0.map(_.path).sorted.mkString("\n"))
+    assert(byPath.contains("/entry1/instrument/configuration"))
+    assert(byPath.contains("/entry1/detector/compressed"))
+  }
+
+  test("scalar f64 / i64 and units attributes (S3/S5)") {
+    val cfg = byPath("/entry1/instrument/configuration")
+    assert(cfg.scalarF64.contains(3.0))
+    assert(cfg.attrs("units") == "dimensionless") // fixed-length string attr
+    val th = byPath("/entry1/sample/thickness")
+    assert(th.scalarF64.contains(0.00123))
+    assert(th.attrs("units") == "m") // vlen string attr via global heap
+    assert(byPath("/entry1/instrument/n_frames").scalarF64.contains(42.0))
+  }
+
+  test("fixed and vlen string datasets (S4)") {
+    assert(byPath("/entry1/sample/position").scalarStr.contains("top_left"))
+    assert(byPath("/entry1/sample/name").scalarStr.contains("caffeine powder"))
+  }
+
+  test("f64 1-D array keeps double precision") {
+    val a = byPath("/entry1/sample/angles")
+    assert(a.f64Data.map(_.toSeq).contains(Seq(0.0, 0.5, 1.0, 1.5)))
+    assert(a.attrs("units") == "degrees")
+  }
+
+  test("contiguous, chunked, and deflate-chunked images decode identically (S6)") {
+    val expected = (0 until 30).map(_.toFloat)
+    for (name <- Seq("data", "chunked", "compressed")) {
+      val n = byPath(s"/entry1/detector/$name")
+      assert(n.dims == Seq(6L, 5L), s"$name dims")
+      assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
+    }
+  }
+
+  test("superblock v2 / OHDR v2 / link messages / v3 attributes") {
+    val v2 = Hdf5.read(fixture("mouse_v2.h5"))
+    val m = v2.map(n => n.path -> n).toMap
+    assert(m("/entry1/detector/distance").scalarF64.contains(2507.5))
+    assert(m("/entry1/detector/distance").attrs("units") == "mm")
+    assert(m("/entry1/detector/frame").f32Data.map(_.toSeq)
+      .contains((0 until 12).map(_ * 0.5f).toSeq))
+  }
+
+  test("end to end: binaryFile scan -> tree table -> typed reads (S3-S6)") {
+    val dir = Files.createTempDirectory("h5src")
+    Files.write(dir.resolve("a.h5"), fixture("mouse_v0.h5"))
+    Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
+
+    val tree = Hdf5Source.treeTable(spark, dir.toString)
+    assert(tree.count() == 11) // 9 + 2 datasets
+
+    val files = tree.select(col("file")).distinct()
+    // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
+    val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
+      .collect().map(r => r.getString(0).split("/").last -> r.getDouble(1)).toMap
+    assert(cfg("a.h5") == 3.0 && cfg("b.h5") == 0.0)
+
+    // S5 quantity: value+units struct, (NaN, dimensionless) default
+    val q = TreeTable.readQuantity(tree, files, "/entry1/detector/distance", "dist")
+      .collect().map(r => r.getString(0).split("/").last -> r.getStruct(1)).toMap
+    assert(q("b.h5").getDouble(0) == 2507.5 && q("b.h5").getString(1) == "mm")
+    assert(q("a.h5").getDouble(0).isNaN && q("a.h5").getString(1) == "dimensionless")
+
+    // S6 image: the valueArr column carries the pixels, dims in attrs
+    val img = tree.filter(col("path") === "/entry1/detector/data").head()
+    assert(img.getAs[scala.collection.Seq[Float]]("valueArr").toSeq ==
+      (0 until 30).map(_.toFloat))
+    assert(img.getAs[Map[String, String]]("attrs")("dims") == "6,5")
+  }
+
+  test("corrupt or unsupported bytes fail loudly, never misread") {
+    intercept[IllegalArgumentException] { Hdf5.read("not hdf5".getBytes) }
+    val truncated = fixture("mouse_v0.h5").take(64)
+    intercept[Exception] { Hdf5.read(truncated) }
+  }
+}
