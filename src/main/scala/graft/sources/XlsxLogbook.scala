@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.io.File
+import java.util.zip.ZipFile
+
+import scala.collection.mutable
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.pipeline.Model
+
+/** S9: the Excel logbook source. The reference ingests its experiment
+  * logbook from an `.xlsx` workbook (`Logbook2MouseReader(defaults
+  * .logbook_file)`, `/root/reference/src/directory_processor.py:30-33`);
+  * this reads the same container with the JDK only — an `.xlsx` is a zip of
+  * XML parts (ECMA-376): `xl/worksheets/sheet1.xml` for cells,
+  * `xl/sharedStrings.xml` for the string table.
+  *
+  * The logbook is a small dimension (thousands of rows, far below broadcast
+  * threshold), so it is parsed driver-side and handed to Spark as a local
+  * relation — the same treatment `Stages.Context` gives every dimension
+  * table; the 100 TB side is always the repetition/fact frame.
+  *
+  * Supported cell forms: shared strings (`t="s"`), inline strings
+  * (`t="inlineStr"`), formula-cached strings (`t="str"`), booleans, and
+  * numbers; blank cells become nulls. Row 1 is the header.
+  */
+object XlsxLogbook {
+
+  /** All-string DataFrame of the first worksheet, header row as names. */
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
+    val rows = parseSheet(new File(path))
+    require(rows.nonEmpty, s"$path: empty worksheet")
+    val header = rows.head.map(c => Option(c).getOrElse("").trim)
+    require(header.forall(_.nonEmpty), s"$path: blank header cell")
+    val width = header.length
+    val data = rows.tail.map { r =>
+      Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+  }
+
+  /** The typed logbook dimension: header names must match
+    * [[Model.LogbookEntry]] fields; cells are cast to the field types.
+    * Extra workbook columns are ignored, missing ones are an error. */
+  def logbook(spark: SparkSession, path: String): DataFrame = {
+    val raw = readRaw(spark, path)
+    val target = org.apache.spark.sql.Encoders.product[Model.LogbookEntry].schema
+    val missing = target.fields.map(_.name).filterNot(raw.columns.contains)
+    require(missing.isEmpty, s"$path: logbook columns missing: ${missing.mkString(", ")}")
+    raw.select(target.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  // ----------------------------------------------------------- xlsx parts --
+
+  private def parseSheet(file: File): Seq[Array[String]] = {
+    val zip = new ZipFile(file)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseShared(zip, e)).getOrElse(IndexedSeq.empty)
+      val sheetName = {
+        import scala.jdk.CollectionConverters._
+        val sheets = zip.entries().asScala.map(_.getName)
+          .filter(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
+          .toSeq.sorted
+        require(sheets.nonEmpty, s"$file: no worksheets")
+        sheets.head
+      }
+      val doc = newBuilder.parse(zip.getInputStream(zip.getEntry(sheetName)))
+      val rows = doc.getElementsByTagName("row")
+      (0 until rows.getLength).map { i =>
+        val row = rows.item(i).asInstanceOf[Element]
+        val cells = row.getElementsByTagName("c")
+        val out = mutable.ArrayBuffer.empty[String]
+        (0 until cells.getLength).foreach { j =>
+          val c = cells.item(j).asInstanceOf[Element]
+          val idx = colIndex(c.getAttribute("r"), fallback = out.length)
+          while (out.length <= idx) out += null
+          out(idx) = cellValue(c, shared)
+        }
+        out.toArray
+      }
+    } finally zip.close()
+  }
+
+  private def parseShared(zip: ZipFile, e: java.util.zip.ZipEntry): IndexedSeq[String] = {
+    val doc = newBuilder.parse(zip.getInputStream(e))
+    val items = doc.getElementsByTagName("si")
+    (0 until items.getLength).map { i =>
+      // concatenate every <t> descendant — plain and rich-text runs alike
+      val ts = items.item(i).asInstanceOf[Element].getElementsByTagName("t")
+      (0 until ts.getLength).map(ts.item(_).getTextContent).mkString
+    }
+  }
+
+  private def cellValue(c: Element, shared: IndexedSeq[String]): String = {
+    val vs = c.getElementsByTagName("v")
+    val is = c.getElementsByTagName("is")
+    c.getAttribute("t") match {
+      case "s" if vs.getLength > 0 => shared(vs.item(0).getTextContent.trim.toInt)
+      case "inlineStr" if is.getLength > 0 => is.item(0).getTextContent
+      case _ if vs.getLength > 0 => vs.item(0).getTextContent
+      case _ => null
+    }
+  }
+
+  /** "C7" -> 2; cells lacking the reference attribute fall back to append. */
+  private def colIndex(ref: String, fallback: Int): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    if (letters.isEmpty) fallback
+    else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+  }
+
+  private def newBuilder = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder()
+  }
+}
