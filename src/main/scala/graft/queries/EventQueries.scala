@@ -36,6 +36,26 @@ object EventQueries {
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     },
 
+    // Same as-of semantics through the skew-hardened bucketed path: window
+    // partitions are (user_id, hour-bucket) instead of user_id alone, the
+    // shape that keeps partitions bounded when the equi-key is low-
+    // cardinality. Oracle: identical DuckDB ASOF JOIN as q21.
+    "q33_asof_bucketed" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      AsOfJoin.backwardBucketed(purchases, clicks,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts",
+          bucketOf = c => floor(unix_micros(c) / 3600000000L),
+          joinType = "inner")
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+          col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    },
+
     // Funnel conversion: per day, how many purchases had a click at most
     // one hour before (as-of left join -> conditional aggregation).
     "q31_funnel" -> { (s, dir) =>
@@ -89,6 +109,15 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q21_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT event_id, p.user_id, p.ts::TIMESTAMP AS ts, c.click_ts, c.click_event_id,
+        |  (epoch_us(p.ts::TIMESTAMP) - epoch_us(c.click_ts))::BIGINT AS gap_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts::TIMESTAMP >= c.click_ts""".stripMargin,
+
+    "q33_asof_bucketed" ->
       """WITH clicks AS (
         |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
