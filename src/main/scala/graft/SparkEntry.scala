@@ -20,9 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ PipelineQueries.queries ++
-      SketchQueries.queries
+      SketchQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle ++ PipelineQueries.oracle
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++ PipelineQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -31,6 +31,32 @@ object Hdf5Source {
       .toDF()
   }
 
+  /** Streaming variant (§2.9): new `.h5`/`.nxs` files appearing under
+    * `path` arrive as micro-batches of TreeRows — the same per-file parse as
+    * [[treeTable]], so the batch pipeline stages run unchanged downstream
+    * (stream/batch DAG reuse). Pair with the [[graft.streaming.Watcher]]
+    * completeness gate for the reference's poll-until-stable semantics. */
+  def treeStream(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) => Hdf5.toTreeRows(file, bytes) }
+      .toDF()
+  }
+
   /** Parse one in-memory file (testing / driver-side spot reads). */
   def parse(file: String, bytes: Array[Byte]): Seq[TreeRow] =
     Hdf5.toTreeRows(file, bytes)

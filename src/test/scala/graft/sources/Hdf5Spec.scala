@@ -93,6 +93,35 @@ class Hdf5Spec extends SparkSpec {
     assert(img.getAs[Map[String, String]]("attrs")("dims") == "6,5")
   }
 
+  test("streaming source: new files arrive as TreeRow micro-batches (§2.9)") {
+    val dir = Files.createTempDirectory("h5stream")
+    val out = Files.createTempDirectory("h5stream-out").toString
+    val ckpt = Files.createTempDirectory("h5stream-ckpt").toString
+    Files.write(dir.resolve("a.h5"), fixture("mouse_v0.h5"))
+
+    def drain(): Unit = {
+      val q = Hdf5Source.treeStream(spark, dir.toString)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 9)
+    // a second file lands -> only its rows are appended (incremental)
+    Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
+    drain()
+    val tree = spark.read.parquet(out)
+    assert(tree.count() == 11)
+    // the batch read-helper contract holds on the streamed table
+    val files = tree.select(col("file")).distinct()
+    val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
+    assert(cfg.count() == 2)
+  }
+
   test("corrupt or unsupported bytes fail loudly, never misread") {
     intercept[IllegalArgumentException] { Hdf5.read("not hdf5".getBytes) }
     val truncated = fixture("mouse_v0.h5").take(64)
