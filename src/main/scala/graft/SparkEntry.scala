@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ PipelineQueries.queries ++
-      SketchQueries.queries ++ MultimodalQueries.queries
+      SketchQueries.queries ++ MultimodalQueries.queries ++ SamplingQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ PipelineQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ SamplingQueries.oracle
 }

@@ -24,6 +24,55 @@ object DedupQueries {
   private val nBands = 6
   private val shingleK = 3
 
+  /** Verified near-dup pairs (doc_a < doc_b, shingle-Jaccard >= 0.5) via the
+    * MinHash+LSH path. Explode form: each (shingle, band) hash computed
+    * exactly once — the array-HOF form re-evaluates the md5 chain per reuse
+    * (3x slower at sf0.1, and the re-evaluation would multiply at 100 TB).
+    *
+    * ONE md5 per distinct shingle; the 6 band hashes are an affine universal
+    * family over it ((A_b*h + B_b) mod M, all < 2^62 so exact in both
+    * engines), and all 6 band-minima + the set size come out of a single
+    * groupBy pass. The shingle frame feeds three consumers (signatures +
+    * both sides of the intersection join); it is RECOMPUTED per consumer,
+    * not persisted — the exploded frame is larger than the corpus itself,
+    * so at 100 TB caching it costs more than re-scanning the pruned
+    * (doc_id, text) columns. A long-lived pipeline would checkpoint it to
+    * parquet instead.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val shd = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+    val hs = shd.select(col("doc_id"), TextFns.md5Hash32(col("s")).as("h"))
+    val bandMins = (1 to nBands).map { b =>
+      min((col("h") * lit(1000003L + b * 7919L) + lit(b * 104729L)) % lit(2147483647L))
+        .as(s"mh$b")
+    }
+    val sigw = hs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"), bandMins: _*)
+    val sig = sigw.select(col("doc_id"), col("c"), explode(array(
+        (1 to nBands).map(b => struct(lit(b).as("band"), col(s"mh$b").as("mh"))): _*)).as("bm"))
+      .select(col("doc_id"), col("c"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+      .distinct()
+    // Plain equi-join on doc_id: the candidate-pair set grows with corpus
+    // size x duplication density, so broadcasting it would cap scale —
+    // AQE may still choose broadcast when the measured size is small.
+    val inter = shd.join(cand, col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("s"))
+      .join(shd.select(col("doc_id").as("doc_b2"), col("s").as("s2")),
+        col("doc_b2") === col("doc_b") && col("s2") === col("s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup metrics per source: hash-groupBy on md5(text).
@@ -37,51 +86,22 @@ object DedupQueries {
 
     // MinHash + LSH near-dup pairs: 6 bands x 1 row; candidates share any
     // band minhash, then verified with true shingle-set Jaccard >= 0.5.
-    // Explode form: each (shingle, band) hash computed exactly once — the
-    // array-HOF form re-evaluates the md5 chain per reuse (3x slower at
-    // sf0.1, and the re-evaluation would multiply at 100 TB).
     "d02_minhash_lsh" -> { (s, dir) =>
-      // ONE md5 per distinct shingle; the 6 band hashes are an affine
-      // universal family over it ((A_b*h + B_b) mod M, all < 2^62 so exact
-      // in both engines), and all 6 band-minima + the set size come out of a
-      // single groupBy pass. The shingle frame feeds three consumers
-      // (signatures + both sides of the intersection join); it is RECOMPUTED
-      // per consumer, not persisted — the exploded frame is larger than the
-      // corpus itself, so at 100 TB caching it costs more than re-scanning
-      // the pruned (doc_id, text) columns. A long-lived pipeline would
-      // checkpoint it to parquet instead.
-      val shd = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-      val hs = shd.select(col("doc_id"), TextFns.md5Hash32(col("s")).as("h"))
-      val bandMins = (1 to nBands).map { b =>
-        min((col("h") * lit(1000003L + b * 7919L) + lit(b * 104729L)) % lit(2147483647L))
-          .as(s"mh$b")
-      }
-      val sigw = hs.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("c"), bandMins: _*)
-      val sig = sigw.select(col("doc_id"), col("c"), explode(array(
-          (1 to nBands).map(b => struct(lit(b).as("band"), col(s"mh$b").as("mh"))): _*)).as("bm"))
-        .select(col("doc_id"), col("c"), col("bm.band").as("band"), col("bm.mh").as("mh"))
-      val cand = sig.as("a").join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.c").as("ca"), col("b.c").as("cb"))
-        .distinct()
-      // Plain equi-join on doc_id: the candidate-pair set grows with corpus
-      // size x duplication density, so broadcasting it would cap scale —
-      // AQE may still choose broadcast when the measured size is small.
-      val inter = shd.join(cand, col("doc_id") === col("doc_a"))
-        .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("s"))
-        .join(shd.select(col("doc_id").as("doc_b2"), col("s").as("s2")),
-          col("doc_b2") === col("doc_b") && col("s2") === col("s"))
-        .groupBy(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-        .filter(col("jaccard") >= 0.5)
+      minhashPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
+    },
+
+    // Duplicate-cluster resolution: the verified near-dup pairs are edges,
+    // each connected component is one duplicate cluster (min member id =
+    // cluster id = representative to keep). Pointer-jumping min-label
+    // propagation — O(log diameter) shuffle rounds, never the quadratic
+    // transitive closure (that's the DuckDB oracle's recursive CTE at test
+    // scale).
+    "d07_dup_clusters" -> { (s, dir) =>
+      graft.operators.ConnectedComponents
+        .resolve(minhashPairs(s, dir), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_representative"))
     },
 
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
@@ -164,6 +184,35 @@ object DedupQueries {
        |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
        |  QUALIFY lead(tok, 2) OVER w IS NOT NULL)""".stripMargin
 
+  // the MinHash+LSH pair chain (mirror of minhashPairs) as a reusable CTE
+  // block ending in pairs(doc_a, doc_b, j)
+  private def pairsSqlCtes =
+    s"""${shdSql()},
+       |hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shd),
+       |sig AS (
+       |  SELECT doc_id, band,
+       |    min((h * (1000003 + band*7919) + band*104729) % 2147483647) AS mh
+       |  FROM hs CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS band)
+       |  GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN shd x ON x.doc_id = c.doc_a
+       |  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i) AS j
+       |  FROM inter
+       |  JOIN cnt ca ON doc_a = ca.doc_id
+       |  JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT source, count(1)::BIGINT AS n_docs,
@@ -172,31 +221,23 @@ object DedupQueries {
         |FROM documents GROUP BY source""".stripMargin,
 
     "d02_minhash_lsh" ->
-      s"""WITH ${shdSql()},
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shd),
-         |sig AS (
-         |  SELECT doc_id, band,
-         |    min((h * (1000003 + band*7919) + band*104729) % 2147483647) AS mh
-         |  FROM hs CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS band)
-         |  GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b
-         |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN shd x ON x.doc_id = c.doc_a
-         |  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT doc_a, doc_b,
-         |  floor(i::DOUBLE / (ca.c + cb.c - i) * 10000) / 10000 AS jaccard
-         |FROM inter
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+      s"""WITH $pairsSqlCtes
+         |SELECT doc_a, doc_b, floor(j * 10000) / 10000 AS jaccard
+         |FROM pairs""".stripMargin,
+
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE $pairsSqlCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+         |SELECT n AS doc_id, min(m) AS cluster_id,
+         |  n = min(m) AS is_representative
+         |FROM reach GROUP BY n""".stripMargin,
 
     "d03_simhash" ->
       s"""WITH tk AS (

@@ -105,6 +105,23 @@ object EventQueries {
         .select(col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("user_id"), col("n_events"), col("sum_value"))
+    },
+
+    // Semi-structured payload extraction: pull a typed field out of the
+    // JSON `props` column and aggregate on it — the schema-on-read path for
+    // event streams whose payload evolves independently of the table
+    // schema. get_json_object is a codegen'd path expression (one parse per
+    // row, no UDF); at 100 TB prefer from_json with an explicit schema when
+    // the payload shape is known, so the parse happens once for all fields.
+    "q34_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("k")), 4).as("avg_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") >= 50, 1)).as("n_high"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +188,15 @@ object EventQueries {
         |SELECT min(ts) AS session_start,
         |       max(ts) + INTERVAL '30 minutes' AS session_end,
         |       user_id, count(1)::BIGINT AS n_events, round(sum(value),4) AS sum_value
-        |FROM s GROUP BY user_id, sid""".stripMargin)
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q34_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, json_extract_string(props, '$.k')::INT AS k
+        |  FROM events)
+        |SELECT event_type, count(1)::BIGINT AS n,
+        | round(avg(k), 4) AS avg_k,
+        | max(k) AS max_k,
+        | count(CASE WHEN k >= 50 THEN 1 END)::BIGINT AS n_high
+        |FROM e GROUP BY event_type""".stripMargin)
 }

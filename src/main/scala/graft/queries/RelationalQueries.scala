@@ -264,14 +264,20 @@ object RelationalQueries {
           round(percent_rank().over(w), 4).as("pct_rank"))
     },
 
-    // Exact interpolated percentiles (the approximate path is x02).
+    // Exact interpolated percentiles (the approximate path is x02). Both
+    // price percentiles come from ONE array-percentile aggregate — each
+    // separate percentile() keeps its own per-group value-count map, so
+    // folding them halves the aggregation state for the same answer.
     "q25_percentile_exact" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("pp"),
           round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25_qty"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pp"), 1), 4).as("p50_price"),
+          round(element_at(col("pp"), 2), 4).as("p90_price"),
+          col("p25_qty"))
     },
 
     // Moment statistics: correlation / covariance / skewness / kurtosis.

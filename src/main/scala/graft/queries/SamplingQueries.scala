@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Deterministic sampling for training-data assembly. Everything here is
+  * hash-gated, never RNG-gated: `sample()`/`rand()` change membership on
+  * every retry, repartition, and re-run, which silently breaks resumable
+  * 100 TB jobs and train/test hygiene. A content/id hash makes membership a
+  * pure function of the row — stable across runs, engines (the DuckDB
+  * oracle reproduces it exactly), and cluster layouts, and it executes as a
+  * codegen'd filter right above the scan (no shuffle, no state).
+  *
+  * Hash families are independent per use (seeded [[TextFns.md5Hash32]]), so
+  * e.g. the 5% sample (w01) is uncorrelated with the train/val/test split
+  * (w03) — sampling with the SAME hash would make "val" a subset of the
+  * sample, leaking splits.
+  */
+object SamplingQueries {
+
+  private def pct(c: org.apache.spark.sql.Column, seed: Int) =
+    TextFns.md5Hash32(c.cast("string"), seed) % 100
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Flat 5% deterministic sample by id hash.
+    "w01_hash_sample" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket", pct(col("doc_id"), seed = 0))
+        .filter(col("bucket") < 5)
+        .select(col("doc_id"), col("source"), col("bucket"))
+    },
+
+    // Source-weighted mixture: each corpus keeps a different deterministic
+    // fraction (the "data mixing" step of a pretraining pipeline). The rate
+    // table is a literal CASE here; in production it is a tiny broadcast
+    // dim joined on source.
+    "w02_mixture_sample" -> { (s, dir) =>
+      val rate = when(col("source") === "src0", 60)
+        .when(col("source") === "src1", 30)
+        .otherwise(10)
+      Tables.load(s, dir, "documents")
+        .filter(pct(col("doc_id"), seed = 1) < rate)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))
+    },
+
+    // Train/val/test split assignment (90/5/5) with per-source accounting —
+    // the split is a function of the id, so re-running never migrates a
+    // document between splits.
+    "w03_split_assign" -> { (s, dir) =>
+      val b = pct(col("doc_id"), seed = 2)
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+    })
+
+  private def bucketSql(seed: Int) =
+    if (seed == 0) "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+    else s"('0x' || substr(md5('$seed:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+
+  val oracle: Map[String, String] = Map(
+    "w01_hash_sample" ->
+      s"""SELECT doc_id, source, ${bucketSql(0)} AS bucket
+         |FROM documents WHERE ${bucketSql(0)} < 5""".stripMargin,
+
+    "w02_mixture_sample" ->
+      s"""SELECT source, count(1)::BIGINT AS n_kept, min(doc_id) AS min_doc_id
+         |FROM documents
+         |WHERE ${bucketSql(1)} <
+         |  CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 30 ELSE 10 END
+         |GROUP BY source""".stripMargin,
+
+    "w03_split_assign" ->
+      s"""SELECT source,
+         |  CASE WHEN ${bucketSql(2)} < 90 THEN 'train'
+         |       WHEN ${bucketSql(2)} < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(1)::BIGINT AS n_docs,
+         |  round(avg(n_chars), 4) AS avg_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin)
+}

@@ -113,6 +113,27 @@ object TextQueries {
         substring(md5(col("text")), 1, 16).as("md5_16"),
         TextFns.md5Hash32(col("text")).as("fp32"),
         TextFns.minHash(sh, 0).as("min_shingle_hash"))
+    },
+
+    // Overlapping token-window chunking (size 32, stride 24) — documents
+    // become training-context-sized pieces. One generator per row
+    // (explode of the start-offset sequence), chunk content verified by md5
+    // so the gate hashes a scalar, not a string blob. All codegen'd; the
+    // explode multiplies rows ~len/stride, which is the intended output
+    // size, not an intermediate.
+    "t07_token_chunks" -> { (s, dir) =>
+      val chunkSize = 32
+      val stride = 24
+      docs(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(stride))).as("chunk_pos"))
+        .select(col("doc_id"), col("chunk_pos"),
+          slice(col("toks"), col("chunk_pos") + 1, lit(chunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_pos"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -190,5 +211,20 @@ object TextQueries {
          | substr(md5(text), 1, 16) AS md5_16,
          | ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32,
          | mh.min_shingle_hash
-         |FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id""".stripMargin)
+         |FROM documents d LEFT JOIN mh ON d.doc_id = mh.doc_id""".stripMargin,
+
+    // range(0, n, stride) (stop-exclusive) == Spark sequence(0, n-1, stride)
+    // (stop-inclusive); list[a:b] is 1-based inclusive and clamps like
+    // Spark's slice.
+    "t07_token_chunks" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks), 1), 24)) AS chunk_pos
+         |  FROM tk)
+         |SELECT doc_id, chunk_pos::INT AS chunk_pos,
+         | len(toks[chunk_pos + 1 : chunk_pos + 32])::INT AS n_chunk_tokens,
+         | md5(array_to_string(toks[chunk_pos + 1 : chunk_pos + 32], ' ')) AS chunk_md5
+         |FROM pos""".stripMargin)
 }
