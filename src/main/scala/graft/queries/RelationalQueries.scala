@@ -332,6 +332,21 @@ object RelationalQueries {
           |              AND o_orderstatus = 'O')""".stripMargin)
     },
 
+    // Time-RANGE window frame: trailing 7-day revenue per customer. RANGE
+    // (value-based) frames differ from ROWS frames exactly on same-day ties
+    // — every row of a tied day shares the frame. The day offset is
+    // computed once (datediff to a fixed epoch) so the frame bound is a
+    // plain integer range; one shuffle on the partition key.
+    "q35_trailing_window" -> { (s, dir) =>
+      val d = datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(d)
+        .rangeBetween(-7, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice")).over(w), 4).as("rev_7d"),
+          count(lit(1)).over(w).as("n_7d"))
+    },
+
     // Date/time function battery: extraction, month arithmetic, month-end,
     // quarter bucketing.
     "q30_date_funcs" -> { (s, dir) =>
@@ -564,6 +579,15 @@ object RelationalQueries {
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |              AND o_orderstatus = 'O')""".stripMargin,
+
+    "q35_trailing_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | round(sum(o_totalprice) OVER w, 4) AS rev_7d,
+        | count(1) OVER w AS n_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+        |  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q30_date_funcs" ->
       """SELECT o_orderkey,
