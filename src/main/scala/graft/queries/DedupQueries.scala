@@ -73,6 +73,25 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** 32-bit Charikar SimHash per document. Explode form: one md5 per token,
+    * 32 conditional sums in one groupBy — the nested-HOF form
+    * (TextFns.simHash32) re-evaluates every token hash per bit (32x the md5
+    * work). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), TextFns.md5Hash32(col("tok")).as("hv"))
+    val bitVotes = (0 until 32).map { b =>
+      val p = 1L << b
+      sum(when((col("hv") / p).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup metrics per source: hash-groupBy on md5(text).
@@ -105,22 +124,29 @@ object DedupQueries {
     },
 
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
-    // Explode form: one md5 per token, 32 conditional sums in one groupBy —
-    // the nested-HOF form (TextFns.simHash32) re-evaluates every token hash
-    // per bit (32x the md5 work).
-    "d03_simhash" -> { (s, dir) =>
-      val tok = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), TextFns.md5Hash32(col("tok")).as("hv"))
-      val bitVotes = (0 until 32).map { b =>
-        val p = 1L << b
-        sum(when((col("hv") / p).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"v$b")
-      }
-      tok.groupBy(col("doc_id"))
-        .agg(bitVotes.head, bitVotes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+    "d03_simhash" -> { (s, dir) => simhashes(s, dir) },
+
+    // SimHash near-dup MATCHING: banded Hamming search over the d03
+    // signatures. Pigeonhole: 32 bits split into 4 byte-bands — any pair
+    // within Hamming distance 3 agrees on at least one whole band, so an
+    // equi-join on (band, byte) finds every such pair without an all-pairs
+    // product; bit_count(xor) then verifies exactly. All codegen'd integer
+    // ops; the band join is the same shuffle shape as d02's LSH buckets.
+    "d08_simhash_hamming" -> { (s, dir) =>
+      val sims = simhashes(s, dir)
+      val banded = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            (shiftright(col("simhash"), 8 * b) % 256).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.b").as("b"), col("bb.bv").as("bv"))
+      banded.as("a").join(banded.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
     },
 
     // Bounded all-pairs token-3-gram Jaccard via inverted shingle index
@@ -213,6 +239,23 @@ object DedupQueries {
        |  JOIN cnt cb ON doc_b = cb.doc_id
        |  WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5)""".stripMargin
 
+  // the SimHash signature chain (mirror of simhashes) ending in
+  // sims(doc_id, simhash)
+  private def simhashSqlCtes =
+    s"""tk AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (hv // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+       |  GROUP BY doc_id, b),
+       |sims AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT source, count(1)::BIGINT AS n_docs,
@@ -240,18 +283,21 @@ object DedupQueries {
          |FROM reach GROUP BY n""".stripMargin,
 
     "d03_simhash" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN (hv // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
-         |  GROUP BY doc_id, b)
-         |SELECT doc_id,
-         |  sum(CASE WHEN v > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+      s"""WITH $simhashSqlCtes
+         |SELECT doc_id, simhash FROM sims""".stripMargin,
+
+    "d08_simhash_hamming" ->
+      s"""WITH $simhashSqlCtes,
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (8*b::INT)) % 256 AS bv
+         |  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
 
     "d04_ngram_jaccard" ->
       s"""WITH ${shdSql("WHERE doc_id < 200")},

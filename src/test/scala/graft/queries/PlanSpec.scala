@@ -79,6 +79,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d08: at SMJ scale the signature subplan is computed once (ReusedExchange)") {
+    // at toy SF the planner broadcasts one side (and rightly recomputes the
+    // small chain); at scale both sides shuffle on (b, bv) and the two
+    // identical signature subtrees must collapse into one exchange — force
+    // the SMJ path and assert the reuse. AQE defers exchange reuse to
+    // runtime stage materialization, so assert on the static rule with AQE
+    // off (AQE's stage-level reuse is equivalent at runtime).
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d08_simhash_hamming")
+      assert(p.contains("ReusedExchange"), p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
+  test("w01: deterministic sample filter sits above the scan, no shuffle") {
+    val p = plan("w01_hash_sample")
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("s03: cell assignment is persisted (computed once, read twice)") {
     val df = SparkEntry.queries("s03_ivf_ann")(spark, sf)
     df.collect()
