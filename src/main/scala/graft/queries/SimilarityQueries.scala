@@ -94,6 +94,18 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"), round(col("cs"), 4).as("cosine"), col("rank"))
+    },
+
+    // Per-label centroids — the "training" half of an IVF/clustering step:
+    // explode dimensions to rows and average per (label, dim). The explode
+    // shape (one shuffle keyed by (label, pos)) beats array-wise aggregation
+    // at scale: partial averages combine map-side, no single task ever
+    // holds a whole label's vectors.
+    "s04_label_centroids" -> { (s, dir) =>
+      Tables.loadSpread(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), round(avg(col("x")), 4).as("c"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -157,5 +169,14 @@ object SimilarityQueries {
         |  SELECT q_id, vec_id, cs,
         |    row_number() OVER (PARTITION BY q_id ORDER BY round(cs, 6) DESC, vec_id)::INT AS rank
         |  FROM p)
-        |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 3""".stripMargin)
+        |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "s04_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings)
+        |SELECT label, pos::INT AS pos, count(1)::BIGINT AS n,
+        | round(avg(x), 4) AS c
+        |FROM x GROUP BY 1, 2""".stripMargin)
 }
