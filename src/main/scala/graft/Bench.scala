@@ -47,10 +47,16 @@ object Bench {
       val b = force(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact emission: values at 3 decimals keep the whole line well under
+    // typical tail-capture windows (r2's full-precision doubles pushed the
+    // line past the driver's capture and truncated the leading entries).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

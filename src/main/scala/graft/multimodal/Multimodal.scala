@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -7,13 +11,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus decode / feature /
   * resize / frame-sample operators.
   *
-  * The Spark-side plumbing is real — schema, partition-preserving
-  * mapPartitions (the Scala analog of `mapInPandas`: one iterator per batch,
-  * no per-row serialization points), deterministic batch shapes — while the
-  * actual codec is STUBBED: this container has no image/audio libraries, so
-  * [[StubCodec]] implements a self-describing fixture format instead of
-  * JPEG/PNG/WAV. Swapping in a real codec changes only the two
-  * clearly-marked functions inside StubCodec.
+  * The Spark-side plumbing — schema, partition-preserving `mapPartitions`
+  * (the Scala analog of `mapInPandas`: one iterator per batch, no per-row
+  * serialization points), deterministic batch shapes — is real, and so is
+  * the codec: [[ImageCodec]] decodes PNG/JPEG/BMP/GIF through the JDK's
+  * `javax.imageio.ImageIO` (zero external dependencies) and encodes
+  * grayscale PNG for round-trip tests and fixtures.
   */
 object Multimodal {
 
@@ -42,51 +45,89 @@ object Multimodal {
       maxPixel: Double,
       nonZeroRatio: Double)
 
-  /** ================= STUB CODEC =================
-    * A deterministic fake in place of image/audio libs (absent in this
-    * container). Fixture format: 4-byte magic "GRF0" + payload; "decode"
-    * expands payload bytes into width*height floats by cyclic indexing —
-    * deterministic, shape-correct, and cheap. Replace `decode`/`encode` with
-    * a real codec (e.g. TwelveMonkeys/JavaCV) to productionize. */
-  object StubCodec {
-    val Magic: Array[Byte] = "GRF0".getBytes("UTF-8")
+  /** ================= REAL CODEC =================
+    * JDK-only image codec. Decode accepts any format the JVM's registered
+    * `ImageIO` readers handle (PNG, JPEG, BMP, GIF, WBMP out of the box);
+    * grayscale conversion is defined as: single-band rasters read their
+    * band directly (no colorspace round-trip — `getRGB` on TYPE_BYTE_GRAY
+    * applies a gamma-like transform that would corrupt values), multi-band
+    * images use ITU-R BT.601 luma (0.299 R + 0.587 G + 0.114 B). Encode
+    * writes 8-bit grayscale PNG (lossless), so encode∘decode is identity
+    * for pixel values in [0, 255]. */
+  object ImageCodec {
 
-    def encode(pixels: Array[Float], width: Int, height: Int): Array[Byte] = {
-      val payload = new Array[Byte](Magic.length + pixels.length)
-      System.arraycopy(Magic, 0, payload, 0, Magic.length)
-      var i = 0
-      while (i < pixels.length) {
-        payload(Magic.length + i) = (pixels(i).toInt & 0xff).toByte
-        i += 1
+    /** Encode row-major grayscale floats (clamped to [0,255]) as PNG. */
+    def encodePng(pixels: Array[Float], width: Int, height: Int): Array[Byte] = {
+      require(pixels.length == width * height,
+        s"pixel count ${pixels.length} != $width x $height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = pixels(y * width + x)
+          raster.setSample(x, y, 0, math.max(0, math.min(255, math.round(v))))
+          x += 1
+        }
+        y += 1
       }
-      payload
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    /** ??? in spirit — NOT a real image decoder. */
-    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
-      require(bytes.length >= Magic.length && bytes.take(4).sameElements(Magic),
-        "bad magic: not a GRF0 fixture payload")
-      val n = width * height
-      val out = new Array[Float](n)
-      val body = bytes.length - Magic.length
-      var i = 0
-      while (i < n) {
-        out(i) = (bytes(Magic.length + (i % body)) & 0xff).toFloat
-        i += 1
+    /** Decode image bytes to (width, height, row-major grayscale floats).
+      * Dimensions come from the decoded stream, never from caller metadata.
+      * Throws `IllegalArgumentException` on bytes no registered reader
+      * understands — undecodable media must fail loudly, not silently. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes (no ImageIO reader matched)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](w * h)
+      if (img.getRaster.getNumBands == 1) {
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = raster.getSample(x, y, 0).toFloat
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b)
+            x += 1
+          }
+          y += 1
+        }
       }
-      out
+      (w, h, out)
     }
   }
 
   /** Decode stage: partition-preserving, batch-shaped like mapInPandas —
-    * one closure invocation per partition iterator, pipelined. */
+    * one closure invocation per partition iterator, pipelined. Emitted
+    * dimensions are the *decoded* ones (the payload is the truth; metadata
+    * columns are planning hints). */
   def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "image").as[MediaRecord]
       .mapPartitions { it =>
         it.map { m =>
-          DecodedImage(m.mediaId, m.width, m.height,
-            StubCodec.decode(m.bytes, m.width, m.height))
+          val (w, h, px) = ImageCodec.decode(m.bytes)
+          DecodedImage(m.mediaId, w, h, px)
         }
       }
   }

@@ -25,6 +25,19 @@ import graft.operators.AsOfJoin
   */
 object Stages {
 
+  /** Tracks frames a stage persisted so the pipeline driver can release
+    * them once the consuming action has run — stages are lazy transforms,
+    * so they can never unpersist themselves without losing the cache before
+    * it is read. Call `release()` after materializing the pipeline output;
+    * a long-lived session that skips it accumulates cached partitions. */
+  final class CacheRegistry {
+    private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
+    def release(): Unit = synchronized {
+      frames.foreach(_.unpersist(blocking = false)); frames.clear()
+    }
+  }
+
   /** Pipeline context: dimension tables + instrument constants
     * (`MOUSE_settings.yaml` equivalents). */
   case class Context(
@@ -37,7 +50,8 @@ object Stages {
       // that start from untranslated instrument files (K20 / S3-S6)
       tree: Option[DataFrame] = None,
       translatorRules1: Seq[TreeTable.MappingRule] = Nil,
-      translatorRules2: Seq[TreeTable.MappingRule] = Nil)
+      translatorRules2: Seq[TreeTable.MappingRule] = Nil,
+      caches: CacheRegistry = new CacheRegistry)
 
   type Stage = (DataFrame, Context) => DataFrame
 
@@ -172,13 +186,15 @@ object Stages {
     * against the per-collection aggregate, bg-corrected absorption,
     * thickness with guards and the logbook-wins selection
     * (`processstep_thickness_from_absorption.py:36-52,90-108,167-202`). */
-  val thicknessFromAbsorption: Stage = (df, _) => {
+  val thicknessFromAbsorption: Stage = (df, ctx) => {
     // bgStats branches off `df` itself — persist the frame so the upstream
     // plan (including the UDF image kernels) evaluates ONCE: the aggregate
     // stage fills the cache, the probe side of the join reads it back.
+    // Tracked in ctx.caches: the driver calls ctx.caches.release() after
+    // its action, so long-lived sessions don't accumulate cache entries.
     // No broadcast hint on bgStats: one row per (collection, configuration)
     // is unbounded, so AQE must stay free to pick a shuffle join at scale.
-    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val input = ctx.caches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
     val bgStats = input.groupBy(
         col("collection_identifier").as("bg_id"),
         col("configuration").as("bg_config"))
@@ -287,16 +303,28 @@ object Stages {
     case _ => df
   }
 
-  /** Background-file linkage (`processstep_add_background_files.py:58-85`):
-    * resolve each background identifier to the relative path of its stacked
-    * file (`../../<yyyy>/<yyyymmdd>/MOUSE_<id>_<config>_stacked.nxs`), the
-    * 'None'/missing sentinel becoming '' exactly as the reference writes. */
+  /** Background-file linkage (`processstep_add_background_files.py:66-78`):
+    * resolve each background identifier to the stacked file's path relative
+    * to the repetition directory `data_dir/<yyyy>/<ymd>/<ymd>_<batch>_<rep>`,
+    * normalized the way `Path.relative_to(input_file.parent, walk_up=True)`
+    * normalizes — shared year/date prefixes drop out:
+    *   same date  -> `../MOUSE_<id>_<config>_stacked.nxs`
+    *   same year  -> `../../<bgymd>/MOUSE_..._stacked.nxs`
+    *   otherwise  -> `../../../<bgyyyy>/<bgymd>/MOUSE_..._stacked.nxs`
+    * The 'None'/missing sentinel becomes '' exactly as the reference writes. */
   val addBackgroundFiles: Stage = (df, _) => {
-    def stackedPath(id: Column): Column =
+    def stackedPath(id: Column): Column = {
+      val bgYear = substring(id, 1, 4)
+      val bgDate = substring(id, 1, 8)
+      val fname = concat(lit("MOUSE_"), id, lit("_"), col("configuration"),
+        lit("_stacked.nxs"))
       when(id.isNotNull && id =!= "" && id =!= "None",
-        concat(lit("../../"), substring(id, 1, 4), lit("/"), substring(id, 1, 8),
-          lit("/MOUSE_"), id, lit("_"), col("configuration"), lit("_stacked.nxs")))
+        when(bgDate === col("ymd"), concat(lit("../"), fname))
+          .when(bgYear === substring(col("ymd"), 1, 4),
+            concat(lit("../../"), bgDate, lit("/"), fname))
+          .otherwise(concat(lit("../../../"), bgYear, lit("/"), bgDate, lit("/"), fname)))
         .otherwise(lit(""))
+    }
     df.withColumn("background_file", stackedPath(col("background_identifier")))
       .withColumn("dispersed_background_file",
         stackedPath(col("dispersant_background_identifier")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.multimodal.Multimodal.ImageCodec
 
 /** Oracle-checked slice of the multimodal surface (SURVEY LLM-extension):
   * media travels as opaque `binary` columns + typed metadata, and every
@@ -45,6 +46,33 @@ object MultimodalQueries {
           sum(col("n_bytes")).as("total_bytes"),
           min(col("n_bytes")).as("min_bytes"),
           max(col("n_bytes")).as("max_bytes"))
+    },
+
+    // Real-codec proof: per document, synthesize a deterministic grayscale
+    // pattern, encode it as an actual PNG (javax.imageio), decode the PNG
+    // back, and report decoded dimensions + exact pixel sum. The oracle
+    // recomputes the pattern arithmetically in SQL — a fake decoder cannot
+    // reproduce the sums, so a hash match certifies the PNG round trip is
+    // bit-exact. Distributed via mapPartitions; integer outputs avoid any
+    // float-rounding parity concerns.
+    "m03_codec_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 5).toInt
+            val h = 8 + (id % 7).toInt
+            val px = Array.tabulate(w * h)(k => ((id * 31 + k.toLong * 7) % 256).toFloat)
+            val png = ImageCodec.encodePng(px, w, h)
+            val (dw, dh, dec) = ImageCodec.decode(png)
+            var sum = 0L
+            var i = 0
+            while (i < dec.length) { sum += dec(i).toLong; i += 1 }
+            (id, dw, dh, sum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_px")
     })
 
   val oracle: Map[String, String] = Map(
@@ -64,5 +92,16 @@ object MultimodalQueries {
         | sum(n_bytes)::BIGINT AS total_bytes,
         | min(n_bytes) AS min_bytes,
         | max(n_bytes) AS max_bytes
-        |FROM b GROUP BY 1""".stripMargin)
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "m03_codec_roundtrip" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    (8 + doc_id % 5)::INT AS width,
+        |    (8 + doc_id % 7)::INT AS height,
+        |    unnest(range(0, (8 + doc_id % 5) * (8 + doc_id % 7))) AS k
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  sum((doc_id * 31 + k * 7) % 256)::BIGINT AS sum_px
+        |FROM px GROUP BY 1, 2, 3""".stripMargin)
 }

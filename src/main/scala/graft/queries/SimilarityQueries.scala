@@ -58,15 +58,16 @@ object SimilarityQueries {
       // nearest cell per vector (rank on rounded cosine, cent_id tie-break)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(round(col("ccs"), 6).desc, col("cent_id"))
-      // assigned feeds both the query projection and the main probe join —
-      // persist so the corpus x centroid assignment computes once.
-      val assigned = e.crossJoin(broadcast(cents))
+      def assign(vecs: DataFrame): DataFrame = vecs.crossJoin(broadcast(cents))
         .withColumn("ccs", VectorFns.cosine(col("embedding"), col("cent_emb")))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val q = assigned.filter(col("vec_id") < nQueries)
+      // The corpus assignment has exactly ONE consumer (the probe side) —
+      // the query vectors assign themselves from their own pre-filtered
+      // scan, so no persist/diamond is needed and nothing is left cached.
+      val assigned = assign(e)
+      val q = assign(e.filter(col("vec_id") < nQueries))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("cell").as("q_cell"))
       val wRank = Window.partitionBy(col("q_id"))

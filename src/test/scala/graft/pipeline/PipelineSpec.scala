@@ -114,18 +114,39 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("known:"))
   }
 
-  test("add_background_files: identifier -> relative stacked path, '' sentinel") {
+  test("pipeline caches drain through ctx.caches.release()") {
+    // clear leftovers from sibling tests that share the suite session
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val ctx2 = ctx.copy(caches = new Stages.CacheRegistry)
+    val out = Stages.run(Fixtures.repetitions(spark), ctx2)
+    out.count() // consuming action fills the tracked thickness-stage cache
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the thickness stage to persist its input")
+    ctx2.caches.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must unpersist every stage-tracked frame")
+  }
+
+  test("add_background_files: walk_up-relative stacked path, '' sentinel") {
     import spark.implicits._
+    // Path.relative_to(repetition_dir, walk_up=True) semantics: shared
+    // year/date prefixes normalize away (processstep_add_background_files
+    // .py:72-73); cross-year needs three '..' (rep dir, date dir, year dir).
     val df = Seq(
-      ("20240115_1", 1, "20240110_2", "None"),
-      ("20240115_1", 2, null, null))
-      .toDF("collection_identifier", "configuration",
+      ("20240115", "20240115_1", 1, "20240110_2", "None"), // same year
+      ("20240115", "20240115_1", 1, "20240115_3", null),   // same date
+      ("20240115", "20240115_1", 1, "20230110_2", null),   // cross-year
+      ("20240115", "20240115_1", 2, null, null))
+      .toDF("ymd", "collection_identifier", "configuration",
         "background_identifier", "dispersant_background_identifier")
     val out = Stages.addBackgroundFiles(df, ctx)
       .select("background_file", "dispersed_background_file").collect()
     val linked = out.map(r => (r.getString(0), r.getString(1))).toSet
     assert(linked.contains(
-      ("../../2024/20240110/MOUSE_20240110_2_1_stacked.nxs", "")))
+      ("../../20240110/MOUSE_20240110_2_1_stacked.nxs", "")))
+    assert(linked.contains(("../MOUSE_20240115_3_1_stacked.nxs", "")))
+    assert(linked.contains(
+      ("../../../2023/20230110/MOUSE_20230110_2_1_stacked.nxs", "")))
     assert(linked.contains(("", "")))
   }
 
