@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -20,7 +21,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * Each round persists only the (node, label) frame — never the transitive
   * closure, whose size is quadratic in cluster size (that is the DuckDB
-  * oracle's job at test scale, see d07's recursive CTE).
+  * oracle's job at test scale, see d07's recursive CTE). Superseded rounds
+  * are unpersisted as soon as the next round has materialized, so resolve
+  * holds at most two label frames at any moment; the RETURNED frame stays
+  * materialized (its data lives only in its checkpoint blocks) — callers
+  * running many resolves in one session should `.unpersist()` it after
+  * their consuming action.
   */
 object ConnectedComponents {
 
@@ -28,12 +34,30 @@ object ConnectedComponents {
     *
     * @return one row per distinct node: (`node`, `component`) where
     *         `component` is the minimum node id in its component.
+    * @throws IllegalStateException if labels have not converged after
+    *         `maxIter` rounds — silently returning possibly-wrong clusters
+    *         would corrupt a dedup pass; raise `maxIter` (rounds needed
+    *         grow with log2 of the component diameter) instead.
     */
   def resolve(
       pairs: DataFrame,
       src: String,
       dst: String,
       maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+
+    // localCheckpoint() registers its backing blocks in persistentRdds but
+    // gives no handle to them — diff the registry around the call so each
+    // round's blocks can be released once the round is superseded.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager: materializes + truncates lineage
+      val added = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.toSeq
+      (out, added)
+    }
+
     // Eager lineage truncation (localCheckpoint), not lazy persist, in two
     // places. (1) `half`: the symmetric-edge union reads the input TWICE,
     // and the pair set is typically the output of an expensive verification
@@ -44,46 +68,57 @@ object ConnectedComponents {
     // exponential recompute. On a cluster with a checkpoint dir, swap for
     // reliable `df.checkpoint()` so a lost executor doesn't force full
     // recompute of a long-running resolve.
-    val half = pairs.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val (half, halfRdds) =
+      checkpointTracked(pairs.select(col(src).as("a"), col(dst).as("b")))
     val edges = half.union(half.select(col("b"), col("a")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    var (labels, labelRdds) = checkpointTracked(
+      edges.select(col("a").as("node"))
+        .distinct()
+        .withColumn("component", col("node")))
 
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // one hop: min over own + neighbour labels
+      // one hop: min over own + neighbour labels; the pre-hop label rides
+      // along as `prev` so convergence is read off the materialized round
+      // itself — no extra probe join against the previous frame.
       val nbrMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a"))
         .agg(min(col("component")).as("nbr"))
       val hopped = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
+        .select(labels("node").as("node"),
+          least(labels("component"), coalesce(col("nbr"), labels("component")))
+            .as("component"),
+          labels("component").as("prev"))
       // pointer jump: component := component(component)
-      val next = hopped.as("x")
+      val (next, nextRdds) = checkpointTracked(hopped.as("x")
         .join(
           hopped.select(col("node").as("ln"), col("component").as("lc")).as("y"),
           col("x.component") === col("ln"), "left")
         .select(col("x.node").as("node"),
-          coalesce(col("lc"), col("x.component")).as("component"))
-        .localCheckpoint()
+          coalesce(col("lc"), col("x.component")).as("component"),
+          col("x.prev").as("prev")))
 
-      val changed = next.as("nw")
-        .join(labels.select(col("node").as("n0"), col("component").as("c0")),
-          col("nw.node") === col("n0"))
-        .filter(col("nw.component") =!= col("c0"))
-        .limit(1).count()
+      // cheap scan over the just-materialized blocks (no joins, no lineage)
+      val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
+      labelRdds.foreach(_.unpersist(blocking = false)) // superseded round
       labels = next
+      labelRdds = nextRdds
       converged = changed == 0L
       it += 1
     }
-    edges.unpersist()
-    labels
+    edges.unpersist(blocking = false)
+    halfRdds.foreach(_.unpersist(blocking = false))
+    if (!converged) {
+      labelRdds.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIter rounds — " +
+          "raise maxIter (rounds grow with log2 of the component diameter)")
+    }
+    labels.select(col("node"), col("component"))
   }
 }

@@ -12,9 +12,12 @@ import graft.functions.{TextFns, VectorFns}
   *
   * Scale posture: the LSH pipeline (shingle -> minhash -> band -> bucket
   * join) is the 100 TB path — candidate generation is a hash-bucket
-  * equi-join, never an all-pairs product; the bounded all-pairs variants
-  * (d04/d05) exist to validate the quality of the candidate generation and
-  * are capped by key range.
+  * equi-join, never an all-pairs product. Where exact all-pairs semantics
+  * are demanded (d05's low-threshold cosine, where no hash family is
+  * lossless), the quadratic work runs as a tiled block join that
+  * distributes evenly with no nested-loop operator; d04's inverted shingle
+  * index is lossless for jaccard > 0 and key-bounded only to keep its
+  * validation oracle cheap.
   */
 object DedupQueries {
 
@@ -182,15 +185,31 @@ object DedupQueries {
       keep.select(col("doc_id"), col("n_copies"))
     },
 
-    // Embedding-cosine near-dup, bounded all-pairs (validation variant; the
-    // scale path is the LSH bucketing in s02_lsh_ann).
+    // Embedding-cosine near-dup, EXACT all-pairs as a tiled block join. At
+    // threshold 0.4 on dense vectors no hash family is lossless (the data's
+    // qualifying pairs sit at cs=0.4001 — sign-LSH recall there is ~0.6 per
+    // bit, so bucketed candidates would go red against the exact oracle);
+    // the honest exact-at-scale shape is to distribute the quadratic work
+    // evenly instead of capping it: block each vector by hash, drive the
+    // B^2 ordered block-pairs through a broadcast of the tiny pair table,
+    // and the probe is a plain equi-join on the partner block — every pair
+    // of tiles meets in exactly one task, no BroadcastNestedLoopJoin, no
+    // driver bottleneck, no row cap. Approximate sub-quadratic variants
+    // live in s02 (LSH) / s03 (IVF); d02 is the lossy-threshold text path.
     "d05_embedding_dup" -> { (s, dir) =>
+      import s.implicits._
+      val nBlocks = 8
       val e = Tables.loadSpread(s, dir, "embeddings")
-        .filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding"))
-      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
+      val blockPairs = (0 until nBlocks)
+        .flatMap(i => (0 until nBlocks).map(j => (i, j)))
+        .toDF("ba", "bb")
+      e.as("a").join(broadcast(blockPairs), col("a.blk") === col("ba"))
+        .join(e.as("b"),
+          col("bb") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cs", VectorFns.cosine(col("a.embedding"), col("b.embedding")))
-      pairs.filter(col("cs") >= 0.4)
+        .filter(col("cs") >= 0.4)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cs"), 4).as("cosine"))
     })
@@ -319,7 +338,7 @@ object DedupQueries {
 
     "d05_embedding_dup" ->
       """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_dot_product(a.v, b.v) /

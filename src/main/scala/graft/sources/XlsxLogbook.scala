@@ -66,14 +66,7 @@ object XlsxLogbook {
     try {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseShared(zip, e)).getOrElse(IndexedSeq.empty)
-      val sheetName = {
-        import scala.jdk.CollectionConverters._
-        val sheets = zip.entries().asScala.map(_.getName)
-          .filter(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
-          .toSeq.sorted
-        require(sheets.nonEmpty, s"$file: no worksheets")
-        sheets.head
-      }
+      val sheetName = firstSheetPart(zip, file)
       val doc = newBuilder.parse(zip.getInputStream(zip.getEntry(sheetName)))
       val rows = doc.getElementsByTagName("row")
       (0 until rows.getLength).map { i =>
@@ -89,6 +82,49 @@ object XlsxLogbook {
         out.toArray
       }
     } finally zip.close()
+  }
+
+  /** The workbook's FIRST worksheet, resolved the way a spreadsheet app
+    * does: `xl/workbook.xml`'s first `<sheet>` carries an `r:id`, and
+    * `xl/_rels/workbook.xml.rels` maps that id to the sheet part. Zip entry
+    * order and part-name sort are both unreliable proxies (`sheet10.xml`
+    * sorts before `sheet2.xml`); when the workbook/rels parts are absent
+    * (minimal hand-built containers), fall back to the smallest NUMERIC
+    * suffix of the part names. */
+  private def firstSheetPart(zip: ZipFile, file: File): String = {
+    val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val viaWorkbook = Option(zip.getEntry("xl/workbook.xml")).flatMap { wb =>
+      val doc = newBuilder.parse(zip.getInputStream(wb))
+      val sheets = doc.getElementsByTagName("sheet")
+      if (sheets.getLength == 0) None
+      else {
+        val first = sheets.item(0).asInstanceOf[Element]
+        val rid = Option(first.getAttributeNS(relNs, "id")).filter(_.nonEmpty)
+          .orElse(Option(first.getAttribute("r:id")).filter(_.nonEmpty))
+        rid.flatMap { id =>
+          Option(zip.getEntry("xl/_rels/workbook.xml.rels")).flatMap { re =>
+            val rels = newBuilder.parse(zip.getInputStream(re))
+              .getElementsByTagName("Relationship")
+            (0 until rels.getLength).map(rels.item(_).asInstanceOf[Element])
+              .find(_.getAttribute("Id") == id)
+              .map(_.getAttribute("Target"))
+              .map(t => if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t")
+              .filter(t => zip.getEntry(t) != null)
+          }
+        }
+      }
+    }
+    viaWorkbook.getOrElse {
+      import scala.jdk.CollectionConverters._
+      val sheets = zip.entries().asScala.map(_.getName)
+        .filter(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
+        .toSeq
+      require(sheets.nonEmpty, s"$file: no worksheets")
+      sheets.minBy { n =>
+        val digits = n.stripPrefix("xl/worksheets/sheet").takeWhile(_.isDigit)
+        if (digits.isEmpty) Long.MaxValue else digits.toLong
+      }
+    }
   }
 
   private def parseShared(zip: ZipFile, e: java.util.zip.ZipEntry): IndexedSeq[String] = {
@@ -123,6 +159,7 @@ object XlsxLogbook {
     val f = DocumentBuilderFactory.newInstance()
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.setExpandEntityReferences(false)
+    f.setNamespaceAware(true) // r:id on <sheet> resolves via getAttributeNS
     f.newDocumentBuilder()
   }
 }

@@ -34,4 +34,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     val m = resolveMap(Seq((4L, 4L), (4L, 2L)))
     assert(m == Map(2L -> 2L, 4L -> 2L))
   }
+
+  test("hitting the iteration cap fails loudly instead of returning stale labels") {
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.resolve(chain.toDF("a", "b"), "a", "b", maxIter = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("superseded rounds are unpersisted; only the result frame stays") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val out = ConnectedComponents.resolve(
+      (0L until 40L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
+    out.count()
+    // one surviving label frame (the returned one); everything else —
+    // edges, half, superseded rounds — must be gone
+    val left = spark.sparkContext.getPersistentRDDs.size
+    assert(left <= 2, s"expected only the result's checkpoint blocks, found $left")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }

@@ -104,12 +104,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
-  test("s03: cell assignment is persisted (computed once, read twice)") {
+  test("s03: leaves nothing cached (query vectors self-assign, no diamond)") {
     val df = SparkEntry.queries("s03_ivf_ann")(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
-    spark.sharedState.cacheManager.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "s03 must not persist anything — a long-lived session would leak cache")
+  }
+
+  test("d05 exact all-pairs: tiled equi-join, no nested-loop operator") {
+    // the quadratic work must distribute as B^2 block tiles through hash
+    // joins — a BroadcastNestedLoopJoin would serialize the whole corpus
+    // through the driver's broadcast and cap scale.
+    val p = plan("d05_embedding_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
   test("driver smoke contract: entry() returns rows") {

@@ -111,6 +111,45 @@ class XlsxLogbookSpec extends SparkSpec {
     assert(ids == Set("20240115_1", "20240115_2"))
   }
 
+  test("first sheet resolves via workbook.xml rels, not part-name sort") {
+    // sheet10.xml sorts lexicographically before sheet2.xml, but the
+    // workbook declares the sheet stored in sheet2.xml as its first sheet —
+    // the reader must follow workbook.xml + rels, not the zip listing.
+    val decoy =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>wrong</t></is></c></row>
+        |<row r="2"><c r="A2"><v>999</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val real =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>ymd</t></is></c></row>
+        |<row r="2"><c r="A2"><v>20240101</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val parts = Seq(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="real" sheetId="1" r:id="rId7"/><sheet name="decoy" sheetId="2" r:id="rId8"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId8" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet10.xml"/>
+          |<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet10.xml" -> decoy,
+      "xl/worksheets/sheet2.xml" -> real)
+    val f = Files.createTempDirectory("xlsx3").resolve("multi.xlsx").toFile
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    parts.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val raw = XlsxLogbook.readRaw(spark, f.getAbsolutePath)
+    assert(raw.columns.toSeq == Seq("ymd"))
+    assert(raw.collect().map(_.getString(0)).toSeq == Seq("20240101"))
+  }
+
   test("missing logbook columns fail loudly") {
     val e = intercept[IllegalArgumentException] {
       // point the typed reader at a workbook whose header lacks the fields
