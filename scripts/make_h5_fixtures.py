@@ -491,10 +491,155 @@ def make_v2(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+# ------------------------------------------------- v4 chunked layouts ------
+def layout_v4_single(addr, chunk_dims, filtered_size=None, filter_mask=0):
+    """Layout v4, class 2, Single Chunk index (type 1). Chunk dims are in
+    ELEMENTS and the trailing datatype-size dim of v3 is NOT stored."""
+    flags = 0x02 if filtered_size is not None else 0x00
+    body = struct.pack('<BBBBB', 4, 2, flags, len(chunk_dims) + 1, 8)
+    body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
+    body += struct.pack('<B', 1)
+    if filtered_size is not None:
+        body += struct.pack('<QI', filtered_size, filter_mask)
+    return body + struct.pack('<Q', addr)
+
+
+def layout_v4_implicit(addr, chunk_dims):
+    """Layout v4, class 2, Implicit index (type 2): unfiltered fixed-size
+    chunks laid out contiguously in row-major grid order from addr."""
+    body = struct.pack('<BBBBB', 4, 2, 0, len(chunk_dims) + 1, 8)
+    body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
+    return body + struct.pack('<B', 2) + struct.pack('<Q', addr)
+
+
+def fixed_array(f: FileBuf, elements, filtered):
+    """Write FADB + FAHD for a non-paged Fixed Array chunk index.
+    elements: [(addr, nbytes, mask)]; returns the FAHD address."""
+    client = 1 if filtered else 0
+    entry_size = 8 + 4 + 4 if filtered else 8  # addr + u32 size + u32 mask
+    page_bits = 10
+    if filtered:
+        elems = b''.join(struct.pack('<QII', a, n, m) for a, n, m in elements)
+    else:
+        elems = b''.join(struct.pack('<Q', a) for a, _, _ in elements)
+    # data block first (needs no forward pointer to the header-to-be? it
+    # stores the header address, so reserve the header slot up front)
+    hdr_addr = f.alloc(4 + 4 + 8 + 8 + 4)  # sig,ver,client,esize,pbits + entries + dbaddr + csum
+    db = b'FADB' + struct.pack('<BB', 0, client) + struct.pack('<Q', hdr_addr) + elems
+    db += struct.pack('<I', lookup3(db))
+    db_addr = f.append(db)
+    hdr = b'FAHD' + struct.pack('<4B', 0, client, entry_size, page_bits)
+    hdr += struct.pack('<QQ', len(elements), db_addr)
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr
+
+
+def layout_v4_fixed_array(addr, chunk_dims, page_bits=10):
+    body = struct.pack('<BBBBB', 4, 2, 0, len(chunk_dims) + 1, 8)
+    body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
+    return body + struct.pack('<BB', 3, page_bits) + struct.pack('<Q', addr)
+
+
+def v4_chunk_data(f, h, w, ch, cw, compress=False, contiguous=False):
+    """Write chunk payloads for an h x w f32 grid in row-major grid order.
+    Returns ([(addr, nbytes, mask)], base_addr)."""
+    vals, _ = f32_grid(h, w)
+    chunks = []
+    for r0 in range(0, h, ch):
+        for c0 in range(0, w, cw):
+            chunk = []
+            for r in range(r0, r0 + ch):
+                for c in range(c0, c0 + cw):
+                    chunk.append(vals[r * w + c] if r < h and c < w else 0.0)
+            raw = b''.join(struct.pack('<f', v) for v in chunk)
+            if compress:
+                raw = zlib.compress(raw, 6)
+            chunks.append(raw)
+    if contiguous:  # implicit index: back-to-back, unaligned gaps forbidden
+        base = f.append(b''.join(chunks))
+        sizes = [(base + i * len(chunks[0]), len(chunks[0]), 0)
+                 for i in range(len(chunks))]
+        return sizes, base
+    entries = [(f.append(raw), len(raw), 0) for raw in chunks]
+    return entries, entries[0][0]
+
+
+def make_v4(path: Path):
+    """Superblock v3 + OHDR v2 + data-layout v4: the file shape recent
+    libhdf5 writes (and Eiger detector files use). Covers Single Chunk
+    (plain + deflate), Implicit, and Fixed Array (plain + deflate)."""
+    f = FileBuf()
+    f.alloc(48)  # superblock v3 placeholder
+
+    H, W = 6, 5
+    vals, img_bytes = f32_grid(H, W)
+
+    # single : one 6x5 chunk, unfiltered
+    s_addr = f.append(img_bytes)
+    single = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_single(s_addr, [H, W])),
+    ])
+
+    # single_z : one 6x5 chunk, deflate (flags bit1 -> size+mask in message)
+    z = zlib.compress(img_bytes, 6)
+    sz_addr = f.append(z)
+    single_z = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_v4_single(sz_addr, [H, W], filtered_size=len(z))),
+    ])
+
+    # implicit : 2x5 chunks laid contiguously (3 whole-row chunks, no edge)
+    _, base = v4_chunk_data(f, H, W, 2, W, contiguous=True)
+    implicit = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_implicit(base, [2, W])),
+    ])
+
+    # fixedarr : 4x4 chunks (2x2 grid, padded edges) via FAHD/FADB
+    entries, _ = v4_chunk_data(f, H, W, 4, 4, compress=False)
+    fa = fixed_array(f, entries, filtered=False)
+    fixedarr = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_fixed_array(fa, [4, 4])),
+    ])
+
+    # fixedarr_z : same grid, deflate, client-1 elements (addr+size+mask)
+    entries_z, _ = v4_chunk_data(f, H, W, 4, 4, compress=True)
+    fa_z = fixed_array(f, entries_z, filtered=True)
+    fixedarr_z = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_v4_fixed_array(fa_z, [4, 4])),
+    ])
+
+    detector = group_v2(f, {'single': single, 'single_z': single_z,
+                            'implicit': implicit, 'fixedarr': fixedarr,
+                            'fixedarr_z': fixedarr_z})
+    entry1 = group_v2(f, {'detector': detector})
+    root = group_v2(f, {'entry1': entry1})
+
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 3, 8, 8, 0)  # v3: same shape as v2
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
 if __name__ == '__main__':
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else \
         Path(__file__).resolve().parent.parent / 'src/test/resources/h5'
     out.mkdir(parents=True, exist_ok=True)
     make_v0(out / 'mouse_v0.h5')
     make_v2(out / 'mouse_v2.h5')
-    print(f"wrote {out}/mouse_v0.h5 and {out}/mouse_v2.h5")
+    make_v4(out / 'mouse_v4.h5')
+    print(f"wrote mouse_v0/v2/v4.h5 under {out}")

@@ -17,12 +17,15 @@ import scala.collection.mutable
   *    v2/v3 (OHDR v2 object headers, compact link-message groups)
   *  - object header messages: dataspace (v1/v2), datatype (fixed-point,
   *    IEEE float, fixed string, vlen string), data layout v3 (compact,
-  *    contiguous, chunked + v1 B-tree), filter pipeline (deflate),
-  *    attributes (v1/v2/v3), object header continuations
+  *    contiguous, chunked + v1 B-tree) and v4 (chunked with Single Chunk /
+  *    Implicit / Fixed Array indexes — what recent libhdf5 writes for
+  *    fixed-shape datasets, including Eiger detector frames), filter
+  *    pipeline (deflate), attributes (v1/v2/v3), header continuations
   *  - global heap collections (GCOL) for variable-length strings
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * fractal-heap dense groups, v4 chunk indexes, filters other than deflate,
+  * fractal-heap dense groups, v4 extensible-array / v2-B-tree chunk indexes
+  * (unlimited-dimension datasets only), filters other than deflate,
   * non-IEEE or big-endian numeric types, compound/enum/reference types.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
@@ -289,8 +292,62 @@ object Hdf5 {
     out
   }
 
-  /** Chunked layout: walk the v1 raw-data B-tree, inflate if filtered, and
-    * stitch chunks into a row-major buffer, clipping padded edge chunks. */
+  /** One stored chunk: grid offsets (elements), file address, stored byte
+    * count, per-chunk filter mask (bit i set = filter i skipped). */
+  private case class ChunkRef(
+      offsets: Seq[Long], addr: Long, nbytes: Int, filterMask: Long)
+
+  private def readUIntN(bb: ByteBuffer, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v |= (u8(bb).toLong << (8 * i)); i += 1 }
+    v
+  }
+
+  /** Stitch decoded chunks into one row-major buffer, clipping padded edge
+    * chunks; shared by the v1-B-tree and every v4 chunk-index path. */
+  private def assembleChunks(
+      bytes: Array[Byte], chunks: Seq[ChunkRef], dims: Seq[Long],
+      chunkDims: Seq[Int], elemSize: Int, deflated: Boolean,
+      dontFilterEdges: Boolean): Array[Byte] = {
+    val rank = dims.length
+    val total = dims.product.toInt * elemSize
+    val out = new Array[Byte](total)
+    val chunkBytes = chunkDims.product * elemSize
+
+    def isEdge(offsets: Seq[Long]): Boolean =
+      offsets.indices.exists(i => offsets(i) + chunkDims(i) > dims(i))
+
+    chunks.foreach { c =>
+      if (c.addr != UNDEF) {
+        val raw0 = bytes.slice(c.addr.toInt, c.addr.toInt + c.nbytes)
+        val applyFilter = deflated && (c.filterMask & 1L) == 0 &&
+          !(dontFilterEdges && isEdge(c.offsets))
+        val raw = if (applyFilter) inflate(raw0, chunkBytes) else raw0
+        val offsets = c.offsets.map(_.toInt)
+        // supports rank 1 and 2 (scalars/vectors/images — the MOUSE surface)
+        rank match {
+          case 1 =>
+            val n = math.min(chunkDims(0), (dims(0) - offsets(0)).toInt)
+            System.arraycopy(raw, 0, out, offsets(0) * elemSize, n * elemSize)
+          case 2 =>
+            val h = math.min(chunkDims(0), (dims(0) - offsets(0)).toInt)
+            val w = math.min(chunkDims(1), (dims(1) - offsets(1)).toInt)
+            for (r <- 0 until h) {
+              val src = r * chunkDims(1) * elemSize
+              val dst = ((offsets(0) + r) * dims(1).toInt + offsets(1)) * elemSize
+              System.arraycopy(raw, src, out, dst, w * elemSize)
+            }
+          case r =>
+            throw new UnsupportedOperationException(s"chunked rank $r not supported")
+        }
+      }
+    }
+    out
+  }
+
+  /** Chunked layout v3: walk the v1 raw-data B-tree, inflate if filtered,
+    * and stitch chunks into a row-major buffer. */
   private def readChunked(
       bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
       deflated: Boolean): Option[Array[Byte]] = {
@@ -303,11 +360,7 @@ object Hdf5 {
     u32(bb) // element size (trailing chunk dim)
     if (btreeAddr == UNDEF) return None
 
-    val total = dims.product.toInt * elemSize
-    val out = new Array[Byte](total)
-    val chunkElems = chunkDims.product
-    val chunkBytes = chunkElems * elemSize
-
+    val chunks = mutable.ArrayBuffer.empty[ChunkRef]
     def visit(addr: Long): Unit = {
       val nb = bufAt(bytes, addr)
       sig(nb, "TREE")
@@ -317,41 +370,122 @@ object Hdf5 {
       u64(nb); u64(nb)
       (0 until used).foreach { _ =>
         val nbytes = u32(nb).toInt
-        u32(nb) // filter mask
+        val mask = u32(nb)
         val offsets = (0 until rank).map(_ => u64(nb))
         u64(nb) // element offset
         val child = u64(nb)
         if (level > 0) visit(child)
-        else {
-          val raw0 = bytes.slice(child.toInt, child.toInt + nbytes)
-          val raw = if (deflated) inflate(raw0, chunkBytes) else raw0
-          // copy chunk rows into the row-major output, clipping the edges
-          copyChunk(raw, offsets.map(_.toInt))
-        }
+        else chunks += ChunkRef(offsets, child, nbytes, mask)
       }
     }
-
-    def copyChunk(raw: Array[Byte], offsets: Seq[Int]): Unit = {
-      // supports rank 1 and 2 (scalars/vectors/images — the MOUSE surface)
-      rank match {
-        case 1 =>
-          val n = math.min(chunkDims(0), (dims(0) - offsets(0)).toInt)
-          System.arraycopy(raw, 0, out, offsets(0) * elemSize, n * elemSize)
-        case 2 =>
-          val h = math.min(chunkDims(0), (dims(0) - offsets(0)).toInt)
-          val w = math.min(chunkDims(1), (dims(1) - offsets(1)).toInt)
-          for (r <- 0 until h) {
-            val src = r * chunkDims(1) * elemSize
-            val dst = ((offsets(0) + r) * dims(1).toInt + offsets(1)) * elemSize
-            System.arraycopy(raw, src, out, dst, w * elemSize)
-          }
-        case r =>
-          throw new UnsupportedOperationException(s"chunked rank $r not supported")
-      }
-    }
-
     visit(btreeAddr)
-    Some(out)
+    Some(assembleChunks(bytes, chunks.toSeq, dims, chunkDims, elemSize,
+      deflated, dontFilterEdges = false))
+  }
+
+  /** Chunked layout v4 (superblock v3 era — what recent libhdf5 writes and
+    * Eiger detector files use): chunk dims stored in elements (no trailing
+    * datatype-size dim), followed by one of five index types. Supported:
+    * Single Chunk (1), Implicit (2), Fixed Array (3) — the indexes libhdf5
+    * picks for datasets with fixed maximum dimensions, which is every MOUSE
+    * frame. Extensible Array (4) / v2 B-tree (5) appear only for unlimited
+    * dimensions and fail loudly. */
+  private def readChunkedV4(
+      bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
+      deflated: Boolean): Option[Array[Byte]] = {
+    val bb = bufAt(bytes, off.toLong)
+    val flags = u8(bb)
+    val ndims = u8(bb) // rank + 1, as in v3
+    val rank = ndims - 1
+    require(rank == dims.length, s"chunk rank $rank != dataspace rank ${dims.length}")
+    val encLen = u8(bb)
+    val chunkDims = (0 until rank).map(_ => readUIntN(bb, encLen).toInt)
+    val idxType = u8(bb)
+    val chunkBytes = chunkDims.product * elemSize
+    val dontFilterEdges = (flags & 0x01) != 0
+
+    // chunk-grid shape, row-major enumeration order
+    val gridDims = dims.indices.map(i =>
+      ((dims(i) + chunkDims(i) - 1) / chunkDims(i)).toInt)
+    val nChunks = gridDims.product
+    def gridOffsets(i: Int): Seq[Long] = {
+      var rem = i
+      val out = new Array[Long](rank)
+      var d = rank - 1
+      while (d >= 0) {
+        out(d) = (rem % gridDims(d)).toLong * chunkDims(d)
+        rem /= gridDims(d)
+        d -= 1
+      }
+      out.toSeq
+    }
+
+    val chunks: Seq[ChunkRef] = idxType match {
+      case 1 => // Single Chunk: the dataset is exactly one chunk
+        val (nbytes, mask) =
+          if ((flags & 0x02) != 0) (u64(bb).toInt, u32(bb)) // filtered: size+mask
+          else (chunkBytes, 0L)
+        val addr = u64(bb)
+        if (addr == UNDEF) return None
+        Seq(ChunkRef(Seq.fill(rank)(0L), addr, nbytes, mask))
+
+      case 2 => // Implicit: unfiltered chunks laid contiguously in grid order
+        val addr = u64(bb)
+        if (addr == UNDEF) return None
+        (0 until nChunks).map(i =>
+          ChunkRef(gridOffsets(i), addr + i.toLong * chunkBytes, chunkBytes, 0L))
+
+      case 3 => // Fixed Array: FAHD header -> FADB data block of elements
+        u8(bb) // page bits (from the layout message; the header repeats it)
+        val addr = u64(bb)
+        if (addr == UNDEF) return None
+        readFixedArray(bytes, addr, nChunks, chunkBytes).map { case (a, n, m) =>
+          ChunkRef(Seq.empty, a, n, m)
+        }.zipWithIndex.map { case (c, i) => c.copy(offsets = gridOffsets(i)) }
+
+      case t =>
+        throw new UnsupportedOperationException(
+          s"v4 chunk index type $t not supported (extensible array / v2 B-tree " +
+            "appear only for unlimited-dimension datasets)")
+    }
+    Some(assembleChunks(bytes, chunks, dims, chunkDims, elemSize,
+      deflated, dontFilterEdges))
+  }
+
+  /** Fixed Array chunk index: header (FAHD) + one non-paged data block
+    * (FADB). Returns (address, stored bytes, filter mask) per chunk in
+    * grid order. Client 0 = unfiltered elements (address only); client 1 =
+    * filtered (address + stored size + mask). */
+  private def readFixedArray(
+      bytes: Array[Byte], addr: Long, nChunks: Int,
+      chunkBytes: Int): Seq[(Long, Int, Long)] = {
+    val hb = bufAt(bytes, addr)
+    sig(hb, "FAHD")
+    require(u8(hb) == 0, "fixed-array header version")
+    val clientId = u8(hb)
+    require(clientId == 0 || clientId == 1, s"fixed-array client $clientId")
+    val entrySize = u8(hb)
+    val pageBits = u8(hb)
+    val maxEntries = u64(hb)
+    val dbAddr = u64(hb)
+    require(nChunks <= maxEntries, s"$nChunks chunks > $maxEntries entries")
+    val npages = (maxEntries + (1L << pageBits) - 1) >> pageBits
+    require(npages <= 1, "paged fixed-array index not supported")
+
+    val db = bufAt(bytes, dbAddr)
+    sig(db, "FADB")
+    require(u8(db) == 0, "fixed-array data block version")
+    require(u8(db) == clientId, "data block client mismatch")
+    u64(db) // header address (back-pointer)
+    (0 until nChunks).map { _ =>
+      val a = u64(db)
+      if (clientId == 0) (a, chunkBytes, 0L)
+      else {
+        val sz = readUIntN(db, entrySize - 12).toInt // entry = addr(8)+size+mask(4)
+        val mask = u32(db)
+        (a, sz, mask)
+      }
+    }
   }
 
   // -------------------------------------------------------- value decode ---
@@ -515,13 +649,16 @@ object Hdf5 {
       deflated: Boolean): Option[Array[Byte]] = {
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
-    require(version == 3, s"data layout v$version (only v3 supported)")
+    require(version == 3 || version == 4, s"data layout v$version (v3/v4 supported)")
     u8(bb) match {
       case 0 => // compact: u16 size + inline data
         val size = u16(bb)
         Some(take(bb, size))
       case 1 => readContiguous(bytes, bb.position())
-      case 2 => readChunked(bytes, bb.position(), dims, dt.size, deflated)
+      case 2 if version == 3 =>
+        readChunked(bytes, bb.position(), dims, dt.size, deflated)
+      case 2 =>
+        readChunkedV4(bytes, bb.position(), dims, dt.size, deflated)
       case c => throw new UnsupportedOperationException(s"layout class $c")
     }
   }

@@ -57,6 +57,17 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("layout v4: single-chunk / implicit / fixed-array indexes (± deflate)") {
+    val v4 = Hdf5.read(fixture("mouse_v4.h5"))
+    val m = v4.map(n => n.path -> n).toMap
+    val expected = (0 until 30).map(_.toFloat)
+    for (name <- Seq("single", "single_z", "implicit", "fixedarr", "fixedarr_z")) {
+      val n = m(s"/entry1/detector/$name")
+      assert(n.dims == Seq(6L, 5L), s"$name dims")
+      assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
+    }
+  }
+
   test("superblock v2 / OHDR v2 / link messages / v3 attributes") {
     val v2 = Hdf5.read(fixture("mouse_v2.h5"))
     val m = v2.map(n => n.path -> n).toMap
