@@ -491,6 +491,105 @@ def make_v2(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+# ----------------------------------------------- lz4 / bitshuffle filters --
+def lz4_literals(data: bytes) -> bytes:
+    """A valid LZ4 block containing only literals (no matches). Any real
+    LZ4 decoder — the reader uses lz4-java — accepts it."""
+    n = len(data)
+    if n < 15:
+        return bytes([n << 4]) + data
+    out = bytearray([0xF0])
+    rem = n - 15
+    while rem >= 255:
+        out.append(255)
+        rem -= 255
+    out.append(rem)
+    return bytes(out) + data
+
+
+def lz4_filter_stream(data: bytes, block_size: int) -> bytes:
+    """HDF5Plugin LZ4 (32004) framing: BE u64 total, BE u32 block size,
+    then per block BE u32 stored size + payload."""
+    out = struct.pack('>QI', len(data), block_size)
+    for i in range(0, len(data), block_size):
+        block = lz4_literals(data[i:i + block_size])
+        out += struct.pack('>I', len(block)) + block
+    return out
+
+
+def bitshuffle_block(data: bytes, elem_size: int) -> bytes:
+    """The bitshuffle bit transpose of one block (scalar reference
+    algorithm): byte-plane-major, then bit (LSB first), packs of 8
+    elements with element 8k+i at bit i."""
+    n = len(data) // elem_size
+    packs = n // 8
+    out = bytearray(len(data))
+    for j in range(elem_size):
+        for b in range(8):
+            for k in range(packs):
+                v = 0
+                for i in range(8):
+                    if (data[(8 * k + i) * elem_size + j] >> b) & 1:
+                        v |= 1 << i
+                out[(j * 8 + b) * packs + k] = v
+    return bytes(out)
+
+
+def bitshuffle_lz4_stream(data: bytes, elem_size: int, block_elems: int) -> bytes:
+    """Bitshuffle (32008) with internal LZ4: BE u64 total bytes, BE u32
+    block size in bytes, then per block BE u32 compressed size + LZ4 data.
+    Final sub-block rounds down to a multiple of 8 elements; the last
+    n % 8 elements travel raw at the end."""
+    n = len(data) // elem_size
+    out = struct.pack('>QI', len(data), block_elems * elem_size)
+    pos = 0
+    def emit(nelems):
+        nonlocal out, pos
+        raw = data[pos * elem_size:(pos + nelems) * elem_size]
+        block = lz4_literals(bitshuffle_block(raw, elem_size))
+        out += struct.pack('>I', len(block)) + block
+        pos += nelems
+    while n - pos >= block_elems:
+        emit(block_elems)
+    sub = (n - pos) & ~7
+    if sub:
+        emit(sub)
+    out += data[pos * elem_size:]
+    return out
+
+
+def bitshuffle_raw_stream(data: bytes, elem_size: int, block_elems: int) -> bytes:
+    """Bitshuffle without internal compression: blocked transpose laid out
+    back to back, no headers; same final-sub-block + raw-tail rules."""
+    n = len(data) // elem_size
+    out = b''
+    pos = 0
+    while n - pos >= block_elems:
+        out += bitshuffle_block(
+            data[pos * elem_size:(pos + block_elems) * elem_size], elem_size)
+        pos += block_elems
+    sub = (n - pos) & ~7
+    if sub:
+        out += bitshuffle_block(
+            data[pos * elem_size:(pos + sub) * elem_size], elem_size)
+        pos += sub
+    out += data[pos * elem_size:]
+    return out
+
+
+def filter_generic(fid, values, name=b''):
+    """Filter-pipeline v1 message with one filter and u32 client values."""
+    body = struct.pack('<BB2x4x', 1, 1)
+    nm = name + b'\x00' if name else b''
+    nm += bytes(pad8(len(nm)) - len(nm)) if nm else b''
+    body += struct.pack('<4H', fid, len(nm), 1, len(values)) + nm
+    for v in values:
+        body += struct.pack('<I', v)
+    if len(values) % 2 == 1:
+        body += b'\x00' * 4
+    return body
+
+
 # ------------------------------------------------- v4 chunked layouts ------
 def layout_v4_single(addr, chunk_dims, filtered_size=None, filter_mask=0):
     """Layout v4, class 2, Single Chunk index (type 1). Chunk dims are in
@@ -620,9 +719,42 @@ def make_v4(path: Path):
         (0x08, layout_v4_fixed_array(fa_z, [4, 4])),
     ])
 
+    # lz4 : one chunk through the HDF5Plugin LZ4 filter (id 32004),
+    # two 64-byte blocks so the block loop is exercised
+    lz4_stream = lz4_filter_stream(img_bytes, 64)
+    lz4_addr = f.append(lz4_stream)
+    lz4ds = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_generic(32004, [64])),
+        (0x08, layout_v4_single(lz4_addr, [H, W], filtered_size=len(lz4_stream))),
+    ])
+
+    # bitshuf_z : bitshuffle (32008) with internal LZ4 — 8-element blocks
+    # (3 full blocks + 6-element raw tail for the 30-element grid)
+    bs_stream = bitshuffle_lz4_stream(img_bytes, 4, 8)
+    bs_addr = f.append(bs_stream)
+    bitshuf_z = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_generic(32008, [0, 4, 4, 8, 2])),
+        (0x08, layout_v4_single(bs_addr, [H, W], filtered_size=len(bs_stream))),
+    ])
+
+    # bitshuf_raw : bitshuffle without internal compression (cd comp = 0)
+    bsr_stream = bitshuffle_raw_stream(img_bytes, 4, 8)
+    bsr_addr = f.append(bsr_stream)
+    bitshuf_raw = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_generic(32008, [0, 4, 4, 8, 0])),
+        (0x08, layout_v4_single(bsr_addr, [H, W], filtered_size=len(bsr_stream))),
+    ])
+
     detector = group_v2(f, {'single': single, 'single_z': single_z,
                             'implicit': implicit, 'fixedarr': fixedarr,
-                            'fixedarr_z': fixedarr_z})
+                            'fixedarr_z': fixedarr_z, 'lz4': lz4ds,
+                            'bitshuf_z': bitshuf_z, 'bitshuf_raw': bitshuf_raw})
     entry1 = group_v2(f, {'detector': detector})
     root = group_v2(f, {'entry1': entry1})
 

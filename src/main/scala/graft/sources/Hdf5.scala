@@ -20,12 +20,14 @@ import scala.collection.mutable
   *    contiguous, chunked + v1 B-tree) and v4 (chunked with Single Chunk /
   *    Implicit / Fixed Array indexes — what recent libhdf5 writes for
   *    fixed-shape datasets, including Eiger detector frames), filter
-  *    pipeline (deflate), attributes (v1/v2/v3), header continuations
+  *    pipelines (deflate; HDF5Plugin LZ4 32004 via the lz4-java already on
+  *    Spark's classpath; bitshuffle 32008 ± internal LZ4 — the Eiger
+  *    default), attributes (v1/v2/v3), header continuations
   *  - global heap collections (GCOL) for variable-length strings
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
   * fractal-heap dense groups, v4 extensible-array / v2-B-tree chunk indexes
-  * (unlimited-dimension datasets only), filters other than deflate,
+  * (unlimited-dimension datasets only), filters beyond the three above,
   * non-IEEE or big-endian numeric types, compound/enum/reference types.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
@@ -292,6 +294,150 @@ object Hdf5 {
     out
   }
 
+  // ------------------------------------------------------------- filters ---
+
+  /** The filter pipeline entries this reader understands. Order matters:
+    * filters were applied left-to-right on write, so decode folds right-to-
+    * left. */
+  private sealed trait H5Filter
+  private case object Deflate extends H5Filter
+  private case object Lz4 extends H5Filter // HDF5Plugin id 32004
+  private case class Bitshuffle(blockElems: Int, lz4: Boolean) extends H5Filter // id 32008
+
+  /** Undo one chunk's filter chain. `outSize` is the unfiltered chunk byte
+    * count (every supported transform either restores exactly that size or
+    * is size-preserving, so it holds at each fold step). */
+  private def defilter(
+      raw: Array[Byte], outSize: Int, filters: Seq[H5Filter],
+      elemSize: Int): Array[Byte] =
+    filters.reverse.foldLeft(raw) { (data, f) =>
+      f match {
+        case Deflate => inflate(data, outSize)
+        case Lz4 => lz4Defilter(data, outSize)
+        case Bitshuffle(blockElems, lz4) =>
+          bitshuffleDefilter(data, outSize, elemSize, blockElems, lz4)
+      }
+    }
+
+  private lazy val lz4Dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+
+  /** HDF5Plugin LZ4 filter (32004) stream: big-endian i64 total size,
+    * big-endian i32 block size, then per block a big-endian i32 stored size
+    * + payload (stored raw when the size equals the uncompressed size). */
+  private def lz4Defilter(data: Array[Byte], outSize: Int): Array[Byte] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+    val total = bb.getLong
+    require(total == outSize, s"lz4 filter total $total != chunk $outSize")
+    val blockSize = bb.getInt
+    require(blockSize > 0, "lz4 filter block size must be positive")
+    val out = new Array[Byte](outSize)
+    var done = 0
+    while (done < outSize) {
+      val uncomp = math.min(blockSize, outSize - done)
+      val csize = bb.getInt
+      if (csize == uncomp) {
+        bb.get(out, done, uncomp) // stored raw (lz4 would have expanded it)
+      } else {
+        val read = lz4Dec.decompress(data, bb.position(), out, done, uncomp)
+        require(read == csize, s"lz4 block consumed $read of $csize bytes")
+        bb.position(bb.position() + csize)
+      }
+      done += uncomp
+    }
+    out
+  }
+
+  /** Undo the bitshuffle bit transpose for one block of `nElems` elements.
+    * Layout (scalar reference algorithm: byte-plane transpose, 8x8 bit
+    * transpose, bit-row regroup): for byte j of the little-endian element,
+    * for bit b (LSB first), a plane of nElems/8 bytes whose k-th byte packs
+    * bit b of byte j of elements 8k..8k+7, element 8k+i at bit i. */
+  private def unbitshuffle(
+      data: Array[Byte], dataOff: Int, out: Array[Byte], outOff: Int,
+      nElems: Int, elemSize: Int): Unit = {
+    val packs = nElems / 8
+    var j = 0
+    while (j < elemSize) {
+      var b = 0
+      while (b < 8) {
+        val planeOff = dataOff + (j * 8 + b) * packs
+        var k = 0
+        while (k < packs) {
+          val v = data(planeOff + k)
+          if (v != 0) {
+            var i = 0
+            while (i < 8) {
+              if (((v >> i) & 1) != 0) {
+                val p = outOff + (8 * k + i) * elemSize + j
+                out(p) = (out(p) | (1 << b)).toByte
+              }
+              i += 1
+            }
+          }
+          k += 1
+        }
+        b += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Bitshuffle filter (32008). With internal LZ4 (cd_values[4] == 2) the
+    * stream is: big-endian u64 total bytes, big-endian u32 block size in
+    * BYTES, then per block a big-endian u32 compressed size + LZ4 data.
+    * Without compression the stream is the blocked bit transpose laid out
+    * back to back (block size from cd_values). Blocks hold `blockElems`
+    * elements; the final sub-block rounds the remainder down to a multiple
+    * of 8 elements, and any last `n % 8` elements travel raw at the end. */
+  private def bitshuffleDefilter(
+      data: Array[Byte], outSize: Int, elemSize: Int, cdBlockElems: Int,
+      lz4: Boolean): Array[Byte] = {
+    val out = new Array[Byte](outSize)
+    val totalElems = outSize / elemSize
+    require(totalElems * elemSize == outSize, "chunk not a whole number of elements")
+
+    if (lz4) {
+      val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+      val total = bb.getLong
+      require(total == outSize, s"bitshuffle total $total != chunk $outSize")
+      val blockBytes = bb.getInt
+      require(blockBytes > 0 && blockBytes % elemSize == 0, s"block bytes $blockBytes")
+      val blockElems = blockBytes / elemSize
+      var pos = 0
+      def decodeBlock(nElems: Int): Unit = {
+        val nBytes = nElems * elemSize
+        val csize = bb.getInt
+        val tmp = new Array[Byte](nBytes)
+        val read = lz4Dec.decompress(data, bb.position(), tmp, 0, nBytes)
+        require(read == csize, s"bitshuffle lz4 block consumed $read of $csize")
+        bb.position(bb.position() + csize)
+        unbitshuffle(tmp, 0, out, pos * elemSize, nElems, elemSize)
+        pos += nElems
+      }
+      while (totalElems - pos >= blockElems) decodeBlock(blockElems)
+      val sub = (totalElems - pos) & ~7
+      if (sub > 0) decodeBlock(sub)
+      if (pos < totalElems) bb.get(out, pos * elemSize, (totalElems - pos) * elemSize)
+    } else {
+      require(cdBlockElems > 0,
+        "bitshuffle without internal lz4 needs an explicit block size " +
+          "(cd_values[3]); the library default heuristic is not replicated")
+      var pos = 0
+      var off = 0
+      def decodeBlock(nElems: Int): Unit = {
+        unbitshuffle(data, off, out, pos * elemSize, nElems, elemSize)
+        off += nElems * elemSize
+        pos += nElems
+      }
+      while (totalElems - pos >= cdBlockElems) decodeBlock(cdBlockElems)
+      val sub = (totalElems - pos) & ~7
+      if (sub > 0) decodeBlock(sub)
+      if (pos < totalElems)
+        System.arraycopy(data, off, out, pos * elemSize, (totalElems - pos) * elemSize)
+    }
+    out
+  }
+
   /** One stored chunk: grid offsets (elements), file address, stored byte
     * count, per-chunk filter mask (bit i set = filter i skipped). */
   private case class ChunkRef(
@@ -308,7 +454,7 @@ object Hdf5 {
     * chunks; shared by the v1-B-tree and every v4 chunk-index path. */
   private def assembleChunks(
       bytes: Array[Byte], chunks: Seq[ChunkRef], dims: Seq[Long],
-      chunkDims: Seq[Int], elemSize: Int, deflated: Boolean,
+      chunkDims: Seq[Int], elemSize: Int, filters: Seq[H5Filter],
       dontFilterEdges: Boolean): Array[Byte] = {
     val rank = dims.length
     val total = dims.product.toInt * elemSize
@@ -321,9 +467,13 @@ object Hdf5 {
     chunks.foreach { c =>
       if (c.addr != UNDEF) {
         val raw0 = bytes.slice(c.addr.toInt, c.addr.toInt + c.nbytes)
-        val applyFilter = deflated && (c.filterMask & 1L) == 0 &&
-          !(dontFilterEdges && isEdge(c.offsets))
-        val raw = if (applyFilter) inflate(raw0, chunkBytes) else raw0
+        // per-chunk mask bit i set = pipeline filter i skipped for this chunk
+        val active =
+          if (dontFilterEdges && isEdge(c.offsets)) Nil
+          else filters.zipWithIndex.collect {
+            case (f, i) if (c.filterMask & (1L << i)) == 0 => f
+          }
+        val raw = defilter(raw0, chunkBytes, active, elemSize)
         val offsets = c.offsets.map(_.toInt)
         // supports rank 1 and 2 (scalars/vectors/images — the MOUSE surface)
         rank match {
@@ -350,7 +500,7 @@ object Hdf5 {
     * and stitch chunks into a row-major buffer. */
   private def readChunked(
       bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
-      deflated: Boolean): Option[Array[Byte]] = {
+      filters: Seq[H5Filter]): Option[Array[Byte]] = {
     val bb = bufAt(bytes, off.toLong)
     val ndims = u8(bb) // rank + 1
     val rank = ndims - 1
@@ -380,7 +530,7 @@ object Hdf5 {
     }
     visit(btreeAddr)
     Some(assembleChunks(bytes, chunks.toSeq, dims, chunkDims, elemSize,
-      deflated, dontFilterEdges = false))
+      filters, dontFilterEdges = false))
   }
 
   /** Chunked layout v4 (superblock v3 era — what recent libhdf5 writes and
@@ -392,7 +542,7 @@ object Hdf5 {
     * dimensions and fail loudly. */
   private def readChunkedV4(
       bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
-      deflated: Boolean): Option[Array[Byte]] = {
+      filters: Seq[H5Filter]): Option[Array[Byte]] = {
     val bb = bufAt(bytes, off.toLong)
     val flags = u8(bb)
     val ndims = u8(bb) // rank + 1, as in v3
@@ -449,7 +599,7 @@ object Hdf5 {
             "appear only for unlimited-dimension datasets)")
     }
     Some(assembleChunks(bytes, chunks, dims, chunkDims, elemSize,
-      deflated, dontFilterEdges))
+      filters, dontFilterEdges))
   }
 
   /** Fixed Array chunk index: header (FAHD) + one non-paged data block
@@ -612,10 +762,11 @@ object Hdf5 {
       } else {
         val dims = parseDataspace(bufAt(bytes, byType(0x01).head.off.toLong))
         val dt = parseDatatype(bufAt(bytes, byType(0x03).head.off.toLong))
-        val deflated = byType.get(0x0B).exists(m => hasDeflate(bytes, m.head.off))
+        val filters = byType.get(0x0B).map(m => parseFilters(bytes, m.head.off))
+          .getOrElse(Nil)
         val attrs = byType.getOrElse(0x0C, Nil)
           .flatMap(m => parseAttribute(bytes, m.off)).toMap
-        val raw = readLayout(bytes, byType(0x08).head.off, dims, dt, deflated)
+        val raw = readLayout(bytes, byType(0x08).head.off, dims, dt, filters)
         nodes += buildNode(bytes, path, dims, dt, raw, attrs)
       }
     }
@@ -624,29 +775,39 @@ object Hdf5 {
     nodes.toSeq
   }
 
-  private def hasDeflate(bytes: Array[Byte], off: Int): Boolean = {
+  /** Parse the filter-pipeline message into the typed filter chain.
+    * Supported: deflate (1), HDF5Plugin LZ4 (32004), bitshuffle (32008 —
+    * the Eiger detector default, cd_values = [major, minor, elem, block,
+    * compression]). Anything else fails loudly. */
+  private def parseFilters(bytes: Array[Byte], off: Int): Seq[H5Filter] = {
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
     val nfilters = u8(bb)
     if (version == 1) bb.position(bb.position() + 6)
-    val ids = (0 until nfilters).map { _ =>
+    (0 until nfilters).map { _ =>
       val id = u16(bb)
       val nameLen = if (version == 2 && id < 256) 0 else u16(bb)
       u16(bb) // flags
       val nvals = u16(bb)
       bb.position(bb.position() + nameLen)
-      bb.position(bb.position() + 4 * nvals)
+      val values = (0 until nvals).map(_ => u32(bb))
       if (version == 1 && nvals % 2 == 1) bb.position(bb.position() + 4)
-      id
+      id match {
+        case 1 => Deflate
+        case 32004 => Lz4
+        case 32008 =>
+          val comp = values.lift(4).getOrElse(0L)
+          require(comp == 0L || comp == 2L, s"bitshuffle compression mode $comp")
+          Bitshuffle(values.lift(3).getOrElse(0L).toInt, lz4 = comp == 2L)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported filter id $other (deflate/lz4/bitshuffle only)")
+      }
     }
-    val unsupported = ids.filterNot(_ == 1)
-    require(unsupported.isEmpty, s"unsupported filters: $unsupported (only deflate)")
-    ids.contains(1)
   }
 
   private def readLayout(
       bytes: Array[Byte], off: Int, dims: Seq[Long], dt: DType,
-      deflated: Boolean): Option[Array[Byte]] = {
+      filters: Seq[H5Filter]): Option[Array[Byte]] = {
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
     require(version == 3 || version == 4, s"data layout v$version (v3/v4 supported)")
@@ -656,9 +817,9 @@ object Hdf5 {
         Some(take(bb, size))
       case 1 => readContiguous(bytes, bb.position())
       case 2 if version == 3 =>
-        readChunked(bytes, bb.position(), dims, dt.size, deflated)
+        readChunked(bytes, bb.position(), dims, dt.size, filters)
       case 2 =>
-        readChunkedV4(bytes, bb.position(), dims, dt.size, deflated)
+        readChunkedV4(bytes, bb.position(), dims, dt.size, filters)
       case c => throw new UnsupportedOperationException(s"layout class $c")
     }
   }

@@ -68,6 +68,16 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("LZ4 (32004) and bitshuffle (32008 ± internal lz4) filters decode") {
+    val v4 = Hdf5.read(fixture("mouse_v4.h5"))
+    val m = v4.map(n => n.path -> n).toMap
+    val expected = (0 until 30).map(_.toFloat)
+    for (name <- Seq("lz4", "bitshuf_z", "bitshuf_raw")) {
+      val n = m(s"/entry1/detector/$name")
+      assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
+    }
+  }
+
   test("superblock v2 / OHDR v2 / link messages / v3 attributes") {
     val v2 = Hdf5.read(fixture("mouse_v2.h5"))
     val m = v2.map(n => n.path -> n).toMap
