@@ -54,7 +54,8 @@ object Model {
       bgnumber: Int,
       dbgymd: String, // dispersant background pointer ("" = 'None' sentinel)
       dbgnumber: Int,
-      overallMu: Double) // absorption coefficient 1/m for K12
+      overallMu: Double, // absorption coefficient 1/m for K12
+      matrixfraction: Double = 1.0) // matrix volume fraction (dilute -> 1.0)
 
   /** Mask-library dimension row (as-of join J2), parsed from
     * `Masks/{ymd}_{configuration}.nxs` stems

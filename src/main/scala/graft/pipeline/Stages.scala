@@ -79,6 +79,8 @@ object Stages {
     }
   private val nanSumUdf = udf(ImageKernels.nanSum _)
   private val maskedNanSumUdf = udf(ImageKernels.maskedNanSum _)
+  private val compositionUdf =
+    udf { (formula: String) => Composition.parse(formula).map(_.toArray).orNull }
 
   /** §1.2 pint-equivalent: fixed conversions to meters. */
   def toMeters(value: Column, units: Column): Column =
@@ -109,6 +111,12 @@ object Stages {
       .withColumn("dispersant_background_identifier",
         when(col("dbgymd").isNotNull && col("dbgymd") =!= "" && col("dbgymd") =!= "None",
           concat(col("dbgymd"), lit("_"), col("dbgnumber"))))
+      // typed sample components from the logbook's composition formula
+      // (logbook2mouse sample modeling; null when blank/unparseable)
+      .transform(d =>
+        if (d.columns.contains("composition"))
+          d.withColumn("composition_components", compositionUdf(col("composition")))
+        else d)
   }
 
   /** J2 + J5: backward as-of mask selection per configuration, carrying the

@@ -59,6 +59,14 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(e - 8.0509) < 1e-3, s"E=$e")
   }
 
+  test("logbook composition parses to typed components") {
+    val comp = processed.filter(col("batch") === 1)
+      .select(explode(col("composition_components")).as("c"))
+      .select("c.element", "c.count")
+      .distinct().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(comp == Map("Si" -> 1.0, "O" -> 2.0))
+  }
+
   test("stacker: n=3 per group, identical reps give zero per-pixel std") {
     val stacked = Stages.registry("stacker")(processed, ctx)
     assert(stacked.count() == 4) // 2 batches x 2 configs

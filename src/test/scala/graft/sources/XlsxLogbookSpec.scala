@@ -14,7 +14,7 @@ class XlsxLogbookSpec extends SparkSpec {
 
   private val header = Seq("ymd", "batchnum", "proposal", "user", "sampleid",
     "sampleName", "composition", "density", "samplethickness",
-    "bgymd", "bgnumber", "dbgymd", "dbgnumber", "overallMu")
+    "bgymd", "bgnumber", "dbgymd", "dbgnumber", "overallMu", "matrixfraction")
 
   // shared-string table: every string cell goes through the indirection
   private val strings = Seq("20240115", "prop1", "user1", "s1", "sample one",
@@ -36,7 +36,7 @@ class XlsxLogbookSpec extends SparkSpec {
       sharedCell(2, 3, "user1"), sharedCell(2, 4, "s1"), sharedCell(2, 5, "sample one"),
       sharedCell(2, 6, "SiO2"), numCell(2, 7, "2.2"), numCell(2, 8, "-1"),
       sharedCell(2, 9, "20240115"), numCell(2, 10, "2"),
-      numCell(2, 12, "0"), numCell(2, 13, "100")).mkString
+      numCell(2, 12, "0"), numCell(2, 13, "100"), numCell(2, 14, "1.0")).mkString
     // row 3: 'None' dispersant sentinel, inline string for the sample name
     val r3 = Seq(
       sharedCell(3, 0, "20240115"), numCell(3, 1, "2"), sharedCell(3, 2, "prop1"),
@@ -44,7 +44,8 @@ class XlsxLogbookSpec extends SparkSpec {
       s"""<c r="F3" t="inlineStr"><is><t>background</t></is></c>""",
       sharedCell(3, 6, "SiO2"), numCell(3, 7, "1.0"), numCell(3, 8, "0.001"),
       sharedCell(3, 9, "20240115"), numCell(3, 10, "2"),
-      sharedCell(3, 11, "None"), numCell(3, 12, "0"), numCell(3, 13, "100")).mkString
+      sharedCell(3, 11, "None"), numCell(3, 12, "0"), numCell(3, 13, "100"),
+      numCell(3, 14, "0.9")).mkString
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
        |<sheetData><row r="1">$headerRow</row><row r="2">$r2</row><row r="3">$r3</row>
