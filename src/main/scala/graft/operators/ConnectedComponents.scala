@@ -74,10 +74,13 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Initial labels already include the first hop (min of self and direct
+    // neighbours) — one aggregation instead of burning round 1 on a join
+    // against identity labels.
     var (labels, labelRdds) = checkpointTracked(
-      edges.select(col("a").as("node"))
-        .distinct()
-        .withColumn("component", col("node")))
+      edges.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("component"))
+        .select(col("a").as("node"), col("component")))
 
     var converged = false
     var it = 0
@@ -89,11 +92,14 @@ object ConnectedComponents {
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a"))
         .agg(min(col("component")).as("nbr"))
-      val hopped = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
-        .select(labels("node").as("node"),
-          least(labels("component"), coalesce(col("nbr"), labels("component")))
-            .as("component"),
-          labels("component").as("prev"))
+      // materialized before the self-join: both sides of the pointer jump
+      // read these blocks instead of recomputing the join+agg subtree twice
+      val (hopped, hoppedRdds) = checkpointTracked(
+        labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+          .select(labels("node").as("node"),
+            least(labels("component"), coalesce(col("nbr"), labels("component")))
+              .as("component"),
+            labels("component").as("prev")))
       // pointer jump: component := component(component)
       val (next, nextRdds) = checkpointTracked(hopped.as("x")
         .join(
@@ -106,6 +112,7 @@ object ConnectedComponents {
       // cheap scan over the just-materialized blocks (no joins, no lineage)
       val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
       labelRdds.foreach(_.unpersist(blocking = false)) // superseded round
+      hoppedRdds.foreach(_.unpersist(blocking = false))
       labels = next
       labelRdds = nextRdds
       converged = changed == 0L
