@@ -174,9 +174,10 @@ object Multimodal {
   }
 
   /** Frame sampling for video payloads: every k-th frame index, metadata
-    * only (decode happens downstream per selected frame). */
+    * only (decode happens downstream per selected frame). Zero-frame
+    * payloads are dropped, not errors — `sequence(0, -1)` would throw. */
   def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("nFrames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("nFrames") - 1, lit(everyK))))
 

@@ -285,11 +285,13 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
-          round(var_samp(col("l_discount")), 4).as("var_disc"),
-          round(skewness(col("l_quantity")), 4).as("skew_qty"),
-          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+          // + 0.0 folds IEEE -0.0 to 0.0 (engines can disagree on the sign
+          // of a ~1e-18 moment before rounding; see s04)
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("covar_qty_price"),
+          (round(var_samp(col("l_discount")), 4) + lit(0.0)).as("var_disc"),
+          (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"),
+          (round(kurtosis(col("l_quantity")), 4) + lit(0.0)).as("kurt_qty"))
     },
 
     // Full outer join with coalesced keys: per-month order counts vs
@@ -547,11 +549,11 @@ object RelationalQueries {
 
     "q26_moment_stats" ->
       """SELECT l_returnflag,
-        | round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
-        | round(covar_samp(l_quantity, l_extendedprice),4) AS covar_qty_price,
-        | round(var_samp(l_discount),4) AS var_disc,
-        | round(skewness(l_quantity),4) AS skew_qty,
-        | round(kurtosis(l_quantity),4) AS kurt_qty
+        | round(corr(l_quantity, l_extendedprice),4) + 0.0 AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice),4) + 0.0 AS covar_qty_price,
+        | round(var_samp(l_discount),4) + 0.0 AS var_disc,
+        | round(skewness(l_quantity),4) + 0.0 AS skew_qty,
+        | round(kurtosis(l_quantity),4) + 0.0 AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q27_full_outer" ->

@@ -103,10 +103,14 @@ object SimilarityQueries {
     // at scale: partial averages combine map-side, no single task ever
     // holds a whole label's vectors.
     "s04_label_centroids" -> { (s, dir) =>
+      // + 0.0 normalizes IEEE negative zero: a centroid coordinate whose
+      // true mean is ~±1e-18 rounds to -0.0 or 0.0 depending on each
+      // engine's summation order — equal as doubles, but the harness
+      // aligns rows by STRING sort, where "-0.0" != "0.0".
       Tables.loadSpread(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
-        .agg(count(lit(1)).as("n"), round(avg(col("x")), 4).as("c"))
+        .agg(count(lit(1)).as("n"), (round(avg(col("x")), 4) + lit(0.0)).as("c"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -178,6 +182,6 @@ object SimilarityQueries {
         |    generate_subscripts(embedding, 1) - 1 AS pos
         |  FROM embeddings)
         |SELECT label, pos::INT AS pos, count(1)::BIGINT AS n,
-        | round(avg(x), 4) AS c
+        | round(avg(x), 4) + 0.0 AS c
         |FROM x GROUP BY 1, 2""".stripMargin)
 }

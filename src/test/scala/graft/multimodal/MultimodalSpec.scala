@@ -74,9 +74,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("video frame sampling explodes every k-th frame index") {
     val video = Seq(
-      MediaRecord(9, "video", Array[Byte](1), 16, 16, 3, 30, 10)).toDS().toDF()
+      MediaRecord(9, "video", Array[Byte](1), 16, 16, 3, 30, 10),
+      MediaRecord(10, "video", Array[Byte](1), 16, 16, 3, 30, 0)).toDS().toDF()
     val frames = sampleFrames(video, 3).select("frame_idx").as[Int].collect().sorted
-    assert(frames.toSeq == Seq(0, 3, 6, 9))
+    assert(frames.toSeq == Seq(0, 3, 6, 9)) // zero-frame payload dropped
   }
 
   test("metadata-only queries never touch payload bytes (column pruning)") {
