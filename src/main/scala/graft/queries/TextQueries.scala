@@ -134,6 +134,22 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_pos"),
           size(col("chunk")).as("n_chunk_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+    },
+
+    // Intra-document repetition: the duplicated-3-gram fraction quality
+    // signal (the within-doc cleaning stat web-corpus pipelines gate on —
+    // high rep_ratio = boilerplate/spam). Pure array math above the scan:
+    // no explode, no shuffle; docs shorter than one 3-gram drop out.
+    "t08_ngram_repetition" -> { (s, dir) =>
+      val sh = TextFns.shingles(col("text"), 3)
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(sh).cast("long").as("n_grams"),
+          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .filter(col("n_grams") > 0)
+        .withColumn("rep_ratio",
+          floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+            * 10000) / 10000)
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -226,5 +242,21 @@ object TextQueries {
          |SELECT doc_id, chunk_pos::INT AS chunk_pos,
          | len(toks[chunk_pos + 1 : chunk_pos + 32])::INT AS n_chunk_tokens,
          | md5(array_to_string(toks[chunk_pos + 1 : chunk_pos + 32], ' ')) AS chunk_md5
-         |FROM pos""".stripMargin)
+         |FROM pos""".stripMargin,
+
+    "t08_ngram_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok,
+         |         generate_subscripts($toksSql, 1) AS pos
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(tok, 2) OVER w IS NOT NULL)
+         |SELECT doc_id, count(*)::BIGINT AS n_grams,
+         | count(DISTINCT s)::BIGINT AS n_distinct,
+         | floor((1 - count(DISTINCT s)::DOUBLE / count(*)) * 10000) / 10000
+         |   AS rep_ratio
+         |FROM sh GROUP BY doc_id""".stripMargin)
 }
