@@ -79,10 +79,17 @@ object Multimodal {
 
     /** Decode image bytes to (width, height, row-major grayscale floats).
       * Dimensions come from the decoded stream, never from caller metadata.
-      * Throws `IllegalArgumentException` on bytes no registered reader
-      * understands — undecodable media must fail loudly, not silently. */
+      * Throws `IllegalArgumentException` on undecodable bytes — both when
+      * no registered reader matches AND when a matched reader fails on a
+      * corrupt stream (ImageIO surfaces that as IOException; callers get
+      * one loud, documented failure type either way). */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch {
+          case e: java.io.IOException =>
+            throw new IllegalArgumentException(s"corrupt image stream: ${e.getMessage}", e)
+        }
       require(img != null, "undecodable image bytes (no ImageIO reader matched)")
       val w = img.getWidth
       val h = img.getHeight

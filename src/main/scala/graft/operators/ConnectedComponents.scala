@@ -73,6 +73,13 @@ object ConnectedComponents {
     val edges = half.union(half.select(col("b"), col("a")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the edge cache BEFORE the next tracked checkpoint: persist
+    // registers its RDD in persistentRdds only when the cache first fills,
+    // and if that happened inside the init-labels action the registry diff
+    // would capture the edge cache into labelRdds — and round 1 would then
+    // unpersist it, forcing every later round to recompute the symmetric
+    // union+distinct from scratch.
+    edges.count()
 
     // Initial labels already include the first hop (min of self and direct
     // neighbours) — one aggregation instead of burning round 1 on a join

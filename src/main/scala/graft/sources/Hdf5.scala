@@ -403,6 +403,10 @@ object Hdf5 {
       val blockBytes = bb.getInt
       require(blockBytes > 0 && blockBytes % elemSize == 0, s"block bytes $blockBytes")
       val blockElems = blockBytes / elemSize
+      // the library forces block sizes to multiples of 8 elements
+      // (BSHUF_BLOCKED_MULT); anything else would silently zero each
+      // block's trailing nElems % 8 elements in unbitshuffle
+      require(blockElems % 8 == 0, s"bitshuffle block of $blockElems elements")
       var pos = 0
       def decodeBlock(nElems: Int): Unit = {
         val nBytes = nElems * elemSize
@@ -422,6 +426,7 @@ object Hdf5 {
       require(cdBlockElems > 0,
         "bitshuffle without internal lz4 needs an explicit block size " +
           "(cd_values[3]); the library default heuristic is not replicated")
+      require(cdBlockElems % 8 == 0, s"bitshuffle block of $cdBlockElems elements")
       var pos = 0
       var off = 0
       def decodeBlock(nElems: Int): Unit = {

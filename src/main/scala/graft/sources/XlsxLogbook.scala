@@ -48,11 +48,21 @@ object XlsxLogbook {
       schema)
   }
 
+  /** Columns newer than the original logbook layout, filled with their
+    * defaults when an older workbook omits them (case-class defaults are
+    * invisible to the encoder schema, so the fallback lives here). */
+  private val optionalColumns: Map[String, org.apache.spark.sql.Column] =
+    Map("matrixfraction" -> org.apache.spark.sql.functions.lit(1.0))
+
   /** The typed logbook dimension: header names must match
     * [[Model.LogbookEntry]] fields; cells are cast to the field types.
-    * Extra workbook columns are ignored, missing ones are an error. */
+    * Extra workbook columns are ignored, missing REQUIRED ones are an
+    * error; missing optional ones take their documented defaults. */
   def logbook(spark: SparkSession, path: String): DataFrame = {
-    val raw = readRaw(spark, path)
+    val raw0 = readRaw(spark, path)
+    val raw = optionalColumns.foldLeft(raw0) { case (df, (name, default)) =>
+      if (df.columns.contains(name)) df else df.withColumn(name, default)
+    }
     val target = org.apache.spark.sql.Encoders.product[Model.LogbookEntry].schema
     val missing = target.fields.map(_.name).filterNot(raw.columns.contains)
     require(missing.isEmpty, s"$path: logbook columns missing: ${missing.mkString(", ")}")

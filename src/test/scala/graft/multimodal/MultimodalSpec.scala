@@ -54,6 +54,12 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ImageCodec.decode("not an image at all".getBytes("UTF-8"))
     }
+    // a recognized-but-corrupt stream (valid PNG signature, truncated body)
+    // must surface the same documented failure type, not a raw IOException
+    val png = ImageCodec.encodePng(Array.tabulate(64)(_.toFloat), 8, 8)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decode(png.take(24))
+    }
   }
 
   test("feature extraction computes pixel stats") {

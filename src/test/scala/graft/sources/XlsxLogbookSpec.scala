@@ -28,15 +28,17 @@ class XlsxLogbookSpec extends SparkSpec {
   private def numCell(row: Int, c: Int, v: String) =
     s"""<c r="${col(c)}$row"><v>$v</v></c>"""
 
-  private lazy val workbook: String = {
-    val headerRow = header.indices.map(i => sharedCell(1, i, header(i))).mkString
+  private def sheet(cols: Int): String = {
+    val hdr = header.take(cols)
+    val headerRow = hdr.indices.map(i => sharedCell(1, i, hdr(i))).mkString
     // row 2: batch 1 (derive thickness); dbgymd cell OMITTED -> null
     val r2 = Seq(
       sharedCell(2, 0, "20240115"), numCell(2, 1, "1"), sharedCell(2, 2, "prop1"),
       sharedCell(2, 3, "user1"), sharedCell(2, 4, "s1"), sharedCell(2, 5, "sample one"),
       sharedCell(2, 6, "SiO2"), numCell(2, 7, "2.2"), numCell(2, 8, "-1"),
       sharedCell(2, 9, "20240115"), numCell(2, 10, "2"),
-      numCell(2, 12, "0"), numCell(2, 13, "100"), numCell(2, 14, "1.0")).mkString
+      numCell(2, 12, "0"), numCell(2, 13, "100"), numCell(2, 14, "1.0"))
+      .take(if (cols > 14) 14 else 13).mkString // legacy layout drops the MF cell
     // row 3: 'None' dispersant sentinel, inline string for the sample name
     val r3 = Seq(
       sharedCell(3, 0, "20240115"), numCell(3, 1, "2"), sharedCell(3, 2, "prop1"),
@@ -45,14 +47,18 @@ class XlsxLogbookSpec extends SparkSpec {
       sharedCell(3, 6, "SiO2"), numCell(3, 7, "1.0"), numCell(3, 8, "0.001"),
       sharedCell(3, 9, "20240115"), numCell(3, 10, "2"),
       sharedCell(3, 11, "None"), numCell(3, 12, "0"), numCell(3, 13, "100"),
-      numCell(3, 14, "0.9")).mkString
+      numCell(3, 14, "0.9")).take(if (cols > 14) 15 else 14).mkString
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
        |<sheetData><row r="1">$headerRow</row><row r="2">$r2</row><row r="3">$r3</row>
        |</sheetData></worksheet>""".stripMargin
   }
 
-  private lazy val xlsxPath: String = {
+  private lazy val xlsxPath: String = makeXlsx(header.size)
+  // the pre-matrixfraction logbook layout: 14 columns, no optional fields
+  private lazy val legacyXlsxPath: String = makeXlsx(14)
+
+  private def makeXlsx(cols: Int): String = {
     val sst = {
       val items = strings.map(s => s"<si><t>$s</t></si>").mkString
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -74,7 +80,7 @@ class XlsxLogbookSpec extends SparkSpec {
           |<sheets><sheet name="logbook" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets>
           |</workbook>""".stripMargin,
       "xl/sharedStrings.xml" -> sst,
-      "xl/worksheets/sheet1.xml" -> workbook)
+      "xl/worksheets/sheet1.xml" -> sheet(cols))
     val f = Files.createTempDirectory("xlsx").resolve("logbook.xlsx").toFile
     val zos = new ZipOutputStream(new FileOutputStream(f))
     parts.foreach { case (name, content) =>
@@ -110,6 +116,12 @@ class XlsxLogbookSpec extends SparkSpec {
     val ids = out.select("collection_identifier").distinct()
       .collect().map(_.getString(0)).toSet
     assert(ids == Set("20240115_1", "20240115_2"))
+  }
+
+  test("legacy workbooks without matrixfraction load with the 1.0 default") {
+    val lb = XlsxLogbook.logbook(spark, legacyXlsxPath)
+    val mf = lb.orderBy("batchnum").collect().map(_.getAs[Double]("matrixfraction"))
+    assert(mf.toSeq == Seq(1.0, 1.0))
   }
 
   test("first sheet resolves via workbook.xml rels, not part-name sort") {
