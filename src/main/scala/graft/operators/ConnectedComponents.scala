@@ -48,7 +48,11 @@ object ConnectedComponents {
 
     // localCheckpoint() registers its backing blocks in persistentRdds but
     // gives no handle to them — diff the registry around the call so each
-    // round's blocks can be released once the round is superseded.
+    // round's blocks can be released once the round is superseded. The diff
+    // is context-wide, so a resolve() must not race other persisting jobs
+    // on the same SparkContext (fine for the query surface, where each
+    // resolve runs inside one driver action); anything this resolve needs
+    // cached across rounds is materialized BEFORE the next tracked call.
     def checkpointTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint() // eager: materializes + truncates lineage

@@ -140,12 +140,16 @@ object TextQueries {
     // signal (the within-doc cleaning stat web-corpus pipelines gate on —
     // high rep_ratio = boilerplate/spam). Pure array math above the scan:
     // no explode, no shuffle; docs shorter than one 3-gram drop out.
+    // The shingle HOF is evaluated ONCE per row (no CSE for lambda
+    // expressions — size(sh) and size(array_distinct(sh)) would double the
+    // work); the total count is the cheap token arithmetic n_tokens - 2.
     "t08_ngram_repetition" -> { (s, dir) =>
-      val sh = TextFns.shingles(col("text"), 3)
+      val nToks = size(TextFns.tokens(col("text")))
       docs(s, dir)
         .select(col("doc_id"),
-          size(sh).cast("long").as("n_grams"),
-          size(array_distinct(sh)).cast("long").as("n_distinct"))
+          greatest(nToks - 2, lit(0)).cast("long").as("n_grams"),
+          size(array_distinct(TextFns.shingles(col("text"), 3)))
+            .cast("long").as("n_distinct"))
         .filter(col("n_grams") > 0)
         .withColumn("rep_ratio",
           floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
