@@ -324,7 +324,7 @@ object Hdf5 {
   /** HDF5Plugin LZ4 filter (32004) stream: big-endian i64 total size,
     * big-endian i32 block size, then per block a big-endian i32 stored size
     * + payload (stored raw when the size equals the uncompressed size). */
-  private def lz4Defilter(data: Array[Byte], outSize: Int): Array[Byte] = {
+  private[sources] def lz4Defilter(data: Array[Byte], outSize: Int): Array[Byte] = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
     val total = bb.getLong
     require(total == outSize, s"lz4 filter total $total != chunk $outSize")
@@ -389,7 +389,7 @@ object Hdf5 {
     * back to back (block size from cd_values). Blocks hold `blockElems`
     * elements; the final sub-block rounds the remainder down to a multiple
     * of 8 elements, and any last `n % 8` elements travel raw at the end. */
-  private def bitshuffleDefilter(
+  private[sources] def bitshuffleDefilter(
       data: Array[Byte], outSize: Int, elemSize: Int, cdBlockElems: Int,
       lz4: Boolean): Array[Byte] = {
     val out = new Array[Byte](outSize)
