@@ -32,6 +32,18 @@ class CompositionSpec extends AnyFunSuite {
       Seq(Component("C", 2.0), Component("H", 4.0), Component("O", 2.0)))
   }
 
+  test("parse inverts rendering for arbitrary component multisets") {
+    val rnd = new scala.util.Random(7)
+    val elems = Seq("H", "He", "Li", "C", "N", "O", "Na", "Si", "Cl", "Ca", "Fe", "Zr")
+    for (_ <- 1 to 200) {
+      val comps = rnd.shuffle(elems).take(1 + rnd.nextInt(5))
+        .map(e => e -> (1 + rnd.nextInt(12)))
+      val formula = comps.map { case (e, c) => if (c == 1) e else s"$e$c" }.mkString
+      val expected = comps.map { case (e, c) => e -> c.toDouble }.toMap
+      assert(m(formula) == expected, formula)
+    }
+  }
+
   test("blank or malformed input yields None, never an exception") {
     assert(parse(null).isEmpty)
     assert(parse("").isEmpty)
