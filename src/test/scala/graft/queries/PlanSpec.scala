@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("t08: per-document repetition stats are map-side only, no data shuffle") {
+    // loadSpread's round-robin repartition (fanning a single-split file
+    // across cores) is deliberate; what must NOT appear is a key-based
+    // shuffle — the stats are per-row, no join or aggregation.
+    val p = plan("t08_ngram_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("s03: leaves nothing cached (query vectors self-assign, no diamond)") {
     val df = SparkEntry.queries("s03_ivf_ann")(spark, sf)
     df.collect()
