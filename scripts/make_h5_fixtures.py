@@ -114,6 +114,15 @@ def dt_i64():
     return struct.pack('<B3sI2H', 0x10, bytes([0x08, 0x00, 0x00]), 8, 0, 64)
 
 
+def dt_u32():
+    # class 0 fixed-point, UNSIGNED LE (Eiger pixel data type)
+    return struct.pack('<B3sI2H', 0x10, bytes([0x00, 0x00, 0x00]), 4, 0, 32)
+
+
+def dt_u64():
+    return struct.pack('<B3sI2H', 0x10, bytes([0x00, 0x00, 0x00]), 8, 0, 64)
+
+
 def dt_str(size):
     # class 3 string, null-terminated, ASCII
     return struct.pack('<B3sI', 0x13, bytes([0x00, 0x00, 0x00]), size)
@@ -271,15 +280,29 @@ def ste(link_off, oh_addr):
     return struct.pack('<QQI4x16x', link_off, oh_addr, 0)
 
 
+def ste_soft(link_off, target_off):
+    # cache type 2: symbolic entry; scratch starts with the heap offset of
+    # the link target path
+    return struct.pack('<QQI4xI12x', link_off, UNDEF, 2, target_off)
+
+
 def group_v0(f: FileBuf, children):
-    """children: {name: object_header_addr}; returns group OH address."""
+    """children: {name: oh_addr | ('soft', target_path)}; returns group OH
+    address."""
     heap = LocalHeap(f)
     entries = []
     for name in sorted(children):
-        entries.append((heap.add(name), children[name]))
+        v = children[name]
+        if isinstance(v, tuple) and v[0] == 'soft':
+            t_off = heap.add(v[1])
+            entries.append((heap.add(name), ('soft', t_off)))
+        else:
+            entries.append((heap.add(name), v))
     heap_addr = heap.flush()
     snod = b'SNOD' + struct.pack('<BxH', 1, len(entries))
-    snod += b''.join(ste(off, addr) for off, addr in entries)
+    snod += b''.join(
+        ste_soft(off, v[1]) if isinstance(v, tuple) else ste(off, v)
+        for off, v in entries)
     snod_addr = f.append(snod)
     btree = b'TREE' + struct.pack('<BBH', 0, 0, 1)
     btree += struct.pack('<QQ', UNDEF, UNDEF)
@@ -419,8 +442,11 @@ def make_v0(path: Path):
     instrument = group_v0(f, {'configuration': cfg, 'n_frames': nframes})
     sample = group_v0(f, {'thickness': thickness, 'name': name,
                           'position': position, 'angles': angles})
+    # alias_data: NeXus-style hard link (same object header, second path);
+    # soft_cfg: old-style symbolic entry targeting an absolute path
     detector = group_v0(f, {'data': data, 'chunked': chunked,
-                            'compressed': compressed})
+                            'compressed': compressed, 'alias_data': data,
+                            'soft_cfg': ('soft', '/entry1/instrument/configuration')})
     entry1 = group_v0(f, {'instrument': instrument, 'sample': sample,
                           'detector': detector})
     root = group_v0(f, {'entry1': entry1})
@@ -439,6 +465,22 @@ def make_v0(path: Path):
 def link_msg(name, oh_addr):
     nm = name.encode()
     return struct.pack('<BBB', 1, 0, len(nm)) + nm + struct.pack('<Q', oh_addr)
+
+
+def soft_link_msg(name, target):
+    # flags 0x08: explicit link-type field; type 1 = soft; u16-length target
+    nm = name.encode()
+    t = target.encode()
+    return (struct.pack('<BBBB', 1, 0x08, 1, len(nm)) + nm +
+            struct.pack('<H', len(t)) + t)
+
+
+def ext_link_msg(name, file_name, obj_path):
+    # type 64 = external; blob = version/flags byte + file\0 + objpath\0
+    nm = name.encode()
+    blob = b'\x00' + file_name.encode() + b'\x00' + obj_path.encode() + b'\x00'
+    return (struct.pack('<BBBB', 1, 0x08, 64, len(nm)) + nm +
+            struct.pack('<H', len(blob)) + blob)
 
 
 def link_info_msg():
@@ -478,8 +520,33 @@ def make_v2(path: Path):
         (0x08, layout_contiguous(img_raw, len(img))),
     ])
 
-    detector = group_v2(f, {'distance': dist, 'frame': frame})
-    entry1 = group_v2(f, {'detector': detector})
+    # uint32 image with the Eiger gap-pixel sentinel 2^32-1 (must survive
+    # decode EXACTLY — it exceeds Float's 24-bit mantissa) and a uint64
+    # scalar past Long.MaxValue
+    u32_raw = f.append(struct.pack('<3I', 0, 0xFFFFFFFF, 7))
+    u32arr = object_header_v2(f, [
+        (0x01, space_simple([3])),
+        (0x03, dt_u32()),
+        (0x08, layout_contiguous(u32_raw, 12)),
+    ])
+    u64_raw = f.append(struct.pack('<Q', (1 << 63) + 5))
+    u64big = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_u64()),
+        (0x08, layout_contiguous(u64_raw, 8)),
+    ])
+
+    detector = group_v2(f, {'distance': dist, 'frame': frame,
+                            'u32_pixels': u32arr, 'u64_count': u64big})
+    # soft link + external link (the Eiger master shape:
+    # /entry/data/data_000001 -> another file)
+    entry1 = object_header_v2(f, [
+        (0x02, link_info_msg()),
+        (0x06, link_msg('detector', detector)),
+        (0x06, soft_link_msg('soft_dist', '/entry1/detector/distance')),
+        (0x06, ext_link_msg('data_000001', 'mouse_v2_data_000001.h5',
+                            '/entry/data/data')),
+    ])
     root = group_v2(f, {'entry1': entry1})
 
     sb = bytearray()
@@ -767,6 +834,51 @@ def make_v4(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+def make_bad_deflate(path: Path):
+    """A chunked+deflate dataset whose chunk bytes are TRUNCATED — the
+    reader must fail loudly, not hang or zero-fill."""
+    f = FileBuf()
+    f.alloc(48)
+    _, img = f32_grid(4, 4)
+    z = zlib.compress(img, 6)
+    addr = f.append(z[:len(z) // 2])
+    ds = object_header_v2(f, [
+        (0x01, space_simple([4, 4])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_v4_single(addr, [4, 4], filtered_size=len(z) // 2)),
+    ])
+    root = group_v2(f, {'bad': ds})
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 3, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
+def make_str_array(path: Path):
+    """A fixed-string ARRAY dataset — unsupported, must fail loudly rather
+    than silently truncate to the first element."""
+    f = FileBuf()
+    f.alloc(48)
+    raw = f.append(b'aaa\x00bbb\x00ccc\x00')
+    ds = object_header_v2(f, [
+        (0x01, space_simple([3])),
+        (0x03, dt_str(4)),
+        (0x08, layout_contiguous(raw, 12)),
+    ])
+    root = group_v2(f, {'names': ds})
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 3, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
 if __name__ == '__main__':
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else \
         Path(__file__).resolve().parent.parent / 'src/test/resources/h5'
@@ -774,4 +886,6 @@ if __name__ == '__main__':
     make_v0(out / 'mouse_v0.h5')
     make_v2(out / 'mouse_v2.h5')
     make_v4(out / 'mouse_v4.h5')
-    print(f"wrote mouse_v0/v2/v4.h5 under {out}")
+    make_bad_deflate(out / 'bad_deflate.h5')
+    make_str_array(out / 'str_array.h5')
+    print(f"wrote mouse_v0/v2/v4, bad_deflate, str_array under {out}")

@@ -24,6 +24,12 @@ import scala.collection.mutable
   *    Spark's classpath; bitshuffle 32008 ± internal LZ4 — the Eiger
   *    default), attributes (v1/v2/v3), header continuations
   *  - global heap collections (GCOL) for variable-length strings
+  *  - links: hard links may alias one object under many paths (every path
+  *    gets a node); soft links resolve to alias nodes (chains + group
+  *    targets included, dangling ones surface as marker nodes); external
+  *    links — which real Eiger masters use to reach their data files —
+  *    become explicit marker nodes carrying the target file/path, since a
+  *    single-buffer reader cannot open a second file
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
   * fractal-heap dense groups, v4 extensible-array / v2-B-tree chunk indexes
@@ -105,19 +111,23 @@ object Hdf5 {
     }
   }
 
-  private def parseDataspace(bb: ByteBuffer): Seq[Long] = {
+  /** Dataspace dims + whether it is H5S_NULL (v2 type byte 2 — NO data
+    * elements on disk, distinct from a rank-0 scalar). */
+  private def parseDataspaceFull(bb: ByteBuffer): (Seq[Long], Boolean) = {
     val version = u8(bb)
     val rank = u8(bb)
     val flags = u8(bb)
-    version match {
-      case 1 => bb.position(bb.position() + 5) // reserved
-      case 2 => bb.position(bb.position() + 1) // type
+    val isNull = version match {
+      case 1 => bb.position(bb.position() + 5); false // reserved
+      case 2 => u8(bb) == 2 // type: 0 scalar, 1 simple, 2 null
       case v => throw new UnsupportedOperationException(s"dataspace v$v")
     }
     val dims = (0 until rank).map(_ => u64(bb))
     if ((flags & 1) != 0) (0 until rank).foreach(_ => u64(bb)) // skip maxdims
-    dims
+    (dims, isNull)
   }
+
+  private def parseDataspace(bb: ByteBuffer): Seq[Long] = parseDataspaceFull(bb)._1
 
   // -------------------------------------------------------- object header --
 
@@ -214,8 +224,19 @@ object Hdf5 {
     sb.toString
   }
 
-  /** Old-style group: symbol-table message -> B-tree v1 of SNOD nodes. */
-  private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[(String, Long)] = {
+  /** A group entry. Soft links carry their in-file target path (resolved
+    * to alias nodes after the walk); external links point into ANOTHER file
+    * this single-buffer reader cannot open, so they surface as explicit
+    * marker nodes — present and inspectable, never a silent hole. */
+  private sealed trait Link
+  private case class HardLink(name: String, addr: Long) extends Link
+  private case class SoftLink(name: String, target: String) extends Link
+  private case class ExternalLink(name: String, file: String, objPath: String) extends Link
+
+  /** Old-style group: symbol-table message -> B-tree v1 of SNOD nodes.
+    * Symbolic entries (cache type 2) carry their target path's offset into
+    * the local heap in the scratch area. */
+  private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[Link] = {
     val bb = bufAt(bytes, stabOff.toLong)
     val btreeAddr = u64(bb)
     val heapAddr = u64(bb)
@@ -249,14 +270,24 @@ object Hdf5 {
       (0 until n).map { _ =>
         val nameOff = u64(sb)
         val ohAddr = u64(sb)
-        u32(sb); u32(sb); sb.position(sb.position() + 16) // cache + scratch
-        (heapString(bytes, segAddr, nameOff), ohAddr)
+        val cacheType = u32(sb)
+        u32(sb) // reserved
+        val scratch = take(sb, 16)
+        val name = heapString(bytes, segAddr, nameOff)
+        if (cacheType == 2L) {
+          val linkOff = ByteBuffer.wrap(scratch).order(ByteOrder.LITTLE_ENDIAN)
+            .getInt & 0xFFFFFFFFL
+          SoftLink(name, heapString(bytes, segAddr, linkOff))
+        } else HardLink(name, ohAddr)
       }
     }
   }
 
-  /** New-style compact group: hard-link messages in the object header. */
-  private def linkChild(bytes: Array[Byte], off: Int): Option[(String, Long)] = {
+  /** New-style compact group: link messages in the object header.
+    * Types: 0 = hard, 1 = soft (length-prefixed target path), 64 =
+    * external (version/flags byte + file name and object path, both
+    * NUL-terminated). Anything else fails loudly. */
+  private def linkChild(bytes: Array[Byte], off: Int): Link = {
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
     require(version == 1, s"link message v$version")
@@ -271,7 +302,26 @@ object Hdf5 {
       case 3 => u64(bb)
     }
     val name = new String(take(bb, nameLen.toInt), "UTF-8")
-    if (linkType == 0) Some((name, u64(bb))) else None // hard links only
+    linkType match {
+      case 0 => HardLink(name, u64(bb))
+      case 1 =>
+        val len = u16(bb)
+        SoftLink(name, new String(take(bb, len), "UTF-8"))
+      case 64 =>
+        val len = u16(bb)
+        val blob = take(bb, len)
+        val body = blob.drop(1) // version/flags byte
+        val nul = body.indexOf(0.toByte)
+        val file =
+          if (nul < 0) new String(body, "UTF-8")
+          else new String(body, 0, nul, "UTF-8")
+        val objPath =
+          if (nul < 0) ""
+          else new String(body.drop(nul + 1).takeWhile(_ != 0), "UTF-8")
+        ExternalLink(name, file, objPath)
+      case t =>
+        throw new UnsupportedOperationException(s"link type $t not supported")
+    }
   }
 
   // ------------------------------------------------------------ raw bytes --
@@ -289,8 +339,17 @@ object Hdf5 {
     inf.setInput(data)
     val out = new Array[Byte](outSize)
     var n = 0
-    while (!inf.finished() && n < outSize) n += inf.inflate(out, n, outSize - n)
+    var stalled = false
+    while (!stalled && !inf.finished() && n < outSize) {
+      val k = inf.inflate(out, n, outSize - n)
+      // a 0 return with exhausted input = truncated stream; without this
+      // guard the loop would spin forever instead of failing
+      if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+      n += k
+    }
     inf.end()
+    require(n == outSize,
+      s"deflate stream produced $n of $outSize bytes (truncated or corrupt chunk)")
     out
   }
 
@@ -677,6 +736,9 @@ object Hdf5 {
       case other => throw new IllegalStateException(s"not a string type: $other")
     }
 
+  private def unsignedLongToDouble(v: Long): Double =
+    if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552e19 // + 2^64
+
   private def decodeF64(data: Array[Byte], dt: DType, i: Int): Double = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     dt match {
@@ -689,8 +751,48 @@ object Hdf5 {
       case Fixed(1, false) => (bb.get(i) & 0xFF).toDouble
       case Fixed(2, false) => (bb.getShort(i * 2) & 0xFFFF).toDouble
       case Fixed(4, false) => (bb.getInt(i * 4) & 0xFFFFFFFFL).toDouble
+      case Fixed(8, false) => unsignedLongToDouble(bb.getLong(i * 8))
       case other => throw new IllegalStateException(s"not numeric: $other")
     }
+  }
+
+  /** Bulk numeric decode: one buffer wrap and one datatype dispatch for
+    * the whole array — the per-element form would allocate a ByteBuffer
+    * per pixel on multi-megapixel frames. */
+  private def decodeArrayF64(data: Array[Byte], dt: DType, n: Int): Array[Double] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    dt match {
+      case Flt(4) =>
+        val fb = bb.asFloatBuffer()
+        while (i < n) { out(i) = fb.get(i).toDouble; i += 1 }
+      case Flt(8) =>
+        val db = bb.asDoubleBuffer()
+        while (i < n) { out(i) = db.get(i); i += 1 }
+      case Fixed(1, true) => while (i < n) { out(i) = data(i).toDouble; i += 1 }
+      case Fixed(2, true) =>
+        val sb = bb.asShortBuffer()
+        while (i < n) { out(i) = sb.get(i).toDouble; i += 1 }
+      case Fixed(4, true) =>
+        val ib = bb.asIntBuffer()
+        while (i < n) { out(i) = ib.get(i).toDouble; i += 1 }
+      case Fixed(8, true) =>
+        val lb = bb.asLongBuffer()
+        while (i < n) { out(i) = lb.get(i).toDouble; i += 1 }
+      case Fixed(1, false) => while (i < n) { out(i) = (data(i) & 0xFF).toDouble; i += 1 }
+      case Fixed(2, false) =>
+        val sb = bb.asShortBuffer()
+        while (i < n) { out(i) = (sb.get(i) & 0xFFFF).toDouble; i += 1 }
+      case Fixed(4, false) =>
+        val ib = bb.asIntBuffer()
+        while (i < n) { out(i) = (ib.get(i) & 0xFFFFFFFFL).toDouble; i += 1 }
+      case Fixed(8, false) =>
+        val lb = bb.asLongBuffer()
+        while (i < n) { out(i) = unsignedLongToDouble(lb.get(i)); i += 1 }
+      case other => throw new IllegalStateException(s"not numeric: $other")
+    }
+    out
   }
 
   // ----------------------------------------------------------- attributes --
@@ -715,9 +817,11 @@ object Hdf5 {
     val dt = parseDatatype(bb)
     bb.position(dtStart + padded(dtSize))
     val dsStart = bb.position()
-    val dims = parseDataspace(bb)
+    val (dims, isNull) = parseDataspaceFull(bb)
     bb.position(dsStart + padded(dsSize))
-    if (dims.product > 1 && dims.nonEmpty) return None // scalar attrs only
+    // scalar attrs only; a null dataspace or zero-size shape has NO data
+    // bytes on disk — reading dt.size bytes would decode padding as a value
+    if (isNull || dims.product != 1) return None
     val data = take(bb, dt.size)
     val value = dt match {
       case Str(_) | VlenStr => decodeString(bytes, data, dt)
@@ -753,30 +857,89 @@ object Hdf5 {
     }
 
     val nodes = mutable.ArrayBuffer.empty[Node]
-    val visited = mutable.Set.empty[Long]
+    // NeXus relies on hard links for aliases (the same object header
+    // reachable under several paths), so every path gets a node; parsed
+    // headers/datasets are cached by address, and an ancestor stack (not a
+    // global visited set) guards against true cycles.
+    val headerCache = mutable.Map.empty[Long, Seq[Msg]]
+    val datasetCache = mutable.Map.empty[Long, Node]
+    val softLinks = mutable.ArrayBuffer.empty[(String, String)] // alias -> target
 
-    def visit(addr: Long, path: String): Unit = {
-      if (addr == UNDEF || !visited.add(addr)) return
-      val msgs = parseObjectHeader(bytes, addr)
+    def visit(addr: Long, path: String, ancestors: List[Long]): Unit = {
+      if (addr == UNDEF || ancestors.contains(addr)) return
+      val msgs = headerCache.getOrElseUpdate(addr, parseObjectHeader(bytes, addr))
       val byType = msgs.groupBy(_.mtype)
       val links =
         byType.getOrElse(0x11, Nil).flatMap(m => childrenV0(bytes, m.off)) ++
-          byType.getOrElse(0x06, Nil).flatMap(m => linkChild(bytes, m.off))
+          byType.getOrElse(0x06, Nil).map(m => linkChild(bytes, m.off))
       if (links.nonEmpty || !byType.contains(0x03)) {
-        links.foreach { case (name, child) => visit(child, s"$path/$name") }
+        links.foreach {
+          case HardLink(name, child) => visit(child, s"$path/$name", addr :: ancestors)
+          case SoftLink(name, target) => softLinks += ((s"$path/$name", target))
+          case ExternalLink(name, file, objPath) =>
+            // points into ANOTHER file — cannot be read from this buffer;
+            // surfaced as an explicit marker node, never a silent hole
+            nodes += Node(s"$path/$name", Nil, None, None, None, None,
+              Map("external_link_file" -> file, "external_link_path" -> objPath))
+        }
       } else {
-        val dims = parseDataspace(bufAt(bytes, byType(0x01).head.off.toLong))
-        val dt = parseDatatype(bufAt(bytes, byType(0x03).head.off.toLong))
-        val filters = byType.get(0x0B).map(m => parseFilters(bytes, m.head.off))
-          .getOrElse(Nil)
-        val attrs = byType.getOrElse(0x0C, Nil)
-          .flatMap(m => parseAttribute(bytes, m.off)).toMap
-        val raw = readLayout(bytes, byType(0x08).head.off, dims, dt, filters)
-        nodes += buildNode(bytes, path, dims, dt, raw, attrs)
+        val node = datasetCache.getOrElseUpdate(addr, {
+          val dims = parseDataspace(bufAt(bytes, byType(0x01).head.off.toLong))
+          val dt = parseDatatype(bufAt(bytes, byType(0x03).head.off.toLong))
+          val filters = byType.get(0x0B).map(m => parseFilters(bytes, m.head.off))
+            .getOrElse(Nil)
+          val attrs = byType.getOrElse(0x0C, Nil)
+            .flatMap(m => parseAttribute(bytes, m.off)).toMap
+          val raw = readLayout(bytes, byType(0x08).head.off, dims, dt, filters)
+          buildNode(bytes, path, dims, dt, raw, attrs)
+        })
+        nodes += node.copy(path = path)
       }
     }
 
-    visit(rootAddr, "")
+    visit(rootAddr, "", Nil)
+
+    // Resolve soft links to alias nodes. Targets may be absolute or
+    // relative to the link's parent group and may point at groups (alias
+    // the whole subtree) or chain through other soft links (multiple
+    // passes); anything still dangling after the passes becomes an explicit
+    // marker node — present, inspectable, never a silent hole.
+    def normalize(p: String): String = {
+      val out = p.split("/").filter(s => s.nonEmpty && s != ".")
+        .foldLeft(List.empty[String]) {
+          case (acc, "..") => if (acc.nonEmpty) acc.init else acc
+          case (acc, seg) => acc :+ seg
+        }
+      "/" + out.mkString("/")
+    }
+    var pending = softLinks.toList.map { case (alias, target0) =>
+      val target = if (target0.startsWith("/")) target0
+        else alias.substring(0, alias.lastIndexOf('/') + 1) + target0
+      (alias, normalize(target))
+    }
+    var pass = 0
+    while (pending.nonEmpty && pass < 8) {
+      val (resolvable, dangling) = pending.partition { case (_, target) =>
+        nodes.exists(n => n.path == target || n.path.startsWith(target + "/"))
+      }
+      if (resolvable.isEmpty) { pass = 8 } // nothing left can resolve
+      else {
+        val aliases = resolvable.flatMap { case (alias, target) =>
+          nodes.toList.collect {
+            case n if n.path == target => n.copy(path = alias)
+            case n if n.path.startsWith(target + "/") =>
+              n.copy(path = alias + n.path.stripPrefix(target))
+          }
+        }
+        nodes ++= aliases
+        pending = dangling
+        pass += 1
+      }
+    }
+    pending.foreach { case (alias, target) =>
+      nodes += Node(alias, Nil, None, None, None, None,
+        Map("unresolved_soft_link" -> target))
+    }
     nodes.toSeq
   }
 
@@ -839,19 +1002,24 @@ object Hdf5 {
       case Some(data) =>
         dt match {
           case Str(_) | VlenStr =>
+            // silently keeping element 0 of an N-string dataset would be a
+            // partial read the caller cannot detect — fail loudly instead
+            if (elems > 1) throw new UnsupportedOperationException(
+              s"string ARRAY dataset ($elems elements) not supported at $path")
             empty.copy(scalarStr = Some(decodeString(bytes, data.take(dt.size), dt)))
           case _ if elems == 1 =>
             empty.copy(scalarF64 = Some(decodeF64(data, dt, 0)))
-          case Flt(8) =>
-            val arr = new Array[Double](elems.toInt)
+          case Flt(4) =>
+            // f32 stays f32 (lossless); everything wider or integral goes
+            // to f64 — int32/int64 sentinels like 0xFFFFFFFF exceed Float's
+            // 24-bit mantissa and would silently round
+            val arr = decodeArrayF64(data, dt, elems.toInt)
+            val out = new Array[Float](arr.length)
             var i = 0
-            while (i < arr.length) { arr(i) = decodeF64(data, dt, i); i += 1 }
-            empty.copy(f64Data = Some(arr))
+            while (i < out.length) { out(i) = arr(i).toFloat; i += 1 }
+            empty.copy(f32Data = Some(out))
           case _ =>
-            val arr = new Array[Float](elems.toInt)
-            var i = 0
-            while (i < arr.length) { arr(i) = decodeF64(data, dt, i).toFloat; i += 1 }
-            empty.copy(f32Data = Some(arr))
+            empty.copy(f64Data = Some(decodeArrayF64(data, dt, elems.toInt)))
         }
     }
   }

@@ -22,9 +22,17 @@ class Hdf5Spec extends SparkSpec {
   private lazy val byPath = v0.map(n => n.path -> n).toMap
 
   test("superblock v0: walks symbol-table groups to all datasets") {
-    assert(v0.size == 9, v0.map(_.path).sorted.mkString("\n"))
+    assert(v0.size == 11, v0.map(_.path).sorted.mkString("\n"))
     assert(byPath.contains("/entry1/instrument/configuration"))
     assert(byPath.contains("/entry1/detector/compressed"))
+  }
+
+  test("hard-link aliases emit a node per path; v0 symlinks resolve") {
+    // alias_data is the SAME object header as data — both paths get nodes
+    assert(byPath("/entry1/detector/alias_data").f32Data.map(_.toSeq) ==
+      byPath("/entry1/detector/data").f32Data.map(_.toSeq))
+    // old-style symbolic entry targeting an absolute path
+    assert(byPath("/entry1/detector/soft_cfg").scalarF64.contains(3.0))
   }
 
   test("scalar f64 / i64 and units attributes (S3/S5)") {
@@ -78,13 +86,42 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  private lazy val v2 = Hdf5.read(fixture("mouse_v2.h5"))
+  private lazy val v2ByPath = v2.map(n => n.path -> n).toMap
+
   test("superblock v2 / OHDR v2 / link messages / v3 attributes") {
-    val v2 = Hdf5.read(fixture("mouse_v2.h5"))
-    val m = v2.map(n => n.path -> n).toMap
-    assert(m("/entry1/detector/distance").scalarF64.contains(2507.5))
-    assert(m("/entry1/detector/distance").attrs("units") == "mm")
-    assert(m("/entry1/detector/frame").f32Data.map(_.toSeq)
+    assert(v2ByPath("/entry1/detector/distance").scalarF64.contains(2507.5))
+    assert(v2ByPath("/entry1/detector/distance").attrs("units") == "mm")
+    assert(v2ByPath("/entry1/detector/frame").f32Data.map(_.toSeq)
       .contains((0 until 12).map(_ * 0.5f).toSeq))
+  }
+
+  test("v2 soft links alias their target; external links become markers") {
+    assert(v2ByPath("/entry1/soft_dist").scalarF64.contains(2507.5))
+    val ext = v2ByPath("/entry1/data_000001")
+    assert(ext.attrs("external_link_file") == "mouse_v2_data_000001.h5")
+    assert(ext.attrs("external_link_path") == "/entry/data/data")
+    assert(ext.scalarF64.isEmpty && ext.f32Data.isEmpty)
+  }
+
+  test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
+    // uint32 array routes to f64 — 2^32-1 would round to 2^32 in Float
+    assert(v2ByPath("/entry1/detector/u32_pixels").f64Data.map(_.toSeq)
+      .contains(Seq(0.0, 4294967295.0, 7.0)))
+    // uint64 scalar past Long.MaxValue
+    assert(v2ByPath("/entry1/detector/u64_count").scalarF64
+      .contains(math.pow(2, 63) + 5))
+  }
+
+  test("truncated deflate chunks and string arrays fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_deflate.h5"))
+    }
+    assert(e1.getMessage.contains("truncated or corrupt"))
+    val e2 = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("str_array.h5"))
+    }
+    assert(e2.getMessage.contains("string ARRAY"))
   }
 
   test("end to end: binaryFile scan -> tree table -> typed reads (S3-S6)") {
@@ -93,7 +130,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    assert(tree.count() == 11) // 9 + 2 datasets
+    assert(tree.count() == 17) // 11 v0 nodes + 6 v2 nodes (incl. links)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -131,12 +168,12 @@ class Hdf5Spec extends SparkSpec {
       q.awaitTermination()
     }
     drain()
-    assert(spark.read.parquet(out).count() == 9)
+    assert(spark.read.parquet(out).count() == 11)
     // a second file lands -> only its rows are appended (incremental)
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 11)
+    assert(tree.count() == 17)
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
