@@ -20,7 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object RepetitionScan {
 
-  private val repDirPattern = "(\\d{8})_(\\d+)_(\\d+)"
+  /** `{ymd}_{batch}_{repetition}` directory-name grammar (`YMD_class.py:
+    * 33-44`) — shared with the streaming watcher so batch and stream can
+    * never disagree on path parsing. */
+  val repDirPattern = "(\\d{8})_(\\d+)_(\\d+)"
+
+  /** The 4 required-file patterns (`checkers.py:15-16,19-46`) — one
+    * definition for the batch gate (rlike) and the streaming gate (Regex). */
+  object RequiredFiles {
+    val eigerSub = "^(beam_profile|beam_profile_through_sample)/eiger_\\d+_master\\.h5$"
+    val crawSub = "^(beam_profile|beam_profile_through_sample)/im_craw\\.nxs$"
+    val eigerTop = "^eiger_\\d+_master\\.h5$"
+    val crawTop = "^im_craw\\.nxs$"
+  }
 
   /** One row per file under repetition directories, keyed by
     * (ymd, batch, repetition). Metadata-only scans prune the content column
@@ -40,10 +52,10 @@ object RepetitionScan {
   def readyRepetitions(files: DataFrame): DataFrame =
     files.groupBy(col("ymd"), col("batch"), col("repetition"))
       .agg(
-        count(when(col("relPath").rlike("^(beam_profile|beam_profile_through_sample)/eiger_\\d+_master\\.h5$"), 1)).as("n_eiger_sub"),
-        count(when(col("relPath").rlike("^(beam_profile|beam_profile_through_sample)/im_craw\\.nxs$"), 1)).as("n_craw_sub"),
-        count(when(col("relPath").rlike("^eiger_\\d+_master\\.h5$"), 1)).as("n_eiger_top"),
-        count(when(col("relPath").rlike("^im_craw\\.nxs$"), 1)).as("n_craw_top"),
+        count(when(col("relPath").rlike(RequiredFiles.eigerSub), 1)).as("n_eiger_sub"),
+        count(when(col("relPath").rlike(RequiredFiles.crawSub), 1)).as("n_craw_sub"),
+        count(when(col("relPath").rlike(RequiredFiles.eigerTop), 1)).as("n_eiger_top"),
+        count(when(col("relPath").rlike(RequiredFiles.crawTop), 1)).as("n_craw_top"),
         max(col("modificationTime")).as("newest_mtime"))
       .filter(col("n_eiger_sub") >= 2 && col("n_craw_sub") >= 2 &&
         col("n_eiger_top") >= 1 && col("n_craw_top") >= 1)

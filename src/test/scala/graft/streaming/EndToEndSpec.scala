@@ -40,7 +40,10 @@ class EndToEndSpec extends SparkSpec {
   test("watcher -> gate -> referenceSteps -> snapshot equals the batch run") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FileEvent]
-    val gated = Watcher.completenessGate(input.toDS(), stabilizationTimeoutMs = 600000L)
+    // short stabilization: every dir completes in the data batch, and the
+    // post-emission tombstones then expire quickly so the AvailableNow
+    // drain terminates instead of idling out the await cap
+    val gated = Watcher.completenessGate(input.toDS(), stabilizationTimeoutMs = 5000L)
 
     val snapDir = Files.createTempDirectory("e2e_snap").toString
     val ckpt = Files.createTempDirectory("e2e_ckpt").toString

@@ -26,6 +26,29 @@ class WatcherSpec extends SparkSpec {
     assert(!isComplete(fullSet.toSet - "beam_profile/im_craw.nxs"))
   }
 
+  test("fileEvents discovers nested files and anchors the dir grammar") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("fe")
+    val rep = root.resolve("2024/20240115/20240115_1_2")
+    Files.createDirectories(rep.resolve("beam_profile"))
+    Files.write(rep.resolve("im_craw.nxs"), Array[Byte](1))
+    Files.write(rep.resolve("beam_profile/im_craw.nxs"), Array[Byte](1))
+    // decoy: date-like prefix but NOT a repetition dir (needs the '/' anchor)
+    val decoy = root.resolve("20240115_1_2_old")
+    Files.createDirectories(decoy)
+    Files.write(decoy.resolve("im_craw.nxs"), Array[Byte](1))
+    Files.write(root.resolve("notes.txt"), Array[Byte](1)) // stray, no key
+
+    val q = Watcher.fileEvents(spark, root.toString)
+      .writeStream.format("memory").queryName("fe_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000); q.stop()
+    val evs = spark.table("fe_out").as[FileEvent].collect()
+    assert(evs.map(e => (e.repDir, e.relPath)).toSet == Set(
+      ("20240115_1_2", "im_craw.nxs"),
+      ("20240115_1_2", "beam_profile/im_craw.nxs")))
+  }
+
   test("gate emits a repetition only once its file set is complete") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FileEvent]
@@ -69,6 +92,13 @@ class WatcherSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.repDir == "20240115_1_1")
     assert(out.head.complete && out.head.nFiles == 6)
+
+    // trailing files ALWAYS arrive after completion (eiger data files) —
+    // the tombstone must swallow them, never re-open the gate
+    input.addData(Seq(FileEvent("20240115_1_1", "eiger_1_data_000001.h5",
+      ts("2024-01-15 10:00:30"))))
+    drain()
+    assert(results().length == 1, "completed dir must not emit again")
   }
 
   test("gate times out and emits incomplete after the stabilization window") {
