@@ -79,14 +79,18 @@ object AsOfJoin {
       tieBreak: Seq[String],
       bucketOf: Option[Column => Column]): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
+    // a right row with null time cannot satisfy rightTime <= leftTime, but
+    // under asc ordering nulls sort FIRST and its payload would attach to
+    // every left row with no real predecessor — drop such rows up front
+    val rightValid = right.filter(col(rightTime).isNotNull)
     val leftOther = left.columns.toSeq.filterNot(keys.contains)
-    val rightOther = right.columns.toSeq.filterNot(keys.contains)
+    val rightOther = rightValid.columns.toSeq.filterNot(keys.contains)
     val collisions = leftOther.toSet.intersect(rightOther.toSet)
     require(collisions.isEmpty, s"column collisions between sides: $collisions")
     val clash = (left.columns ++ right.columns).filter(reserved).distinct
     require(clash.isEmpty, s"input uses reserved internal column names: ${clash.mkString(", ")}")
 
-    val payloadType = StructType(right.select(rightOther.map(col): _*).schema.fields)
+    val payloadType = StructType(rightValid.select(rightOther.map(col): _*).schema.fields)
     val timeType = left.schema(leftTime).dataType
     val nullLeft = leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))
 
@@ -95,7 +99,7 @@ object AsOfJoin {
         Seq(col(leftTime).as("__t"), lit(1).as("__tag"),
           lit(null).cast(payloadType).as("__r")) ++
         leftOther.map(col): _*)
-    val rightTagged = right.select(
+    val rightTagged = rightValid.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
           struct(rightOther.map(col): _*).as("__r")) ++

@@ -232,8 +232,12 @@ object ImageKernels {
   def fluxImage(img: Array[Float], duration: Double, darkcurrent: Double): Array[Float] =
     img.map(v => (v / duration - darkcurrent).toFloat)
 
-  /** K8 masked NaN-skipping sum — `.py:211-214`. */
+  /** K8 masked NaN-skipping sum — `.py:211-214`. Dimension mismatch fails
+    * loudly (numpy broadcasting would too) instead of truncating or
+    * overrunning the mask. */
   def maskedNanSum(img: Array[Float], mask: Array[Float]): Double = {
+    require(img.length == mask.length,
+      s"image (${img.length} px) and mask (${mask.length} px) dimensions differ")
     var s = 0.0
     var i = 0
     while (i < img.length) {

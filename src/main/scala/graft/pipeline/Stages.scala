@@ -158,36 +158,65 @@ object Stages {
   }
 
   /** K6–K10: flux images, dynamic beam analysis, transmissions, scattering
-    * probability (`processstep_calc_beam_flux_and_transmissions.py:147-356`). */
+    * probability (`processstep_calc_beam_flux_and_transmissions.py:207-225`).
+    *
+    * Reference semantics, exactly: `DirectFlux`/`SampleFlux` are the sums
+    * UNDER the circular distance-scaled `beam_mask` (K5, `BeamMaskPath`);
+    * `*_flux_over_image` are the WHOLE-image sums; `Transmission` is the
+    * masked ratio, `ImageTransmission` the whole-image ratio, and their
+    * quotient is the correction factor (>= 1 for scattering samples). The
+    * scattering-probability estimate compares the raw sample image's total
+    * intensity with its intensity under the direct beam's TIGHT 0.997-
+    * coverage dynamic-analysis mask. All image UDFs are null-gated (F2):
+    * a repetition missing an image flows to the canStack quarantine
+    * instead of NPE-ing the task. */
   val calcFluxAndTransmissions: Stage = (df, _) => {
     val withFlux = df
       .withColumn("direct_flux_img",
-        fluxImageUdf(col("directBeam"), col("directFrameTime"), col("darkcurrent")))
+        when(col("directBeam").isNotNull && col("directFrameTime").isNotNull,
+          fluxImageUdf(col("directBeam"), col("directFrameTime"), col("darkcurrent"))))
       .withColumn("sample_flux_img",
-        fluxImageUdf(col("sampleBeam"), col("sampleFrameTime"), col("darkcurrent")))
+        when(col("sampleBeam").isNotNull && col("sampleFrameTime").isNotNull,
+          fluxImageUdf(col("sampleBeam"), col("sampleFrameTime"), col("darkcurrent"))))
     val analyzed = withFlux
+      // tight-mask analysis runs on the RAW direct image, as the reference's
+      // dynamic_beam_analysis(DirectBeamData) does
       .withColumn("direct_analysis",
-        beamAnalysisUdf(col("direct_flux_img"), col("directH"), col("directW")))
+        when(col("directBeam").isNotNull,
+          beamAnalysisUdf(col("directBeam"), col("directH"), col("directW"))))
     analyzed
-      .withColumn("direct_flux", nanSumUdf(col("direct_flux_img")))
+      // whole-image flux sums (reference *FluxOverImage)
       .withColumn("direct_flux_over_image",
-        maskedNanSumUdf(col("direct_flux_img"), col("direct_analysis.mask")))
-      .withColumn("sample_flux", nanSumUdf(col("sample_flux_img")))
+        when(col("direct_flux_img").isNotNull, nanSumUdf(col("direct_flux_img"))))
       .withColumn("sample_flux_over_image",
-        maskedNanSumUdf(col("sample_flux_img"), col("direct_analysis.mask")))
+        when(col("sample_flux_img").isNotNull, nanSumUdf(col("sample_flux_img"))))
+      // beam-masked flux sums (reference DirectFlux/SampleFlux) under the
+      // circular mask built by makeBeamMask — NOT the tight ellipse
+      .withColumn("direct_flux",
+        when(col("direct_flux_img").isNotNull && col("beam_mask").isNotNull,
+          maskedNanSumUdf(col("direct_flux_img"), col("beam_mask"))))
+      .withColumn("sample_flux",
+        when(col("sample_flux_img").isNotNull && col("beam_mask").isNotNull,
+          maskedNanSumUdf(col("sample_flux_img"), col("beam_mask"))))
       // K9: transmissions + correction factor
       .withColumn("transmission_image",
         col("sample_flux_over_image") / col("direct_flux_over_image"))
       .withColumn("transmission", col("sample_flux") / col("direct_flux"))
       .withColumn("transmission_correction_factor",
         col("transmission_image") / col("transmission"))
-      // K10: scattering probability from the tight direct-beam region
+      // K10: scattering probability — raw sample intensity outside the
+      // tight direct-beam region, as a fraction of the total
+      .withColumn("__sample_total",
+        when(col("sampleBeam").isNotNull, nanSumUdf(col("sampleBeam"))))
+      .withColumn("__sample_tight",
+        when(col("sampleBeam").isNotNull && col("direct_analysis").isNotNull,
+          maskedNanSumUdf(col("sampleBeam"), col("direct_analysis.mask"))))
       .withColumn("scattering_probability_estimate",
-        (col("sample_flux") - col("sample_flux_over_image")) / col("sample_flux"))
+        (col("__sample_total") - col("__sample_tight")) / col("__sample_total"))
       .withColumn("sigma_minor", col("direct_analysis.sigmaMinor"))
       .withColumn("sigma_major", col("direct_analysis.sigmaMajor"))
       .withColumn("beam_theta", col("direct_analysis.theta"))
-      .drop("direct_flux_img", "sample_flux_img")
+      .drop("direct_flux_img", "sample_flux_img", "__sample_total", "__sample_tight")
   }
 
   /** J3 + K12–K14: background link on (background_identifier, configuration)
@@ -215,9 +244,15 @@ object Stages {
     val tSample = when(sameBatch || col("bg_transmission").isNull, col("transmission"))
       .otherwise(col("transmission") / col("bg_transmission"))
     val a = lit(1.0) - tSample
+    // calculate_thickness (processstep_thickness_from_absorption.py:36-53):
+    // -1 only for a == 0 or |a| > 1; NEGATIVE a in (-1, 0) — noise on very
+    // high transmissions — deliberately yields a small NEGATIVE thickness
+    // "so that the average for multiple repetitions is not biased". The
+    // reference's step aborts without writing when mu <= 0 -> null here.
+    val absA = abs(a)
     val derived = when(col("overallMu").isNull || col("overallMu") <= 0, lit(null))
-      .when(a <= 0, lit(-1.0))
-      .otherwise(-signum(a) * log(lit(1.0) - abs(a)) / col("overallMu"))
+      .when(absA === 0 || absA > 1, lit(-1.0))
+      .otherwise(-signum(a) * log(lit(1.0) - absA) / col("overallMu"))
     joined
       .withColumn("transmission_sample", tSample)
       .withColumn("absorption_by_sample", a)
@@ -391,12 +426,17 @@ object Stages {
     "stacker" -> stacker,
     "transmission_thickness_flux_table" -> fluxThicknessTable)
 
-  /** Canonical full-processing order (minus sinks). */
+  /** Canonical full-processing order (minus sinks) — the reference's
+    * relative order (`directory_processor_multibatch_nostack.sh:18-33`):
+    * counts rescaling BEFORE flux math (dark subtraction is not invariant
+    * under per-frame averaging), thickness AFTER the correction factor has
+    * been applied to the transmission. */
   val defaultSteps: Seq[String] = Seq(
-    "metadata_update", "add_mask_file", "determine_beam_center",
-    "make_beam_mask", "calc_beam_flux_and_transmissions",
-    "thickness_from_absorption", "transmission_correction_factor_propagator",
-    "apply_transmission_correction_factor", "average_to_counts")
+    "average_to_counts", "metadata_update", "add_mask_file",
+    "determine_beam_center", "make_beam_mask",
+    "calc_beam_flux_and_transmissions",
+    "transmission_correction_factor_propagator",
+    "apply_transmission_correction_factor", "thickness_from_absorption")
 
   /** The reference's verbatim 15-step production list
     * (`directory_processor_multibatch_nostack.sh:18-33`), accepted as-is. */

@@ -57,18 +57,22 @@ object PipelineQueries {
     },
 
     // K12/K13/K14/F8: t = -sign(a) * ln(1 - |a|) / mu with the reference's
-    // guards (a <= 0 -> sentinel -1), and the "logbook wins if >= 0" choice.
+    // calculate_thickness guards (a == 0 or |a| > 1 -> sentinel -1;
+    // negative a in (-1, 0) gives a small NEGATIVE thickness), and the
+    // "logbook wins if >= 0" choice. l_discount is non-negative in this
+    // data, so the negative branch is exercised by PipelineSpec instead.
     "p03_thickness_math" -> { (s, dir) =>
       val a = col("l_discount")
       val mu = col("l_tax") + lit(0.01)
       val derived = -signum(a) * log(lit(1.0) - abs(a)) / mu
+      val guarded = when(abs(a) === 0 || abs(a) > 1, lit(-1.0)).otherwise(derived)
       t(s, dir, "lineitem")
         .filter(col("l_linenumber") === 1)
         .select(col("l_orderkey"),
           round(a, 4).as("absorption"),
-          round(when(a <= 0, lit(-1.0)).otherwise(derived), 6).as("derived_thickness"),
+          round(guarded, 6).as("derived_thickness"),
           round(when(col("l_quantity") >= 25, col("l_quantity"))
-            .otherwise(when(a <= 0, lit(-1.0)).otherwise(derived)), 6).as("thickness"))
+            .otherwise(guarded), 6).as("thickness"))
     },
 
     // K11: E[keV] = hc/lambda with non-positive guard (null, like the
@@ -175,10 +179,10 @@ object PipelineQueries {
     "p03_thickness_math" ->
       """SELECT l_orderkey,
         | round(l_discount,4) AS absorption,
-        | round(CASE WHEN l_discount <= 0 THEN -1.0
+        | round(CASE WHEN abs(l_discount) = 0 OR abs(l_discount) > 1 THEN -1.0
         |            ELSE -sign(l_discount)*ln(1-abs(l_discount))/(l_tax+0.01) END, 6) AS derived_thickness,
         | round(CASE WHEN l_quantity >= 25 THEN l_quantity
-        |            WHEN l_discount <= 0 THEN -1.0
+        |            WHEN abs(l_discount) = 0 OR abs(l_discount) > 1 THEN -1.0
         |            ELSE -sign(l_discount)*ln(1-abs(l_discount))/(l_tax+0.01) END, 6) AS thickness
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
 

@@ -59,6 +59,65 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(e - 8.0509) < 1e-3, s"E=$e")
   }
 
+  test("scattering halo: masked vs whole-image transmission split, TCF > 1 applied") {
+    // the original fixtures use sample = c * direct EXACTLY, where masked
+    // and whole-image ratios coincide (TCF = 1) — this fixture adds a flat
+    // scattered halo outside the beam so the two ratios genuinely differ:
+    // reference semantics put the MASKED ratio in `transmission` and the
+    // whole-image one in `transmission_image`, with TCF = image/masked > 1
+    import spark.implicits._
+    val direct = Fixtures.gaussian()
+    val halo = direct.map(v => 0.5f * v + 0.1f)
+    val row = Seq(Model.Repetition(
+      ymd = "20240115", batch = 1, repetition = 1, configuration = 1,
+      directBeam = direct, directH = Fixtures.H, directW = Fixtures.W,
+      directFrameTime = 1.0,
+      sampleBeam = halo, sampleH = Fixtures.H, sampleW = Fixtures.W,
+      sampleFrameTime = 1.0,
+      darkcurrent = 0.0, averagedNumberOfFrames = 1.0,
+      incidentWavelength = Model.Quantity(1.54, "angstrom"),
+      detX = Model.Quantity(2.5, "m"), sampleX = Model.Quantity(500.0, "mm"),
+      modificationTime = java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))).toDS().toDF()
+    val out = Stages.run(row, ctx, Seq("metadata_update", "add_mask_file",
+      "determine_beam_center", "make_beam_mask",
+      "calc_beam_flux_and_transmissions",
+      "transmission_correction_factor_propagator",
+      "apply_transmission_correction_factor"))
+      .select("transmission_beam", "transmission", "transmission_image",
+        "transmission_correction_factor", "scattering_probability_estimate")
+      .head()
+    val (tBeam, t, tImg, tcf, scat) = (out.getDouble(0), out.getDouble(1),
+      out.getDouble(2), out.getDouble(3), out.getDouble(4))
+    assert(tBeam < tImg, "masked transmission must sit below the whole-image one")
+    assert(tcf > 1.01, s"halo must produce TCF > 1, got $tcf")
+    assert(math.abs(t - tImg) < 1e-6, "applied correction must equal image transmission")
+    // halo outside the 0.997-coverage tight ellipse ~ 0.1*(N - pi*(3.3s)^2)
+    // over the sample total ~ 1.5% of intensity
+    assert(scat > 0.01, s"halo must register as scattering probability, got $scat")
+  }
+
+  test("negative absorption (T > 1 noise) derives a small NEGATIVE thickness, not -1") {
+    import spark.implicits._
+    val direct = Fixtures.gaussian()
+    val over = direct.map(v => v * 1.02f) // transmission 1.02: vacuum-like noise
+    val row = Seq(Model.Repetition(
+      ymd = "20240115", batch = 2, repetition = 1, configuration = 1, // bg == self
+      directBeam = direct, directH = Fixtures.H, directW = Fixtures.W,
+      directFrameTime = 1.0,
+      sampleBeam = over, sampleH = Fixtures.H, sampleW = Fixtures.W,
+      sampleFrameTime = 1.0,
+      darkcurrent = 0.0, averagedNumberOfFrames = 1.0,
+      incidentWavelength = Model.Quantity(1.54, "angstrom"),
+      detX = Model.Quantity(2.5, "m"), sampleX = Model.Quantity(500.0, "mm"),
+      modificationTime = java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))).toDS().toDF()
+    val th = Stages.run(row, ctx)
+      .select("absorption_derived_thickness").head().getDouble(0)
+    // calculate_thickness: a = -0.02 -> log(0.98)/mu ~ -2.02e-4 m ("negative
+    // thickness so the multi-repetition average is not biased"), NOT -1
+    assert(th < 0 && th > -0.001, s"expected ~-2e-4, got $th")
+    assert(math.abs(th - math.log(1 - 0.02) / 100.0) < 1e-5, s"got $th")
+  }
+
   test("logbook composition parses to typed components") {
     val comp = processed.filter(col("batch") === 1)
       .select(explode(col("composition_components")).as("c"))
