@@ -121,50 +121,70 @@ object ImageKernels {
     out
   }
 
-  /** K6 `dynamic_beam_analysis`: intensity-weighted covariance -> Mahalanobis
-    * ellipse at target coverage (bisection-refined k over 8 steps), eigen
-    * decomposition of the 2x2 covariance by hand —
-    * `/root/reference/src/processstep_calc_beam_flux_and_transmissions.py:24-145`
-    * (ellipse 36-81, bisection 83-104, stats 137-145). */
+  /** K6 `dynamic_beam_analysis`, faithful to the reference
+    * (`processstep_calc_beam_flux_and_transmissions.py:24-145`): prepare the
+    * image, label the main feature, take intensity-weighted moments OVER THE
+    * LABELED REGION only (regionprops semantics — whole-image moments would
+    * let pegged pixels and diffuse background skew the covariance), build
+    * the Mahalanobis ellipse with a `cov + 1e-12 I` regularized inverse,
+    * bisect k over [0.5, 5.0] (8 steps, midpoint returned) so the kept
+    * fraction of the LABELED intensity meets the target, and intersect the
+    * final mask with the labels so the ellipse never bleeds outside the
+    * beam region. Returned centroid is the mask-region weighted centroid;
+    * `achievedCoverage` = kept / labeled intensity; `totalIntensity` is the
+    * prepared whole-image sum. */
   def dynamicBeamAnalysis(
       img: Array[Float], h: Int, w: Int,
       targetCoverage: Double = 0.997,
       bisectionSteps: Int = 8): BeamAnalysis = {
     val n = h * w
     require(img.length == n, s"image length ${img.length} != $h x $w")
-    var total = 0.0
+    val prepared = prepareImage(img)
+    val labels = labelMainFeature(prepared, h, w)
+    var total = 0.0 // prepared whole-image sum (ITotal_overall)
+    var labeled = 0.0 // intensity inside the labeled main feature
     var i = 0
-    while (i < n) { total += img(i); i += 1 }
-    if (total <= 0.0)
+    while (i < n) {
+      total += prepared(i)
+      if (labels(i) == 1) labeled += prepared(i)
+      i += 1
+    }
+    if (labeled <= 0.0) // reference: regionprops m00 <= 0 -> no beam
       return BeamAnalysis(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
         Double.NaN, Double.NaN, 0.0, 0.0, total, new Array[Float](n))
 
-    // weighted centroid + covariance
+    // weighted centroid + covariance over the LABELED region
     var sy = 0.0; var sx = 0.0
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = img(y * w + x).toDouble
-        sy += v * y; sx += v * x
+        val idx = y * w + x
+        if (labels(idx) == 1) {
+          val v = prepared(idx).toDouble
+          sy += v * y; sx += v * x
+        }
         x += 1
       }
       y += 1
     }
-    val cy = sy / total; val cx = sx / total
+    val cy = sy / labeled; val cx = sx / labeled
     var cyy = 0.0; var cxx = 0.0; var cxy = 0.0
     y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = img(y * w + x).toDouble
-        val dy = y - cy; val dx = x - cx
-        cyy += v * dy * dy; cxx += v * dx * dx; cxy += v * dy * dx
+        val idx = y * w + x
+        if (labels(idx) == 1) {
+          val v = prepared(idx).toDouble
+          val dy = y - cy; val dx = x - cx
+          cyy += v * dy * dy; cxx += v * dx * dx; cxy += v * dy * dx
+        }
         x += 1
       }
       y += 1
     }
-    cyy /= total; cxx /= total; cxy /= total
+    cyy /= labeled; cxx /= labeled; cxy /= labeled
 
     // eigen decomposition of [[cyy, cxy], [cxy, cxx]]
     val tr = cyy + cxx
@@ -176,55 +196,68 @@ object ImageKernels {
     val sigmaMinor = math.sqrt(math.max(l2, 0.0))
     val theta = 0.5 * math.atan2(2.0 * cxy, cxx - cyy)
 
-    // inverse covariance for the Mahalanobis distance (regularized if flat)
-    val safeDet = if (det <= 1e-300) 1e-300 else det
-    val inv00 = cxx / safeDet // multiplies dy*dy
-    val inv11 = cyy / safeDet // multiplies dx*dx
-    val inv01 = -cxy / safeDet
+    // Mahalanobis inverse of (cov + 1e-12 I) — the reference's
+    // regularization keeps degenerate (collinear) beams finite
+    val eps = 1e-12
+    val rDet = (cyy + eps) * (cxx + eps) - cxy * cxy
+    val inv00 = (cxx + eps) / rDet // multiplies dy*dy
+    val inv11 = (cyy + eps) / rDet // multiplies dx*dx
+    val inv01 = -cxy / rDet
 
-    def coverageAt(k: Double): Double = {
+    def md2At(yy: Int, xx: Int): Double = {
+      val dy = yy - cy; val dx = xx - cx
+      inv00 * dy * dy + 2.0 * inv01 * dy * dx + inv11 * dx * dx
+    }
+
+    // kept fraction of the LABELED intensity inside (ellipse ∩ labels)
+    def fracAt(k: Double): Double = {
       val k2 = k * k
       var inside = 0.0
       var yy = 0
       while (yy < h) {
         var xx = 0
         while (xx < w) {
-          val dy = yy - cy; val dx = xx - cx
-          val m = inv00 * dy * dy + 2.0 * inv01 * dy * dx + inv11 * dx * dx
-          if (m <= k2) inside += img(yy * w + xx)
+          val idx = yy * w + xx
+          if (labels(idx) == 1 && md2At(yy, xx) <= k2) inside += prepared(idx)
           xx += 1
         }
         yy += 1
       }
-      inside / total
+      inside / labeled
     }
 
-    // bisection on k in [1, 6] toward targetCoverage
-    var lo = 1.0; var hi = 6.0
-    var k = hi
+    // reference bisection: bracket [0.5, 5.0], 8 steps, midpoint returned
+    var lo = 0.5; var hi = 5.0
     var step = 0
     while (step < bisectionSteps) {
       val mid = (lo + hi) / 2.0
-      if (coverageAt(mid) >= targetCoverage) hi = mid else lo = mid
+      if (fracAt(mid) < targetCoverage) lo = mid else hi = mid
       step += 1
     }
-    k = hi
+    val k = (lo + hi) / 2.0
     val k2 = k * k
     val mask = new Array[Float](n)
     var region = 0.0
+    var msy = 0.0; var msx = 0.0
     y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val dy = y - cy; val dx = x - cx
-        val m = inv00 * dy * dy + 2.0 * inv01 * dy * dx + inv11 * dx * dx
-        if (m <= k2) { mask(y * w + x) = 1f; region += img(y * w + x) }
+        val idx = y * w + x
+        if (labels(idx) == 1 && md2At(y, x) <= k2) {
+          mask(idx) = 1f
+          val v = prepared(idx).toDouble
+          region += v; msy += v * y; msx += v * x
+        }
         x += 1
       }
       y += 1
     }
-    BeamAnalysis(cy, cx, sigmaMinor, sigmaMajor, theta, k,
-      region / total, region, total, mask)
+    // reference returns regionprops(beam_coverage_mask).weighted_centroid
+    val (comY, comX) =
+      if (region > 0) (msy / region, msx / region) else (cy, cx)
+    BeamAnalysis(comY, comX, sigmaMinor, sigmaMajor, theta, k,
+      region / labeled, region, total, mask)
   }
 
   /** K7 flux image: img/duration - darkcurrent per pixel

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Materialization sinks (SURVEY §2.1 S11/S13/S14/S15).
   *
@@ -27,9 +27,14 @@ object Sinks {
 
   /** S15: quarantine split — rows failing `gate` go to the error path, the
     * rest are returned for further processing (`.stacking_error_list`
-    * semantics of the stacker). */
+    * semantics of the stacker). A NULL gate counts as FAILING: without the
+    * coalesce such rows would satisfy neither filter and silently vanish
+    * from both outputs. Note the two filters evaluate `df` twice (the
+    * error write now, the returned frame at the caller's action) — persist
+    * upstream if the input plan is expensive. */
   def quarantine(df: DataFrame, gate: org.apache.spark.sql.Column, errorPath: String): DataFrame = {
-    df.filter(!gate).write.mode(SaveMode.Append).parquet(errorPath)
-    df.filter(gate)
+    val pass = coalesce(gate, lit(false))
+    df.filter(!pass).write.mode(SaveMode.Append).parquet(errorPath)
+    df.filter(pass)
   }
 }

@@ -46,8 +46,17 @@ object StackLong {
     stats.groupBy(keys.map(col): _*)
       .agg(
         max(col("n")).as("n"),
+        min(col("n")).as("__n_min"),
         series("mean").as("mean"),
         series("std").as("std"),
         series("sem").as("sem"))
+      // ragged groups (mismatched image lengths) must fail loudly like the
+      // ArrayStats path, not report max(n) over partially-covered pixels
+      .withColumn("n",
+        when(col("__n_min") =!= col("n"),
+          raise_error(concat(lit("stacked arrays must share a shape: per-pixel counts range "),
+            col("__n_min").cast("string"), lit(".."), col("n").cast("string"))))
+          .otherwise(col("n")))
+      .drop("__n_min")
   }
 }

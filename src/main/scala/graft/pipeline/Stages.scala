@@ -63,7 +63,11 @@ object Stages {
       val prepared = ImageKernels.prepareImage(img)
       val labels = ImageKernels.labelMainFeature(prepared, h, w)
       val (cy, cx) = ImageKernels.weightedCentroid(prepared, labels, h, w)
-      Array(cy, cx)
+      // no beam found (reference raises ValueError, utilities.py:165-166):
+      // a null beam_center routes the row to the canStack quarantine —
+      // NaN coordinates would slip through the isNotNull gate and poison
+      // the stacked statistics instead
+      if (cy.isNaN || cx.isNaN) null else Array(cy, cx)
     }
   private val circularMaskUdf =
     udf { (h: Int, w: Int, cy: Double, cx: Double, r: Double) =>

@@ -27,10 +27,19 @@ object TreeTable {
       units: Option[String],
       attrs: Map[String, String])
 
+  /** K19 `get_float_from_h5` mean-if-array coercion (`utilities.py:17-19`):
+    * an array-valued dataset reads as its mean, exactly like the reference
+    * (e.g. a per-frame frame_time vector). */
+  private def scalarOrMean: Column =
+    coalesce(col("valueF64"),
+      when(col("valueArr").isNotNull && size(col("valueArr")) > 0,
+        aggregate(col("valueArr"), lit(0.0), (acc, x) => acc + x)
+          / size(col("valueArr"))))
+
   /** S3: scalar read with 0.0 default on missing path. One output row per
     * input file (left join against the requested path). */
   def readF64(tree: DataFrame, files: DataFrame, path: String, as: String): DataFrame =
-    readTyped(tree, files, path, as, coalesce(col("valueF64"), lit(0.0)))
+    readTyped(tree, files, path, as, coalesce(scalarOrMean, lit(0.0)))
 
   /** S4: string read, '' default. */
   def readStr(tree: DataFrame, files: DataFrame, path: String, as: String): DataFrame =
@@ -40,7 +49,7 @@ object TreeTable {
   def readQuantity(tree: DataFrame, files: DataFrame, path: String, as: String): DataFrame =
     readTyped(tree, files, path, as,
       struct(
-        coalesce(col("valueF64"), lit(Double.NaN)).as("value"),
+        coalesce(scalarOrMean, lit(Double.NaN)).as("value"),
         coalesce(col("units"), lit("dimensionless")).as("units")))
 
   private def readTyped(

@@ -36,4 +36,14 @@ class SinksSpec extends SparkSpec {
     assert(good.count() == 2)
     assert(spark.read.parquet(out).count() == 1)
   }
+
+  test("quarantine treats a NULL gate as failing — no row may vanish") {
+    val out = Files.createTempDirectory("quar_null").toString
+    val df = Seq((1, Some(true)), (2, None), (3, Some(false)))
+      .toDF("id", "ok")
+    val good = Sinks.quarantine(df, col("ok"), out)
+    assert(good.as[(Int, Option[Boolean])].collect().map(_._1).toSeq == Seq(1))
+    // both the false AND the null-gated row land in the error path
+    assert(spark.read.parquet(out).select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
 }

@@ -8,6 +8,18 @@ import graft.SparkSpec
 class StackLongSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ragged groups fail loudly on both stacking paths") {
+    val df = Seq(
+      ("g", Array.fill(16)(1f)),
+      ("g", Array.fill(8)(1f))).toDF("grp", "img")
+    val e = intercept[Exception] {
+      StackLong.toArrays(
+        StackLong.pixelStats(StackLong.toLong(df, Seq("grp"), "img"), Seq("grp")),
+        Seq("grp")).collect()
+    }
+    assert(e.getMessage.contains("share a shape"), e.getMessage)
+  }
+
   test("long-format pixel stats match ArrayStats per element") {
     val rnd = new scala.util.Random(7)
     val rows = for {

@@ -144,6 +144,12 @@ class Hdf5Spec extends SparkSpec {
     assert(q("b.h5").getDouble(0) == 2507.5 && q("b.h5").getString(1) == "mm")
     assert(q("a.h5").getDouble(0).isNaN && q("a.h5").getString(1) == "dimensionless")
 
+    // K19 mean-if-array: a float read of an ARRAY dataset returns its mean
+    // (get_float_from_h5 semantics), not the missing-path default
+    val ang = TreeTable.readF64(tree, files, "/entry1/sample/angles", "ang")
+      .collect().map(r => r.getString(0).split("/").last -> r.getDouble(1)).toMap
+    assert(ang("a.h5") == 0.75 && ang("b.h5") == 0.0) // mean(0,0.5,1,1.5)
+
     // S6 image: the valueArr column carries the pixels, dims in attrs
     val img = tree.filter(col("path") === "/entry1/detector/data").head()
     assert(img.getAs[scala.collection.Seq[Float]]("valueArr").toSeq ==
