@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   * width as the HOF form and as DuckDB's `list_dot_product` on `DOUBLE[]`,
   * so swapping implementations never changes oracle results.
   *
-  * Null elements inside the arrays are not supported (embedding vectors are
-  * dense); null arrays propagate null via `BinaryExpression` null-safety,
-  * and length-mismatched arrays yield null — the same result as the HOF
-  * form, where `zip_with` pads the shorter array with nulls.
+  * Null handling matches the HOF form exactly: null arrays propagate null
+  * via `BinaryExpression` null-safety, length-mismatched arrays yield null
+  * (`zip_with` pads the shorter array with nulls), and a null ELEMENT on
+  * either side yields null (the HOF sum of a null product is null) — never
+  * a silent 0.0 contribution.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -55,6 +56,7 @@ case class DotProductF(left: Expression, right: Expression)
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -73,10 +75,16 @@ case class DotProductF(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    }
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })
@@ -87,10 +95,16 @@ case class DotProductF(left: Expression, right: Expression)
 }
 
 object DotProductF {
+  private def build(exprs: Seq[Expression]): DotProductF = {
+    require(exprs.length == 2,
+      s"dot_f requires exactly 2 arguments, got ${exprs.length}")
+    DotProductF(exprs.head, exprs(1))
+  }
+
   /** Register `dot_f(a, b)` for the SQL surface of a session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs.head, exprs(1)), "scala_udf")
+      "dot_f", build, "scala_udf")
 }
 
 /** SparkSessionExtensions wiring — install the engine's native expressions
@@ -107,5 +121,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductF].getName, "dot_f"),
-      (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_f requires exactly 2 arguments, got ${exprs.length}")
+        DotProductF(exprs.head, exprs(1))
+      }))
 }

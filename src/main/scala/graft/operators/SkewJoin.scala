@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types preserving correctness under small-side replication: an
+    * unmatched SMALL row appears once per salt, so right/full outer joins
+    * would emit nSalts null-extended duplicates. */
+  private val safeJoinTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -25,6 +31,11 @@ object SkewJoin {
       nSalts: Int,
       joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    require(safeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti — '$joinType' would " +
+        "duplicate unmatched replicated small-side rows once per salt")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not carry a __salt column (reserved internal name)")
     val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(nSalts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.pipeline.TreeTable.TreeRow
 
@@ -15,47 +16,52 @@ import graft.pipeline.TreeTable.TreeRow
   * `TreeTable.translate` — the reference's `utilities.py` read semantics
   * (missing path -> typed default) happen relationally downstream, so a file
   * missing a dataset never fails the scan.
+  *
+  * Size bound: `binaryFile` materializes each file as one in-memory byte
+  * array, capped by `spark.sql.sources.binaryFile.maxLength` (<= ~2 GB).
+  * Fine for per-repetition master/processed files (MBs); multi-GB frame
+  * STACKS must be reached through their (small) master file's external
+  * links, not scanned wholesale through this source.
   */
 object Hdf5Source {
 
-  /** Parse every matching file under `path` into TreeRows. */
-  def treeTable(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
-      .load(path)
+  // binaryFile's fixed schema — streaming sources must state it explicitly
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** The one shared parse chain: (path, content) -> TreeRows. Batch and
+    * stream MUST run the identical transform or the stream/batch DAG-reuse
+    * contract silently forks. */
+  private def parseFiles(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) => Hdf5.toTreeRows(file, bytes) }
       .toDF()
   }
+
+  /** Parse every matching file under `path` into TreeRows. */
+  def treeTable(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame =
+    parseFiles(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path))
 
   /** Streaming variant (§2.9): new `.h5`/`.nxs` files appearing under
     * `path` arrive as micro-batches of TreeRows — the same per-file parse as
     * [[treeTable]], so the batch pipeline stages run unchanged downstream
     * (stream/batch DAG reuse). Pair with the [[graft.streaming.Watcher]]
     * completeness gate for the reference's poll-until-stable semantics. */
-  def treeStream(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame = {
-    import spark.implicits._
-    spark.readStream.format("binaryFile")
+  def treeStream(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame =
+    parseFiles(spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("path",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("modificationTime",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("length",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("content",
-          org.apache.spark.sql.types.BinaryType))))
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => Hdf5.toTreeRows(file, bytes) }
-      .toDF()
-  }
+      .schema(binaryFileSchema)
+      .load(path))
 
   /** Parse one in-memory file (testing / driver-side spot reads). */
   def parse(file: String, bytes: Array[Byte]): Seq[TreeRow] =
