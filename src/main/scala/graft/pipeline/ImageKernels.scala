@@ -19,22 +19,10 @@ object ImageKernels {
   def prepareImage(img: Array[Float]): Array[Float] =
     img.map(v => if (v >= 0f && v <= 2e7f) v else 0f)
 
-  /** K3 `label_main_feature`: threshold at max(1, mean), connected components
-    * (4-connectivity, union-find), keep the largest — semantics of
-    * `/root/reference/src/utilities.py:137-175` (small-object/hole removal
-    * and convex hull are refinement steps; the contract downstream kernels
-    * rely on is "a 0/1 mask of the dominant connected beam region"). */
-  def labelMainFeature(img: Array[Float], h: Int, w: Int): Array[Int] = {
-    require(img.length == h * w, s"image length ${img.length} != $h x $w")
-    val n = img.length
-    var sum = 0.0
-    var i = 0
-    while (i < n) { sum += img(i); i += 1 }
-    val thresh = math.max(1.0, sum / n)
-    val fg = new Array[Boolean](n)
-    i = 0
-    while (i < n) { fg(i) = img(i) > thresh; i += 1 }
-
+  /** Per-pixel 4-connected component root (compressed union-find root index;
+    * -1 on background). Shared by K3's labeling and both morphology passes. */
+  private def componentRoots(fg: Array[Boolean], h: Int, w: Int): Array[Int] = {
+    val n = h * w
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
       var r = x
@@ -60,25 +48,172 @@ object ImageKernels {
       }
       y += 1
     }
-    // size per root; argmax root = largest component (np.bincount argmax)
-    val sizes = new scala.collection.mutable.HashMap[Int, Int]()
+    val roots = new Array[Int](n)
+    var i = 0
+    while (i < n) { roots(i) = if (fg(i)) find(i) else -1; i += 1 }
+    roots
+  }
+
+  /** Component size per pixel (0 on background), from `componentRoots`. */
+  private def componentSizes(roots: Array[Int]): Array[Int] = {
+    val counts = new scala.collection.mutable.HashMap[Int, Int]()
+    var i = 0
+    while (i < roots.length) {
+      if (roots(i) >= 0) counts.update(roots(i), counts.getOrElse(roots(i), 0) + 1)
+      i += 1
+    }
+    val out = new Array[Int](roots.length)
+    i = 0
+    while (i < roots.length) {
+      if (roots(i) >= 0) out(i) = counts(roots(i))
+      i += 1
+    }
+    out
+  }
+
+  /** `morphology.remove_small_objects(mask, min_size)` with the skimage
+    * default 1-connectivity: drop 4-connected foreground components whose
+    * pixel count is strictly below `minSize`. */
+  def removeSmallObjects(fg: Array[Boolean], h: Int, w: Int, minSize: Int): Array[Boolean] = {
+    val sizes = componentSizes(componentRoots(fg, h, w))
+    Array.tabulate(fg.length)(i => fg(i) && sizes(i) >= minSize)
+  }
+
+  /** `morphology.remove_small_holes(mask, area_threshold)` (skimage
+    * 1-connectivity): fill 4-connected BACKGROUND components of area
+    * <= `areaThreshold` — skimage implements it as
+    * `~remove_small_objects(~mask, area_threshold + 1)`, which also fills
+    * qualifying background pockets touching the border, so no border
+    * special-case here either. */
+  def removeSmallHoles(fg: Array[Boolean], h: Int, w: Int, areaThreshold: Int): Array[Boolean] = {
+    val inv = fg.map(!_)
+    val sizes = componentSizes(componentRoots(inv, h, w))
+    Array.tabulate(fg.length)(i => fg(i) || sizes(i) <= areaThreshold)
+  }
+
+  /** `morphology.convex_hull_image(mask)`: smallest convex polygon covering
+    * every foreground pixel, rasterized back to a mask. Matches skimage's
+    * `offset_coordinates=True` semantics — each pixel contributes its four
+    * half-pixel "diamond" offsets (y±0.5, x) / (y, x±0.5) to the hull point
+    * set, and a pixel is foreground in the output when its CENTER is inside
+    * or on the hull (skimage labels vertex/edge pixels as inside).
+    *
+    * Hull candidates are limited to per-row and per-column extreme pixels
+    * (any hull vertex's source pixel is extreme in its row or column), so
+    * the monotone-chain sort is O((h+w)·log) — independent of beam area, a
+    * 1 Mpx Eiger frame contributes at most ~8·(h+w) candidate points. */
+  def convexHullImage(fg: Array[Boolean], h: Int, w: Int): Array[Boolean] = {
+    val n = h * w
+    // row/column extreme pixels — superset of hull-vertex sources
+    val pts = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def addOffsets(y: Int, x: Int): Unit = {
+      pts += ((y - 0.5, x.toDouble)); pts += ((y + 0.5, x.toDouble))
+      pts += ((y.toDouble, x - 0.5)); pts += ((y.toDouble, x + 0.5))
+    }
+    var any = false
+    var y = 0
+    while (y < h) {
+      var lo = -1; var hi = -1
+      var x = 0
+      while (x < w) {
+        if (fg(y * w + x)) { if (lo < 0) lo = x; hi = x }
+        x += 1
+      }
+      if (lo >= 0) { any = true; addOffsets(y, lo); if (hi != lo) addOffsets(y, hi) }
+      y += 1
+    }
+    var x = 0
+    while (x < w) {
+      var lo = -1; var hi = -1
+      y = 0
+      while (y < h) {
+        if (fg(y * w + x)) { if (lo < 0) lo = y; hi = y }
+        y += 1
+      }
+      if (lo >= 0) { addOffsets(lo, x); if (hi != lo) addOffsets(hi, x) }
+      x += 1
+    }
+    if (!any) return new Array[Boolean](n)
+
+    // Andrew monotone chain -> CCW hull in (y, x) coordinates
+    val sorted = pts.distinct.sortBy(identity)
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val hull = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- sorted) {
+      while (hull.length >= 2 && cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    val lowerLen = hull.length + 1
+    for (p <- sorted.reverseIterator) {
+      while (hull.length >= lowerLen && cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    hull.remove(hull.length - 1) // last point == first
+
+    // rasterize: center inside-or-on every hull half-plane (skimage counts
+    // boundary pixels as inside; 1e-10 mirrors its tolerance)
+    val tol = 1e-10
+    val out = new Array[Boolean](n)
+    val yMin = math.max(0, math.ceil(sorted.head._1 - tol).toInt)
+    val yMax = math.min(h - 1, math.floor(sorted.last._1 + tol).toInt)
+    y = yMin
+    while (y <= yMax) {
+      x = 0
+      while (x < w) {
+        val p = (y.toDouble, x.toDouble)
+        var inside = true
+        var k = 0
+        while (inside && k < hull.length) {
+          if (cross(hull(k), hull((k + 1) % hull.length), p) < -tol) inside = false
+          k += 1
+        }
+        if (inside) out(y * w + x) = true
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** K3 `label_main_feature`, full parity with
+    * `/root/reference/src/utilities.py:137-175`: threshold at max(1, mean),
+    * then the reference's morphology chain — `remove_small_objects(20)`
+    * (isolated spikes), `remove_small_holes(20)` (dead pixels inside the
+    * beam), `convex_hull_image` (the beam is expected convex) — then
+    * 1-connectivity component labeling keeping the largest region
+    * (np.bincount argmax). All-zero output = no beam found; the caller
+    * quarantines (the reference raises). */
+  def labelMainFeature(img: Array[Float], h: Int, w: Int): Array[Int] = {
+    require(img.length == h * w, s"image length ${img.length} != $h x $w")
+    val n = img.length
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += img(i); i += 1 }
+    val thresh = math.max(1.0, sum / n)
+    var fg = new Array[Boolean](n)
+    i = 0
+    while (i < n) { fg(i) = img(i) > thresh; i += 1 }
+
+    fg = convexHullImage(
+      removeSmallHoles(
+        removeSmallObjects(fg, h, w, 20), h, w, 20), h, w)
+
+    val roots = componentRoots(fg, h, w)
+    val sizes = componentSizes(roots)
+    val labels = new Array[Int](n)
+    var best = -1; var bestSize = 0
     i = 0
     while (i < n) {
-      if (fg(i)) {
-        val r = find(i)
-        sizes.update(r, sizes.getOrElse(r, 0) + 1)
+      // deterministic argmax: largest size, smallest root index on ties
+      if (roots(i) >= 0 && (sizes(i) > bestSize || (sizes(i) == bestSize && roots(i) < best))) {
+        best = roots(i); bestSize = sizes(i)
       }
       i += 1
     }
-    val labels = new Array[Int](n)
-    if (sizes.nonEmpty) {
-      // deterministic argmax: largest size, smallest root index on ties
-      val best = sizes.toSeq.minBy { case (root, size) => (-size, root) }._1
+    if (best >= 0) {
       i = 0
-      while (i < n) {
-        if (fg(i) && find(i) == best) labels(i) = 1
-        i += 1
-      }
+      while (i < n) { if (roots(i) == best) labels(i) = 1; i += 1 }
     }
     labels
   }

@@ -28,8 +28,11 @@ import scala.collection.mutable
   *    gets a node); soft links resolve to alias nodes (chains + group
   *    targets included, dangling ones surface as marker nodes); external
   *    links — which real Eiger masters use to reach their data files —
-  *    become explicit marker nodes carrying the target file/path, since a
-  *    single-buffer reader cannot open a second file
+  *    resolve through a caller-supplied `resolve: file -> bytes` callback
+  *    (h5py-transparent: the target object or subtree grafts in at the
+  *    link path), with cross-file cycles guarded; links whose target file
+  *    or object cannot be resolved become explicit marker nodes carrying
+  *    the target file/path — inspectable, never a silent hole
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
   * fractal-heap dense groups, v4 extensible-array / v2-B-tree chunk indexes
@@ -225,9 +228,9 @@ object Hdf5 {
   }
 
   /** A group entry. Soft links carry their in-file target path (resolved
-    * to alias nodes after the walk); external links point into ANOTHER file
-    * this single-buffer reader cannot open, so they surface as explicit
-    * marker nodes — present and inspectable, never a silent hole. */
+    * to alias nodes after the walk); external links carry the target file
+    * name + in-target object path, resolved through the caller's `resolve`
+    * callback (marker nodes when unresolvable). */
   private sealed trait Link
   private case class HardLink(name: String, addr: Long) extends Link
   private case class SoftLink(name: String, target: String) extends Link
@@ -832,7 +835,34 @@ object Hdf5 {
 
   // ------------------------------------------------------------- the walk --
 
-  def read(bytes: Array[Byte]): Seq[Node] = {
+  /** "/a/./b/../c" -> "/a/c" — shared by soft-link and external-link object
+    * paths. */
+  private def normalizePath(p: String): String = {
+    val out = p.split("/").filter(s => s.nonEmpty && s != ".")
+      .foldLeft(List.empty[String]) {
+        case (acc, "..") => if (acc.nonEmpty) acc.init else acc
+        case (acc, seg) => acc :+ seg
+      }
+    "/" + out.mkString("/")
+  }
+
+  def read(bytes: Array[Byte]): Seq[Node] = read(bytes, _ => None)
+
+  /** Parse with external-link resolution: `resolve` maps a link's target
+    * file name (exactly as stored in the link message — typically a sibling
+    * file name like `data_000001.h5`) to that file's bytes. The target
+    * object — or, for a group target, its whole subtree — grafts in at the
+    * link path, matching h5py's transparent traversal. A file already open
+    * in the current cross-file chain is not re-entered (cycle guard), and
+    * any link whose file or object cannot be resolved degrades to the
+    * marker node, never an error. */
+  def read(bytes: Array[Byte], resolve: String => Option[Array[Byte]]): Seq[Node] =
+    readGuarded(bytes, resolve, Set.empty)
+
+  private def readGuarded(
+      bytes: Array[Byte],
+      resolve: String => Option[Array[Byte]],
+      openFiles: Set[String]): Seq[Node] = {
     val bb = bufAt(bytes, 0L)
     val magic = take(bb, 8)
     require(magic.sameElements(Array(0x89, 'H', 'D', 'F', 0x0D, 0x0A, 0x1A, 0x0A)
@@ -877,10 +907,24 @@ object Hdf5 {
           case HardLink(name, child) => visit(child, s"$path/$name", addr :: ancestors)
           case SoftLink(name, target) => softLinks += ((s"$path/$name", target))
           case ExternalLink(name, file, objPath) =>
-            // points into ANOTHER file — cannot be read from this buffer;
-            // surfaced as an explicit marker node, never a silent hole
-            nodes += Node(s"$path/$name", Nil, None, None, None, None,
-              Map("external_link_file" -> file, "external_link_path" -> objPath))
+            val linkPath = s"$path/$name"
+            val grafted: Seq[Node] =
+              if (openFiles.contains(file)) Nil // cross-file cycle: stop here
+              else resolve(file) match {
+                case Some(targetBytes) =>
+                  val target = normalizePath(objPath)
+                  readGuarded(targetBytes, resolve, openFiles + file).collect {
+                    case tn if tn.path == target => tn.copy(path = linkPath)
+                    case tn if tn.path.startsWith(target + "/") =>
+                      tn.copy(path = linkPath + tn.path.stripPrefix(target))
+                  }
+                case None => Nil
+              }
+            if (grafted.nonEmpty) nodes ++= grafted
+            else // unresolvable (missing file/object, or a cycle) — surfaced
+              // as an explicit marker node, never a silent hole
+              nodes += Node(linkPath, Nil, None, None, None, None,
+                Map("external_link_file" -> file, "external_link_path" -> objPath))
         }
       } else {
         val node = datasetCache.getOrElseUpdate(addr, {
@@ -904,18 +948,10 @@ object Hdf5 {
     // the whole subtree) or chain through other soft links (multiple
     // passes); anything still dangling after the passes becomes an explicit
     // marker node — present, inspectable, never a silent hole.
-    def normalize(p: String): String = {
-      val out = p.split("/").filter(s => s.nonEmpty && s != ".")
-        .foldLeft(List.empty[String]) {
-          case (acc, "..") => if (acc.nonEmpty) acc.init else acc
-          case (acc, seg) => acc :+ seg
-        }
-      "/" + out.mkString("/")
-    }
     var pending = softLinks.toList.map { case (alias, target0) =>
       val target = if (target0.startsWith("/")) target0
         else alias.substring(0, alias.lastIndexOf('/') + 1) + target0
-      (alias, normalize(target))
+      (alias, normalizePath(target))
     }
     var pass = 0
     while (pending.nonEmpty && pass < 8) {
@@ -1031,7 +1067,13 @@ object Hdf5 {
     * typed value columns and the `units` attribute the reference's
     * quantity reads expect. Array dims travel in attrs as "dims". */
   def toTreeRows(file: String, bytes: Array[Byte]): Seq[graft.pipeline.TreeTable.TreeRow] =
-    read(bytes).map { n =>
+    toTreeRows(file, bytes, _ => None)
+
+  def toTreeRows(
+      file: String,
+      bytes: Array[Byte],
+      resolve: String => Option[Array[Byte]]): Seq[graft.pipeline.TreeTable.TreeRow] =
+    read(bytes, resolve).map { n =>
       val withDims =
         if (n.dims.isEmpty) n.attrs
         else n.attrs + ("dims" -> n.dims.mkString(","))

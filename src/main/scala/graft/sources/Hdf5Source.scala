@@ -1,8 +1,13 @@
 package graft.sources
 
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.pipeline.TreeTable.TreeRow
 
@@ -34,14 +39,61 @@ object Hdf5Source {
 
   /** The one shared parse chain: (path, content) -> TreeRows. Batch and
     * stream MUST run the identical transform or the stream/batch DAG-reuse
-    * contract silently forks. */
+    * contract silently forks.
+    *
+    * External links resolve against SIBLING files of the referencing file
+    * (the Eiger layout: `master.h5` + `data_00000N.h5` in one directory),
+    * opened lazily on the EXECUTOR through the Hadoop filesystem — no
+    * shuffle of raw bytes, no driver involvement, and a task only reads the
+    * data files its own master actually links. The Hadoop conf rides a
+    * broadcast so object-store credentials and settings reach every task. */
   private def parseFiles(files: DataFrame): DataFrame = {
-    import files.sparkSession.implicits._
+    val spark = files.sparkSession
+    import spark.implicits._
+    val hconf = SerializableConfiguration.broadcast(spark.sparkContext)
     files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => Hdf5.toTreeRows(file, bytes) }
+      .flatMap { case (file, bytes) =>
+        Hdf5.toTreeRows(file, bytes, siblingResolver(file, hconf.value.value))
+      }
       .toDF()
+  }
+
+  /** External-link resolver rooted at `refPath`'s directory: a target file
+    * name (relative names resolve against the referencing file's parent,
+    * like h5py/libhdf5) is fetched whole through the Hadoop filesystem.
+    * Fetched bytes are memoized per referencing file so a master linking
+    * the same data file many times reads it once. Missing files resolve to
+    * None (the parser emits its marker node); a target too large for one
+    * in-memory buffer fails loudly — silently skipping it would punch an
+    * invisible hole in the tree. */
+  def siblingResolver(refPath: String, conf: Configuration): String => Option[Array[Byte]] = {
+    val cache = mutable.Map.empty[String, Option[Array[Byte]]]
+    target =>
+      cache.getOrElseUpdate(target, {
+        try {
+          val t = new Path(target)
+          val full =
+            if (t.isAbsolute) t else new Path(new Path(refPath).getParent, target)
+          val fs = full.getFileSystem(conf)
+          if (!fs.exists(full)) None
+          else {
+            val len = fs.getFileStatus(full).getLen
+            require(len <= Int.MaxValue - 16,
+              s"external link target $full is $len bytes — beyond the " +
+                "single-buffer reader; read it via a chunk-range scan instead")
+            val in = fs.open(full)
+            try {
+              val buf = new Array[Byte](len.toInt)
+              in.readFully(0L, buf)
+              Some(buf)
+            } finally in.close()
+          }
+        } catch {
+          case _: java.io.FileNotFoundException => None
+        }
+      })
   }
 
   /** Parse every matching file under `path` into TreeRows. */

@@ -120,6 +120,30 @@ class PlanSpec extends SparkSpec {
       "s03 must not persist anything — a long-lived session would leak cache")
   }
 
+  test("d02/d07 share one verified-pair checkpoint; release leaves nothing cached") {
+    val sc = spark.sparkContext
+    DedupQueries.releaseShared(spark)
+    val base = sc.getPersistentRDDs.keySet
+    SparkEntry.queries("d02_minhash_lsh")(spark, sf).collect()
+    val pairBlocks = sc.getPersistentRDDs.keySet -- base
+    assert(pairBlocks.nonEmpty, "d02 must materialize the shared pair checkpoint")
+    // second build of the same query must reuse the checkpoint, not re-run
+    // the minhash pipeline and register fresh blocks
+    SparkEntry.queries("d02_minhash_lsh")(spark, sf).collect()
+    assert((sc.getPersistentRDDs.keySet -- base) == pairBlocks,
+      "re-running d02 re-checkpointed instead of reusing")
+    // d07 clusters the SAME blocks; CC's returned label frame stays
+    // materialized by documented contract — track and drop it here, the
+    // caller's duty
+    SparkEntry.queries("d07_dup_clusters")(spark, sf).collect()
+    sc.getPersistentRDDs.collect {
+      case (id, rdd) if !base.contains(id) && !pairBlocks.contains(id) => rdd
+    }.foreach(_.unpersist(blocking = false))
+    DedupQueries.releaseShared(spark)
+    assert(sc.getPersistentRDDs.keySet.subsetOf(base),
+      "release must leave no cached RDDs behind")
+  }
+
   test("d05 exact all-pairs: tiled equi-join, no nested-loop operator") {
     // the quadratic work must distribute as B^2 block tiles through hash
     // joins — a BroadcastNestedLoopJoin would serialize the whole corpus
