@@ -87,7 +87,8 @@ object DedupQueries {
     * (shingle explode + band join + Jaccard verify), and without sharing,
     * d07 re-runs all of it just to get edges d02 already produced.
     *
-    * localCheckpoint (eager) truncates lineage so consumers read the small
+    * localCheckpoint (lazy — materialized at first action) truncates
+    * lineage so consumers read the small
     * verified-pair blocks, never the exploded shingle plan; the backing
     * blocks are tracked by registry diff (same pattern and same no-racing
     * caveat as `ConnectedComponents.resolve`) so `releaseShared` can drop
@@ -100,7 +101,12 @@ object DedupQueries {
     pairCache.computeIfAbsent((s, dir), { _ =>
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val df = minhashPairs(s, dir).localCheckpoint()
+      // eager = false: CONSTRUCTION stays lazy (no Spark job) so building a
+      // d02/d07 plan for explain/analysis is free; the pair frame
+      // materializes on the first ACTION and later consumers reuse the
+      // cached blocks. The persisted RDD registers at construction either
+      // way, which is what the registry diff below tracks for release.
+      val df = minhashPairs(s, dir).localCheckpoint(eager = false)
       val added = sc.getPersistentRDDs.collect {
         case (id, rdd) if !before.contains(id) => rdd
       }.toSeq

@@ -7,8 +7,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
-import org.apache.spark.util.SerializableConfiguration
-
 import graft.pipeline.TreeTable.TreeRow
 
 /** S3–S6 end to end: distributed `.nxs`/`.h5` parsing into the long-format
@@ -50,7 +48,7 @@ object Hdf5Source {
   private def parseFiles(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val hconf = SerializableConfiguration.broadcast(spark.sparkContext)
+    val hconf = SerializableHadoopConf.broadcast(spark)
     files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
