@@ -879,6 +879,71 @@ def make_str_array(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+def finish_v2(f: FileBuf, root, path: Path):
+    """Write the superblock-v2 header into the 48-byte slot alloc'd first."""
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 2, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
+def make_extlink(outdir: Path):
+    """Eiger-shaped external-link fixtures: master.h5 grafts a dataset and a
+    whole group out of sibling data_000001.h5; links to a missing file and a
+    missing object degrade to marker nodes; cycle_a/cycle_b external-link
+    each other to exercise the cross-file cycle guard."""
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    # data_000001.h5 : /entry/data/data (2x3 f32) + /entry/sub/{x,y}
+    f = FileBuf()
+    f.alloc(48)
+    _, img = f32_grid(2, 3, scale=2.0)
+    img_raw = f.append(img)
+    data = object_header_v2(f, [
+        (0x01, space_simple([2, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_contiguous(img_raw, len(img))),
+    ])
+    x_raw = f.append(struct.pack('<d', 1.5))
+    x = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f64()),
+        (0x08, layout_contiguous(x_raw, 8))])
+    y_raw = f.append(struct.pack('<q', 7))
+    y = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_i64()),
+        (0x08, layout_contiguous(y_raw, 8))])
+    datagrp = group_v2(f, {'data': data})
+    sub = group_v2(f, {'x': x, 'y': y})
+    entry = group_v2(f, {'data': datagrp, 'sub': sub})
+    finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'data_000001.h5')
+
+    # master.h5 : every child of /entry/data is an external link
+    f = FileBuf()
+    f.alloc(48)
+    datagrp = object_header_v2(f, [
+        (0x02, link_info_msg()),
+        (0x06, ext_link_msg('data', 'data_000001.h5', '/entry/data/data')),
+        (0x06, ext_link_msg('grp', 'data_000001.h5', '/entry/sub')),
+        (0x06, ext_link_msg('missing_file', 'nope.h5', '/x')),
+        (0x06, ext_link_msg('missing_obj', 'data_000001.h5', '/no/such')),
+    ])
+    entry = group_v2(f, {'data': datagrp})
+    finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'master.h5')
+
+    # A->B->A cycle: each file's /loop external-links the other's /loop
+    for me, other in (('cycle_a.h5', 'cycle_b.h5'), ('cycle_b.h5', 'cycle_a.h5')):
+        f = FileBuf()
+        f.alloc(48)
+        r = object_header_v2(f, [
+            (0x02, link_info_msg()),
+            (0x06, ext_link_msg('loop', other, '/loop')),
+        ])
+        finish_v2(f, r, outdir / me)
+
+
 if __name__ == '__main__':
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else \
         Path(__file__).resolve().parent.parent / 'src/test/resources/h5'
@@ -888,4 +953,5 @@ if __name__ == '__main__':
     make_v4(out / 'mouse_v4.h5')
     make_bad_deflate(out / 'bad_deflate.h5')
     make_str_array(out / 'str_array.h5')
-    print(f"wrote mouse_v0/v2/v4, bad_deflate, str_array under {out}")
+    make_extlink(out / 'extlink')
+    print(f"wrote mouse_v0/v2/v4, bad_deflate, str_array, extlink/ under {out}")

@@ -104,6 +104,49 @@ class Hdf5Spec extends SparkSpec {
     assert(ext.scalarF64.isEmpty && ext.f32Data.isEmpty)
   }
 
+  // ---- external-link resolution (Hdf5.readGuarded graft; S6) -------------
+
+  private def extResolver: String => Option[Array[Byte]] = {
+    case n @ ("data_000001.h5" | "cycle_a.h5" | "cycle_b.h5") =>
+      Some(fixture(s"extlink/$n"))
+    case _ => None
+  }
+
+  private lazy val master =
+    Hdf5.read(fixture("extlink/master.h5"), extResolver)
+  private lazy val masterByPath = master.map(n => n.path -> n).toMap
+
+  test("external link to a dataset grafts it at the link path") {
+    val d = masterByPath("/entry/data/data")
+    assert(d.dims == Seq(2L, 3L))
+    assert(d.f32Data.map(_.toSeq).contains((0 until 6).map(_ * 2.0f)))
+    assert(!d.attrs.contains("external_link_file")) // resolved, not a marker
+  }
+
+  test("external link to a group grafts its whole subtree") {
+    assert(masterByPath("/entry/data/grp/x").scalarF64.contains(1.5))
+    assert(masterByPath("/entry/data/grp/y").scalarF64.contains(7.0))
+    // nothing from the target file leaks in under its ORIGINAL paths
+    assert(!master.exists(_.path.startsWith("/entry/sub")))
+  }
+
+  test("dangling external links degrade to marker nodes, never errors") {
+    val mf = masterByPath("/entry/data/missing_file")
+    assert(mf.attrs("external_link_file") == "nope.h5")
+    val mo = masterByPath("/entry/data/missing_obj")
+    assert(mo.attrs("external_link_file") == "data_000001.h5")
+    assert(mo.attrs("external_link_path") == "/no/such")
+    assert(master.size == 5, master.map(_.path).sorted.mkString("\n"))
+  }
+
+  test("A->B->A external-link cycle terminates at a marker node") {
+    val a = Hdf5.read(fixture("extlink/cycle_a.h5"), extResolver)
+    assert(a.size == 1)
+    assert(a.head.path == "/loop")
+    // the innermost re-entry of cycle_b is refused -> marker attrs survive
+    assert(a.head.attrs("external_link_file") == "cycle_b.h5")
+  }
+
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
     // uint32 array routes to f64 — 2^32-1 would round to 2^32 in Float
     assert(v2ByPath("/entry1/detector/u32_pixels").f64Data.map(_.toSeq)
@@ -155,6 +198,31 @@ class Hdf5Spec extends SparkSpec {
     assert(img.getAs[scala.collection.Seq[Float]]("valueArr").toSeq ==
       (0 until 30).map(_.toFloat))
     assert(img.getAs[Map[String, String]]("attrs")("dims") == "6,5")
+  }
+
+  test("treeTable resolves external links against sibling files (Eiger shape)") {
+    val dir = Files.createTempDirectory("h5ext")
+    Files.write(dir.resolve("master.h5"), fixture("extlink/master.h5"))
+    Files.write(dir.resolve("data_000001.h5"), fixture("extlink/data_000001.h5"))
+
+    // scan only the master — its data file is reached THROUGH the link,
+    // executor-side via siblingResolver, exactly like a real Eiger layout
+    val tree = Hdf5Source.treeTable(spark, dir.toString, glob = "master.h5")
+    val rows = tree.collect().map(r => r.getAs[String]("path") -> r).toMap
+    assert(rows.size == 5, rows.keys.toSeq.sorted.mkString("\n"))
+    assert(rows("/entry/data/data").getAs[scala.collection.Seq[Float]]("valueArr")
+      .toSeq == (0 until 6).map(_ * 2.0f))
+    assert(rows("/entry/data/grp/x").getAs[Double]("valueF64") == 1.5)
+    // the dangling links ride along as marker rows, not failures
+    assert(rows("/entry/data/missing_file")
+      .getAs[Map[String, String]]("attrs")("external_link_file") == "nope.h5")
+
+    // direct resolver unit check: relative target against refPath's parent,
+    // memoized; a missing sibling is None
+    val resolve = Hdf5Source.siblingResolver(
+      dir.resolve("master.h5").toString, spark.sparkContext.hadoopConfiguration)
+    assert(resolve("data_000001.h5").exists(_.length > 0))
+    assert(resolve("nope.h5").isEmpty)
   }
 
   test("streaming source: new files arrive as TreeRow micro-batches (§2.9)") {
