@@ -879,6 +879,216 @@ def make_str_array(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+# ------------------------------------- extensible array / v2 btree index --
+def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
+              sblk_min_ptrs=4, max_bits=32, page_bits=10):
+    """EAHD/EAIB/EADB/EASB for an Extensible Array chunk index (one
+    unlimited dim). elements: [(addr, nbytes, mask)] in linear chunk order.
+    Geometry mirrors libhdf5 H5EA: idx_elems elements inline in the index
+    block; super block u holds 2^(u//2) data blocks of 2^((u+1)//2)*dblk_min
+    elements; the first 2*log2(sblk_min_ptrs) super blocks' data blocks are
+    addressed straight from the index block, the rest through EASB."""
+    client = 1 if filtered else 0
+    elem_size = 8 + 4 + 4 if filtered else 8
+    off_size = (max_bits + 7) // 8
+
+    def enc(e):
+        a, n, m = e
+        return struct.pack('<QII', a, n, m) if filtered else struct.pack('<Q', a)
+
+    def log2(x):
+        return x.bit_length() - 1
+
+    nsblks = 1 + max_bits - log2(dblk_min)
+    sblk, start_idx, start_dblk = [], 0, 0
+    for u in range(nsblks):
+        nd, ne = 2 ** (u // 2), 2 ** ((u + 1) // 2) * dblk_min
+        sblk.append((nd, ne, start_idx, start_dblk))
+        start_idx += nd * ne
+        start_dblk += nd
+    first_real = 2 * log2(sblk_min_ptrs)
+    n_iblk_dblk = 2 * (sblk_min_ptrs - 1)
+    n_iblk_sblk = nsblks - first_real
+
+    hdr_addr = f.alloc(4 + 8 + 48 + 8 + 4)  # EAHD written last (back-ptrs)
+
+    direct = elements[:idx_elems]
+    rest = elements[idx_elems:]
+    per_sblk, i = [], 0
+    for u in range(nsblks):
+        nd, ne, s_idx, _ = sblk[u]
+        addrs = []
+        for d in range(nd):
+            if i >= len(rest):
+                break
+            blk = rest[i:i + ne]
+            i += len(blk)
+            blk += [(UNDEF, 0, 0)] * (ne - len(blk))
+            body = b'EADB' + struct.pack('<BB', 0, client)
+            body += struct.pack('<Q', hdr_addr)
+            body += (idx_elems + s_idx + d * ne).to_bytes(off_size, 'little')
+            body += b''.join(enc(e) for e in blk)
+            body += struct.pack('<I', lookup3(body))
+            addrs.append(f.append(body))
+        per_sblk.append(addrs)
+
+    iblk_dblk = [a for u in range(min(first_real, nsblks)) for a in per_sblk[u]]
+    iblk_dblk += [UNDEF] * (n_iblk_dblk - len(iblk_dblk))
+    sblk_addrs = []
+    for u in range(first_real, nsblks):
+        nd, ne, s_idx, _ = sblk[u]
+        addrs = per_sblk[u]
+        if not addrs:
+            sblk_addrs.append(UNDEF)
+            continue
+        addrs += [UNDEF] * (nd - len(addrs))
+        body = b'EASB' + struct.pack('<BB', 0, client)
+        body += struct.pack('<Q', hdr_addr)
+        body += (idx_elems + s_idx).to_bytes(off_size, 'little')
+        body += b''.join(struct.pack('<Q', a) for a in addrs)
+        body += struct.pack('<I', lookup3(body))
+        sblk_addrs.append(f.append(body))
+    sblk_addrs += [UNDEF] * (n_iblk_sblk - len(sblk_addrs))
+
+    ib = b'EAIB' + struct.pack('<BB', 0, client) + struct.pack('<Q', hdr_addr)
+    ib += b''.join(enc(e) for e in
+                   direct + [(UNDEF, 0, 0)] * (idx_elems - len(direct)))
+    ib += b''.join(struct.pack('<Q', a) for a in iblk_dblk)
+    ib += b''.join(struct.pack('<Q', a) for a in sblk_addrs)
+    ib += struct.pack('<I', lookup3(ib))
+    ib_addr = f.append(ib)
+
+    hdr = b'EAHD' + struct.pack('<8B', 0, client, elem_size, max_bits,
+                                idx_elems, dblk_min, sblk_min_ptrs, page_bits)
+    hdr += struct.pack('<6Q', 0, 0, 0, 0, 0, 0)  # stats (informational)
+    hdr += struct.pack('<Q', ib_addr)
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr
+
+
+def layout_v4_ext_array(addr, chunk_dims, max_bits=32, idx_elems=2,
+                        sblk_min_ptrs=4, dblk_min=2, page_bits=10):
+    body = struct.pack('<BBBBB', 4, 2, 0, len(chunk_dims) + 1, 8)
+    body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
+    body += struct.pack('<B', 4)
+    body += struct.pack('<5B', max_bits, idx_elems, sblk_min_ptrs,
+                        dblk_min, page_bits)
+    return body + struct.pack('<Q', addr)
+
+
+def btree2_chunks(f: FileBuf, records, filtered, node_size=512):
+    """Depth-0 v2 B-tree chunk index: BTHD whose root is one BTLF leaf.
+    records: [(addr, nbytes, mask, scaled_offsets)] — offsets in CHUNK GRID
+    coordinates, as the spec's record types 10/11 store them."""
+    btype = 11 if filtered else 10
+    rank = len(records[0][3])
+    rec_size = 8 + (4 + 4 if filtered else 0) + 8 * rank
+    body = b'BTLF' + struct.pack('<BB', 0, btype)
+    for a, n, m, offs in records:
+        body += struct.pack('<Q', a)
+        if filtered:
+            body += struct.pack('<II', n, m)
+        body += b''.join(struct.pack('<Q', o) for o in offs)
+    body += struct.pack('<I', lookup3(body))
+    leaf = f.append(body)
+    hdr = b'BTHD' + struct.pack('<BB', 0, btype)
+    hdr += struct.pack('<IHHBB', node_size, rec_size, 0, 100, 40)
+    hdr += struct.pack('<QHQ', leaf, len(records), len(records))
+    hdr += struct.pack('<I', lookup3(hdr))
+    return f.append(hdr)
+
+
+def layout_v4_btree2(addr, chunk_dims, node_size=512):
+    body = struct.pack('<BBBBB', 4, 2, 0, len(chunk_dims) + 1, 8)
+    body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
+    body += struct.pack('<B', 5) + struct.pack('<IBB', node_size, 100, 40)
+    return body + struct.pack('<Q', addr)
+
+
+def space_unlimited(dims):
+    """Simple dataspace with max-dims stored, first dim unlimited."""
+    body = struct.pack('<4B4x', 1, len(dims), 1, 0)
+    body += b''.join(struct.pack('<Q', d) for d in dims)
+    body += b''.join(struct.pack('<Q', d)
+                     for d in [UNDEF] + list(dims[1:]))
+    return body
+
+
+def make_unlimited(path: Path):
+    """Unlimited-dimension chunk indexes: Extensible Array (one unlimited
+    dim — the Eiger append-mode stack shape) through all three addressing
+    tiers (inline elements, index-block data blocks, super blocks) and with
+    deflate; plus depth-0 v2 B-trees (record types 10 and 11)."""
+    f = FileBuf()
+    f.alloc(48)
+
+    # ea : [20] f32 chunk [2] -> 10 chunks: inline + index-block data blocks
+    raw = b''.join(struct.pack('<f', float(i)) for i in range(20))
+    entries = [(f.append(raw[i * 8:(i + 1) * 8]), 8, 0) for i in range(10)]
+    ea = object_header_v2(f, [
+        (0x01, space_unlimited([20])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_ext_array(ext_array(f, entries, filtered=False), [2])),
+    ])
+
+    # ea_sb : [80] f32 chunk [2] -> 40 chunks: reaches the super-block tier
+    raw2 = b''.join(struct.pack('<f', i * 0.5) for i in range(80))
+    entries2 = [(f.append(raw2[i * 8:(i + 1) * 8]), 8, 0) for i in range(40)]
+    ea_sb = object_header_v2(f, [
+        (0x01, space_unlimited([80])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_ext_array(ext_array(f, entries2, filtered=False), [2])),
+    ])
+
+    # ea_z : [8,3] f32 chunk [2,3] -> 4 chunks, deflate (client-1 elements)
+    H, W = 8, 3
+    vals3, _ = f32_grid(H, W)
+    entries3 = []
+    for r0 in range(0, H, 2):
+        chunk = b''.join(struct.pack('<f', vals3[r * W + c])
+                         for r in range(r0, r0 + 2) for c in range(W))
+        z = zlib.compress(chunk, 6)
+        entries3.append((f.append(z), len(z), 0))
+    ea_z = object_header_v2(f, [
+        (0x01, space_unlimited([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_v4_ext_array(ext_array(f, entries3, filtered=True),
+                                   [2, W])),
+    ])
+
+    # bt2 / bt2_z : [4,6] f32 chunk [2,2] -> 2x3 grid of records
+    def bt2_records(entries):
+        recs, k = [], 0
+        for r in range(0, 4, 2):
+            for c in range(0, 6, 2):
+                a, nb, m = entries[k]
+                recs.append((a, nb, m, [r // 2, c // 2]))
+                k += 1
+        return recs
+
+    entries4, _ = v4_chunk_data(f, 4, 6, 2, 2)
+    bt2 = object_header_v2(f, [
+        (0x01, space_unlimited([4, 6])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_btree2(
+            btree2_chunks(f, bt2_records(entries4), filtered=False), [2, 2])),
+    ])
+    entries5, _ = v4_chunk_data(f, 4, 6, 2, 2, compress=True)
+    bt2_z = object_header_v2(f, [
+        (0x01, space_unlimited([4, 6])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_v4_btree2(
+            btree2_chunks(f, bt2_records(entries5), filtered=True), [2, 2])),
+    ])
+
+    detector = group_v2(f, {'ea': ea, 'ea_sb': ea_sb, 'ea_z': ea_z,
+                            'bt2': bt2, 'bt2_z': bt2_z})
+    finish_v2(f, group_v2(f, {'detector': detector}), path)
+
+
 def finish_v2(f: FileBuf, root, path: Path):
     """Write the superblock-v2 header into the 48-byte slot alloc'd first."""
     sb = bytearray()
@@ -954,4 +1164,6 @@ if __name__ == '__main__':
     make_bad_deflate(out / 'bad_deflate.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
-    print(f"wrote mouse_v0/v2/v4, bad_deflate, str_array, extlink/ under {out}")
+    make_unlimited(out / 'mouse_unlim.h5')
+    print(f"wrote mouse_v0/v2/v4/unlim, bad_deflate, str_array, extlink/ "
+          f"under {out}")

@@ -35,9 +35,9 @@ import scala.collection.mutable
   *    the target file/path — inspectable, never a silent hole
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * fractal-heap dense groups, v4 extensible-array / v2-B-tree chunk indexes
-  * (unlimited-dimension datasets only), filters beyond the three above,
-  * non-IEEE or big-endian numeric types, compound/enum/reference types.
+  * fractal-heap dense groups, paged extensible-array data blocks, v2
+  * B-trees deeper than one leaf, filters beyond the three above, non-IEEE
+  * or big-endian numeric types, compound/enum/reference types.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -602,11 +602,12 @@ object Hdf5 {
 
   /** Chunked layout v4 (superblock v3 era — what recent libhdf5 writes and
     * Eiger detector files use): chunk dims stored in elements (no trailing
-    * datatype-size dim), followed by one of five index types. Supported:
-    * Single Chunk (1), Implicit (2), Fixed Array (3) — the indexes libhdf5
-    * picks for datasets with fixed maximum dimensions, which is every MOUSE
-    * frame. Extensible Array (4) / v2 B-tree (5) appear only for unlimited
-    * dimensions and fail loudly. */
+    * datatype-size dim), followed by one of five index types, all
+    * supported: Single Chunk (1), Implicit (2), Fixed Array (3) for fixed
+    * maximum dimensions; Extensible Array (4) for one unlimited dimension
+    * (append-mode detector stacks); v2 B-tree (5) for several. Remaining
+    * loud-fail corners: paged EA data blocks and v2 B-trees deeper than a
+    * single leaf. */
   private def readChunkedV4(
       bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
       filters: Seq[H5Filter]): Option[Array[Byte]] = {
@@ -660,10 +661,23 @@ object Hdf5 {
           ChunkRef(Seq.empty, a, n, m)
         }.zipWithIndex.map { case (c, i) => c.copy(offsets = gridOffsets(i)) }
 
+      case 4 => // Extensible Array: EAHD -> EAIB (+EASB/EADB) elements
+        bb.position(bb.position() + 5) // cparams: the header repeats them
+        val addr = u64(bb)
+        if (addr == UNDEF) return None
+        readExtensibleArray(bytes, addr, nChunks, chunkBytes).zipWithIndex
+          .collect { case ((a, n, m), i) if a != UNDEF =>
+            ChunkRef(gridOffsets(i), a, n, m)
+          }
+
+      case 5 => // v2 B-tree: BTHD -> BTLF chunk records (scaled offsets)
+        bb.position(bb.position() + 6) // node size(4) + split(1) + merge(1)
+        val addr = u64(bb)
+        if (addr == UNDEF) return None
+        readBtreeV2Chunks(bytes, addr, rank, chunkDims, chunkBytes)
+
       case t =>
-        throw new UnsupportedOperationException(
-          s"v4 chunk index type $t not supported (extensible array / v2 B-tree " +
-            "appear only for unlimited-dimension datasets)")
+        throw new UnsupportedOperationException(s"v4 chunk index type $t unknown")
     }
     Some(assembleChunks(bytes, chunks, dims, chunkDims, elemSize,
       filters, dontFilterEdges))
@@ -702,6 +716,155 @@ object Hdf5 {
         val mask = u32(db)
         (a, sz, mask)
       }
+    }
+  }
+
+  /** Extensible Array chunk index (v4 type 4) — what libhdf5 picks for ONE
+    * unlimited dimension, i.e. every append-mode detector stack. Geometry
+    * (public spec III.E + libhdf5 H5EA): the index block stores the first
+    * `idxElems` elements inline, then addresses for the data blocks of the
+    * first `2*log2(sblkMinPtrs)` super blocks, then super-block addresses.
+    * Super block `u` holds `2^(u/2)` data blocks of `2^((u+1)/2)*dblkMin`
+    * elements. Client 0 = address-only elements; client 1 = filtered
+    * (address + stored size + mask). Paged data blocks (> 2^pageBits
+    * elements) fail loudly. Returns (addr, nbytes, mask) in linear chunk
+    * order; UNDEF addr = unallocated chunk. */
+  private def readExtensibleArray(
+      bytes: Array[Byte], addr: Long, nChunks: Int,
+      chunkBytes: Int): Seq[(Long, Int, Long)] = {
+    val hb = bufAt(bytes, addr)
+    sig(hb, "EAHD")
+    require(u8(hb) == 0, "extensible-array header version")
+    val clientId = u8(hb)
+    require(clientId == 0 || clientId == 1, s"extensible-array client $clientId")
+    val elemSize = u8(hb)
+    val maxBits = u8(hb)
+    val idxElems = u8(hb)
+    val dblkMin = u8(hb)
+    val sblkMinPtrs = u8(hb)
+    val pageBits = u8(hb)
+    hb.position(hb.position() + 48) // stats: 6 Length fields
+    val iblkAddr = u64(hb)
+    require(iblkAddr != UNDEF, "extensible array with no index block")
+
+    val offSize = (maxBits + 7) / 8 // block-offset field width in EADB/EASB
+    def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+    val nsblks = 1 + maxBits - log2(dblkMin)
+    case class Sblk(ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Int)
+    val sblkInfo = {
+      var startIdx = 0L
+      var startDblk = 0
+      (0 until nsblks).map { u =>
+        val s = Sblk(1 << (u / 2), (1 << ((u + 1) / 2)) * dblkMin,
+          startIdx, startDblk)
+        startIdx += s.ndblks.toLong * s.dblkNelmts
+        startDblk += s.ndblks
+        s
+      }
+    }
+    val firstRealSblk = 2 * log2(sblkMinPtrs)
+    val nIblkDblkAddrs = 2 * (sblkMinPtrs - 1)
+    val nIblkSblkAddrs = nsblks - firstRealSblk
+
+    def readElem(b: ByteBuffer): (Long, Int, Long) = {
+      val a = u64(b)
+      if (clientId == 0) (a, chunkBytes, 0L)
+      else {
+        val sz = readUIntN(b, elemSize - 12).toInt // addr(8)+size+mask(4)
+        val mask = u32(b)
+        (a, sz, mask)
+      }
+    }
+
+    val ib = bufAt(bytes, iblkAddr)
+    sig(ib, "EAIB")
+    require(u8(ib) == 0, "extensible-array index block version")
+    require(u8(ib) == clientId, "index block client mismatch")
+    u64(ib) // header back-pointer
+    val direct = (0 until idxElems).map(_ => readElem(ib))
+    val dblkAddrs = (0 until nIblkDblkAddrs).map(_ => u64(ib))
+    val sblkAddrs = (0 until nIblkSblkAddrs).map(_ => u64(ib))
+
+    val dblkCache = mutable.Map.empty[Long, IndexedSeq[(Long, Int, Long)]]
+    def dataBlockElems(dbAddr: Long, nelmts: Int): IndexedSeq[(Long, Int, Long)] =
+      dblkCache.getOrElseUpdate(dbAddr, {
+        require(nelmts <= (1 << pageBits),
+          s"paged extensible-array data block ($nelmts elements) not supported")
+        val db = bufAt(bytes, dbAddr)
+        sig(db, "EADB")
+        require(u8(db) == 0, "extensible-array data block version")
+        require(u8(db) == clientId, "data block client mismatch")
+        u64(db) // header back-pointer
+        readUIntN(db, offSize) // block offset
+        (0 until nelmts).map(_ => readElem(db)).toIndexedSeq
+      })
+
+    val sblkCache = mutable.Map.empty[Int, IndexedSeq[Long]]
+    def superBlockDblks(u: Int): IndexedSeq[Long] =
+      sblkCache.getOrElseUpdate(u, {
+        val sAddr = sblkAddrs(u - firstRealSblk)
+        require(sAddr != UNDEF, s"unallocated super block $u")
+        val sb = bufAt(bytes, sAddr)
+        sig(sb, "EASB")
+        require(u8(sb) == 0, "extensible-array super block version")
+        require(u8(sb) == clientId, "super block client mismatch")
+        u64(sb) // header back-pointer
+        readUIntN(sb, offSize) // block offset
+        (0 until sblkInfo(u).ndblks).map(_ => u64(sb)).toIndexedSeq
+      })
+
+    (0 until nChunks).map { i =>
+      if (i < idxElems) direct(i)
+      else {
+        val idx = (i - idxElems).toLong
+        val u = sblkInfo.lastIndexWhere(_.startIdx <= idx)
+        val s = sblkInfo(u)
+        val dblk = ((idx - s.startIdx) / s.dblkNelmts).toInt
+        val elem = ((idx - s.startIdx) % s.dblkNelmts).toInt
+        val dbAddr =
+          if (u < firstRealSblk) dblkAddrs(s.startDblk + dblk)
+          else superBlockDblks(u)(dblk)
+        if (dbAddr == UNDEF) (UNDEF, 0, 0L) // unallocated block = fill value
+        else dataBlockElems(dbAddr, s.dblkNelmts)(elem)
+      }
+    }
+  }
+
+  /** v2 B-tree chunk index (v4 type 5) — libhdf5's choice for >1 unlimited
+    * dimension. Record type 10 = unfiltered (address + per-dim SCALED
+    * offsets, 8 bytes each); type 11 = filtered (+ variable-width stored
+    * size + mask). Depth-0 trees (root is the single BTLF leaf) are
+    * supported; deeper trees fail loudly rather than misread internal
+    * nodes. */
+  private def readBtreeV2Chunks(
+      bytes: Array[Byte], addr: Long, rank: Int, chunkDims: Seq[Int],
+      chunkBytes: Int): Seq[ChunkRef] = {
+    val hb = bufAt(bytes, addr)
+    sig(hb, "BTHD")
+    require(u8(hb) == 0, "v2 b-tree header version")
+    val btype = u8(hb)
+    require(btype == 10 || btype == 11, s"v2 b-tree type $btype is not a chunk index")
+    u32(hb) // node size
+    val recSize = u16(hb)
+    val depth = u16(hb)
+    u8(hb); u8(hb) // split / merge percents
+    val rootAddr = u64(hb)
+    val rootNrec = u16(hb)
+    require(depth == 0,
+      s"v2 b-tree chunk index of depth $depth not supported (single-leaf only)")
+    if (rootAddr == UNDEF) return Nil
+    val lb = bufAt(bytes, rootAddr)
+    sig(lb, "BTLF")
+    require(u8(lb) == 0, "v2 b-tree leaf version")
+    require(u8(lb) == btype, "v2 b-tree leaf type mismatch")
+    val szLen = recSize - 12 - 8 * rank // addr(8) + mask(4) + offsets
+    (0 until rootNrec).map { _ =>
+      val a = u64(lb)
+      val (nbytes, mask) =
+        if (btype == 10) (chunkBytes, 0L)
+        else (readUIntN(lb, szLen).toInt, u32(lb))
+      val scaled = (0 until rank).map(_ => u64(lb))
+      ChunkRef(scaled.zip(chunkDims).map { case (s, c) => s * c }, a, nbytes, mask)
     }
   }
 

@@ -76,6 +76,31 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  private lazy val unlim = Hdf5.read(fixture("mouse_unlim.h5"))
+  private lazy val unlimByPath = unlim.map(n => n.path -> n).toMap
+
+  test("layout v4: extensible-array index — inline, data-block, super-block tiers") {
+    // 10 chunks: 2 inline elements + index-block data blocks
+    assert(unlimByPath("/detector/ea").f32Data.map(_.toSeq)
+      .contains((0 until 20).map(_.toFloat)))
+    // 40 chunks: reaches the EASB super-block tier
+    assert(unlimByPath("/detector/ea_sb").f32Data.map(_.toSeq)
+      .contains((0 until 80).map(_ * 0.5f)))
+    // deflate -> client-1 elements (addr + stored size + mask), 2-D
+    val z = unlimByPath("/detector/ea_z")
+    assert(z.dims == Seq(8L, 3L))
+    assert(z.f32Data.map(_.toSeq).contains((0 until 24).map(_.toFloat)))
+  }
+
+  test("layout v4: v2 b-tree index decodes chunk records (± deflate)") {
+    for (name <- Seq("bt2", "bt2_z")) {
+      val n = unlimByPath(s"/detector/$name")
+      assert(n.dims == Seq(4L, 6L), s"$name dims")
+      assert(n.f32Data.map(_.toSeq).contains((0 until 24).map(_.toFloat)),
+        s"$name payload")
+    }
+  }
+
   test("LZ4 (32004) and bitshuffle (32008 ± internal lz4) filters decode") {
     val v4 = Hdf5.read(fixture("mouse_v4.h5"))
     val m = v4.map(n => n.path -> n).toMap
