@@ -62,11 +62,21 @@ object Hdf5Source {
     * name (relative names resolve against the referencing file's parent,
     * like h5py/libhdf5) is fetched whole through the Hadoop filesystem.
     * Fetched bytes are memoized per referencing file so a master linking
-    * the same data file many times reads it once. Missing files resolve to
-    * None (the parser emits its marker node); a target too large for one
-    * in-memory buffer fails loudly — silently skipping it would punch an
-    * invisible hole in the tree. */
-  def siblingResolver(refPath: String, conf: Configuration): String => Option[Array[Byte]] = {
+    * the same data file many times reads it once.
+    *
+    * Degrade policy — a scan over millions of masters must survive one bad
+    * sibling, so BOTH failure modes resolve to None and the parser's marker
+    * node (path + target file riding in `attrs`, inspectable downstream,
+    * never a silent hole): (a) the target file is missing (matches h5py's
+    * per-link KeyError surface, relationally a typed default); (b) the
+    * target exceeds `maxBytes` — the single-buffer JVM array bound. The
+    * oversized case additionally logs a warning with the size, because the
+    * data EXISTS and reading it needs the chunk-range path (reach the
+    * stack through its master's layout rather than one whole-file buffer).
+    * `maxBytes` is injectable for tests; production default is the array
+    * limit. */
+  def siblingResolver(refPath: String, conf: Configuration,
+      maxBytes: Long = Int.MaxValue - 16): String => Option[Array[Byte]] = {
     val cache = mutable.Map.empty[String, Option[Array[Byte]]]
     target =>
       cache.getOrElseUpdate(target, {
@@ -78,15 +88,20 @@ object Hdf5Source {
           if (!fs.exists(full)) None
           else {
             val len = fs.getFileStatus(full).getLen
-            require(len <= Int.MaxValue - 16,
-              s"external link target $full is $len bytes — beyond the " +
-                "single-buffer reader; read it via a chunk-range scan instead")
-            val in = fs.open(full)
-            try {
-              val buf = new Array[Byte](len.toInt)
-              in.readFully(0L, buf)
-              Some(buf)
-            } finally in.close()
+            if (len > maxBytes) {
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"external link target $full is $len bytes (> $maxBytes); " +
+                  "degrading to a marker node — read oversized stacks via " +
+                  "a chunk-range scan of the master's layout")
+              None
+            } else {
+              val in = fs.open(full)
+              try {
+                val buf = new Array[Byte](len.toInt)
+                in.readFully(0L, buf)
+                Some(buf)
+              } finally in.close()
+            }
           }
         } catch {
           case _: java.io.FileNotFoundException => None

@@ -250,6 +250,21 @@ class Hdf5Spec extends SparkSpec {
     assert(resolve("nope.h5").isEmpty)
   }
 
+  test("oversized external-link targets degrade to markers, not scan aborts") {
+    val dir = Files.createTempDirectory("h5big")
+    Files.write(dir.resolve("master.h5"), fixture("extlink/master.h5"))
+    Files.write(dir.resolve("data_000001.h5"), fixture("extlink/data_000001.h5"))
+    // the sibling EXISTS but exceeds the injected buffer bound -> None
+    val resolve = Hdf5Source.siblingResolver(
+      dir.resolve("master.h5").toString,
+      spark.sparkContext.hadoopConfiguration, maxBytes = 64)
+    assert(resolve("data_000001.h5").isEmpty)
+    // the parse completes; every link rides along as an inspectable marker
+    val nodes = Hdf5.read(fixture("extlink/master.h5"), resolve)
+    assert(nodes.size == 4, nodes.map(_.path).sorted.mkString("\n"))
+    assert(nodes.forall(_.attrs.contains("external_link_file")))
+  }
+
   test("streaming source: new files arrive as TreeRow micro-batches (§2.9)") {
     val dir = Files.createTempDirectory("h5stream")
     val out = Files.createTempDirectory("h5stream-out").toString
