@@ -244,4 +244,41 @@ class PipelineSpec extends SparkSpec {
     val bad = broken.filter(!Stages.canStack)
     assert(good.count() == 6 && bad.count() == 6)
   }
+
+  test("S10: MOUSE_settings.yaml-shaped file parses into the typed carrier") {
+    // the reference settings-file shape: comments, quoted paths, flat keys
+    val yaml =
+      """# Define required paths for the data pipeline
+        |# Base directory for processing
+        |vsi_root: "/mnt/beamline/mouseTest/"
+        |
+        |# for testing, point at the demo data tree
+        |saxs_dir: "/mnt/beamline/mouseTest/Measurements/SAXS002"
+        |
+        |post_translation_dir: "/opt/pipeline/src"
+        |translator_template_dir: /opt/pipeline/templates  # bare scalar
+        |logbook_file: '/mnt/beamline/logbooks/Logbook_Dataprocessing.xlsx'
+        |""".stripMargin
+    val c = Settings.fromYaml(yaml)
+    assert(c.vsiRoot == "/mnt/beamline/mouseTest/")
+    assert(c.translatorTemplateDir == "/opt/pipeline/templates")
+    assert(c.logbookFile == "/mnt/beamline/logbooks/Logbook_Dataprocessing.xlsx")
+    // defaults derive exactly like DefaultsCarrier.__attrs_post_init__
+    assert(c.dataDir == "/mnt/beamline/mouseTest/Measurements/SAXS002/data")
+    assert(c.masksDir == "/mnt/beamline/mouseTest/Measurements/SAXS002/data/Masks")
+    assert(c.projectsDir == "/mnt/beamline/mouseTest/Proposals/SAXS002")
+    assert(c.stackerConfigFile ==
+      "/mnt/beamline/mouseTest/Measurements/SAXS002/data/" +
+        "StackerConfigurations/stacker_config.yaml")
+    assert(c.loggingLevel == "INFO")
+
+    // required-key contract and nested-yaml loud failure
+    val e1 = intercept[IllegalArgumentException] {
+      Settings.fromYaml("vsi_root: /a\n")
+    }
+    assert(e1.getMessage.contains("post_translation_dir"))
+    intercept[IllegalArgumentException] {
+      Settings.parse("outer:\n  inner: 1\n")
+    }
+  }
 }
