@@ -23,7 +23,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // d02 builds the shared minhash-pair checkpoint that d07 then reuses.
+    // Without a reset, run b (and min-of-two) would read the cached pairs
+    // and report ~0 s — hiding the real minhash pass behind the warmup
+    // policy. Dropping the checkpoint before each d02 run makes d02's
+    // number the true one-shared-materialization cost, while d07's number
+    // shows the designed reuse win.
+    val resetBefore: Map[String, () => Unit] = Map(
+      "d02_minhash_lsh" -> (() => graft.queries.DedupQueries.releaseShared(spark)))
+
     def force(name: String): Double = {
+      resetBefore.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
