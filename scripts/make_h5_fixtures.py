@@ -1089,6 +1089,93 @@ def make_unlimited(path: Path):
     finish_v2(f, group_v2(f, {'detector': detector}), path)
 
 
+# ------------------------------------------------- dense groups (FRHP) ----
+def fractal_heap_links(f: FileBuf, link_bodies):
+    """A single-direct-block fractal heap holding link-message bodies, plus
+    the name-index v2 B-tree (record type 5: hash + heap ID). Returns
+    (fheap_addr, btree_addr). Managed heap IDs are
+    flags(1)+offset(off_size)+length(len_size); offsets count from the
+    direct block's start (its header occupies the first virtual bytes)."""
+    width, start_size, max_bits, max_man = 4, 512, 32, 4096
+    off_size = (max_bits + 7) // 8
+    len_size = min(off_size, (max_man.bit_length() + 7) // 8)
+    heap_id_len = 1 + off_size + len_size
+
+    hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
+                       + 2 + 2 + 8 + 2 + 4)
+
+    # direct block: FHDB header then packed objects
+    body = b'FHDB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
+    body += (0).to_bytes(off_size, 'little')
+    ids = []
+    for name, lm in link_bodies:
+        ids.append((name, len(body), len(lm)))
+        body += lm
+    used = len(body)
+    assert used <= start_size, "fixture heap overflows one direct block"
+    dblock_addr = f.append(body + b'\0' * (start_size - used))
+
+    # name-index B-tree, sorted by lookup3(name) like libhdf5's hash order
+    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    rec_size = 4 + heap_id_len
+    leaf = b'BTLF' + struct.pack('<BB', 0, 5)
+    for h, off, ln in recs:
+        leaf += struct.pack('<IB', h, 0)
+        leaf += off.to_bytes(off_size, 'little') + ln.to_bytes(len_size, 'little')
+    leaf += struct.pack('<I', lookup3(leaf))
+    leaf_addr = f.append(leaf)
+    bt = b'BTHD' + struct.pack('<BB', 0, 5)
+    bt += struct.pack('<IHHBB', 512, rec_size, 0, 100, 40)
+    bt += struct.pack('<QHQ', leaf_addr, len(recs), len(recs))
+    bt += struct.pack('<I', lookup3(bt))
+    btree_addr = f.append(bt)
+
+    hdr = b'FRHP' + struct.pack('<B', 0)
+    hdr += struct.pack('<HHB', heap_id_len, 0, 0)  # id len, filters, flags
+    hdr += struct.pack('<I', max_man)
+    hdr += struct.pack('<QQ', 0, UNDEF)            # next huge id, huge btree
+    hdr += struct.pack('<QQ', start_size - used, UNDEF)  # free space, fs mgr
+    hdr += struct.pack('<QQ', start_size, start_size)    # managed, allocated
+    hdr += struct.pack('<QQ', used, len(ids))      # iterator, num managed
+    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)        # huge/tiny size+count
+    hdr += struct.pack('<H', width)
+    hdr += struct.pack('<QQ', start_size, 64 * 1024)
+    hdr += struct.pack('<HH', max_bits, 0)         # max heap bits, start rows
+    hdr += struct.pack('<QH', dblock_addr, 0)      # root block, cur rows = 0
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr, btree_addr
+
+
+def group_v2_dense(f: FileBuf, link_bodies):
+    """Group whose links live in dense storage: the object header carries
+    ONLY a Link Info message pointing at the fractal heap + name index."""
+    fheap, btree = fractal_heap_links(f, link_bodies)
+    li = struct.pack('<BB', 0, 0) + struct.pack('<QQ', fheap, btree)
+    return object_header_v2(f, [(0x02, li)])
+
+
+def make_dense(path: Path):
+    """A dense-storage group shaped like a long Eiger master: 12 hard-linked
+    scalar datasets plus external links — past the compact-link threshold,
+    so links live in a fractal heap with a v2 B-tree name index."""
+    f = FileBuf()
+    f.alloc(48)
+    bodies = []
+    for i in range(12):
+        raw = f.append(struct.pack('<d', i * 1.5))
+        ds = object_header_v2(f, [
+            (0x01, space_scalar()), (0x03, dt_f64()),
+            (0x08, layout_contiguous(raw, 8))])
+        name = f'value_{i:03d}'
+        bodies.append((name, link_msg(name, ds)))
+    bodies.append(('data_000001',
+                   ext_link_msg('data_000001', 'nope_data.h5', '/entry/data')))
+    data = group_v2_dense(f, bodies)
+    entry = group_v2(f, {'data': data})
+    finish_v2(f, group_v2(f, {'entry': entry}), path)
+
+
 def finish_v2(f: FileBuf, root, path: Path):
     """Write the superblock-v2 header into the 48-byte slot alloc'd first."""
     sb = bytearray()
@@ -1165,5 +1252,6 @@ if __name__ == '__main__':
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
     make_unlimited(out / 'mouse_unlim.h5')
-    print(f"wrote mouse_v0/v2/v4/unlim, bad_deflate, str_array, extlink/ "
-          f"under {out}")
+    make_dense(out / 'mouse_dense.h5')
+    print(f"wrote mouse_v0/v2/v4/unlim/dense, bad_deflate, str_array, "
+          f"extlink/ under {out}")

@@ -35,7 +35,7 @@ import scala.collection.mutable
   *    the target file/path — inspectable, never a silent hole
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * fractal-heap dense groups, paged extensible-array data blocks, v2
+  * paged extensible-array data blocks, indirect-rooted fractal heaps, v2
   * B-trees deeper than one leaf, filters beyond the three above, non-IEEE
   * or big-endian numeric types, compound/enum/reference types.
   *
@@ -239,6 +239,80 @@ object Hdf5 {
   /** Old-style group: symbol-table message -> B-tree v1 of SNOD nodes.
     * Symbolic entries (cache type 2) carry their target path's offset into
     * the local heap in the scratch area. */
+  /** Dense link storage (Link Info message, 0x02): groups past the
+    * compact-link threshold — e.g. an Eiger master whose data group holds
+    * dozens of `data_00000N` external links — keep their link messages in a
+    * fractal heap, name-indexed by a v2 B-tree of (hash, heap ID) records.
+    * Enumeration walks the B-tree's records (the hash is ignored — we list,
+    * never look up) and reads each link message straight out of the heap's
+    * root direct block. Loud-fail corners: indirect-rooted heaps (dense
+    * groups too large for one direct block), filtered heaps, huge/tiny
+    * heap IDs, and deeper B-trees. */
+  private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
+    val bb = bufAt(bytes, off.toLong)
+    require(u8(bb) == 0, "link info version")
+    val liFlags = u8(bb)
+    if ((liFlags & 1) != 0) u64(bb) // max creation index
+    val fheapAddr = u64(bb)
+    val btreeAddr = u64(bb)
+    if (fheapAddr == UNDEF || btreeAddr == UNDEF) return Nil // compact group
+
+    // fractal heap header -> root direct block + heap-ID field widths
+    val hb = bufAt(bytes, fheapAddr)
+    sig(hb, "FRHP")
+    require(u8(hb) == 0, "fractal heap version")
+    u16(hb) // heap ID length (derived below)
+    require(u16(hb) == 0, "filtered fractal heap not supported")
+    u8(hb) // heap flags (checksum bits affect only writes we don't do)
+    val maxManSize = u32(hb)
+    (0 until 12).foreach(_ => u64(hb)) // huge/free/managed/iterator stats
+    u16(hb) // table width
+    u64(hb) // starting block size
+    u64(hb) // maximum direct block size
+    val maxHeapBits = u16(hb)
+    u16(hb) // starting rows in root indirect block
+    val rootAddr = u64(hb)
+    val curRows = u16(hb)
+    require(curRows == 0,
+      "indirect-rooted fractal heap not supported (dense group spans blocks)")
+    require(rootAddr != UNDEF, "fractal heap with no root block")
+    sig(bufAt(bytes, rootAddr), "FHDB")
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize = math.min(offSize, (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(maxManSize, 1L)) + 7) / 8)
+
+    // name-index v2 B-tree, type 5 = (name hash, heap ID) — depth 0
+    val th = bufAt(bytes, btreeAddr)
+    sig(th, "BTHD")
+    require(u8(th) == 0, "v2 b-tree header version")
+    require(u8(th) == 5, "link-name index record type")
+    u32(th) // node size
+    val recSize = u16(th)
+    require(u16(th) == 0,
+      "v2 b-tree link index of depth > 0 not supported (single-leaf only)")
+    u8(th); u8(th) // split / merge
+    val leafAddr = u64(th)
+    val nrec = u16(th)
+    if (leafAddr == UNDEF) return Nil
+    val lb = bufAt(bytes, leafAddr)
+    sig(lb, "BTLF")
+    require(u8(lb) == 0, "v2 b-tree leaf version")
+    require(u8(lb) == 5, "v2 b-tree leaf type mismatch")
+    (0 until nrec).map { _ =>
+      val recStart = lb.position()
+      u32(lb) // name hash — enumeration doesn't need it
+      val idFlags = u8(lb)
+      require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
+      val objOff = readUIntN(lb, offSize)
+      readUIntN(lb, lenSize) // object length; link messages self-delimit
+      lb.position(recStart + recSize)
+      // a managed object's heap offset counts from the root block's start
+      // (the block header occupies the first virtual bytes), so its file
+      // address is simply rootAddr + offset for a direct root
+      linkChild(bytes, (rootAddr + objOff).toInt)
+    }
+  }
+
   private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[Link] = {
     val bb = bufAt(bytes, stabOff.toLong)
     val btreeAddr = u64(bb)
@@ -1064,7 +1138,8 @@ object Hdf5 {
       val byType = msgs.groupBy(_.mtype)
       val links =
         byType.getOrElse(0x11, Nil).flatMap(m => childrenV0(bytes, m.off)) ++
-          byType.getOrElse(0x06, Nil).map(m => linkChild(bytes, m.off))
+          byType.getOrElse(0x06, Nil).map(m => linkChild(bytes, m.off)) ++
+          byType.getOrElse(0x02, Nil).flatMap(m => denseLinks(bytes, m.off))
       if (links.nonEmpty || !byType.contains(0x03)) {
         links.foreach {
           case HardLink(name, child) => visit(child, s"$path/$name", addr :: ancestors)

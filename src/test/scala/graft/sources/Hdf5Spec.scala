@@ -172,6 +172,18 @@ class Hdf5Spec extends SparkSpec {
     assert(a.head.attrs("external_link_file") == "cycle_b.h5")
   }
 
+  test("dense groups: links enumerate via fractal heap + v2 b-tree index") {
+    val dense = Hdf5.read(fixture("mouse_dense.h5"))
+    val byP = dense.map(n => n.path -> n).toMap
+    // 12 hard links past the compact threshold, all in the fractal heap
+    for (i <- 0 until 12)
+      assert(byP(f"/entry/data/value_$i%03d").scalarF64.contains(i * 1.5))
+    // an external link stored densely rides along (marker: file missing)
+    val ext = byP("/entry/data/data_000001")
+    assert(ext.attrs("external_link_file") == "nope_data.h5")
+    assert(dense.size == 13, dense.map(_.path).sorted.mkString("\n"))
+  }
+
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
     // uint32 array routes to f64 — 2^32-1 would round to 2^32 in Float
     assert(v2ByPath("/entry1/detector/u32_pixels").f64Data.map(_.toSeq)
