@@ -999,6 +999,48 @@ def btree2_chunks(f: FileBuf, records, filtered, node_size=512):
     return f.append(hdr)
 
 
+def btree2_chunks_depth1(f: FileBuf, records, node_size=128):
+    """Depth-1 v2 B-tree chunk index (type 10): BTIN root with separator
+    records and child pointers (addr + 1-byte record count, sized by the
+    leaf-capacity ladder), leaves of up to 3 records. Exercises the
+    internal-node walk."""
+    btype = 10
+    rank = len(records[0][3])
+    rec_size = 8 + 8 * rank
+
+    def rec_bytes(r):
+        a, _, _, offs = r
+        return struct.pack('<Q', a) + b''.join(
+            struct.pack('<Q', o) for o in offs)
+
+    groups, seps, i = [], [], 0
+    while i < len(records):
+        groups.append(records[i:i + 3])
+        i += 3
+        if i < len(records):
+            seps.append(records[i])
+            i += 1
+    leaf_ptrs = []
+    for g in groups:
+        body = b'BTLF' + struct.pack('<BB', 0, btype)
+        for r in g:
+            body += rec_bytes(r)
+        body += struct.pack('<I', lookup3(body))
+        leaf_ptrs.append((f.append(body), len(g)))
+    body = b'BTIN' + struct.pack('<BB', 0, btype)
+    for r in seps:
+        body += rec_bytes(r)
+    for a, n in leaf_ptrs:  # leaf max (128-10)//16 = 7 -> 1-byte count
+        body += struct.pack('<QB', a, n)
+    body += struct.pack('<I', lookup3(body))
+    root = f.append(body)
+    hdr = b'BTHD' + struct.pack('<BB', 0, btype)
+    hdr += struct.pack('<IHHBB', node_size, rec_size, 1, 100, 40)
+    hdr += struct.pack('<QHQ', root, len(seps), len(records))
+    hdr += struct.pack('<I', lookup3(hdr))
+    return f.append(hdr)
+
+
 def layout_v4_btree2(addr, chunk_dims, node_size=512):
     body = struct.pack('<BBBBB', 4, 2, 0, len(chunk_dims) + 1, 8)
     body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
@@ -1084,8 +1126,20 @@ def make_unlimited(path: Path):
             btree2_chunks(f, bt2_records(entries5), filtered=True), [2, 2])),
     ])
 
+    # bt2_deep : 1-D [22] f32 chunk [2] -> 11 records in a DEPTH-1 tree
+    raw6 = b''.join(struct.pack('<f', i * 0.25) for i in range(22))
+    recs6 = [(f.append(raw6[i * 8:(i + 1) * 8]), 8, 0, [i])
+             for i in range(11)]
+    bt2_deep = object_header_v2(f, [
+        (0x01, space_unlimited([22])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_btree2(
+            btree2_chunks_depth1(f, recs6), [2], node_size=128)),
+    ])
+
     detector = group_v2(f, {'ea': ea, 'ea_sb': ea_sb, 'ea_z': ea_z,
-                            'bt2': bt2, 'bt2_z': bt2_z})
+                            'bt2': bt2, 'bt2_z': bt2_z,
+                            'bt2_deep': bt2_deep})
     finish_v2(f, group_v2(f, {'detector': detector}), path)
 
 

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Amplify sf0.1's documents/embeddings Nx into a probe directory, to
+measure how the dedup/similarity queries scale one decade past the largest
+driver-generated SF (there is no sf1 on disk).
+
+Copy i != 0 rewrites every word as a per-copy hash prefix of itself — the
+token COUNT and length statistics survive, but copies share no shingles
+with their originals, so the probe measures pipeline throughput (shingle →
+minhash → band → bucket join) at 10x the rows rather than an artificial
+45-pairs-per-doc near-dup explosion that no real corpus has. Embeddings
+drift by a small per-copy constant for the same reason. Other tables are
+copied unchanged (the relational queries are not the probe's subject)."""
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+
+src = Path(sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1')
+dst = Path(sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfprobe10')
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+dst.mkdir(parents=True, exist_ok=True)
+for p in src.glob('*.parquet'):
+    if p.stem not in ('documents', 'embeddings'):
+        target = dst / p.name
+        if not target.exists():
+            shutil.copy(p, target)
+
+con = duckdb.connect()
+ndocs = con.execute(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+nvecs = con.execute(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+
+con.execute(f"""
+COPY (
+  SELECT doc_id + i * {ndocs} AS doc_id,
+         CASE WHEN i = 0 THEN text
+              ELSE array_to_string(
+                list_transform(string_split(text, ' '),
+                               w -> substr(md5(w || i::VARCHAR), 1, 8)), ' ')
+         END AS text,
+         lang, source, n_chars
+  FROM '{src}/documents.parquet', generate_series(0, {n - 1}) t(i)
+) TO '{dst}/documents.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT vec_id + i * {nvecs} AS vec_id,
+         list_transform(embedding, x -> (x + i * 0.037)::FLOAT) AS embedding,
+         label
+  FROM '{src}/embeddings.parquet', generate_series(0, {n - 1}) t(i)
+) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+""")
+d = con.execute(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
+e = con.execute(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
+print(f"wrote {dst}: documents={d} embeddings={e} (x{n})")

@@ -51,7 +51,11 @@ object Bench {
     // steady-state timing: min of two runs per query — the first run of
     // each distinct plan pays one-time Janino/JIT compilation that is
     // amortized away on any real workload.
+    // SPARK_GRAFT_ONLY: regex over query names for targeted runs (scale
+    // probes, single-query investigation); absent = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val results = names.map { n =>
       val a = force(n)
       val b = force(n)

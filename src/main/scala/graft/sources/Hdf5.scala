@@ -35,9 +35,9 @@ import scala.collection.mutable
   *    the target file/path — inspectable, never a silent hole
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * paged extensible-array data blocks, indirect-rooted fractal heaps, v2
-  * B-trees deeper than one leaf, filters beyond the three above, non-IEEE
-  * or big-endian numeric types, compound/enum/reference types.
+  * paged extensible-array data blocks, indirect-rooted fractal heaps,
+  * filters beyond the three above, non-IEEE or big-endian numeric types,
+  * compound/enum/reference types.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -246,8 +246,8 @@ object Hdf5 {
     * Enumeration walks the B-tree's records (the hash is ignored — we list,
     * never look up) and reads each link message straight out of the heap's
     * root direct block. Loud-fail corners: indirect-rooted heaps (dense
-    * groups too large for one direct block), filtered heaps, huge/tiny
-    * heap IDs, and deeper B-trees. */
+    * groups too large for one direct block), filtered heaps, and
+    * huge/tiny heap IDs. */
   private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
     val bb = bufAt(bytes, off.toLong)
     require(u8(bb) == 0, "link info version")
@@ -281,31 +281,14 @@ object Hdf5 {
     val lenSize = math.min(offSize, (64 - java.lang.Long.numberOfLeadingZeros(
       math.max(maxManSize, 1L)) + 7) / 8)
 
-    // name-index v2 B-tree, type 5 = (name hash, heap ID) — depth 0
-    val th = bufAt(bytes, btreeAddr)
-    sig(th, "BTHD")
-    require(u8(th) == 0, "v2 b-tree header version")
-    require(u8(th) == 5, "link-name index record type")
-    u32(th) // node size
-    val recSize = u16(th)
-    require(u16(th) == 0,
-      "v2 b-tree link index of depth > 0 not supported (single-leaf only)")
-    u8(th); u8(th) // split / merge
-    val leafAddr = u64(th)
-    val nrec = u16(th)
-    if (leafAddr == UNDEF) return Nil
-    val lb = bufAt(bytes, leafAddr)
-    sig(lb, "BTLF")
-    require(u8(lb) == 0, "v2 b-tree leaf version")
-    require(u8(lb) == 5, "v2 b-tree leaf type mismatch")
-    (0 until nrec).map { _ =>
-      val recStart = lb.position()
+    // name-index v2 B-tree, type 5 = (name hash, heap ID), any depth
+    val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(5))
+    recs.map { lb =>
       u32(lb) // name hash — enumeration doesn't need it
       val idFlags = u8(lb)
       require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
       val objOff = readUIntN(lb, offSize)
       readUIntN(lb, lenSize) // object length; link messages self-delimit
-      lb.position(recStart + recSize)
       // a managed object's heap offset counts from the root block's start
       // (the block header occupies the first virtual bytes), so its file
       // address is simply rootAddr + offset for a direct root
@@ -679,9 +662,8 @@ object Hdf5 {
     * datatype-size dim), followed by one of five index types, all
     * supported: Single Chunk (1), Implicit (2), Fixed Array (3) for fixed
     * maximum dimensions; Extensible Array (4) for one unlimited dimension
-    * (append-mode detector stacks); v2 B-tree (5) for several. Remaining
-    * loud-fail corners: paged EA data blocks and v2 B-trees deeper than a
-    * single leaf. */
+    * (append-mode detector stacks); v2 B-tree (5), any depth, for
+    * several. Remaining loud-fail corner: paged EA data blocks. */
   private def readChunkedV4(
       bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
       filters: Seq[H5Filter]): Option[Array[Byte]] = {
@@ -904,35 +886,85 @@ object Hdf5 {
     }
   }
 
-  /** v2 B-tree chunk index (v4 type 5) — libhdf5's choice for >1 unlimited
-    * dimension. Record type 10 = unfiltered (address + per-dim SCALED
-    * offsets, 8 bytes each); type 11 = filtered (+ variable-width stored
-    * size + mask). Depth-0 trees (root is the single BTLF leaf) are
-    * supported; deeper trees fail loudly rather than misread internal
-    * nodes. */
-  private def readBtreeV2Chunks(
-      bytes: Array[Byte], addr: Long, rank: Int, chunkDims: Seq[Int],
-      chunkBytes: Int): Seq[ChunkRef] = {
+  /** Generic v2 B-tree walk: every record in the tree, any depth, as a
+    * buffer positioned at the record's first byte. Internal (BTIN) nodes
+    * store their records then `nrec+1` child pointers whose field widths
+    * derive from the per-level maximum-records ladder (public H5B2
+    * sizing: leaf capacity `(nodeSize-10)/recSize` bounds the pointer's
+    * record-count width at every upper level; a total-count field rides
+    * along when the child is itself internal). Returns (record type,
+    * record size, records). */
+  private def btree2Records(
+      bytes: Array[Byte], addr: Long,
+      expectTypes: Set[Int]): (Int, Int, Seq[ByteBuffer]) = {
     val hb = bufAt(bytes, addr)
     sig(hb, "BTHD")
     require(u8(hb) == 0, "v2 b-tree header version")
     val btype = u8(hb)
-    require(btype == 10 || btype == 11, s"v2 b-tree type $btype is not a chunk index")
-    u32(hb) // node size
+    require(expectTypes.contains(btype),
+      s"v2 b-tree type $btype, expected one of $expectTypes")
+    val nodeSize = u32(hb).toInt
     val recSize = u16(hb)
     val depth = u16(hb)
     u8(hb); u8(hb) // split / merge percents
     val rootAddr = u64(hb)
     val rootNrec = u16(hb)
-    require(depth == 0,
-      s"v2 b-tree chunk index of depth $depth not supported (single-leaf only)")
-    if (rootAddr == UNDEF) return Nil
-    val lb = bufAt(bytes, rootAddr)
-    sig(lb, "BTLF")
-    require(u8(lb) == 0, "v2 b-tree leaf version")
-    require(u8(lb) == btype, "v2 b-tree leaf type mismatch")
+    if (rootAddr == UNDEF) return (btype, recSize, Nil)
+
+    def encSize(v: Long): Int = // bytes for v's bit length, min 1
+      math.max(1, (71 - java.lang.Long.numberOfLeadingZeros(v)) / 8)
+    val maxNrec = new Array[Long](depth + 1)
+    val cumMax = new Array[Long](depth + 1)
+    maxNrec(0) = (nodeSize - 10) / recSize // sig+ver+type (6) + csum (4)
+    cumMax(0) = maxNrec(0)
+    for (d <- 1 to depth) {
+      val ptr = 8 + encSize(maxNrec(d - 1)) +
+        (if (d > 1) encSize(cumMax(d - 1)) else 0)
+      maxNrec(d) = (nodeSize - 10 - ptr) / (recSize + ptr)
+      cumMax(d) = (maxNrec(d) + 1) * cumMax(d - 1) + maxNrec(d)
+    }
+
+    val out = mutable.ArrayBuffer.empty[ByteBuffer]
+    def visitNode(nAddr: Long, nrec: Int, d: Int): Unit = {
+      val b = bufAt(bytes, nAddr)
+      sig(b, if (d == 0) "BTLF" else "BTIN")
+      require(u8(b) == 0, "v2 b-tree node version")
+      require(u8(b) == btype, "v2 b-tree node type mismatch")
+      val recsStart = nAddr + 6
+      if (d == 0)
+        (0 until nrec).foreach(i => out += bufAt(bytes, recsStart + i.toLong * recSize))
+      else {
+        val pb = bufAt(bytes, recsStart + nrec.toLong * recSize)
+        val nrecSize = encSize(maxNrec(d - 1))
+        val totSize = if (d > 1) encSize(cumMax(d - 1)) else 0
+        val children = (0 to nrec).map { _ =>
+          val a = u64(pb)
+          val cn = readUIntN(pb, nrecSize).toInt
+          if (totSize > 0) readUIntN(pb, totSize)
+          (a, cn)
+        }
+        // in-order: child 0, record 0, child 1, ... (order is cosmetic —
+        // chunk assembly and link enumeration are both order-free)
+        (0 to nrec).foreach { i =>
+          visitNode(children(i)._1, children(i)._2, d - 1)
+          if (i < nrec) out += bufAt(bytes, recsStart + i.toLong * recSize)
+        }
+      }
+    }
+    visitNode(rootAddr, rootNrec, depth)
+    (btype, recSize, out.toSeq)
+  }
+
+  /** v2 B-tree chunk index (v4 type 5) — libhdf5's choice for >1 unlimited
+    * dimension. Record type 10 = unfiltered (address + per-dim SCALED
+    * offsets, 8 bytes each); type 11 = filtered (+ variable-width stored
+    * size + mask). Any tree depth via [[btree2Records]]. */
+  private def readBtreeV2Chunks(
+      bytes: Array[Byte], addr: Long, rank: Int, chunkDims: Seq[Int],
+      chunkBytes: Int): Seq[ChunkRef] = {
+    val (btype, recSize, recs) = btree2Records(bytes, addr, Set(10, 11))
     val szLen = recSize - 12 - 8 * rank // addr(8) + mask(4) + offsets
-    (0 until rootNrec).map { _ =>
+    recs.map { lb =>
       val a = u64(lb)
       val (nbytes, mask) =
         if (btype == 10) (chunkBytes, 0L)

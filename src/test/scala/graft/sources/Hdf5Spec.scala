@@ -99,6 +99,10 @@ class Hdf5Spec extends SparkSpec {
       assert(n.f32Data.map(_.toSeq).contains((0 until 24).map(_.toFloat)),
         s"$name payload")
     }
+    // depth-1 tree: BTIN root -> 3 leaves, child-pointer widths from the
+    // leaf-capacity ladder
+    assert(unlimByPath("/detector/bt2_deep").f32Data.map(_.toSeq)
+      .contains((0 until 22).map(_ * 0.25f)))
   }
 
   test("LZ4 (32004) and bitshuffle (32008 ± internal lz4) filters decode") {
