@@ -310,6 +310,24 @@ class Hdf5Spec extends SparkSpec {
     assert(cfg.count() == 2)
   }
 
+  test("streaming source resolves external links (stream/batch DAG parity)") {
+    val dir = Files.createTempDirectory("h5extstream")
+    Files.write(dir.resolve("master.h5"), fixture("extlink/master.h5"))
+    Files.write(dir.resolve("data_000001.h5"), fixture("extlink/data_000001.h5"))
+    val out = Files.createTempDirectory("h5extstream-out").toString
+    val ckpt = Files.createTempDirectory("h5extstream-ckpt").toString
+    val q = Hdf5Source.treeStream(spark, dir.toString, glob = "master.h5")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tree = spark.read.parquet(out)
+    assert(tree.count() == 5) // same shape as the batch extlink scan
+    assert(tree.filter(col("path") === "/entry/data/grp/x").head()
+      .getAs[Double]("valueF64") == 1.5)
+  }
+
   test("corrupt or unsupported bytes fail loudly, never misread") {
     intercept[IllegalArgumentException] { Hdf5.read("not hdf5".getBytes) }
     val truncated = fixture("mouse_v0.h5").take(64)
