@@ -912,6 +912,7 @@ def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
 
     hdr_addr = f.alloc(4 + 8 + 48 + 8 + 4)  # EAHD written last (back-ptrs)
 
+    page_n = 1 << page_bits
     direct = elements[:idx_elems]
     rest = elements[idx_elems:]
     per_sblk, i = [], 0
@@ -927,8 +928,15 @@ def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
             body = b'EADB' + struct.pack('<BB', 0, client)
             body += struct.pack('<Q', hdr_addr)
             body += (idx_elems + s_idx + d * ne).to_bytes(off_size, 'little')
-            body += b''.join(enc(e) for e in blk)
-            body += struct.pack('<I', lookup3(body))
+            if ne > page_n:
+                # paged: checksummed prefix, then bare pages (elems + csum)
+                body += struct.pack('<I', lookup3(body))
+                for p0 in range(0, ne, page_n):
+                    page = b''.join(enc(e) for e in blk[p0:p0 + page_n])
+                    body += page + struct.pack('<I', lookup3(page))
+            else:
+                body += b''.join(enc(e) for e in blk)
+                body += struct.pack('<I', lookup3(body))
             addrs.append(f.append(body))
         per_sblk.append(addrs)
 
@@ -945,6 +953,10 @@ def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
         body = b'EASB' + struct.pack('<BB', 0, client)
         body += struct.pack('<Q', hdr_addr)
         body += (idx_elems + s_idx).to_bytes(off_size, 'little')
+        npages = ne // page_n if ne > page_n else 0
+        if npages:  # page-init bitmasks (all written), before the addresses
+            mask = ((1 << npages) - 1).to_bytes((npages + 7) // 8, 'little')
+            body += mask * nd
         body += b''.join(struct.pack('<Q', a) for a in addrs)
         body += struct.pack('<I', lookup3(body))
         sblk_addrs.append(f.append(body))
@@ -1126,6 +1138,18 @@ def make_unlimited(path: Path):
             btree2_chunks(f, bt2_records(entries5), filtered=True), [2, 2])),
     ])
 
+    # ea_paged : [160] f32 chunk [2] -> 80 chunks with page_bits=3, so
+    # super block 5's 16-element data blocks split into checksummed pages
+    raw7 = b''.join(struct.pack('<f', i * 0.125) for i in range(160))
+    entries7 = [(f.append(raw7[i * 8:(i + 1) * 8]), 8, 0) for i in range(80)]
+    ea_paged = object_header_v2(f, [
+        (0x01, space_unlimited([160])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_ext_array(
+            ext_array(f, entries7, filtered=False, page_bits=3), [2],
+            page_bits=3)),
+    ])
+
     # bt2_deep : 1-D [22] f32 chunk [2] -> 11 records in a DEPTH-1 tree
     raw6 = b''.join(struct.pack('<f', i * 0.25) for i in range(22))
     recs6 = [(f.append(raw6[i * 8:(i + 1) * 8]), 8, 0, [i])
@@ -1138,6 +1162,7 @@ def make_unlimited(path: Path):
     ])
 
     detector = group_v2(f, {'ea': ea, 'ea_sb': ea_sb, 'ea_z': ea_z,
+                            'ea_paged': ea_paged,
                             'bt2': bt2, 'bt2_z': bt2_z,
                             'bt2_deep': bt2_deep})
     finish_v2(f, group_v2(f, {'detector': detector}), path)

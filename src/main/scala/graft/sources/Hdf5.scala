@@ -35,9 +35,8 @@ import scala.collection.mutable
   *    the target file/path — inspectable, never a silent hole
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * paged extensible-array data blocks, indirect-rooted fractal heaps,
-  * filters beyond the three above, non-IEEE or big-endian numeric types,
-  * compound/enum/reference types.
+  * indirect-rooted fractal heaps, filters beyond the three above,
+  * non-IEEE or big-endian numeric types, compound/enum/reference types.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -663,7 +662,7 @@ object Hdf5 {
     * supported: Single Chunk (1), Implicit (2), Fixed Array (3) for fixed
     * maximum dimensions; Extensible Array (4) for one unlimited dimension
     * (append-mode detector stacks); v2 B-tree (5), any depth, for
-    * several. Remaining loud-fail corner: paged EA data blocks. */
+    * several, any depth. */
   private def readChunkedV4(
       bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
       filters: Seq[H5Filter]): Option[Array[Byte]] = {
@@ -782,9 +781,11 @@ object Hdf5 {
     * first `2*log2(sblkMinPtrs)` super blocks, then super-block addresses.
     * Super block `u` holds `2^(u/2)` data blocks of `2^((u+1)/2)*dblkMin`
     * elements. Client 0 = address-only elements; client 1 = filtered
-    * (address + stored size + mask). Paged data blocks (> 2^pageBits
-    * elements) fail loudly. Returns (addr, nbytes, mask) in linear chunk
-    * order; UNDEF addr = unallocated chunk. */
+    * (address + stored size + mask). Data blocks wider than one page
+    * (2^pageBits elements) are read page-wise with the owning super
+    * block's page-init bitmask (uninitialized pages = fill). Returns
+    * (addr, nbytes, mask) in linear chunk order; UNDEF addr =
+    * unallocated chunk. */
   private def readExtensibleArray(
       bytes: Array[Byte], addr: Long, nChunks: Int,
       chunkBytes: Int): Seq[(Long, Int, Long)] = {
@@ -841,22 +842,40 @@ object Hdf5 {
     val dblkAddrs = (0 until nIblkDblkAddrs).map(_ => u64(ib))
     val sblkAddrs = (0 until nIblkSblkAddrs).map(_ => u64(ib))
 
+    val pageN = 1 << pageBits
+    val elemBytes = if (clientId == 0) 8 else elemSize
+
+    // A data block wider than one page stores a 10+8+offSize-byte prefix
+    // (checksummed), then bare pages of pageN elements + checksum each;
+    // the OWNING super block says which pages are initialized. Narrow
+    // blocks store their elements inline after the prefix.
     val dblkCache = mutable.Map.empty[Long, IndexedSeq[(Long, Int, Long)]]
-    def dataBlockElems(dbAddr: Long, nelmts: Int): IndexedSeq[(Long, Int, Long)] =
+    def dataBlockElems(dbAddr: Long, nelmts: Int,
+        pageInit: Int => Boolean): IndexedSeq[(Long, Int, Long)] =
       dblkCache.getOrElseUpdate(dbAddr, {
-        require(nelmts <= (1 << pageBits),
-          s"paged extensible-array data block ($nelmts elements) not supported")
         val db = bufAt(bytes, dbAddr)
         sig(db, "EADB")
         require(u8(db) == 0, "extensible-array data block version")
         require(u8(db) == clientId, "data block client mismatch")
         u64(db) // header back-pointer
         readUIntN(db, offSize) // block offset
-        (0 until nelmts).map(_ => readElem(db)).toIndexedSeq
+        if (nelmts <= pageN) (0 until nelmts).map(_ => readElem(db)).toIndexedSeq
+        else {
+          val pagesBase = db.position().toLong + 4 // prefix checksum
+          val pageStride = pageN.toLong * elemBytes + 4 // + page checksum
+          (0 until nelmts).map { j =>
+            val pg = j / pageN
+            if (!pageInit(pg)) (UNDEF, 0, 0L) // uninitialized page = fill
+            else readElem(bufAt(bytes,
+              pagesBase + pg * pageStride + (j % pageN).toLong * elemBytes))
+          }.toIndexedSeq
+        }
       })
 
-    val sblkCache = mutable.Map.empty[Int, IndexedSeq[Long]]
-    def superBlockDblks(u: Int): IndexedSeq[Long] =
+    // super block: page-init bitmasks (when its data blocks are paged),
+    // then the data block addresses
+    val sblkCache = mutable.Map.empty[Int, (IndexedSeq[Long], Int => Int => Boolean)]
+    def superBlock(u: Int): (IndexedSeq[Long], Int => Int => Boolean) =
       sblkCache.getOrElseUpdate(u, {
         val sAddr = sblkAddrs(u - firstRealSblk)
         require(sAddr != UNDEF, s"unallocated super block $u")
@@ -866,7 +885,13 @@ object Hdf5 {
         require(u8(sb) == clientId, "super block client mismatch")
         u64(sb) // header back-pointer
         readUIntN(sb, offSize) // block offset
-        (0 until sblkInfo(u).ndblks).map(_ => u64(sb)).toIndexedSeq
+        val s = sblkInfo(u)
+        val npages = if (s.dblkNelmts > pageN) s.dblkNelmts / pageN else 0
+        val maskSize = (npages + 7) / 8
+        val masks = (0 until s.ndblks).map(_ =>
+          if (npages > 0) take(sb, maskSize) else Array.emptyByteArray)
+        val addrs = (0 until s.ndblks).map(_ => u64(sb)).toIndexedSeq
+        (addrs, d => pg => npages == 0 || (masks(d)(pg / 8) & (1 << (pg % 8))) != 0)
       })
 
     (0 until nChunks).map { i =>
@@ -877,11 +902,17 @@ object Hdf5 {
         val s = sblkInfo(u)
         val dblk = ((idx - s.startIdx) / s.dblkNelmts).toInt
         val elem = ((idx - s.startIdx) % s.dblkNelmts).toInt
-        val dbAddr =
-          if (u < firstRealSblk) dblkAddrs(s.startDblk + dblk)
-          else superBlockDblks(u)(dblk)
+        val (dbAddr, pageInit) =
+          if (u < firstRealSblk) {
+            require(s.dblkNelmts <= pageN,
+              "paged data block addressed from the index block")
+            (dblkAddrs(s.startDblk + dblk), (_: Int) => true)
+          } else {
+            val (addrs, masks) = superBlock(u)
+            (addrs(dblk), masks(dblk))
+          }
         if (dbAddr == UNDEF) (UNDEF, 0, 0L) // unallocated block = fill value
-        else dataBlockElems(dbAddr, s.dblkNelmts)(elem)
+        else dataBlockElems(dbAddr, s.dblkNelmts, pageInit)(elem)
       }
     }
   }

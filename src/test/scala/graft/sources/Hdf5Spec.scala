@@ -90,6 +90,10 @@ class Hdf5Spec extends SparkSpec {
     val z = unlimByPath("/detector/ea_z")
     assert(z.dims == Seq(8L, 3L))
     assert(z.f32Data.map(_.toSeq).contains((0 until 24).map(_.toFloat)))
+    // paged data blocks: page-wise element reads gated by the super
+    // block's page-init bitmask
+    assert(unlimByPath("/detector/ea_paged").f32Data.map(_.toSeq)
+      .contains((0 until 160).map(_ * 0.125f)))
   }
 
   test("layout v4: v2 b-tree index decodes chunk records (± deflate)") {
