@@ -1226,10 +1226,79 @@ def fractal_heap_links(f: FileBuf, link_bodies):
     return hdr_addr, btree_addr
 
 
-def group_v2_dense(f: FileBuf, link_bodies):
+def fractal_heap_links_indirect(f: FileBuf, link_bodies, start_size=128):
+    """Indirect-rooted fractal heap: objects packed across several small
+    direct blocks, a root FHIB indirect block addressing them row-wise
+    (doubling table, direct rows only). Returns (fheap_addr, btree_addr)."""
+    width, max_bits, max_man = 4, 32, 4096
+    off_size = (max_bits + 7) // 8
+    len_size = min(off_size, (max_man.bit_length() + 7) // 8)
+    heap_id_len = 1 + off_size + len_size
+    dhdr = 4 + 1 + 8 + off_size  # FHDB header bytes (no checksum, flags=0)
+
+    hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
+                       + 2 + 2 + 8 + 2 + 4)
+
+    # greedy-pack objects into row-0/row-1 direct blocks of start_size
+    blocks, cur, cur_off, ids = [], None, 0, []
+    for name, lm in link_bodies:
+        if cur is None or cur_off + len(lm) > start_size:
+            vbase = len(blocks) * start_size  # rows 0/1 are uniform size
+            cur = bytearray(b'FHDB' + struct.pack('<B', 0)
+                            + struct.pack('<Q', hdr_addr)
+                            + vbase.to_bytes(off_size, 'little'))
+            cur_off = dhdr
+            blocks.append((vbase, cur))
+        ids.append((name, blocks[-1][0] + cur_off, len(lm)))
+        cur.extend(lm)
+        cur_off += len(lm)
+    assert len(blocks) <= 2 * width, "fixture outgrew rows 0+1"
+    dblk_addrs = [f.append(bytes(b) + b'\0' * (start_size - len(b)))
+                  for _, b in blocks]
+    nrows = (len(blocks) + width - 1) // width
+    ib = b'FHIB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
+    ib += (0).to_bytes(off_size, 'little')
+    slots = dblk_addrs + [UNDEF] * (nrows * width - len(dblk_addrs))
+    ib += b''.join(struct.pack('<Q', a) for a in slots)
+    ib += struct.pack('<I', lookup3(ib))
+    root_addr = f.append(ib)
+
+    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    rec_size = 4 + heap_id_len
+    leaf = b'BTLF' + struct.pack('<BB', 0, 5)
+    for h, off, ln in recs:
+        leaf += struct.pack('<IB', h, 0)
+        leaf += off.to_bytes(off_size, 'little') + ln.to_bytes(len_size, 'little')
+    leaf += struct.pack('<I', lookup3(leaf))
+    leaf_addr = f.append(leaf)
+    bt = b'BTHD' + struct.pack('<BB', 0, 5)
+    bt += struct.pack('<IHHBB', 512, rec_size, 0, 100, 40)
+    bt += struct.pack('<QHQ', leaf_addr, len(recs), len(recs))
+    bt += struct.pack('<I', lookup3(bt))
+    btree_addr = f.append(bt)
+
+    hdr = b'FRHP' + struct.pack('<B', 0)
+    hdr += struct.pack('<HHB', heap_id_len, 0, 0)
+    hdr += struct.pack('<I', max_man)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', len(blocks) * start_size, len(blocks) * start_size)
+    hdr += struct.pack('<QQ', len(blocks) * start_size, len(ids))
+    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)
+    hdr += struct.pack('<H', width)
+    hdr += struct.pack('<QQ', start_size, 64 * 1024)
+    hdr += struct.pack('<HH', max_bits, nrows)
+    hdr += struct.pack('<QH', root_addr, nrows)  # root FHIB, cur rows > 0
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr, btree_addr
+
+
+def group_v2_dense(f: FileBuf, link_bodies, indirect=False):
     """Group whose links live in dense storage: the object header carries
     ONLY a Link Info message pointing at the fractal heap + name index."""
-    fheap, btree = fractal_heap_links(f, link_bodies)
+    fheap, btree = (fractal_heap_links_indirect(f, link_bodies) if indirect
+                    else fractal_heap_links(f, link_bodies))
     li = struct.pack('<BB', 0, 0) + struct.pack('<QQ', fheap, btree)
     return object_header_v2(f, [(0x02, li)])
 
@@ -1251,7 +1320,20 @@ def make_dense(path: Path):
     bodies.append(('data_000001',
                    ext_link_msg('data_000001', 'nope_data.h5', '/entry/data')))
     data = group_v2_dense(f, bodies)
-    entry = group_v2(f, {'data': data})
+
+    # a second dense group big enough to outgrow one direct block: its
+    # heap is INDIRECT-rooted (FHIB row of small direct blocks)
+    bodies2 = []
+    for i in range(14):
+        raw = f.append(struct.pack('<d', i * 0.5))
+        ds = object_header_v2(f, [
+            (0x01, space_scalar()), (0x03, dt_f64()),
+            (0x08, layout_contiguous(raw, 8))])
+        name = f'frame_{i:03d}'
+        bodies2.append((name, link_msg(name, ds)))
+    data2 = group_v2_dense(f, bodies2, indirect=True)
+
+    entry = group_v2(f, {'data': data, 'data2': data2})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 
 

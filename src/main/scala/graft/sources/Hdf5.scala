@@ -35,8 +35,9 @@ import scala.collection.mutable
   *    the target file/path — inspectable, never a silent hole
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * indirect-rooted fractal heaps, filters beyond the three above,
-  * non-IEEE or big-endian numeric types, compound/enum/reference types.
+  * fractal heaps with child indirect blocks, filters beyond the three
+  * above, non-IEEE or big-endian numeric types, compound/enum/reference
+  * types.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -243,9 +244,10 @@ object Hdf5 {
     * dozens of `data_00000N` external links — keep their link messages in a
     * fractal heap, name-indexed by a v2 B-tree of (hash, heap ID) records.
     * Enumeration walks the B-tree's records (the hash is ignored — we list,
-    * never look up) and reads each link message straight out of the heap's
-    * root direct block. Loud-fail corners: indirect-rooted heaps (dense
-    * groups too large for one direct block), filtered heaps, and
+    * never look up) and reads each link message straight out of the
+    * heap — a single root direct block, or the doubling-table rows of a
+    * root indirect block once the group outgrows one. Loud-fail corners:
+    * heaps deep enough for child INDIRECT blocks, filtered heaps, and
     * huge/tiny heap IDs. */
   private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
     val bb = bufAt(bytes, off.toLong)
@@ -265,20 +267,53 @@ object Hdf5 {
     u8(hb) // heap flags (checksum bits affect only writes we don't do)
     val maxManSize = u32(hb)
     (0 until 12).foreach(_ => u64(hb)) // huge/free/managed/iterator stats
-    u16(hb) // table width
-    u64(hb) // starting block size
-    u64(hb) // maximum direct block size
+    val tableWidth = u16(hb)
+    val startBlockSize = u64(hb)
+    val maxDirectSize = u64(hb)
     val maxHeapBits = u16(hb)
     u16(hb) // starting rows in root indirect block
     val rootAddr = u64(hb)
     val curRows = u16(hb)
-    require(curRows == 0,
-      "indirect-rooted fractal heap not supported (dense group spans blocks)")
     require(rootAddr != UNDEF, "fractal heap with no root block")
-    sig(bufAt(bytes, rootAddr), "FHDB")
     val offSize = (maxHeapBits + 7) / 8
     val lenSize = math.min(offSize, (64 - java.lang.Long.numberOfLeadingZeros(
       math.max(maxManSize, 1L)) + 7) / 8)
+
+    // heap offset -> file address. Root = one direct block (curRows 0), or
+    // a root indirect block whose rows of width `tableWidth` point at
+    // direct blocks via the doubling table (row sizes S, S, 2S, 4S, …) —
+    // the layout a dense group grows into past one block. Rows deep
+    // enough to hold child INDIRECT blocks stay loud-fail (a group that
+    // size is beyond any real master file).
+    def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val locate: Long => Long =
+      if (curRows == 0) {
+        sig(bufAt(bytes, rootAddr), "FHDB")
+        off => rootAddr + off
+      } else {
+        val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+        require(curRows <= maxDirectRows,
+          "fractal heap with child indirect blocks not supported")
+        val ib = bufAt(bytes, rootAddr)
+        sig(ib, "FHIB")
+        require(u8(ib) == 0, "fractal heap indirect block version")
+        u64(ib) // heap header back-pointer
+        readUIntN(ib, offSize) // block offset (root: 0)
+        val addrs = (0 until curRows * tableWidth).map(_ => u64(ib))
+        def rowSize(r: Int): Long =
+          if (r < 2) startBlockSize else startBlockSize << (r - 1)
+        off => {
+          var r = 0
+          var rowStart = 0L
+          while (rowStart + tableWidth * rowSize(r) <= off) {
+            rowStart += tableWidth * rowSize(r); r += 1
+          }
+          val idx = ((off - rowStart) / rowSize(r)).toInt
+          val dAddr = addrs(r * tableWidth + idx)
+          require(dAddr != UNDEF, "object in unallocated fractal-heap block")
+          dAddr + (off - (rowStart + idx * rowSize(r)))
+        }
+      }
 
     // name-index v2 B-tree, type 5 = (name hash, heap ID), any depth
     val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(5))
@@ -288,10 +323,10 @@ object Hdf5 {
       require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
       val objOff = readUIntN(lb, offSize)
       readUIntN(lb, lenSize) // object length; link messages self-delimit
-      // a managed object's heap offset counts from the root block's start
-      // (the block header occupies the first virtual bytes), so its file
-      // address is simply rootAddr + offset for a direct root
-      linkChild(bytes, (rootAddr + objOff).toInt)
+      // a managed object's heap offset counts block headers as the first
+      // virtual bytes of each block, so locate() maps it straight to the
+      // file address
+      linkChild(bytes, locate(objOff).toInt)
     }
   }
 

@@ -189,7 +189,11 @@ class Hdf5Spec extends SparkSpec {
     // an external link stored densely rides along (marker: file missing)
     val ext = byP("/entry/data/data_000001")
     assert(ext.attrs("external_link_file") == "nope_data.h5")
-    assert(dense.size == 13, dense.map(_.path).sorted.mkString("\n"))
+    // indirect-rooted heap: links packed across several direct blocks
+    // addressed through an FHIB row
+    for (i <- 0 until 14)
+      assert(byP(f"/entry/data2/frame_$i%03d").scalarF64.contains(i * 0.5))
+    assert(dense.size == 27, dense.map(_.path).sorted.mkString("\n"))
   }
 
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
