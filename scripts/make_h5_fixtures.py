@@ -1294,6 +1294,61 @@ def fractal_heap_links_indirect(f: FileBuf, link_bodies, start_size=128):
     return hdr_addr, btree_addr
 
 
+def attr_info_dense(f: FileBuf, named_bodies):
+    """Attribute Info (0x15) message body with DENSE storage: attribute
+    messages in a single-direct-block fractal heap, name-indexed by a
+    type-8 v2 B-tree (8-byte heap ID, message flags, creation order,
+    hash). Returns the 0x15 message body."""
+    width, start_size, max_bits, max_man = 4, 512, 32, 4096
+    off_size = (max_bits + 7) // 8
+    len_size = min(off_size, (max_man.bit_length() + 7) // 8)
+    heap_id_len = 8  # attribute heaps use the fixed 8-byte ID form
+
+    hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
+                       + 2 + 2 + 8 + 2 + 4)
+    body = b'FHDB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
+    body += (0).to_bytes(off_size, 'little')
+    ids = []
+    for name, ab in named_bodies:
+        ids.append((name, len(body), len(ab)))
+        body += ab
+    used = len(body)
+    assert used <= start_size, "fixture attr heap overflows one direct block"
+    dblock_addr = f.append(body + b'\0' * (start_size - used))
+
+    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    rec_size = 8 + 1 + 4 + 4
+    leaf = b'BTLF' + struct.pack('<BB', 0, 8)
+    for h, off, ln in recs:
+        hid = (struct.pack('<B', 0) + off.to_bytes(off_size, 'little')
+               + ln.to_bytes(len_size, 'little'))
+        leaf += hid + b'\0' * (8 - len(hid))
+        leaf += struct.pack('<BII', 0, 0, h)  # msg flags, corder, hash
+    leaf += struct.pack('<I', lookup3(leaf))
+    leaf_addr = f.append(leaf)
+    bt = b'BTHD' + struct.pack('<BB', 0, 8)
+    bt += struct.pack('<IHHBB', 512, rec_size, 0, 100, 40)
+    bt += struct.pack('<QHQ', leaf_addr, len(recs), len(recs))
+    bt += struct.pack('<I', lookup3(bt))
+    btree_addr = f.append(bt)
+
+    hdr = b'FRHP' + struct.pack('<B', 0)
+    hdr += struct.pack('<HHB', heap_id_len, 0, 0)
+    hdr += struct.pack('<I', max_man)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', start_size - used, UNDEF)
+    hdr += struct.pack('<QQ', start_size, start_size)
+    hdr += struct.pack('<QQ', used, len(ids))
+    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)
+    hdr += struct.pack('<H', width)
+    hdr += struct.pack('<QQ', start_size, 64 * 1024)
+    hdr += struct.pack('<HH', max_bits, 0)
+    hdr += struct.pack('<QH', dblock_addr, 0)
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return struct.pack('<BB', 0, 0) + struct.pack('<QQ', hdr_addr, btree_addr)
+
+
 def group_v2_dense(f: FileBuf, link_bodies, indirect=False):
     """Group whose links live in dense storage: the object header carries
     ONLY a Link Info message pointing at the fractal heap + name index."""
@@ -1333,7 +1388,22 @@ def make_dense(path: Path):
         bodies2.append((name, link_msg(name, ds)))
     data2 = group_v2_dense(f, bodies2, indirect=True)
 
-    entry = group_v2(f, {'data': data, 'data2': data2})
+    # a dataset with 10 attributes -> dense attribute storage (0x15)
+    raw = f.append(struct.pack('<d', 42.0))
+    attr_bodies = [('units', attr_v3('units', dt_str(3), space_scalar(),
+                                     b'mm\x00'))]
+    for i in range(9):
+        attr_bodies.append((f'a{i:02d}',
+                            attr_v3(f'a{i:02d}', dt_str(4), space_scalar(),
+                                    f'v{i:02d}\x00'.encode())))
+    manyattrs = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f64()),
+        (0x08, layout_contiguous(raw, 8)),
+        (0x15, attr_info_dense(f, attr_bodies)),
+    ])
+
+    entry = group_v2(f, {'data': data, 'data2': data2,
+                         'manyattrs': manyattrs})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 
 

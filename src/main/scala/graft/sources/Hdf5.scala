@@ -257,8 +257,57 @@ object Hdf5 {
     val fheapAddr = u64(bb)
     val btreeAddr = u64(bb)
     if (fheapAddr == UNDEF || btreeAddr == UNDEF) return Nil // compact group
+    val heap = fractalHeap(bytes, fheapAddr)
 
-    // fractal heap header -> root direct block + heap-ID field widths
+    // name-index v2 B-tree, type 5 = (name hash, heap ID), any depth
+    val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(5))
+    recs.map { lb =>
+      u32(lb) // name hash — enumeration doesn't need it
+      val idFlags = u8(lb)
+      require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
+      val objOff = readUIntN(lb, heap.offSize)
+      readUIntN(lb, heap.lenSize) // object length; link messages self-delimit
+      // a managed object's heap offset counts block headers as the first
+      // virtual bytes of each block, so locate() maps it straight to the
+      // file address
+      linkChild(bytes, heap.locate(objOff).toInt)
+    }
+  }
+
+  /** Dense attribute storage (Attribute Info message, 0x15): objects past
+    * the compact-attribute threshold keep their attribute messages in a
+    * fractal heap, name-indexed by a v2 B-tree of type-8 records (8-byte
+    * heap ID first, then message flags, creation order, name hash). Same
+    * machinery as dense links. */
+  private def denseAttrs(bytes: Array[Byte], off: Int): Seq[(String, String)] = {
+    val bb = bufAt(bytes, off.toLong)
+    require(u8(bb) == 0, "attribute info version")
+    val aiFlags = u8(bb)
+    if ((aiFlags & 1) != 0) u16(bb) // max creation index
+    val fheapAddr = u64(bb)
+    val btreeAddr = u64(bb)
+    if (fheapAddr == UNDEF || btreeAddr == UNDEF) return Nil // compact
+    val heap = fractalHeap(bytes, fheapAddr)
+    val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(8))
+    recs.flatMap { rb =>
+      val idFlags = u8(rb)
+      require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
+      val objOff = readUIntN(rb, heap.offSize)
+      // length + padding + flags/corder/hash follow; the attribute
+      // message is self-delimiting
+      parseAttribute(bytes, heap.locate(objOff).toInt)
+    }
+  }
+
+  private case class FHeap(locate: Long => Long, offSize: Int, lenSize: Int)
+
+  /** Fractal heap header -> heap-ID field widths and an offset→file-address
+    * mapper. Root = one direct block (curRows 0), or a root indirect block
+    * whose rows of width `tableWidth` point at direct blocks via the
+    * doubling table (row sizes S, S, 2S, 4S, …). Rows deep enough to hold
+    * child INDIRECT blocks stay loud-fail (a group that size is beyond any
+    * real master file). */
+  private def fractalHeap(bytes: Array[Byte], fheapAddr: Long): FHeap = {
     val hb = bufAt(bytes, fheapAddr)
     sig(hb, "FRHP")
     require(u8(hb) == 0, "fractal heap version")
@@ -279,12 +328,6 @@ object Hdf5 {
     val lenSize = math.min(offSize, (64 - java.lang.Long.numberOfLeadingZeros(
       math.max(maxManSize, 1L)) + 7) / 8)
 
-    // heap offset -> file address. Root = one direct block (curRows 0), or
-    // a root indirect block whose rows of width `tableWidth` point at
-    // direct blocks via the doubling table (row sizes S, S, 2S, 4S, …) —
-    // the layout a dense group grows into past one block. Rows deep
-    // enough to hold child INDIRECT blocks stay loud-fail (a group that
-    // size is beyond any real master file).
     def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
     val locate: Long => Long =
       if (curRows == 0) {
@@ -314,20 +357,7 @@ object Hdf5 {
           dAddr + (off - (rowStart + idx * rowSize(r)))
         }
       }
-
-    // name-index v2 B-tree, type 5 = (name hash, heap ID), any depth
-    val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(5))
-    recs.map { lb =>
-      u32(lb) // name hash — enumeration doesn't need it
-      val idFlags = u8(lb)
-      require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
-      val objOff = readUIntN(lb, offSize)
-      readUIntN(lb, lenSize) // object length; link messages self-delimit
-      // a managed object's heap offset counts block headers as the first
-      // virtual bytes of each block, so locate() maps it straight to the
-      // file address
-      linkChild(bytes, locate(objOff).toInt)
-    }
+    FHeap(locate, offSize, lenSize)
   }
 
   private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[Link] = {
@@ -1268,8 +1298,10 @@ object Hdf5 {
           val dt = parseDatatype(bufAt(bytes, byType(0x03).head.off.toLong))
           val filters = byType.get(0x0B).map(m => parseFilters(bytes, m.head.off))
             .getOrElse(Nil)
-          val attrs = byType.getOrElse(0x0C, Nil)
-            .flatMap(m => parseAttribute(bytes, m.off)).toMap
+          val attrs = (byType.getOrElse(0x0C, Nil)
+            .flatMap(m => parseAttribute(bytes, m.off)) ++
+            byType.getOrElse(0x15, Nil).flatMap(m => denseAttrs(bytes, m.off))
+            ).toMap
           val raw = readLayout(bytes, byType(0x08).head.off, dims, dt, filters)
           buildNode(bytes, path, dims, dt, raw, attrs)
         })

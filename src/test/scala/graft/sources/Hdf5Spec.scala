@@ -193,7 +193,12 @@ class Hdf5Spec extends SparkSpec {
     // addressed through an FHIB row
     for (i <- 0 until 14)
       assert(byP(f"/entry/data2/frame_$i%03d").scalarF64.contains(i * 0.5))
-    assert(dense.size == 27, dense.map(_.path).sorted.mkString("\n"))
+    // dense ATTRIBUTE storage (0x15): 10 attrs via heap + type-8 index
+    val ma = byP("/entry/manyattrs")
+    assert(ma.scalarF64.contains(42.0))
+    assert(ma.attrs("units") == "mm")
+    assert((0 until 9).forall(i => ma.attrs(f"a$i%02d") == f"v$i%02d"))
+    assert(dense.size == 28, dense.map(_.path).sorted.mkString("\n"))
   }
 
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
