@@ -1053,6 +1053,53 @@ def btree2_chunks_depth1(f: FileBuf, records, node_size=128):
     return f.append(hdr)
 
 
+def btree2_chunks_depth2(f: FileBuf, records, node_size=128):
+    """Depth-2 v2 B-tree chunk index (type 10): root BTIN -> child BTINs ->
+    leaves. Child pointers to internal nodes carry the extra total-record
+    count field (1 byte here: cum_max(1) = 39 for these parameters)."""
+    btype = 10
+    rank = len(records[0][3])
+    rec_size = 8 + 8 * rank
+
+    def rec_bytes(r):
+        a, _, _, offs = r
+        return struct.pack('<Q', a) + b''.join(
+            struct.pack('<Q', o) for o in offs)
+
+    def write_leaf(recs):
+        body = b'BTLF' + struct.pack('<BB', 0, btype)
+        for r in recs:
+            body += rec_bytes(r)
+        body += struct.pack('<I', lookup3(body))
+        return f.append(body), len(recs)
+
+    def write_internal(recs, children, with_total):
+        # children: [(addr, nrec, total)]
+        body = b'BTIN' + struct.pack('<BB', 0, btype)
+        for r in recs:
+            body += rec_bytes(r)
+        for a, n, tot in children:
+            body += struct.pack('<QB', a, n)
+            if with_total:
+                body += struct.pack('<B', tot)
+        body += struct.pack('<I', lookup3(body))
+        return f.append(body)
+
+    # shape: [L2 s L2] S [L2 s L2] — 11 records total
+    assert len(records) == 11
+    r = records
+    l0 = write_leaf(r[0:2]); l1 = write_leaf(r[3:5])
+    i0 = write_internal([r[2]], [(l0[0], 2, 2), (l1[0], 2, 2)], False)
+    l2 = write_leaf(r[6:8]); l3 = write_leaf(r[9:11])
+    i1 = write_internal([r[8]], [(l2[0], 2, 2), (l3[0], 2, 2)], False)
+    root = write_internal([r[5]], [(i0, 1, 5), (i1, 1, 5)], True)
+    hdr = b'BTHD' + struct.pack('<BB', 0, btype)
+    hdr += struct.pack('<IHHBB', node_size, rec_size, 2, 100, 40)
+    hdr += struct.pack('<QHQ', root, 1, len(records))
+    hdr += struct.pack('<I', lookup3(hdr))
+    return f.append(hdr)
+
+
 def layout_v4_btree2(addr, chunk_dims, node_size=512):
     body = struct.pack('<BBBBB', 4, 2, 0, len(chunk_dims) + 1, 8)
     body += b''.join(struct.pack('<Q', d) for d in chunk_dims)
@@ -1161,10 +1208,23 @@ def make_unlimited(path: Path):
             btree2_chunks_depth1(f, recs6), [2], node_size=128)),
     ])
 
+    # bt2_deep2 : same 11 records through a DEPTH-2 tree (total-count
+    # pointer fields exercised)
+    raw8 = b''.join(struct.pack('<f', i * 0.75) for i in range(22))
+    recs8 = [(f.append(raw8[i * 8:(i + 1) * 8]), 8, 0, [i])
+             for i in range(11)]
+    bt2_deep2 = object_header_v2(f, [
+        (0x01, space_unlimited([22])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_btree2(
+            btree2_chunks_depth2(f, recs8), [2], node_size=128)),
+    ])
+
     detector = group_v2(f, {'ea': ea, 'ea_sb': ea_sb, 'ea_z': ea_z,
                             'ea_paged': ea_paged,
                             'bt2': bt2, 'bt2_z': bt2_z,
-                            'bt2_deep': bt2_deep})
+                            'bt2_deep': bt2_deep,
+                            'bt2_deep2': bt2_deep2})
     finish_v2(f, group_v2(f, {'detector': detector}), path)
 
 

@@ -107,6 +107,9 @@ class Hdf5Spec extends SparkSpec {
     // leaf-capacity ladder
     assert(unlimByPath("/detector/bt2_deep").f32Data.map(_.toSeq)
       .contains((0 until 22).map(_ * 0.25f)))
+    // depth-2 tree: pointers to internal children carry total counts
+    assert(unlimByPath("/detector/bt2_deep2").f32Data.map(_.toSeq)
+      .contains((0 until 22).map(_ * 0.75f)))
   }
 
   test("LZ4 (32004) and bitshuffle (32008 ± internal lz4) filters decode") {
