@@ -349,4 +349,18 @@ class Hdf5Spec extends SparkSpec {
     val truncated = fixture("mouse_v0.h5").take(64)
     intercept[Exception] { Hdf5.read(truncated) }
   }
+
+  test("systematic truncation of every fixture: throw or finish, never hang") {
+    // the executor-facing contract on damaged files: a clean exception —
+    // no infinite walks, no pathological allocations, no silent zeros
+    for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
+      "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5")) {
+      val full = fixture(name)
+      for (k <- 1 until 40) {
+        val cut = java.util.Arrays.copyOf(full, math.max(9, full.length * k / 40))
+        try { Hdf5.read(cut); () }
+        catch { case _: Exception => () } // loud failure is the contract
+      }
+    }
+  }
 }
