@@ -78,6 +78,13 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** The pre-checkpoint pair-generation frame, exposed for plan
+    * inspection only (PlanDump, plan tests): the d02/d07 queries read the
+    * shared localCheckpoint, whose explain is a bare `Scan ExistingRDD` —
+    * this is the REAL minhash plan behind it. */
+  def minhashPairsForPlan(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
+
   private case class SharedPairs(df: DataFrame, rdds: Seq[RDD[_]])
   private val pairCache = new ConcurrentHashMap[(SparkSession, String), SharedPairs]()
 
