@@ -32,7 +32,8 @@ object Settings {
     * nested block (a key with no scalar on its line, or an indented key)
     * is outside the settings-file contract and fails loudly. */
   def parse(text: String): Map[String, String] = {
-    val entries = text.linesIterator.zipWithIndex.flatMap { case (line, i) =>
+    val entries = text.linesIterator.zipWithIndex.flatMap { case (line0, i) =>
+      val line = line0.stripSuffix("\r") // CRLF settings files edited on Windows
       val noBom = if (i == 0) line.stripPrefix("﻿") else line
       if (noBom.trim.isEmpty || noBom.trim.startsWith("#")) None
       else {

@@ -272,6 +272,10 @@ class PipelineSpec extends SparkSpec {
         "StackerConfigurations/stacker_config.yaml")
     assert(c.loggingLevel == "INFO")
 
+    // CRLF files (Windows-edited settings) parse identically
+    val crlf = Settings.fromYaml(yaml.replace("\n", "\r\n"))
+    assert(crlf == c)
+
     // required-key contract and nested-yaml loud failure
     val e1 = intercept[IllegalArgumentException] {
       Settings.fromYaml("vsi_root: /a\n")
