@@ -786,6 +786,18 @@ def make_v4(path: Path):
         (0x08, layout_v4_fixed_array(fa_z, [4, 4])),
     ])
 
+    # single_skip : deflate DECLARED but the chunk's filter mask bit 0 set
+    # (libhdf5 writes raw chunks when a filter fails on that chunk) — the
+    # payload is stored UNCOMPRESSED and must decode via the mask
+    skip_addr = f.append(img_bytes)
+    single_skip = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_deflate()),
+        (0x08, layout_v4_single(skip_addr, [H, W],
+                                filtered_size=len(img_bytes), filter_mask=1)),
+    ])
+
     # lz4 : one chunk through the HDF5Plugin LZ4 filter (id 32004),
     # two 64-byte blocks so the block loop is exercised
     lz4_stream = lz4_filter_stream(img_bytes, 64)
@@ -819,6 +831,7 @@ def make_v4(path: Path):
     ])
 
     detector = group_v2(f, {'single': single, 'single_z': single_z,
+                            'single_skip': single_skip,
                             'implicit': implicit, 'fixedarr': fixedarr,
                             'fixedarr_z': fixedarr_z, 'lz4': lz4ds,
                             'bitshuf_z': bitshuf_z, 'bitshuf_raw': bitshuf_raw})

@@ -69,7 +69,10 @@ class Hdf5Spec extends SparkSpec {
     val v4 = Hdf5.read(fixture("mouse_v4.h5"))
     val m = v4.map(n => n.path -> n).toMap
     val expected = (0 until 30).map(_.toFloat)
-    for (name <- Seq("single", "single_z", "implicit", "fixedarr", "fixedarr_z")) {
+    // single_skip: deflate declared but the chunk's filter-mask bit set —
+    // stored raw, must decode via the mask, not through the filter
+    for (name <- Seq("single", "single_z", "single_skip",
+      "implicit", "fixedarr", "fixedarr_z")) {
       val n = m(s"/entry1/detector/$name")
       assert(n.dims == Seq(6L, 5L), s"$name dims")
       assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
