@@ -1381,22 +1381,42 @@ def attr_info_dense(f: FileBuf, named_bodies):
                        + 2 + 2 + 8 + 2 + 4)
     body = b'FHDB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
     body += (0).to_bytes(off_size, 'little')
-    ids = []
+    ids = []  # (name, heap-id bytes)
+    huge_recs = []
     for name, ab in named_bodies:
-        ids.append((name, len(body), len(ab)))
-        body += ab
+        if len(ab) > max_man:
+            # huge: object stored bare, indexed by the huge-object b-tree
+            hid = struct.pack('<B', 0x10)
+            hid += (len(huge_recs) + 1).to_bytes(heap_id_len - 1, 'little')
+            huge_recs.append((f.append(ab), len(ab), len(huge_recs) + 1))
+        else:
+            hid = (struct.pack('<B', 0) + len(body).to_bytes(off_size, 'little')
+                   + len(ab).to_bytes(len_size, 'little'))
+            hid += b'\0' * (heap_id_len - len(hid))
+            body += ab
+        ids.append((name, hid))
     used = len(body)
     assert used <= start_size, "fixture attr heap overflows one direct block"
     dblock_addr = f.append(body + b'\0' * (start_size - used))
 
-    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    huge_btree = UNDEF
+    if huge_recs:
+        leaf = b'BTLF' + struct.pack('<BB', 0, 1)
+        for a, ln, i in huge_recs:  # type-1 record: addr, length, id
+            leaf += struct.pack('<QQQ', a, ln, i)
+        leaf += struct.pack('<I', lookup3(leaf))
+        leaf_addr = f.append(leaf)
+        bt = b'BTHD' + struct.pack('<BB', 0, 1)
+        bt += struct.pack('<IHHBB', 512, 24, 0, 100, 40)
+        bt += struct.pack('<QHQ', leaf_addr, len(huge_recs), len(huge_recs))
+        bt += struct.pack('<I', lookup3(bt))
+        huge_btree = f.append(bt)
+
+    recs = sorted((lookup3(n.encode()), hid) for n, hid in ids)
     rec_size = 8 + 1 + 4 + 4
     leaf = b'BTLF' + struct.pack('<BB', 0, 8)
-    for h, off, ln in recs:
-        hid = (struct.pack('<B', 0) + off.to_bytes(off_size, 'little')
-               + ln.to_bytes(len_size, 'little'))
-        leaf += hid + b'\0' * (8 - len(hid))
-        leaf += struct.pack('<BII', 0, 0, h)  # msg flags, corder, hash
+    for h, hid in recs:
+        leaf += hid + struct.pack('<BII', 0, 0, h)  # msg flags, corder, hash
     leaf += struct.pack('<I', lookup3(leaf))
     leaf_addr = f.append(leaf)
     bt = b'BTHD' + struct.pack('<BB', 0, 8)
@@ -1408,11 +1428,12 @@ def attr_info_dense(f: FileBuf, named_bodies):
     hdr = b'FRHP' + struct.pack('<B', 0)
     hdr += struct.pack('<HHB', heap_id_len, 0, 0)
     hdr += struct.pack('<I', max_man)
-    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', len(huge_recs) + 1, huge_btree)
     hdr += struct.pack('<QQ', start_size - used, UNDEF)
     hdr += struct.pack('<QQ', start_size, start_size)
     hdr += struct.pack('<QQ', used, len(ids))
-    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)
+    hdr += struct.pack('<QQ', sum(r[1] for r in huge_recs), len(huge_recs))
+    hdr += struct.pack('<QQ', 0, 0)
     hdr += struct.pack('<H', width)
     hdr += struct.pack('<QQ', start_size, 64 * 1024)
     hdr += struct.pack('<HH', max_bits, 0)
@@ -1469,6 +1490,9 @@ def make_dense(path: Path):
         attr_bodies.append((f'a{i:02d}',
                             attr_v3(f'a{i:02d}', dt_str(4), space_scalar(),
                                     f'v{i:02d}\x00'.encode())))
+    # one attribute past max_man_size -> HUGE heap ID via the huge b-tree
+    attr_bodies.append(('blob', attr_v3('blob', dt_str(5000), space_scalar(),
+                                        b'x' * 4999 + b'\x00')))
     manyattrs = object_header_v2(f, [
         (0x01, space_scalar()), (0x03, dt_f64()),
         (0x08, layout_contiguous(raw, 8)),

@@ -246,9 +246,11 @@ object Hdf5 {
     * Enumeration walks the B-tree's records (the hash is ignored — we list,
     * never look up) and reads each link message straight out of the
     * heap — a single root direct block, or the doubling-table rows of a
-    * root indirect block once the group outgrows one. Loud-fail corners:
-    * heaps deep enough for child INDIRECT blocks, filtered heaps, and
-    * huge/tiny heap IDs. */
+    * root indirect block once the group outgrows one; objects past the
+    * managed-size ceiling resolve through the huge-object b-tree.
+    * Loud-fail corners: heaps deep enough for child INDIRECT blocks,
+    * filtered heaps, and tiny heap IDs (which cannot occur for link or
+    * attribute messages at these ID widths). */
   private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
     val bb = bufAt(bytes, off.toLong)
     require(u8(bb) == 0, "link info version")
@@ -263,14 +265,7 @@ object Hdf5 {
     val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(5))
     recs.map { lb =>
       u32(lb) // name hash — enumeration doesn't need it
-      val idFlags = u8(lb)
-      require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
-      val objOff = readUIntN(lb, heap.offSize)
-      readUIntN(lb, heap.lenSize) // object length; link messages self-delimit
-      // a managed object's heap offset counts block headers as the first
-      // virtual bytes of each block, so locate() maps it straight to the
-      // file address
-      linkChild(bytes, heap.locate(objOff).toInt)
+      linkChild(bytes, heapObjectAddr(bytes, heap, lb).toInt)
     }
   }
 
@@ -290,16 +285,44 @@ object Hdf5 {
     val heap = fractalHeap(bytes, fheapAddr)
     val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(8))
     recs.flatMap { rb =>
-      val idFlags = u8(rb)
-      require((idFlags & 0xF0) == 0, "huge/tiny fractal-heap object ID")
-      val objOff = readUIntN(rb, heap.offSize)
-      // length + padding + flags/corder/hash follow; the attribute
-      // message is self-delimiting
-      parseAttribute(bytes, heap.locate(objOff).toInt)
+      parseAttribute(bytes, heapObjectAddr(bytes, heap, rb).toInt)
     }
   }
 
-  private case class FHeap(locate: Long => Long, offSize: Int, lenSize: Int)
+  private case class FHeap(locate: Long => Long, offSize: Int, lenSize: Int,
+      heapIdLen: Int, hugeBtree: Long)
+
+  /** Resolve an object ID from a fractal heap's huge-object v2 B-tree
+    * (record type 1: address + length + ID — objects too big for managed
+    * blocks, stored bare in the file; type 2 = filtered stays loud-fail
+    * via the expected-type check). */
+  private def hugeObjectAddr(bytes: Array[Byte], heap: FHeap, id: Long): Long = {
+    require(heap.hugeBtree != UNDEF, "huge heap ID with no huge-object b-tree")
+    val (_, _, recs) = btree2Records(bytes, heap.hugeBtree, Set(1))
+    recs.collectFirst(Function.unlift { rb =>
+      val a = u64(rb)
+      u64(rb) // length — the stored messages are self-delimiting
+      if (u64(rb) == id) Some(a) else None
+    }).getOrElse(
+      throw new IllegalArgumentException(s"huge heap object $id not indexed"))
+  }
+
+  /** Read a (managed or huge) heap ID at the buffer position and return the
+    * object's file address. */
+  private def heapObjectAddr(bytes: Array[Byte], heap: FHeap, rb: ByteBuffer): Long = {
+    val idFlags = u8(rb)
+    require((idFlags & 0xC0) == 0, "fractal heap ID version")
+    (idFlags >> 4) & 3 match {
+      case 0 => // managed: offset into the heap's block space
+        val objOff = readUIntN(rb, heap.offSize)
+        readUIntN(rb, heap.lenSize) // length; stored messages self-delimit
+        heap.locate(objOff)
+      case 1 => // huge: ID into the huge-object b-tree
+        hugeObjectAddr(bytes, heap, readUIntN(rb, heap.heapIdLen - 1))
+      case t =>
+        throw new UnsupportedOperationException(s"tiny heap ID type $t")
+    }
+  }
 
   /** Fractal heap header -> heap-ID field widths and an offset→file-address
     * mapper. Root = one direct block (curRows 0), or a root indirect block
@@ -311,11 +334,13 @@ object Hdf5 {
     val hb = bufAt(bytes, fheapAddr)
     sig(hb, "FRHP")
     require(u8(hb) == 0, "fractal heap version")
-    u16(hb) // heap ID length (derived below)
+    val heapIdLen = u16(hb)
     require(u16(hb) == 0, "filtered fractal heap not supported")
     u8(hb) // heap flags (checksum bits affect only writes we don't do)
     val maxManSize = u32(hb)
-    (0 until 12).foreach(_ => u64(hb)) // huge/free/managed/iterator stats
+    u64(hb) // next huge object id
+    val hugeBtree = u64(hb)
+    (0 until 10).foreach(_ => u64(hb)) // free/managed/iterator/tiny stats
     val tableWidth = u16(hb)
     val startBlockSize = u64(hb)
     val maxDirectSize = u64(hb)
@@ -357,7 +382,7 @@ object Hdf5 {
           dAddr + (off - (rowStart + idx * rowSize(r)))
         }
       }
-    FHeap(locate, offSize, lenSize)
+    FHeap(locate, offSize, lenSize, heapIdLen, hugeBtree)
   }
 
   private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[Link] = {

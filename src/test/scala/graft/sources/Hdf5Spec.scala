@@ -199,11 +199,13 @@ class Hdf5Spec extends SparkSpec {
     // addressed through an FHIB row
     for (i <- 0 until 14)
       assert(byP(f"/entry/data2/frame_$i%03d").scalarF64.contains(i * 0.5))
-    // dense ATTRIBUTE storage (0x15): 10 attrs via heap + type-8 index
+    // dense ATTRIBUTE storage (0x15): 11 attrs via heap + type-8 index
     val ma = byP("/entry/manyattrs")
     assert(ma.scalarF64.contains(42.0))
     assert(ma.attrs("units") == "mm")
     assert((0 until 9).forall(i => ma.attrs(f"a$i%02d") == f"v$i%02d"))
+    // >4 KB attribute -> huge heap ID resolved through the huge b-tree
+    assert(ma.attrs("blob") == "x" * 4999)
     assert(dense.size == 28, dense.map(_.path).sorted.mkString("\n"))
   }
 
