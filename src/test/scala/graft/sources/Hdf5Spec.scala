@@ -302,6 +302,20 @@ class Hdf5Spec extends SparkSpec {
     assert(nodes.forall(_.attrs.contains("external_link_file")))
   }
 
+  test("treeTable's binaryFile scan reads only path+content (pruning)") {
+    val dir = Files.createTempDirectory("h5prune")
+    Files.write(dir.resolve("a.h5"), fixture("mouse_v0.h5"))
+    val tree = Hdf5Source.treeTable(spark, dir.toString)
+    // the scan schema must drop modificationTime/length — at 100 TB the
+    // ingest cost is content bytes, and nothing else should ride along
+    val scans = tree.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSet == Set("path", "content"),
+      scans.head.treeString)
+  }
+
   test("streaming source: new files arrive as TreeRow micro-batches (§2.9)") {
     val dir = Files.createTempDirectory("h5stream")
     val out = Files.createTempDirectory("h5stream-out").toString
