@@ -871,6 +871,35 @@ def make_bad_deflate(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+def make_bad_swizzle(path: Path):
+    """A 2-D dataset whose UNLIMITED dimension is dim 1 (not dim 0) with an
+    Extensible Array chunk index. libhdf5 would have swizzled the chunk
+    coordinates before linearizing (H5VM_swizzle_coords); the reader does
+    not implement the swizzle and must fail loudly, never scramble data."""
+    f = FileBuf()
+    f.alloc(48)
+    # maxdims: [4, UNLIMITED]
+    space = struct.pack('<4B4x', 1, 2, 1, 0)
+    space += struct.pack('<QQ', 4, 6)
+    space += struct.pack('<QQ', 4, UNDEF)
+    raw = b''.join(struct.pack('<f', float(i)) for i in range(24))
+    entries = [(f.append(raw[i * 8:(i + 1) * 8]), 8, 0) for i in range(3)]
+    ds = object_header_v2(f, [
+        (0x01, space),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_ext_array(ext_array(f, entries, filtered=False),
+                                   [4, 2])),
+    ])
+    root = group_v2(f, {'badswz': ds})
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 3, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
 def make_str_array(path: Path):
     """A fixed-string ARRAY dataset — unsupported, must fail loudly rather
     than silently truncate to the first element."""
@@ -894,13 +923,20 @@ def make_str_array(path: Path):
 
 # ------------------------------------- extensible array / v2 btree index --
 def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
-              sblk_min_ptrs=4, max_bits=32, page_bits=10):
+              sblk_min_ptrs=4, max_bits=32, page_bits=10,
+              uninit_elems=frozenset()):
     """EAHD/EAIB/EADB/EASB for an Extensible Array chunk index (one
     unlimited dim). elements: [(addr, nbytes, mask)] in linear chunk order.
     Geometry mirrors libhdf5 H5EA: idx_elems elements inline in the index
     block; super block u holds 2^(u//2) data blocks of 2^((u+1)//2)*dblk_min
     elements; the first 2*log2(sblk_min_ptrs) super blocks' data blocks are
-    addressed straight from the index block, the rest through EASB."""
+    addressed straight from the index block, the rest through EASB.
+
+    uninit_elems: global linear chunk indices whose PAGE (in a paged data
+    block) is marked uninitialized in the super block's page-init bitmask.
+    Those pages are written as poison bytes (0xEE) on disk — like libhdf5,
+    which allocates the block at full size but never writes unused pages —
+    so a reader that misreads the bitmask sees garbage, not fill."""
     client = 1 if filtered else 0
     elem_size = 8 + 4 + 4 if filtered else 8
     off_size = (max_bits + 7) // 8
@@ -931,34 +967,42 @@ def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
     per_sblk, i = [], 0
     for u in range(nsblks):
         nd, ne, s_idx, _ = sblk[u]
-        addrs = []
+        addrs, masks = [], []
         for d in range(nd):
             if i >= len(rest):
                 break
+            blk_start = idx_elems + s_idx + d * ne  # global idx of blk[0]
             blk = rest[i:i + ne]
             i += len(blk)
             blk += [(UNDEF, 0, 0)] * (ne - len(blk))
             body = b'EADB' + struct.pack('<BB', 0, client)
             body += struct.pack('<Q', hdr_addr)
-            body += (idx_elems + s_idx + d * ne).to_bytes(off_size, 'little')
+            body += blk_start.to_bytes(off_size, 'little')
+            page_init = []
             if ne > page_n:
                 # paged: checksummed prefix, then bare pages (elems + csum)
                 body += struct.pack('<I', lookup3(body))
                 for p0 in range(0, ne, page_n):
-                    page = b''.join(enc(e) for e in blk[p0:p0 + page_n])
+                    init = all(blk_start + j not in uninit_elems
+                               for j in range(p0, p0 + page_n))
+                    page_init.append(init)
+                    page = (b''.join(enc(e) for e in blk[p0:p0 + page_n])
+                            if init else b'\xee' * (page_n * elem_size))
                     body += page + struct.pack('<I', lookup3(page))
             else:
                 body += b''.join(enc(e) for e in blk)
                 body += struct.pack('<I', lookup3(body))
             addrs.append(f.append(body))
-        per_sblk.append(addrs)
+            masks.append(page_init)
+        per_sblk.append((addrs, masks))
 
-    iblk_dblk = [a for u in range(min(first_real, nsblks)) for a in per_sblk[u]]
+    iblk_dblk = [a for u in range(min(first_real, nsblks))
+                 for a in per_sblk[u][0]]
     iblk_dblk += [UNDEF] * (n_iblk_dblk - len(iblk_dblk))
     sblk_addrs = []
     for u in range(first_real, nsblks):
         nd, ne, s_idx, _ = sblk[u]
-        addrs = per_sblk[u]
+        addrs, dmasks = per_sblk[u]
         if not addrs:
             sblk_addrs.append(UNDEF)
             continue
@@ -967,9 +1011,17 @@ def ext_array(f: FileBuf, elements, filtered, idx_elems=2, dblk_min=2,
         body += struct.pack('<Q', hdr_addr)
         body += (idx_elems + s_idx).to_bytes(off_size, 'little')
         npages = ne // page_n if ne > page_n else 0
-        if npages:  # page-init bitmasks (all written), before the addresses
-            mask = ((1 << npages) - 1).to_bytes((npages + 7) // 8, 'little')
-            body += mask * nd
+        if npages:
+            # page-init bitmasks, one per data block, before the addresses.
+            # Bit order matches libhdf5 H5VM_bit_set: bit offset 0 lives in
+            # the byte's HIGH bit (0x80 >> (off % 8)), MSB-first.
+            for d in range(nd):
+                init = (dmasks[d] if d < len(dmasks) else []) or [True] * npages
+                mb = bytearray((npages + 7) // 8)
+                for pg in range(npages):
+                    if pg < len(init) and init[pg]:
+                        mb[pg // 8] |= 0x80 >> (pg % 8)
+                body += bytes(mb)
         body += b''.join(struct.pack('<Q', a) for a in addrs)
         body += struct.pack('<I', lookup3(body))
         sblk_addrs.append(f.append(body))
@@ -1199,14 +1251,19 @@ def make_unlimited(path: Path):
     ])
 
     # ea_paged : [160] f32 chunk [2] -> 80 chunks with page_bits=3, so
-    # super block 5's 16-element data blocks split into checksummed pages
+    # super block 5's 16-element data block splits into 2 checksummed
+    # pages. Page 1 (chunks 72-79) is marked UNINITIALIZED in the
+    # MSB-first page-init bitmask and poisoned on disk: elements 144-159
+    # must read as fill (0.0), and a reader with the wrong bit order
+    # trips over the poison instead of silently passing.
     raw7 = b''.join(struct.pack('<f', i * 0.125) for i in range(160))
     entries7 = [(f.append(raw7[i * 8:(i + 1) * 8]), 8, 0) for i in range(80)]
     ea_paged = object_header_v2(f, [
         (0x01, space_unlimited([160])),
         (0x03, dt_f32()),
         (0x08, layout_v4_ext_array(
-            ext_array(f, entries7, filtered=False, page_bits=3), [2],
+            ext_array(f, entries7, filtered=False, page_bits=3,
+                      uninit_elems=frozenset(range(72, 80))), [2],
             page_bits=3)),
     ])
 
@@ -1577,6 +1634,7 @@ if __name__ == '__main__':
     make_v2(out / 'mouse_v2.h5')
     make_v4(out / 'mouse_v4.h5')
     make_bad_deflate(out / 'bad_deflate.h5')
+    make_bad_swizzle(out / 'bad_swizzle.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
     make_unlimited(out / 'mouse_unlim.h5')

@@ -49,7 +49,13 @@ object Settings {
             val end = raw.indexOf(q, 1)
             require(end > 0, s"line ${i + 1}: unterminated quote: $line")
             raw.substring(1, end)
-          } else raw.takeWhile(_ != '#').trim
+          } else {
+            // YAML starts a trailing comment only at whitespace + '#';
+            // a bare '#' inside a scalar (masks_dir: /data/run#12) is data
+            val cut = raw.indices.find(j =>
+              raw(j) == '#' && j > 0 && raw(j - 1).isWhitespace)
+            cut.fold(raw)(raw.substring(0, _)).trim
+          }
         require(value.nonEmpty,
           s"line ${i + 1}: key '$key' has no scalar value (nested block?)")
         Some(key -> value)

@@ -114,9 +114,11 @@ object Hdf5 {
     }
   }
 
-  /** Dataspace dims + whether it is H5S_NULL (v2 type byte 2 — NO data
-    * elements on disk, distinct from a rank-0 scalar). */
-  private def parseDataspaceFull(bb: ByteBuffer): (Seq[Long], Boolean) = {
+  /** Dataspace dims, maxdims (== dims when the file stores none), and
+    * whether it is H5S_NULL (v2 type byte 2 — NO data elements on disk,
+    * distinct from a rank-0 scalar). An unlimited maxdim is stored as
+    * all-ones (`UNDEF`); callers use it to detect which dimension grows. */
+  private def parseDataspaceFull(bb: ByteBuffer): (Seq[Long], Seq[Long], Boolean) = {
     val version = u8(bb)
     val rank = u8(bb)
     val flags = u8(bb)
@@ -126,8 +128,9 @@ object Hdf5 {
       case v => throw new UnsupportedOperationException(s"dataspace v$v")
     }
     val dims = (0 until rank).map(_ => u64(bb))
-    if ((flags & 1) != 0) (0 until rank).foreach(_ => u64(bb)) // skip maxdims
-    (dims, isNull)
+    val maxdims =
+      if ((flags & 1) != 0) (0 until rank).map(_ => u64(bb)) else dims
+    (dims, maxdims, isNull)
   }
 
   private def parseDataspace(bb: ByteBuffer): Seq[Long] = parseDataspaceFull(bb)._1
@@ -754,8 +757,8 @@ object Hdf5 {
     * (append-mode detector stacks); v2 B-tree (5), any depth, for
     * several, any depth. */
   private def readChunkedV4(
-      bytes: Array[Byte], off: Int, dims: Seq[Long], elemSize: Int,
-      filters: Seq[H5Filter]): Option[Array[Byte]] = {
+      bytes: Array[Byte], off: Int, dims: Seq[Long], maxdims: Seq[Long],
+      elemSize: Int, filters: Seq[H5Filter]): Option[Array[Byte]] = {
     val bb = bufAt(bytes, off.toLong)
     val flags = u8(bb)
     val ndims = u8(bb) // rank + 1, as in v3
@@ -807,6 +810,17 @@ object Hdf5 {
         }.zipWithIndex.map { case (c, i) => c.copy(offsets = gridOffsets(i)) }
 
       case 4 => // Extensible Array: EAHD -> EAIB (+EASB/EADB) elements
+        // libhdf5 swizzles chunk coordinates so the single unlimited
+        // dimension becomes the SLOWEST-varying before linearizing
+        // (H5Dearray.c H5D__earray_idx_... via H5VM_swizzle_coords).
+        // Our row-major gridOffsets is only correct when that dimension
+        // is already dim 0 — the detector-stack case this index targets.
+        // Anything else would silently scramble chunk placement, so fail.
+        val unlim = maxdims.indices.filter(maxdims(_) == UNDEF)
+        require(unlim.isEmpty || unlim == Seq(0),
+          s"extensible-array chunk index with unlimited dimension at " +
+            s"${unlim.mkString(",")} (only dim 0 supported: libhdf5 " +
+            "swizzles coordinates for other dims)")
         bb.position(bb.position() + 5) // cparams: the header repeats them
         val addr = u64(bb)
         if (addr == UNDEF) return None
@@ -981,7 +995,9 @@ object Hdf5 {
         val masks = (0 until s.ndblks).map(_ =>
           if (npages > 0) take(sb, maskSize) else Array.emptyByteArray)
         val addrs = (0 until s.ndblks).map(_ => u64(sb)).toIndexedSeq
-        (addrs, d => pg => npages == 0 || (masks(d)(pg / 8) & (1 << (pg % 8))) != 0)
+        // bit order: libhdf5's H5VM_bit_get stores bit offset 0 in the
+        // byte's HIGH bit (0x80 >> (off % 8)), i.e. MSB-first
+        (addrs, d => pg => npages == 0 || (masks(d)(pg / 8) & (0x80 >> (pg % 8))) != 0)
       })
 
     (0 until nChunks).map { i =>
@@ -1210,7 +1226,7 @@ object Hdf5 {
     val dt = parseDatatype(bb)
     bb.position(dtStart + padded(dtSize))
     val dsStart = bb.position()
-    val (dims, isNull) = parseDataspaceFull(bb)
+    val (dims, _, isNull) = parseDataspaceFull(bb)
     bb.position(dsStart + padded(dsSize))
     // scalar attrs only; a null dataspace or zero-size shape has NO data
     // bytes on disk — reading dt.size bytes would decode padding as a value
@@ -1319,7 +1335,8 @@ object Hdf5 {
         }
       } else {
         val node = datasetCache.getOrElseUpdate(addr, {
-          val dims = parseDataspace(bufAt(bytes, byType(0x01).head.off.toLong))
+          val (dims, maxdims, _) =
+            parseDataspaceFull(bufAt(bytes, byType(0x01).head.off.toLong))
           val dt = parseDatatype(bufAt(bytes, byType(0x03).head.off.toLong))
           val filters = byType.get(0x0B).map(m => parseFilters(bytes, m.head.off))
             .getOrElse(Nil)
@@ -1327,7 +1344,8 @@ object Hdf5 {
             .flatMap(m => parseAttribute(bytes, m.off)) ++
             byType.getOrElse(0x15, Nil).flatMap(m => denseAttrs(bytes, m.off))
             ).toMap
-          val raw = readLayout(bytes, byType(0x08).head.off, dims, dt, filters)
+          val raw =
+            readLayout(bytes, byType(0x08).head.off, dims, maxdims, dt, filters)
           buildNode(bytes, path, dims, dt, raw, attrs)
         })
         nodes += node.copy(path = path)
@@ -1403,8 +1421,8 @@ object Hdf5 {
   }
 
   private def readLayout(
-      bytes: Array[Byte], off: Int, dims: Seq[Long], dt: DType,
-      filters: Seq[H5Filter]): Option[Array[Byte]] = {
+      bytes: Array[Byte], off: Int, dims: Seq[Long], maxdims: Seq[Long],
+      dt: DType, filters: Seq[H5Filter]): Option[Array[Byte]] = {
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
     require(version == 3 || version == 4, s"data layout v$version (v3/v4 supported)")
@@ -1416,7 +1434,7 @@ object Hdf5 {
       case 2 if version == 3 =>
         readChunked(bytes, bb.position(), dims, dt.size, filters)
       case 2 =>
-        readChunkedV4(bytes, bb.position(), dims, dt.size, filters)
+        readChunkedV4(bytes, bb.position(), dims, maxdims, dt.size, filters)
       case c => throw new UnsupportedOperationException(s"layout class $c")
     }
   }

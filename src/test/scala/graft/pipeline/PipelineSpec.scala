@@ -284,5 +284,12 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Settings.parse("outer:\n  inner: 1\n")
     }
+
+    // a bare '#' INSIDE a scalar is data, not a comment (yaml.safe_load
+    // only starts trailing comments at whitespace + '#')
+    val hash = Settings.parse(
+      "masks_dir: /data/run#12\nnotes: a#b c  # real comment\n")
+    assert(hash("masks_dir") == "/data/run#12")
+    assert(hash("notes") == "a#b c")
   }
 }

@@ -94,9 +94,12 @@ class Hdf5Spec extends SparkSpec {
     assert(z.dims == Seq(8L, 3L))
     assert(z.f32Data.map(_.toSeq).contains((0 until 24).map(_.toFloat)))
     // paged data blocks: page-wise element reads gated by the super
-    // block's page-init bitmask
+    // block's page-init bitmask (MSB-first, per libhdf5 H5VM_bit_get).
+    // Page 1 of the 16-element block (chunks 72-79 = elements 144-159)
+    // is marked uninitialized and poisoned on disk: a reader with the
+    // wrong bit order dereferences poison instead of returning fill.
     assert(unlimByPath("/detector/ea_paged").f32Data.map(_.toSeq)
-      .contains((0 until 160).map(_ * 0.125f)))
+      .contains((0 until 144).map(_ * 0.125f) ++ Seq.fill(16)(0.0f)))
   }
 
   test("layout v4: v2 b-tree index decodes chunk records (± deflate)") {
@@ -227,6 +230,15 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.read(fixture("str_array.h5"))
     }
     assert(e2.getMessage.contains("string ARRAY"))
+  }
+
+  test("extensible array with unlimited dim != 0 fails loudly (no swizzle)") {
+    // libhdf5 swizzles chunk coords so the unlimited dim is slowest before
+    // linearizing; reading without the swizzle would scramble chunks
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_swizzle.h5"))
+    }
+    assert(e.getMessage.contains("unlimited dimension"))
   }
 
   test("end to end: binaryFile scan -> tree table -> typed reads (S3-S6)") {
