@@ -871,6 +871,109 @@ def make_bad_deflate(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+# ------------------------------------------------- virtual dataset (VDS) --
+def sel_all():
+    """Serialized H5S_SEL_ALL: type 3, version 1, 8 reserved bytes."""
+    return struct.pack('<II', 3, 1) + bytes(8)
+
+
+def sel_hyper_v1(start, end):
+    """Version-1 hyperslab selection: ONE block, u32 start/end corners."""
+    rank = len(start)
+    info = struct.pack('<II', rank, 1)
+    info += b''.join(struct.pack('<I', s) for s in start)
+    info += b''.join(struct.pack('<I', e) for e in end)
+    return struct.pack('<IIII', 2, 1, 0, len(info)) + info
+
+
+def sel_hyper_v2(start, stride, count, block):
+    """Version-2 regular hyperslab: u64 start/stride/count/block per dim."""
+    rank = len(start)
+    info = struct.pack('<I', rank)
+    for arr in (start, stride, count, block):
+        info += b''.join(struct.pack('<Q', v) for v in arr)
+    return struct.pack('<II', 2, 2) + struct.pack('<B', 1) + \
+        struct.pack('<I', len(info)) + info
+
+
+def vds_heap_block(entries):
+    """Virtual storage global heap block: version, num entries, then
+    (source file, source dataset, source selection, virtual selection)
+    per entry, then a lookup3 checksum."""
+    body = struct.pack('<B', 0) + struct.pack('<Q', len(entries))
+    for fname, dspath, src_sel, virt_sel in entries:
+        body += fname.encode() + b'\0' + dspath.encode() + b'\0'
+        body += src_sel + virt_sel
+    return body + struct.pack('<I', lookup3(body))
+
+
+def layout_virtual(heap_addr, heap_index):
+    return struct.pack('<BBQI', 4, 3, heap_addr, heap_index)
+
+
+def make_vds(outdir: Path):
+    """Eiger-shaped VDS fixtures: vds_master.h5's /entry/vframes [4,3] maps
+    two sibling source files into contiguous row slabs (one virtual
+    selection encoded as a v2 regular hyperslab, one as a v1 single-block
+    list, both source selections ALL); /entry/vpartial has one resolvable
+    and one missing source (missing rows = fill + attr); /entry/vnone's
+    only source is missing (marker semantics: no data)."""
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    def write_source(name, base):
+        f = FileBuf()
+        f.alloc(48)
+        raw = b''.join(struct.pack('<f', base + i) for i in range(6))
+        ds = object_header_v2(f, [
+            (0x01, space_simple([2, 3])),
+            (0x03, dt_f32()),
+            (0x08, layout_contiguous(f.append(raw), len(raw))),
+        ])
+        finish_v2(f, group_v2(f, {'data': ds}), outdir / name)
+
+    write_source('vds_data_000001.h5', 0.0)
+    write_source('vds_data_000002.h5', 100.0)
+
+    f = FileBuf()
+    f.alloc(48)
+    gh = GlobalHeap(f)
+    i_frames = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [1, 1], [1, 1], [2, 3])),
+        ('vds_data_000002.h5', '/data', sel_all(),
+         sel_hyper_v1([2, 0], [3, 2])),
+    ]))
+    i_partial = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [1, 1], [1, 1], [2, 3])),
+        ('vds_missing.h5', '/data', sel_all(),
+         sel_hyper_v1([2, 0], [3, 2])),
+    ]))
+    i_none = gh.add(vds_heap_block([
+        ('vds_missing.h5', '/data', sel_all(), sel_all()),
+    ]))
+    heap_addr = gh.flush()
+
+    vframes = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_frames)),
+    ])
+    vpartial = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_partial)),
+    ])
+    vnone = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_none)),
+    ])
+    entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
+                         'vnone': vnone})
+    finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
+
+
 def make_bad_swizzle(path: Path):
     """A 2-D dataset whose UNLIMITED dimension is dim 1 (not dim 0) with an
     Extensible Array chunk index. libhdf5 would have swizzled the chunk
@@ -1637,6 +1740,7 @@ if __name__ == '__main__':
     make_bad_swizzle(out / 'bad_swizzle.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
+    make_vds(out / 'extlink')
     make_unlimited(out / 'mouse_unlim.h5')
     make_dense(out / 'mouse_dense.h5')
     print(f"wrote mouse_v0/v2/v4/unlim/dense, bad_deflate, str_array, "

@@ -1111,13 +1111,217 @@ object Hdf5 {
     }
   }
 
+  // -------------------------------------------- virtual (VDS) storage ------
+
+  /** A contiguous axis-aligned region: per-dim start + extent. */
+  private final case class Slab(start: Seq[Long], count: Seq[Long])
+
+  private sealed trait Sel { def toSlab(dims: Seq[Long]): Slab }
+  private case object AllSel extends Sel {
+    def toSlab(dims: Seq[Long]): Slab = Slab(dims.map(_ => 0L), dims)
+  }
+  private final case class SlabSel(start: Seq[Long], count: Seq[Long]) extends Sel {
+    def toSlab(dims: Seq[Long]): Slab = Slab(start, count)
+  }
+
+  /** Serialized dataspace selection (spec "Dataspace Selection" encoding,
+    * as stored in the virtual storage heap block). Supported: ALL (3),
+    * NONE (0, maps nothing -> None), and hyperslabs (2) that describe ONE
+    * contiguous block — v1 single-block lists and v2 regular hyperslabs
+    * whose stride equals their block (the shapes libhdf5 writes for
+    * VDS stacking, e.g. Eiger data_0000NN slabs along dim 0). Points,
+    * irregular/strided slabs, and unlimited selections fail loudly. */
+  private def parseSelection(vb: ByteBuffer, what: String): Option[Sel] = {
+    val stype = u32(vb)
+    stype match {
+      case 0 => // H5S_SEL_NONE
+        u32(vb) // version
+        vb.position(vb.position() + 8) // reserved
+        None
+      case 3 => // H5S_SEL_ALL
+        require(u32(vb) == 1, s"$what: all-selection version")
+        vb.position(vb.position() + 8) // reserved
+        Some(AllSel)
+      case 2 => // H5S_SEL_HYPERSLABS
+        u32(vb) match {
+          case 1 => // block list; u32 coords
+            u32(vb) // reserved
+            u32(vb) // length
+            val rank = u32(vb).toInt
+            val nblocks = u32(vb)
+            require(nblocks == 1,
+              s"$what: $nblocks-block hyperslab selection (1 supported)")
+            val start = (0 until rank).map(_ => u32(vb))
+            val end = (0 until rank).map(_ => u32(vb))
+            Some(SlabSel(start, start.zip(end).map { case (s, e) => e - s + 1 }))
+          case 2 => // regular start/stride/count/block; u64 coords
+            u8(vb) // flags (bit 0: regular — always set in v2)
+            u32(vb) // length
+            val rank = u32(vb).toInt
+            val start = (0 until rank).map(_ => u64(vb))
+            val stride = (0 until rank).map(_ => u64(vb))
+            val count = (0 until rank).map(_ => u64(vb))
+            val block = (0 until rank).map(_ => u64(vb))
+            require(count.forall(_ != UNDEF),
+              s"$what: unlimited (printf-style) selection not supported")
+            val ext = (0 until rank).map { d =>
+              if (count(d) == 1L) block(d)
+              else {
+                require(stride(d) == block(d),
+                  s"$what: strided hyperslab is not one contiguous block")
+                count(d) * block(d)
+              }
+            }
+            Some(SlabSel(start, ext))
+          case v =>
+            throw new UnsupportedOperationException(s"$what: hyperslab selection v$v")
+        }
+      case 1 =>
+        throw new UnsupportedOperationException(s"$what: point selection not supported")
+      case t =>
+        throw new UnsupportedOperationException(s"$what: selection type $t")
+    }
+  }
+
+  private def dimStrides(dims: Seq[Long]): Seq[Long] =
+    dims.scanRight(1L)(_ * _).tail
+
+  /** Linear element offset (row-major, full-array strides) of position `k`
+    * within the slab's own row-major enumeration. */
+  private def slabOffset(k: Long, slab: Slab, strd: Seq[Long]): Long = {
+    var rem = k
+    var off = 0L
+    var d = slab.count.length - 1
+    while (d >= 0) {
+      val c = rem % slab.count(d)
+      rem /= slab.count(d)
+      off += (slab.start(d) + c) * strd(d)
+      d -= 1
+    }
+    off
+  }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Element-wise copy of the source selection into the virtual selection,
+    * both in row-major order (how libhdf5 iterates selections), in runs
+    * contiguous on BOTH sides (gcd of the innermost extents). Ranks may
+    * differ — an Eiger [n,H,W] virtual slab fed by an [H,W] source. */
+  private def copySlab(
+      src: Array[Byte], srcDims: Seq[Long], s: Slab,
+      dst: Array[Byte], dstDims: Seq[Long], v: Slab, esz: Int): Unit = {
+    require(s.count.nonEmpty && v.count.nonEmpty,
+      "scalar virtual mapping not supported")
+    require(s.count.product == v.count.product,
+      s"virtual mapping: source ${s.count.mkString("x")} != " +
+        s"virtual ${v.count.mkString("x")} elements")
+    def inBounds(slab: Slab, dims: Seq[Long], what: String): Unit = {
+      require(slab.count.length == dims.length, s"$what selection rank")
+      slab.start.indices.foreach { d =>
+        require(slab.start(d) >= 0 && slab.start(d) + slab.count(d) <= dims(d),
+          s"$what selection out of bounds in dim $d")
+      }
+    }
+    inBounds(s, srcDims, "source")
+    inBounds(v, dstDims, "virtual")
+    val n = s.count.product
+    if (n == 0) return
+    val run = gcd(s.count.last, v.count.last)
+    val sStrd = dimStrides(srcDims)
+    val vStrd = dimStrides(dstDims)
+    var k = 0L
+    while (k < n) {
+      System.arraycopy(
+        src, (slabOffset(k, s, sStrd) * esz).toInt,
+        dst, (slabOffset(k, v, vStrd) * esz).toInt, (run * esz).toInt)
+      k += run
+    }
+  }
+
+  /** NUL-terminated string out of a heap-block buffer. */
+  private def cstr(vb: ByteBuffer): String = {
+    val arr = vb.array()
+    val start = vb.position()
+    var end = start
+    while (arr(end) != 0) end += 1
+    vb.position(end + 1)
+    new String(arr, start, end - start, "UTF-8")
+  }
+
+  /** Virtual (VDS) layout — v4 layout class 3 pointing at a "virtual
+    * storage" global heap block of (source file, source dataset, source
+    * selection, virtual selection) mappings. Source files resolve through
+    * the same callback as external links (sibling Eiger data_0000NN
+    * files); each resolvable mapping grafts its source elements into the
+    * virtual extent, and unmapped or unresolvable regions read as fill
+    * (0), which is h5py's behavior the reference relies on
+    * (`/root/reference/src/utilities.py:112-134` reads Eiger masters
+    * transparently whether the frames arrive via external links or VDS).
+    * Unlike h5py we also surface missing source files in a
+    * `virtual_missing_sources` attribute so ingest can tell "short
+    * stack" from "frames of zeros". A fully-unresolvable dataset keeps
+    * NO data (marker semantics, like dangling external links). */
+  private def readVirtual(
+      bytes: Array[Byte], heapAddr: Long, heapIdx: Int,
+      dims: Seq[Long], dt: DType,
+      resolve: String => Option[Array[Byte]],
+      openFiles: Set[String]): (Option[Array[Byte]], Map[String, String]) = {
+    val blk = gcolObject(bytes, heapAddr, heapIdx).getOrElse(
+      throw new IllegalArgumentException("virtual storage heap block missing"))
+    val vb = ByteBuffer.wrap(blk).order(ByteOrder.LITTLE_ENDIAN)
+    require(u8(vb) == 0, "virtual storage block version")
+    val nEntries = u64(vb)
+    val entries = (0L until nEntries).map { _ =>
+      val file = cstr(vb)
+      val dsPath = cstr(vb)
+      val srcSel = parseSelection(vb, s"virtual source $file")
+      val virtSel = parseSelection(vb, s"virtual extent for $file")
+      (file, dsPath, srcSel, virtSel)
+    }
+
+    val esz = dt.size
+    val totalBytes = dims.product * esz
+    require(totalBytes <= Int.MaxValue, "virtual dataset too large to assemble")
+    val out = new Array[Byte](totalBytes.toInt)
+    val missing = mutable.LinkedHashSet.empty[String]
+    var resolved = 0
+    entries.foreach { case (file, dsPath, srcSel, virtSel) =>
+      (srcSel, virtSel) match {
+        case (Some(ss), Some(vs)) =>
+          require(file != ".",
+            "virtual mapping with source file '.' (self) not supported")
+          val srcBytes =
+            if (openFiles.contains(file)) None // cross-file cycle: degrade
+            else resolve(file)
+          srcBytes.flatMap { sb =>
+            val sink = mutable.Map.empty[String, (Seq[Long], DType, Array[Byte])]
+            readGuarded(sb, resolve, openFiles + file, sink)
+            sink.get(normalizePath(dsPath))
+          } match {
+            case None => missing += file
+            case Some((sdims, sdt, sraw)) =>
+              require(sdt == dt,
+                s"virtual source $file:$dsPath datatype $sdt != virtual $dt")
+              copySlab(sraw, sdims, ss.toSlab(sdims), out, dims,
+                vs.toSlab(dims), esz)
+              resolved += 1
+          }
+        case _ => () // a NONE selection maps nothing
+      }
+    }
+    val attrs =
+      if (missing.isEmpty) Map.empty[String, String]
+      else Map("virtual_missing_sources" -> missing.mkString(","))
+    if (resolved == 0 && missing.nonEmpty) (None, attrs) else (Some(out), attrs)
+  }
+
   // -------------------------------------------------------- value decode ---
 
-  private def gcolString(bytes: Array[Byte], ref: ByteBuffer): String = {
-    val len = u32(ref).toInt
-    val collectionAddr = u64(ref)
-    val index = u32(ref).toInt
-    if (collectionAddr == UNDEF || index == 0) return ""
+  /** One object out of a global heap collection (GCOL), by 1-based index. */
+  private def gcolObject(
+      bytes: Array[Byte], collectionAddr: Long, index: Int): Option[Array[Byte]] = {
+    if (collectionAddr == UNDEF || index == 0) return None
     val gb = bufAt(bytes, collectionAddr)
     sig(gb, "GCOL")
     gb.position(gb.position() + 4) // version + reserved
@@ -1127,12 +1331,20 @@ object Hdf5 {
       val idx = u16(gb)
       u16(gb); u32(gb) // refcount + reserved
       val objSize = u64(gb)
-      if (idx == index)
-        return new String(bytes, gb.position(), len, "UTF-8")
-      if (idx == 0) return "" // free-space object: not found
+      if (idx == index) return Some(take(gb, objSize.toInt))
+      if (idx == 0) return None // free-space object: not found
       gb.position(gb.position() + ((objSize + 7) & ~7L).toInt)
     }
-    ""
+    None
+  }
+
+  private def gcolString(bytes: Array[Byte], ref: ByteBuffer): String = {
+    val len = u32(ref).toInt
+    val collectionAddr = u64(ref)
+    val index = u32(ref).toInt
+    gcolObject(bytes, collectionAddr, index)
+      .map(o => new String(o, 0, math.min(len, o.length), "UTF-8"))
+      .getOrElse("")
   }
 
   private def decodeString(bytes: Array[Byte], data: Array[Byte], dt: DType): String =
@@ -1265,10 +1477,16 @@ object Hdf5 {
   def read(bytes: Array[Byte], resolve: String => Option[Array[Byte]]): Seq[Node] =
     readGuarded(bytes, resolve, Set.empty)
 
+  /** `rawSink`, when non-null, collects every dataset's (dims, datatype,
+    * raw bytes) by path — the virtual-storage reader uses it to pull a
+    * SOURCE dataset's elements out of a sibling file with the same walk
+    * that external links use (one code path, same cycle guard). */
   private def readGuarded(
       bytes: Array[Byte],
       resolve: String => Option[Array[Byte]],
-      openFiles: Set[String]): Seq[Node] = {
+      openFiles: Set[String],
+      rawSink: mutable.Map[String, (Seq[Long], DType, Array[Byte])] = null)
+      : Seq[Node] = {
     val bb = bufAt(bytes, 0L)
     val magic = take(bb, 8)
     require(magic.sameElements(Array(0x89, 'H', 'D', 'F', 0x0D, 0x0A, 0x1A, 0x0A)
@@ -1298,7 +1516,8 @@ object Hdf5 {
     // headers/datasets are cached by address, and an ancestor stack (not a
     // global visited set) guards against true cycles.
     val headerCache = mutable.Map.empty[Long, Seq[Msg]]
-    val datasetCache = mutable.Map.empty[Long, Node]
+    val datasetCache =
+      mutable.Map.empty[Long, (Node, (Seq[Long], DType, Option[Array[Byte]]))]
     val softLinks = mutable.ArrayBuffer.empty[(String, String)] // alias -> target
 
     def visit(addr: Long, path: String, ancestors: List[Long]): Unit = {
@@ -1334,7 +1553,7 @@ object Hdf5 {
                 Map("external_link_file" -> file, "external_link_path" -> objPath))
         }
       } else {
-        val node = datasetCache.getOrElseUpdate(addr, {
+        val (node, rawInfo) = datasetCache.getOrElseUpdate(addr, {
           val (dims, maxdims, _) =
             parseDataspaceFull(bufAt(bytes, byType(0x01).head.off.toLong))
           val dt = parseDatatype(bufAt(bytes, byType(0x03).head.off.toLong))
@@ -1344,11 +1563,24 @@ object Hdf5 {
             .flatMap(m => parseAttribute(bytes, m.off)) ++
             byType.getOrElse(0x15, Nil).flatMap(m => denseAttrs(bytes, m.off))
             ).toMap
-          val raw =
-            readLayout(bytes, byType(0x08).head.off, dims, maxdims, dt, filters)
-          buildNode(bytes, path, dims, dt, raw, attrs)
+          val layOff = byType(0x08).head.off
+          val lb = bufAt(bytes, layOff.toLong)
+          val lver = u8(lb)
+          val (raw, vattrs) =
+            if (lver == 4 && u8(lb) == 3) // virtual storage: resolver needed
+              readVirtual(bytes, u64(lb), u32(lb).toInt, dims, dt,
+                resolve, openFiles)
+            else
+              (readLayout(bytes, layOff, dims, maxdims, dt, filters),
+                Map.empty[String, String])
+          (buildNode(bytes, path, dims, dt, raw, attrs ++ vattrs),
+            (dims, dt, raw))
         })
         nodes += node.copy(path = path)
+        if (rawSink != null) rawInfo match {
+          case (d, t, Some(r)) => rawSink(path) = (d, t, r)
+          case _ => ()
+        }
       }
     }
 

@@ -149,7 +149,8 @@ class Hdf5Spec extends SparkSpec {
   // ---- external-link resolution (Hdf5.readGuarded graft; S6) -------------
 
   private def extResolver: String => Option[Array[Byte]] = {
-    case n @ ("data_000001.h5" | "cycle_a.h5" | "cycle_b.h5") =>
+    case n @ ("data_000001.h5" | "cycle_a.h5" | "cycle_b.h5" |
+              "vds_data_000001.h5" | "vds_data_000002.h5") =>
       Some(fixture(s"extlink/$n"))
     case _ => None
   }
@@ -179,6 +180,38 @@ class Hdf5Spec extends SparkSpec {
     assert(mo.attrs("external_link_file") == "data_000001.h5")
     assert(mo.attrs("external_link_path") == "/no/such")
     assert(master.size == 5, master.map(_.path).sorted.mkString("\n"))
+  }
+
+  // ---- virtual dataset (VDS) layout --------------------------------------
+
+  private lazy val vds =
+    Hdf5.read(fixture("extlink/vds_master.h5"), extResolver)
+  private lazy val vdsByPath = vds.map(n => n.path -> n).toMap
+
+  test("VDS: virtual dataset assembles from two source files' slabs") {
+    // rows 0-1 via a v2 regular hyperslab, rows 2-3 via a v1 block list,
+    // both source selections ALL — the Eiger master stacking shape
+    val d = vdsByPath("/entry/vframes")
+    assert(d.dims == Seq(4L, 3L))
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _)))
+    assert(!d.attrs.contains("virtual_missing_sources"))
+  }
+
+  test("VDS: a missing source fills its region and is surfaced in attrs") {
+    val p = vdsByPath("/entry/vpartial")
+    assert(p.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ Seq.fill(6)(0.0f)))
+    assert(p.attrs("virtual_missing_sources") == "vds_missing.h5")
+  }
+
+  test("VDS: all sources missing degrades to a data-less marker node") {
+    val n = vdsByPath("/entry/vnone")
+    assert(n.f32Data.isEmpty && n.scalarF64.isEmpty)
+    assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
+    // without a resolver at all, every VDS degrades the same way, no error
+    val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 3)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
@@ -299,6 +332,24 @@ class Hdf5Spec extends SparkSpec {
     assert(resolve("nope.h5").isEmpty)
   }
 
+  test("treeTable resolves VDS source files as siblings (Eiger shape)") {
+    val dir = Files.createTempDirectory("h5vds")
+    Files.write(dir.resolve("vds_master.h5"), fixture("extlink/vds_master.h5"))
+    Files.write(dir.resolve("vds_data_000001.h5"),
+      fixture("extlink/vds_data_000001.h5"))
+    Files.write(dir.resolve("vds_data_000002.h5"),
+      fixture("extlink/vds_data_000002.h5"))
+
+    // scan only the master — sources are pulled executor-side through the
+    // SAME siblingResolver external links use
+    val tree = Hdf5Source.treeTable(spark, dir.toString, glob = "vds_master.h5")
+    val rows = tree.collect().map(r => r.getAs[String]("path") -> r).toMap
+    assert(rows("/entry/vframes").getAs[scala.collection.Seq[Float]]("valueArr")
+      .toSeq == (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _))
+    assert(rows("/entry/vnone").getAs[Map[String, String]]("attrs")(
+      "virtual_missing_sources") == "vds_missing.h5")
+  }
+
   test("oversized external-link targets degrade to markers, not scan aborts") {
     val dir = Files.createTempDirectory("h5big")
     Files.write(dir.resolve("master.h5"), fixture("extlink/master.h5"))
@@ -385,7 +436,8 @@ class Hdf5Spec extends SparkSpec {
     // the executor-facing contract on damaged files: a clean exception —
     // no infinite walks, no pathological allocations, no silent zeros
     for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
-      "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5")) {
+      "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
+      "extlink/vds_master.h5")) {
       val full = fixture(name)
       for (k <- 1 until 40) {
         val cut = java.util.Arrays.copyOf(full, math.max(9, full.length * k / 40))
