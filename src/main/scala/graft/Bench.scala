@@ -56,22 +56,37 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
+    // Sub-2 s queries get a THIRD run and report the median: single-run
+    // environment spikes on trivial scan-aggs repeatedly read as phantom
+    // 2-8x regressions across rounds (a one-off stall survives min-of-two
+    // whenever it hits the first run and the second is also disturbed);
+    // the median of three kills any single outlier. Long queries keep
+    // min-of-two — their runtimes dwarf scheduler jitter, and a third run
+    // of the multi-second dedup suite would cost more than it informs.
     val results = names.map { n =>
       val a = force(n)
       val b = force(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      if (a < 0 || b < 0) n -> (-1.0, 2)
+      else if (math.min(a, b) >= 2.0) n -> (math.min(a, b), 2)
+      else {
+        val c = force(n)
+        if (c < 0) n -> (-1.0, 3)
+        else n -> (Seq(a, b, c).sorted.apply(1), 3)
+      }
     }
     // Compact emission: values at 3 decimals keep the whole line well under
     // typical tail-capture windows (r2's full-precision doubles pushed the
     // line past the driver's capture and truncated the leading entries).
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     graft.queries.DedupQueries.releaseShared(spark)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -253,8 +253,23 @@ object DedupQueries {
     // live in s02 (LSH) / s03 (IVF); d02 is the lossy-threshold text path.
     "d05_embedding_dup" -> { (s, dir) =>
       import s.implicits._
+      // Scale guard: exact all-pairs is O(n^2) BY CONTRACT. Refuse to
+      // launch past a configurable corpus size so nobody aims a
+      // cluster-killer at a 100 TB table by accident — the sub-quadratic
+      // siblings (d02 text LSH, s02 sign-LSH, s03 IVF) are the scale
+      // paths. The pre-count is one column-less scan, O(footers),
+      // negligible next to the quadratic join it gates.
+      val maxRows = s.conf.getOption("spark.graft.d05.maxRows")
+        .map(_.toLong).getOrElse(1000000L)
+      val base = Tables.loadSpread(s, dir, "embeddings")
+      val n = base.count()
+      require(n <= maxRows,
+        s"d05_embedding_dup is exact all-pairs (O(n^2)): $n embedding rows " +
+          s"exceed the $maxRows-row guard (spark.graft.d05.maxRows). Use " +
+          "the sub-quadratic paths: d02_minhash_lsh (text), s02_lsh_ann / " +
+          "s03_ivf_ann (embeddings).")
       val nBlocks = 8
-      val e = Tables.loadSpread(s, dir, "embeddings")
+      val e = base
         .select(col("vec_id"), col("embedding"),
           pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
       val blockPairs = (0 until nBlocks)

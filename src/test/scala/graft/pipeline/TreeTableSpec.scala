@@ -28,6 +28,32 @@ class TreeTableSpec extends SparkSpec {
     assert(byFile("f2").getDouble(1) == 5.0 && byFile("f2").getString(2) == "") // missing -> ''
   }
 
+  test("K19: an array-valued dataset reads as its MEAN, per get_float_from_h5") {
+    // the reference coerces `if val.size > 1: val = val.mean()`
+    // (utilities.py:17-19) — e.g. a per-frame frame_time vector; the e2e
+    // .h5-bytes version of this lives in Hdf5Spec ("/entry1/sample/angles")
+    val t = Seq(
+      TreeRow("f1", "/entry1/frame_time", None, None,
+        Some(Array(0.1f, 0.2f, 0.3f, 0.4f)), Some("s"), Map()),
+      TreeRow("f2", "/entry1/frame_time", Some(7.0), None, None, None, Map()),
+      TreeRow("f3", "/entry1/frame_time", None, None,
+        Some(Array.empty[Float]), None, Map()) // empty array -> default
+    ).toDS().toDF()
+    val files = t.select($"file").distinct()
+    val ft = readF64(t, files, "/entry1/frame_time", "ft")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ft("f1") - 0.25) < 1e-7) // mean(0.1,0.2,0.3,0.4)
+    assert(ft("f2") == 7.0) // scalar passes through untouched
+    assert(ft("f3") == 0.0) // empty array -> S3 missing default
+
+    // the quantity reader shares the coercion (value = mean, units kept)
+    val q = readQuantity(t, files, "/entry1/frame_time", "ftq")
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    assert(math.abs(q("f1").getDouble(0) - 0.25) < 1e-7)
+    assert(q("f1").getString(1) == "s")
+    assert(q("f3").getDouble(0).isNaN) // empty array -> quantity default
+  }
+
   test("quantity read defaults to (NaN, dimensionless) (S5)") {
     val files = tree.select($"file").distinct()
     val q = readQuantity(tree, files, "/entry1/detector/distance", "dist")

@@ -159,6 +159,20 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("d05 scale guard: refuses a corpus past the configured row bound") {
+    // exact all-pairs must be un-launchable at 100 TB by accident
+    spark.conf.set("spark.graft.d05.maxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("d05_embedding_dup")(spark, sf)
+      }
+      assert(e.getMessage.contains("O(n^2)") &&
+        e.getMessage.contains("s02_lsh_ann"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.d05.maxRows")
+    // below the (default) bound the query still builds and runs
+    assert(SparkEntry.queries("d05_embedding_dup")(spark, sf).count() > 0)
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
