@@ -17,6 +17,7 @@ Both mimic the MOUSE .nxs tree shape (entry1/instrument|sample|detector).
 Only stdlib struct is used. Checksums are real Jenkins lookup3 so the v2
 file is spec-valid, not merely self-consistent.
 """
+import math
 import struct
 import sys
 import zlib
@@ -536,8 +537,50 @@ def make_v2(path: Path):
         (0x08, layout_contiguous(u64_raw, 8)),
     ])
 
+    # compound datasets (class 6), flat scalar members — the common NeXus
+    # table shape. One scalar element with a v1-encoded datatype, one
+    # 3-element array with a v3-encoded datatype (offsets in minimal bytes).
+    def member_v1(name, offset, dt):
+        nm = name.encode() + b'\x00'
+        nm += bytes(pad8(len(nm)) - len(nm))
+        return nm + struct.pack('<IB3xII4I', offset, 0, 0, 0, 0, 0, 0, 0) + dt
+
+    def member_v3(name, offset, dt, off_bytes):
+        return name.encode() + b'\x00' + \
+            offset.to_bytes(off_bytes, 'little') + dt
+
+    def dt_compound(version, size, members_enc):
+        return struct.pack('<BBBBI', (version << 4) | 6,
+                           len(members_enc) & 0xFF,
+                           (len(members_enc) >> 8) & 0xFF, 0, size) + \
+            b''.join(members_enc)
+
+    # scalar: {x: f64, n: i64, tag: 4-char str} (v1 members, size 20)
+    cmp_raw = f.append(struct.pack('<dq4s', 1.25, 42, b'roi\x00'))
+    cmp_scalar = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_compound(1, 20, [
+            member_v1('x', 0, dt_f64()),
+            member_v1('n', 8, dt_i64()),
+            member_v1('tag', 16, dt_str(4)),
+        ])),
+        (0x08, layout_contiguous(cmp_raw, 20)),
+    ])
+    # array[3]: {t: f32, v: f64} (v3 members, size 12 -> 1-byte offsets)
+    rows = b''.join(struct.pack('<fd', 0.5 * i, 10.0 + i) for i in range(3))
+    arr_raw = f.append(rows)
+    cmp_array = object_header_v2(f, [
+        (0x01, space_simple([3])),
+        (0x03, dt_compound(3, 12, [
+            member_v3('t', 0, dt_f32(), 1),
+            member_v3('v', 4, dt_f64(), 1),
+        ])),
+        (0x08, layout_contiguous(arr_raw, len(rows))),
+    ])
+
     detector = group_v2(f, {'distance': dist, 'frame': frame,
-                            'u32_pixels': u32arr, 'u64_count': u64big})
+                            'u32_pixels': u32arr, 'u64_count': u64big,
+                            'roi': cmp_scalar, 'table': cmp_array})
     # soft link + external link (the Eiger master shape:
     # /entry/data/data_000001 -> another file)
     entry1 = object_header_v2(f, [
@@ -869,6 +912,75 @@ def make_bad_deflate(path: Path):
     sb += struct.pack('<I', lookup3(bytes(sb)))
     f.write(0, bytes(sb))
     path.write_bytes(bytes(f.buf))
+
+
+# ----------------------------------------------- full-DAG pipeline tree ---
+def make_pipeline_tree(outdir: Path):
+    """A miniature measurement tree shaped like the reference's data_dir
+    (<yyyy>/<ymd>/<ymd>_<batch>_<rep>/MOUSE_*.nxs, README.md:14-43): six
+    repetition directories (2 batches x 3 repetitions, configuration 1)
+    whose processed files carry every path the 15-step pipeline reads.
+    Gaussian beams with known center/width; batch 1's sample beam transmits
+    0.56, batch 2's (its background) 0.8, so the bg-corrected transmission
+    is exactly 0.7 — same analytic anchors as the in-memory fixtures."""
+    H = W = 32
+    CY, CX, SIGMA, AMP = 16.0, 15.5, 3.0, 1000.0
+
+    def gaussian(scale):
+        out = []
+        for y in range(H):
+            for x in range(W):
+                d2 = (y - CY) ** 2 + (x - CX) ** 2
+                out.append(scale * AMP * math.exp(-d2 / (2 * SIGMA * SIGMA)))
+        return b''.join(struct.pack('<f', v) for v in out)
+
+    def write_rep(path: Path, sample_scale: float):
+        f = FileBuf()
+        f.alloc(48)
+
+        def scalar_f64(value, units=None):
+            raw = f.append(struct.pack('<d', value))
+            msgs = [(0x01, space_scalar()), (0x03, dt_f64()),
+                    (0x08, layout_contiguous(raw, 8))]
+            if units:
+                ub = units.encode() + b'\x00'
+                msgs.append((0x0C, attr_v3('units', dt_str(len(ub)),
+                                           space_scalar(), ub)))
+            return object_header_v2(f, msgs)
+
+        def image(scale):
+            raw = gaussian(scale)
+            addr = f.append(raw)
+            return object_header_v2(f, [
+                (0x01, space_simple([H, W])), (0x03, dt_f32()),
+                (0x08, layout_contiguous(addr, len(raw)))])
+
+        direct = group_v2(f, {'data': image(1.0),
+                              'frame_time': scalar_f64(1.0, 's')})
+        sample = group_v2(f, {'data': image(sample_scale),
+                              'frame_time': scalar_f64(1.0, 's')})
+        processing = group_v2(f, {'direct_beam_profile': direct,
+                                  'sample_beam_profile': sample})
+        det_tf = group_v2(f, {'det_x': scalar_f64(2.5, 'm')})
+        det00 = group_v2(f, {'darkcurrent': scalar_f64(0.0),
+                             'averaged_number_of_frames': scalar_f64(1.0),
+                             'transformations': det_tf})
+        instrument = group_v2(f, {'configuration': scalar_f64(1.0),
+                                  'detector00': det00})
+        beam = group_v2(f, {'incident_wavelength':
+                            scalar_f64(1.54, 'angstrom')})
+        smp_tf = group_v2(f, {'sample_x': scalar_f64(500.0, 'mm')})
+        sample_grp = group_v2(f, {'beam': beam, 'transformations': smp_tf})
+        entry1 = group_v2(f, {'instrument': instrument,
+                              'processing': processing,
+                              'sample': sample_grp})
+        finish_v2(f, group_v2(f, {'entry1': entry1}), path)
+
+    for batch, scale in ((1, 0.56), (2, 0.8)):
+        for rep in (1, 2, 3):
+            d = outdir / '2024' / '20240115' / f'20240115_{batch}_{rep}'
+            d.mkdir(parents=True, exist_ok=True)
+            write_rep(d / f'MOUSE_20240115_{batch}_{rep}.nxs', scale)
 
 
 # ------------------------------------------------- virtual dataset (VDS) --
@@ -1741,6 +1853,7 @@ if __name__ == '__main__':
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
     make_vds(out / 'extlink')
+    make_pipeline_tree(out / 'pipe')
     make_unlimited(out / 'mouse_unlim.h5')
     make_dense(out / 'mouse_dense.h5')
     print(f"wrote mouse_v0/v2/v4/unlim/dense, bad_deflate, str_array, "

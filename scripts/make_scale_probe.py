@@ -8,8 +8,15 @@ token COUNT and length statistics survive, but copies share no shingles
 with their originals, so the probe measures pipeline throughput (shingle →
 minhash → band → bucket join) at 10x the rows rather than an artificial
 45-pairs-per-doc near-dup explosion that no real corpus has. Embeddings
-drift by a small per-copy constant for the same reason. Other tables are
-copied unchanged (the relational queries are not the probe's subject)."""
+drift by a small per-copy constant for the same reason.
+
+Fact tables amplify with per-copy KEY OFFSETS and unchanged payloads:
+orders/lineitem share one orderkey offset (join shape preserved, dims
+untouched — 10x facts against the same dimensions, how a warehouse
+actually grows), events offsets event/user ids (per-user session and
+funnel shapes survive; DuckDB re-writes ts as micros, which Tables.load
+accepts as-is — same values the nanos path truncates to).
+Dimension tables copy unchanged."""
 import shutil
 import sys
 from pathlib import Path
@@ -20,9 +27,10 @@ src = Path(sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1')
 dst = Path(sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfprobe10')
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+amplified = ('documents', 'embeddings', 'orders', 'lineitem', 'events')
 dst.mkdir(parents=True, exist_ok=True)
 for p in src.glob('*.parquet'):
-    if p.stem not in ('documents', 'embeddings'):
+    if p.stem not in amplified:
         target = dst / p.name
         if not target.exists():
             shutil.copy(p, target)
@@ -30,6 +38,32 @@ for p in src.glob('*.parquet'):
 con = duckdb.connect()
 ndocs = con.execute(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
 nvecs = con.execute(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+nord = con.execute(f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
+nevt = con.execute(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+nusr = con.execute(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + i * {nord} AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM '{src}/orders.parquet', generate_series(0, {n - 1}) t(i)
+) TO '{dst}/orders.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT l_orderkey + i * {nord} AS l_orderkey, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM '{src}/lineitem.parquet', generate_series(0, {n - 1}) t(i)
+) TO '{dst}/lineitem.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT event_id + i * {nevt} AS event_id, ts::TIMESTAMP_NS AS ts,
+         user_id + i * {nusr} AS user_id, event_type, value, props
+  FROM '{src}/events.parquet', generate_series(0, {n - 1}) t(i)
+) TO '{dst}/events.parquet' (FORMAT parquet)
+""")
 
 con.execute(f"""
 COPY (

@@ -52,6 +52,21 @@ object TreeTable {
         coalesce(scalarOrMean, lit(Double.NaN)).as("value"),
         coalesce(col("units"), lit("dimensionless")).as("units")))
 
+  /** S6: image read — (float array, height, width) from an array dataset,
+    * dims from the parser's `dims` attribute ("H,W"). All three columns
+    * null when the path is missing, which the F2/F6 step gates read as
+    * "skip this repetition", matching the reference's tolerate-missing
+    * image reads (`utilities.py:112-134`). */
+  def readImage(tree: DataFrame, files: DataFrame, path: String,
+      as: String, hCol: String, wCol: String): DataFrame = {
+    val dims = split(col("attrs")("dims"), ",")
+    val slice = tree.filter(col("path") === path)
+      .select(col("file"), col("valueArr").as(as),
+        dims.getItem(0).cast("int").as(hCol),
+        dims.getItem(1).cast("int").as(wCol))
+    files.join(slice, Seq("file"), "left")
+  }
+
   private def readTyped(
       tree: DataFrame, files: DataFrame, path: String, as: String,
       valueExpr: Column): DataFrame = {

@@ -14,16 +14,23 @@ import scala.collection.mutable
   * File Format Specification v3 that those reads touch:
   *
   *  - superblock v0 (old-style: v1 object headers, symbol-table groups) and
-  *    v2/v3 (OHDR v2 object headers, compact link-message groups)
-  *  - object header messages: dataspace (v1/v2), datatype (fixed-point,
-  *    IEEE float, fixed string, vlen string), data layout v3 (compact,
-  *    contiguous, chunked + v1 B-tree) and v4 (chunked with Single Chunk /
-  *    Implicit / Fixed Array indexes — what recent libhdf5 writes for
-  *    fixed-shape datasets, including Eiger detector frames), filter
+  *    v2/v3 (OHDR v2 object headers, compact link-message groups); dense
+  *    groups (fractal-heap link storage, direct- and indirect-rooted, with
+  *    the v2-B-tree name index, huge-object B-trees and dense attributes)
+  *  - object header messages: dataspace (v1/v2, incl. maxdims), datatype
+  *    (fixed-point, IEEE float, fixed string, vlen string; compound with
+  *    flat scalar members — v1/v2/v3 encodings — surfacing each member as
+  *    a `<path>/<member>` child node), data layout v3
+  *    (compact, contiguous, chunked + v1 B-tree) and v4 (chunked with ALL
+  *    FIVE index types: Single Chunk, Implicit, Fixed Array, Extensible
+  *    Array — every addressing tier incl. paged data blocks with MSB-first
+  *    page-init bitmasks — and v2 B-tree chunk records at any depth) plus
+  *    virtual (VDS) storage assembled from sibling source files, filter
   *    pipelines (deflate; HDF5Plugin LZ4 32004 via the lz4-java already on
   *    Spark's classpath; bitshuffle 32008 ± internal LZ4 — the Eiger
   *    default), attributes (v1/v2/v3), header continuations
-  *  - global heap collections (GCOL) for variable-length strings
+  *  - global heap collections (GCOL) for variable-length strings and
+  *    virtual-storage mapping blocks
   *  - links: hard links may alias one object under many paths (every path
   *    gets a node); soft links resolve to alias nodes (chains + group
   *    targets included, dangling ones surface as marker nodes); external
@@ -32,12 +39,16 @@ import scala.collection.mutable
   *    (h5py-transparent: the target object or subtree grafts in at the
   *    link path), with cross-file cycles guarded; links whose target file
   *    or object cannot be resolved become explicit marker nodes carrying
-  *    the target file/path — inspectable, never a silent hole
+  *    the target file/path — inspectable, never a silent hole; VDS source
+  *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * fractal heaps with child indirect blocks, filters beyond the three
-  * above, non-IEEE or big-endian numeric types, compound/enum/reference
-  * types.
+  * fractal heaps with child indirect blocks or filtered heap blocks,
+  * filters beyond the three above, non-IEEE or big-endian numeric types,
+  * enum/reference types and compound members that are themselves
+  * arrays/nested compounds, extensible arrays whose unlimited dimension
+  * is not dim 0 (libhdf5 swizzles coordinates there), and
+  * point/strided/multi-block virtual selections.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -91,21 +102,65 @@ object Hdf5 {
   private case class Flt(size: Int) extends DType
   private case class Str(size: Int) extends DType
   private case object VlenStr extends DType { val size = 16 }
+  private case class Member(name: String, offset: Int, dt: DType)
+  private case class Compound(size: Int, members: Seq[Member]) extends DType
 
   private def parseDatatype(bb: ByteBuffer): DType = {
     val b0 = u8(bb)
     val cls = b0 & 0x0F
+    val version = (b0 >> 4) & 0x0F
     val bits = take(bb, 3)
     val size = u32(bb).toInt
     cls match {
+      // classes 0/1 consume their property blocks (bit offset/precision,
+      // + the float exponent/mantissa layout) so SEQUENTIAL parses —
+      // compound members — stay position-correct
       case 0 =>
         require((bits(0) & 0x01) == 0, "big-endian fixed-point not supported")
+        bb.position(bb.position() + 4) // bit offset + precision
         Fixed(size, signed = (bits(0) & 0x08) != 0)
       case 1 =>
         require((bits(0) & 0x01) == 0, "big-endian float not supported")
         require(size == 4 || size == 8, s"unsupported float width $size")
+        bb.position(bb.position() + 12) // bit layout + exponent bias
         Flt(size)
       case 3 => Str(size)
+      case 6 => // compound: the flat scalar-member shape NeXus tables use
+        val nMembers = ((bits(1) & 0xFF) << 8) | (bits(0) & 0xFF)
+        val members = (0 until nMembers).map { _ =>
+          // member name: NUL-terminated; v1/v2 pad to a multiple of 8
+          val start = bb.position()
+          var end = start
+          while (bb.get(end) != 0) end += 1
+          val name = new String(bb.array(), start, end - start, "UTF-8")
+          val nameLen = end - start + 1
+          bb.position(start + (if (version < 3) (nameLen + 7) & ~7 else nameLen))
+          val offset = version match {
+            case 1 =>
+              val off = u32(bb).toInt
+              val ndims = u8(bb)
+              require(ndims == 0, "array compound member (v1 dims) not supported")
+              bb.position(bb.position() + 3 + 4 + 4 + 16) // resv+perm+resv+dims
+              off
+            case 2 => u32(bb).toInt
+            case 3 => // minimal bytes that can hold the compound's size
+              val offBytes =
+                math.max(1, (32 - Integer.numberOfLeadingZeros(size) + 7) / 8)
+              readUIntN(bb, offBytes).toInt
+            case v =>
+              throw new UnsupportedOperationException(s"compound datatype v$v")
+          }
+          val mdt = parseDatatype(bb)
+          mdt match {
+            case Fixed(_, _) | Flt(_) | Str(_) => ()
+            case other => throw new UnsupportedOperationException(
+              s"compound member '$name' type $other (flat scalar members only)")
+          }
+          Member(name, offset, mdt)
+        }
+        members.foreach(m => require(m.offset + m.dt.size <= size,
+          s"compound member '${m.name}' overruns the ${size}-byte element"))
+        Compound(size, members)
       case 9 =>
         require((bits(0) & 0x0F) == 1, "only vlen STRINGS are supported")
         VlenStr
@@ -1577,8 +1632,14 @@ object Hdf5 {
             (dims, dt, raw))
         })
         nodes += node.copy(path = path)
+        rawInfo match {
+          case (d, c: Compound, Some(r)) =>
+            nodes ++= compoundChildren(bytes, path, d, c, r)
+          case _ => ()
+        }
         if (rawSink != null) rawInfo match {
-          case (d, t, Some(r)) => rawSink(path) = (d, t, r)
+          case (d, t, Some(r)) if !t.isInstanceOf[Compound] =>
+            rawSink(path) = (d, t, r)
           case _ => ()
         }
       }
@@ -1686,6 +1747,11 @@ object Hdf5 {
             if (elems > 1) throw new UnsupportedOperationException(
               s"string ARRAY dataset ($elems elements) not supported at $path")
             empty.copy(scalarStr = Some(decodeString(bytes, data.take(dt.size), dt)))
+          case c: Compound =>
+            // the members surface as CHILD nodes (compoundChildren); the
+            // dataset node itself carries the member list for discovery
+            empty.copy(attrs = attrs +
+              ("compound_members" -> c.members.map(_.name).mkString(",")))
           case _ if elems == 1 =>
             empty.copy(scalarF64 = Some(decodeF64(data, dt, 0)))
           case Flt(4) =>
@@ -1700,6 +1766,39 @@ object Hdf5 {
           case _ =>
             empty.copy(f64Data = Some(decodeArrayF64(data, dt, elems.toInt)))
         }
+    }
+  }
+
+  /** Flat compound dataset -> one child node per member (`<path>/<name>`),
+    * the long-table form of h5py's structured array: numeric members of a
+    * scalar dataset read as scalars, of an array dataset as f64 columns;
+    * string members scalar-only (string ARRAYs fail loudly, same rule as
+    * plain datasets). */
+  private def compoundChildren(
+      bytes: Array[Byte], path: String, dims: Seq[Long], cdt: Compound,
+      raw: Array[Byte]): Seq[Node] = {
+    val elems = (if (dims.isEmpty) 1L else dims.product).toInt
+    cdt.members.map { m =>
+      val mpath = s"$path/${m.name}"
+      def slice(k: Int): Array[Byte] = {
+        val base = k * cdt.size + m.offset
+        java.util.Arrays.copyOfRange(raw, base, base + m.dt.size)
+      }
+      m.dt match {
+        case Str(_) =>
+          if (elems > 1) throw new UnsupportedOperationException(
+            s"string ARRAY compound member not supported at $mpath")
+          Node(mpath, dims, None, Some(decodeString(bytes, slice(0), m.dt)),
+            None, None, Map.empty)
+        case mdt =>
+          if (elems == 1)
+            Node(mpath, dims, Some(decodeF64(slice(0), mdt, 0)),
+              None, None, None, Map.empty)
+          else
+            Node(mpath, dims, None, None, None,
+              Some(Array.tabulate(elems)(k => decodeF64(slice(k), mdt, 0))),
+              Map.empty)
+      }
     }
   }
 

@@ -254,6 +254,21 @@ class Hdf5Spec extends SparkSpec {
       .contains(math.pow(2, 63) + 5))
   }
 
+  test("compound datasets (class 6) read as member child nodes") {
+    // scalar {x: f64, n: i64, tag: str} with v1-encoded members
+    val roi = v2ByPath("/entry1/detector/roi")
+    assert(roi.attrs("compound_members") == "x,n,tag")
+    assert(roi.scalarF64.isEmpty) // the parent carries structure, not data
+    assert(v2ByPath("/entry1/detector/roi/x").scalarF64.contains(1.25))
+    assert(v2ByPath("/entry1/detector/roi/n").scalarF64.contains(42.0))
+    assert(v2ByPath("/entry1/detector/roi/tag").scalarStr.contains("roi"))
+    // array[3] {t: f32, v: f64} with v3-encoded members (strided slices)
+    assert(v2ByPath("/entry1/detector/table/t").f64Data.map(_.toSeq)
+      .contains(Seq(0.0, 0.5, 1.0)))
+    assert(v2ByPath("/entry1/detector/table/v").f64Data.map(_.toSeq)
+      .contains(Seq(10.0, 11.0, 12.0)))
+  }
+
   test("truncated deflate chunks and string arrays fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Hdf5.read(fixture("bad_deflate.h5"))
@@ -280,7 +295,9 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    assert(tree.count() == 17) // 11 v0 nodes + 6 v2 nodes (incl. links)
+    // 11 v0 nodes + 13 v2 nodes (incl. links and the compound datasets'
+    // parent + member-child rows)
+    assert(tree.count() == 24)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -401,7 +418,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 17)
+    assert(tree.count() == 24) // + mouse_v2's 13 incl. compound children
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
