@@ -32,13 +32,18 @@ object Tables {
     */
   private def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       // `ts div 1000`, NOT `ts / 1000`: `/` on longs is double division in
       // Spark and doubles cannot represent ns epochs (~1.7e18 > 2^53), which
       // silently shifts timestamps by ±1 us.
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => df
+      // micros parquet WITHOUT the UTC-adjusted flag (DuckDB and many
+      // writers) arrives as TIMESTAMP_NTZ; the session tz is pinned to UTC
+      // so the cast is value-preserving and every downstream time function
+      // sees one type regardless of which writer produced the file
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 
