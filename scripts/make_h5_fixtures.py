@@ -1639,6 +1639,92 @@ def fractal_heap_links_indirect(f: FileBuf, link_bodies, start_size=128):
     return hdr_addr, btree_addr
 
 
+def fractal_heap_links_deep(f: FileBuf, link_bodies):
+    """Depth-2 fractal heap: root FHIB whose row 3 holds a CHILD indirect
+    block. width=4, start=128, max_direct=256 -> max_direct_rows=3, so the
+    root's rows 0-2 are direct blocks (8x128 + 4x256 = offsets 0..2047)
+    and row 3 entries are child FHIBs spanning 512 each with one internal
+    row of 4x128 direct blocks (nrows = u - log2(width) = 1).
+    Returns (fheap_addr, btree_addr)."""
+    width, max_bits, max_man = 4, 32, 4096
+    start_size, max_direct = 128, 256
+    off_size = (max_bits + 7) // 8
+    len_size = min(off_size, (max_man.bit_length() + 7) // 8)
+    heap_id_len = 1 + off_size + len_size
+    dhdr = 4 + 1 + 8 + off_size
+
+    hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
+                       + 2 + 2 + 8 + 2 + 4)
+
+    # direct-block slots in heap-offset order: root rows 0-2, then child
+    # row 0 (sizes restart at start_size inside the child)
+    slot_sizes = [128] * 8 + [256] * 4 + [128] * 4
+    slot_vbase, acc = [], 0
+    for s in slot_sizes:
+        slot_vbase.append(acc)
+        acc += s
+
+    blocks, ids, si = [], [], -1
+    cur, cur_off = None, 0
+    for name, lm in link_bodies:
+        if cur is None or cur_off + len(lm) > slot_sizes[si]:
+            si += 1
+            assert si < len(slot_sizes), "fixture outgrew the slot table"
+            cur = bytearray(b'FHDB' + struct.pack('<B', 0)
+                            + struct.pack('<Q', hdr_addr)
+                            + slot_vbase[si].to_bytes(off_size, 'little'))
+            cur_off = dhdr
+            blocks.append((si, cur))
+        ids.append((name, slot_vbase[si] + cur_off, len(lm)))
+        cur.extend(lm)
+        cur_off += len(lm)
+    assert si >= 12, "fixture must reach the child indirect block's slots"
+    addr_by_slot = {s: f.append(bytes(b) + b'\0' * (slot_sizes[s] - len(b)))
+                    for s, b in blocks}
+
+    def fhib(slots, nrows):
+        ib = b'FHIB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
+        ib += (0).to_bytes(off_size, 'little')
+        ib += b''.join(struct.pack('<Q', a) for a in slots)
+        ib += struct.pack('<I', lookup3(ib))
+        return f.append(ib)
+
+    child = fhib([addr_by_slot.get(12 + i, UNDEF) for i in range(4)], 1)
+    root = fhib([addr_by_slot.get(i, UNDEF) for i in range(12)]
+                + [child, UNDEF, UNDEF, UNDEF], 4)
+
+    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    rec_size = 4 + heap_id_len
+    leaf = b'BTLF' + struct.pack('<BB', 0, 5)
+    for h, off, ln in recs:
+        leaf += struct.pack('<IB', h, 0)
+        leaf += off.to_bytes(off_size, 'little') + ln.to_bytes(len_size, 'little')
+    leaf += struct.pack('<I', lookup3(leaf))
+    leaf_addr = f.append(leaf)
+    bt = b'BTHD' + struct.pack('<BB', 0, 5)
+    bt += struct.pack('<IHHBB', 2048, rec_size, 0, 100, 40)
+    bt += struct.pack('<QHQ', leaf_addr, len(recs), len(recs))
+    bt += struct.pack('<I', lookup3(bt))
+    btree_addr = f.append(bt)
+
+    used = acc
+    hdr = b'FRHP' + struct.pack('<B', 0)
+    hdr += struct.pack('<HHB', heap_id_len, 0, 0)
+    hdr += struct.pack('<I', max_man)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', used, used)
+    hdr += struct.pack('<QQ', used, len(ids))
+    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)
+    hdr += struct.pack('<H', width)
+    hdr += struct.pack('<QQ', start_size, max_direct)
+    hdr += struct.pack('<HH', max_bits, 4)
+    hdr += struct.pack('<QH', root, 4)  # root FHIB, 4 current rows
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr, btree_addr
+
+
 def attr_info_dense(f: FileBuf, named_bodies):
     """Attribute Info (0x15) message body with DENSE storage: attribute
     messages in a single-direct-block fractal heap, name-indexed by a
@@ -1754,6 +1840,21 @@ def make_dense(path: Path):
         bodies2.append((name, link_msg(name, ds)))
     data2 = group_v2_dense(f, bodies2, indirect=True)
 
+    # a third dense group deep enough for a CHILD indirect block: 110
+    # hard links (aliasing 4 shared targets — hard links may alias) spill
+    # past the root FHIB's three direct rows into a row-3 child FHIB
+    targets = []
+    for i in range(4):
+        raw = f.append(struct.pack('<d', i * 2.25))
+        targets.append(object_header_v2(f, [
+            (0x01, space_scalar()), (0x03, dt_f64()),
+            (0x08, layout_contiguous(raw, 8))]))
+    bodies3 = [(f'g_{i:03d}', link_msg(f'g_{i:03d}', targets[i % 4]))
+               for i in range(110)]
+    fheap3, btree3 = fractal_heap_links_deep(f, bodies3)
+    li3 = struct.pack('<BB', 0, 0) + struct.pack('<QQ', fheap3, btree3)
+    data3 = object_header_v2(f, [(0x02, li3)])
+
     # a dataset with 10 attributes -> dense attribute storage (0x15)
     raw = f.append(struct.pack('<d', 42.0))
     attr_bodies = [('units', attr_v3('units', dt_str(3), space_scalar(),
@@ -1771,7 +1872,7 @@ def make_dense(path: Path):
         (0x15, attr_info_dense(f, attr_bodies)),
     ])
 
-    entry = group_v2(f, {'data': data, 'data2': data2,
+    entry = group_v2(f, {'data': data, 'data2': data2, 'data3': data3,
                          'manyattrs': manyattrs})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 

@@ -43,7 +43,7 @@ import scala.collection.mutable
   *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * fractal heaps with child indirect blocks or filtered heap blocks,
+  * filtered fractal-heap blocks,
   * filters beyond the three above, non-IEEE or big-endian numeric types,
   * enum/reference types and compound members that are themselves
   * arrays/nested compounds, extensible arrays whose unlimited dimension
@@ -303,12 +303,12 @@ object Hdf5 {
     * fractal heap, name-indexed by a v2 B-tree of (hash, heap ID) records.
     * Enumeration walks the B-tree's records (the hash is ignored — we list,
     * never look up) and reads each link message straight out of the
-    * heap — a single root direct block, or the doubling-table rows of a
-    * root indirect block once the group outgrows one; objects past the
-    * managed-size ceiling resolve through the huge-object b-tree.
-    * Loud-fail corners: heaps deep enough for child INDIRECT blocks,
-    * filtered heaps, and tiny heap IDs (which cannot occur for link or
-    * attribute messages at these ID widths). */
+    * heap — a single root direct block, or the doubling-table pyramid of
+    * an indirect root at ANY depth (child indirect blocks recurse);
+    * objects past the managed-size ceiling resolve through the
+    * huge-object b-tree. Loud-fail corners: filtered heaps and tiny heap
+    * IDs (which cannot occur for link or attribute messages at these ID
+    * widths). */
   private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
     val bb = bufAt(bytes, off.toLong)
     require(u8(bb) == 0, "link info version")
@@ -417,28 +417,43 @@ object Hdf5 {
         sig(bufAt(bytes, rootAddr), "FHDB")
         off => rootAddr + off
       } else {
-        val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
-        require(curRows <= maxDirectRows,
-          "fractal heap with child indirect blocks not supported")
-        val ib = bufAt(bytes, rootAddr)
-        sig(ib, "FHIB")
-        require(u8(ib) == 0, "fractal heap indirect block version")
-        u64(ib) // heap header back-pointer
-        readUIntN(ib, offSize) // block offset (root: 0)
-        val addrs = (0 until curRows * tableWidth).map(_ => u64(ib))
+        // Doubling-table pyramid, any depth. Rows 0..maxDirectRows-1 of an
+        // indirect block hold direct blocks (sizes S, S, 2S, 4S, …); rows
+        // past that hold CHILD indirect blocks. A child hanging off row u
+        // spans rowSize(u) = S*2^(u-1) of heap offset space and restarts
+        // the row sequence at S internally, so its row count solves
+        // W*S*2^(n-1) = S*2^(u-1): n = u - log2(W) (libhdf5
+        // H5HF_dtable_size_to_rows).
+        val maxDirectRows = (log2(maxDirectSize) - log2(startBlockSize) + 2).toInt
+        val log2W = 31 - Integer.numberOfLeadingZeros(tableWidth)
         def rowSize(r: Int): Long =
           if (r < 2) startBlockSize else startBlockSize << (r - 1)
-        off => {
+        val entryCache = mutable.Map.empty[Long, IndexedSeq[Long]]
+        def entries(ibAddr: Long, nrows: Int): IndexedSeq[Long] =
+          entryCache.getOrElseUpdate(ibAddr, {
+            val ib = bufAt(bytes, ibAddr)
+            sig(ib, "FHIB")
+            require(u8(ib) == 0, "fractal heap indirect block version")
+            u64(ib) // heap header back-pointer
+            readUIntN(ib, offSize) // block offset
+            (0 until nrows * tableWidth).map(_ => u64(ib)).toIndexedSeq
+          })
+        def locateIn(ibAddr: Long, ibStart: Long, nrows: Int, off: Long): Long = {
+          val addrs = entries(ibAddr, nrows)
           var r = 0
-          var rowStart = 0L
+          var rowStart = ibStart
           while (rowStart + tableWidth * rowSize(r) <= off) {
             rowStart += tableWidth * rowSize(r); r += 1
           }
+          require(r < nrows, s"heap offset $off beyond indirect-block rows")
           val idx = ((off - rowStart) / rowSize(r)).toInt
-          val dAddr = addrs(r * tableWidth + idx)
-          require(dAddr != UNDEF, "object in unallocated fractal-heap block")
-          dAddr + (off - (rowStart + idx * rowSize(r)))
+          val addr = addrs(r * tableWidth + idx)
+          require(addr != UNDEF, "object in unallocated fractal-heap block")
+          val entryStart = rowStart + idx * rowSize(r)
+          if (r < maxDirectRows) addr + (off - entryStart)
+          else locateIn(addr, entryStart, r - log2W, off)
         }
+        off => locateIn(rootAddr, 0L, curRows, off)
       }
     FHeap(locate, offSize, lenSize, heapIdLen, hugeBtree)
   }

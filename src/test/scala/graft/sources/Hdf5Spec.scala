@@ -225,6 +225,11 @@ class Hdf5Spec extends SparkSpec {
   test("dense groups: links enumerate via fractal heap + v2 b-tree index") {
     val dense = Hdf5.read(fixture("mouse_dense.h5"))
     val byP = dense.map(n => n.path -> n).toMap
+    // depth-2 heap: 110 links spill past the root FHIB's direct rows into
+    // a row-3 CHILD indirect block (doubling-table recursion)
+    for (i <- 0 until 110)
+      assert(byP(f"/entry/data3/g_$i%03d").scalarF64.contains((i % 4) * 2.25),
+        s"deep-heap link g_$i%03d")
     // 12 hard links past the compact threshold, all in the fractal heap
     for (i <- 0 until 12)
       assert(byP(f"/entry/data/value_$i%03d").scalarF64.contains(i * 1.5))
@@ -242,7 +247,8 @@ class Hdf5Spec extends SparkSpec {
     assert((0 until 9).forall(i => ma.attrs(f"a$i%02d") == f"v$i%02d"))
     // >4 KB attribute -> huge heap ID resolved through the huge b-tree
     assert(ma.attrs("blob") == "x" * 4999)
-    assert(dense.size == 28, dense.map(_.path).sorted.mkString("\n"))
+    // 28 pre-existing + data3's 110 deep-heap links
+    assert(dense.size == 138, dense.map(_.path).sorted.mkString("\n"))
   }
 
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
