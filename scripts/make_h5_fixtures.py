@@ -578,9 +578,30 @@ def make_v2(path: Path):
         (0x08, layout_contiguous(arr_raw, len(rows))),
     ])
 
+    # enum (class 8) over i32: reads as the base integer, h5py-style
+    def dt_i32():
+        return struct.pack('<B3sI2H', 0x10, bytes([0x08, 0x00, 0x00]), 4, 0, 32)
+
+    def dt_enum_v1(base, base_fmt, names_values):
+        n = len(names_values)
+        props = base
+        for name, _ in names_values:
+            nm = name.encode() + b'\x00'
+            props += nm + bytes(pad8(len(nm)) - len(nm))
+        props += b''.join(struct.pack(base_fmt, v) for _, v in names_values)
+        return struct.pack('<B3BI', 0x18, n & 0xFF, (n >> 8) & 0xFF, 0, 4) + props
+
+    mode_raw = f.append(struct.pack('<i', 1))
+    mode = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_enum_v1(dt_i32(), '<i', [('OFF', 0), ('ON', 1)])),
+        (0x08, layout_contiguous(mode_raw, 4)),
+    ])
+
     detector = group_v2(f, {'distance': dist, 'frame': frame,
                             'u32_pixels': u32arr, 'u64_count': u64big,
-                            'roi': cmp_scalar, 'table': cmp_array})
+                            'roi': cmp_scalar, 'table': cmp_array,
+                            'mode': mode})
     # soft link + external link (the Eiger master shape:
     # /entry/data/data_000001 -> another file)
     entry1 = object_header_v2(f, [

@@ -20,7 +20,8 @@ import scala.collection.mutable
   *  - object header messages: dataspace (v1/v2, incl. maxdims), datatype
   *    (fixed-point, IEEE float, fixed string, vlen string; compound with
   *    flat scalar members — v1/v2/v3 encodings — surfacing each member as
-  *    a `<path>/<member>` child node), data layout v3
+  *    a `<path>/<member>` child node; enums over integer bases, read as
+  *    the base type like h5py), data layout v3
   *    (compact, contiguous, chunked + v1 B-tree) and v4 (chunked with ALL
   *    FIVE index types: Single Chunk, Implicit, Fixed Array, Extensible
   *    Array — every addressing tier incl. paged data blocks with MSB-first
@@ -45,8 +46,9 @@ import scala.collection.mutable
   * Deliberately NOT supported (fails loudly, never silently misreads):
   * filtered fractal-heap blocks,
   * filters beyond the three above, non-IEEE or big-endian numeric types,
-  * enum/reference types and compound members that are themselves
-  * arrays/nested compounds, extensible arrays whose unlimited dimension
+  * reference types, enums over non-integer bases, compound members that
+  * are themselves arrays/nested compounds, extensible arrays whose
+  * unlimited dimension
   * is not dim 0 (libhdf5 swizzles coordinates there), and
   * point/strided/multi-block virtual selections.
   *
@@ -161,6 +163,25 @@ object Hdf5 {
         members.foreach(m => require(m.offset + m.dt.size <= size,
           s"compound member '${m.name}' overruns the ${size}-byte element"))
         Compound(size, members)
+      case 8 => // enum: reads as its base integer type (h5py semantics)
+        val nMembers = ((bits(1) & 0xFF) << 8) | (bits(0) & 0xFF)
+        val base = parseDatatype(bb)
+        base match {
+          case Fixed(_, _) => ()
+          case other => throw new UnsupportedOperationException(
+            s"enum base type $other not supported")
+        }
+        // skip the name list (v1/v2: NUL-terminated padded to 8; v3: bare)
+        // and the value list — values decode through the base type
+        (0 until nMembers).foreach { _ =>
+          val start = bb.position()
+          var end = start
+          while (bb.get(end) != 0) end += 1
+          val nameLen = end - start + 1
+          bb.position(start + (if (version < 3) (nameLen + 7) & ~7 else nameLen))
+        }
+        bb.position(bb.position() + nMembers * base.size)
+        base
       case 9 =>
         require((bits(0) & 0x0F) == 1, "only vlen STRINGS are supported")
         VlenStr

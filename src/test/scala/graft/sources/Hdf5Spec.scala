@@ -275,6 +275,10 @@ class Hdf5Spec extends SparkSpec {
       .contains(Seq(10.0, 11.0, 12.0)))
   }
 
+  test("enum datatypes (class 8) read as their base integer, h5py-style") {
+    assert(v2ByPath("/entry1/detector/mode").scalarF64.contains(1.0))
+  }
+
   test("truncated deflate chunks and string arrays fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Hdf5.read(fixture("bad_deflate.h5"))
@@ -301,9 +305,9 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    // 11 v0 nodes + 13 v2 nodes (incl. links and the compound datasets'
-    // parent + member-child rows)
-    assert(tree.count() == 24)
+    // 11 v0 nodes + 14 v2 nodes (incl. links, the compound datasets'
+    // parent + member-child rows, and the enum scalar)
+    assert(tree.count() == 25)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -424,7 +428,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 24) // + mouse_v2's 13 incl. compound children
+    assert(tree.count() == 25) // + mouse_v2's 14 incl. compound children
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
