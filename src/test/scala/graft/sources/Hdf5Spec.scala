@@ -453,6 +453,26 @@ class Hdf5Spec extends SparkSpec {
       .getAs[Double]("valueF64") == 1.5)
   }
 
+  test("streaming source assembles VDS through siblings (stream/batch parity)") {
+    val dir = Files.createTempDirectory("h5vdsstream")
+    for (n <- Seq("vds_master.h5", "vds_data_000001.h5", "vds_data_000002.h5"))
+      Files.write(dir.resolve(n), fixture(s"extlink/$n"))
+    val out = Files.createTempDirectory("h5vdsstream-out").toString
+    val ckpt = Files.createTempDirectory("h5vdsstream-ckpt").toString
+    val q = Hdf5Source.treeStream(spark, dir.toString, glob = "vds_master.h5")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("path") -> r).toMap
+    assert(rows("/entry/vframes").getAs[scala.collection.Seq[Float]]("valueArr")
+      .toSeq == (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _))
+    assert(rows("/entry/vnone").getAs[Map[String, String]]("attrs")(
+      "virtual_missing_sources") == "vds_missing.h5")
+  }
+
   test("corrupt or unsupported bytes fail loudly, never misread") {
     intercept[IllegalArgumentException] { Hdf5.read("not hdf5".getBytes) }
     val truncated = fixture("mouse_v0.h5").take(64)
