@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TreeTable.MappingRule
@@ -59,19 +59,59 @@ object Ingest {
       .drop("b", "r")
   }
 
-  /** Tree table -> typed repetition frame ([[Model.Repetition]] shape):
-    * the translator pass (K20) for the scalar/quantity columns plus the
-    * two beam-profile image reads (S6). One row per repetition file;
-    * missing paths become the documented defaults (scalars) or null
-    * images (the step gates skip those repetitions). */
+  /** Tree table -> typed repetition frame ([[Model.Repetition]] shape).
+    * Same read semantics as folding `TreeTable.readF64/readQuantity/
+    * readImage` per rule (K19 mean-if-array coercion, typed defaults for
+    * missing paths, null images gating the steps) but evaluated as ONE
+    * conditional aggregation over a single pass of the tree: the per-rule
+    * fold would join — and therefore RE-SCAN and re-parse — the tree once
+    * per path, which at 100 TB means parsing every instrument file ~10×.
+    * One `groupBy(file)` shuffles each file's dozen tree rows once and
+    * every rule reads from that pass. */
   def repetitionsFromTree(tree: DataFrame, keys: DataFrame): DataFrame = {
-    val wide = TreeTable.translateOnto(tree, keys, repetitionRules)
-    val withDirect = TreeTable.readImage(tree, wide, DirectBeamPath,
-      "directBeam", "directH", "directW")
-    val withSample = TreeTable.readImage(tree, withDirect, SampleBeamPath,
-      "sampleBeam", "sampleH", "sampleW")
-    withSample
-      .withColumn("configuration", col("configuration_f").cast("int"))
-      .drop("configuration_f")
+    val f64 = TreeTable.scalarOrMean
+    def at(path: String, c: Column): Column = when(col("path") === path, c)
+    def scalar(path: String, as: String): Column =
+      coalesce(max(at(path, f64)), lit(0.0)).as(as)
+    def quantity(path: String, as: String): Column =
+      struct(
+        coalesce(max(at(path, f64)), lit(Double.NaN)).as("value"),
+        coalesce(max(at(path, col("units"))), lit("dimensionless")).as("units")
+      ).as(as)
+    def image(path: String, as: String, hCol: String, wCol: String) = {
+      val dims = split(col("attrs")("dims"), ",")
+      Seq(
+        first(at(path, col("valueArr")), ignoreNulls = true).as(as),
+        max(at(path, dims.getItem(0).cast("int"))).as(hCol),
+        max(at(path, dims.getItem(1).cast("int"))).as(wCol))
+    }
+    val aggs: Seq[Column] = repetitionRules.map { r =>
+      (r.dtype, r.dstColumn) match {
+        case ("f64", "configuration_f") => // int downstream
+          max(at(r.srcPath, f64)).cast("int").as("configuration")
+        case ("f64", as) => scalar(r.srcPath, as)
+        case ("quantity", as) => quantity(r.srcPath, as)
+        case (other, as) =>
+          throw new IllegalArgumentException(s"rule $as: dtype $other")
+      }
+    } ++ image(DirectBeamPath, "directBeam", "directH", "directW") ++
+      image(SampleBeamPath, "sampleBeam", "sampleH", "sampleW")
+    val joined = keys.join(
+      tree.groupBy(col("file")).agg(aggs.head, aggs.tail: _*),
+      Seq("file"), "left")
+    // a key whose file produced NO tree rows still gets the typed
+    // defaults (tolerate-missing contract, identical to the per-rule fold)
+    val defaulted = repetitionRules.foldLeft(joined) { (acc, r) =>
+      (r.dtype, r.dstColumn) match {
+        case ("f64", "configuration_f") =>
+          acc.withColumn("configuration", coalesce(col("configuration"), lit(0)))
+        case ("f64", as) =>
+          acc.withColumn(as, coalesce(col(as), lit(0.0)))
+        case (_, as) =>
+          acc.withColumn(as, coalesce(col(as),
+            struct(lit(Double.NaN).as("value"), lit("dimensionless").as("units"))))
+      }
+    }
+    defaulted
   }
 }

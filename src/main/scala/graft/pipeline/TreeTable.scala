@@ -30,7 +30,7 @@ object TreeTable {
   /** K19 `get_float_from_h5` mean-if-array coercion (`utilities.py:17-19`):
     * an array-valued dataset reads as its mean, exactly like the reference
     * (e.g. a per-frame frame_time vector). */
-  private def scalarOrMean: Column =
+  private[pipeline] def scalarOrMean: Column =
     coalesce(col("valueF64"),
       when(col("valueArr").isNotNull && size(col("valueArr")) > 0,
         aggregate(col("valueArr"), lit(0.0), (acc, x) => acc + x)

@@ -97,6 +97,25 @@ class FullDagGoldenSpec extends SparkSpec {
     checkGolden("full_dag_flux_table.csv", csvLines(table))
   }
 
+  test("ingest is one pass: the tree is scanned once, not once per rule") {
+    // the per-rule readF64/readImage fold would re-scan (and re-parse)
+    // every instrument file once per mapping — ~10x the parse work at
+    // corpus scale. The conditional aggregation must leave exactly two
+    // source scans in the plan: the tree parse and the key/mtime listing
+    // (which prunes the content column).
+    val dir = resourceDir("/h5/pipe")
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.nxs")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+    val reps = Ingest.repetitionsFromTree(
+      Hdf5Source.treeTable(spark, dir, glob = "*.nxs"),
+      Ingest.repetitionKeys(files.select(col("path"), col("modificationTime"))))
+    val plan = reps.queryExecution.optimizedPlan.toString
+    val scans = "binaryFile".r.findAllMatchIn(plan).size
+    assert(scans <= 2, s"$scans binaryFile scans in ingest plan:\n$plan")
+  }
+
   test("from-bytes full DAG: stacker output equals golden") {
     val stacked = Stages.stacker(processed, ctx)
       .select(col("ymd"), col("batch"), col("configuration"),
