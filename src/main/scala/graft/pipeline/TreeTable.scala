@@ -105,28 +105,49 @@ object TreeTable {
     translateOnto(tree, tree.select(col("file")).distinct(), rules)
 
   /** Second-pass translation (`processstep_translator_step_2.py`): enrich an
-    * already-wide frame (keyed by `file`) with more tree-derived columns. */
+    * already-wide frame (keyed by `file`) with more tree-derived columns.
+    *
+    * Evaluated as ONE conditional aggregation over a single pass of the
+    * tree, not a join per rule: the tree is usually a COMPUTED parse of
+    * raw instrument bytes, so N per-rule joins would re-scan and re-parse
+    * every file N times at corpus scale. Per-rule semantics are identical
+    * to the single-read helpers (K19 coercion, typed defaults for missing
+    * paths and for files absent from the tree, fixed unit conversions). */
   def translateOnto(tree: DataFrame, base: DataFrame, rules: Seq[MappingRule]): DataFrame = {
-    rules.foldLeft(base) { (acc, rule) =>
-      rule.dtype match {
-        case "f64" => readF64(tree, acc, rule.srcPath, rule.dstColumn)
-        case "str" => readStr(tree, acc, rule.srcPath, rule.dstColumn)
+    if (rules.isEmpty) return base
+    def at(path: String, c: Column): Column = when(col("path") === path, c)
+    val aggs: Seq[Column] = rules.map { r =>
+      r.dtype match {
+        case "f64" => max(at(r.srcPath, scalarOrMean)).as(r.dstColumn)
+        case "str" => max(at(r.srcPath, col("valueStr"))).as(r.dstColumn)
         case "quantity" =>
-          val read = readQuantity(tree, acc, rule.srcPath, rule.dstColumn)
-          rule.toUnits match {
-            case None => read
+          struct(
+            max(at(r.srcPath, scalarOrMean)).as("value"),
+            max(at(r.srcPath, col("units"))).as("units")).as(r.dstColumn)
+        case other => throw new IllegalArgumentException(s"unknown dtype $other")
+      }
+    }
+    val wide = tree.groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
+    val joined = base.join(wide, Seq("file"), "left")
+    rules.foldLeft(joined) { (acc, rule) =>
+      val c = col(rule.dstColumn)
+      rule.dtype match {
+        case "f64" => acc.withColumn(rule.dstColumn, coalesce(c, lit(0.0)))
+        case "str" => acc.withColumn(rule.dstColumn, coalesce(c, lit("")))
+        case "quantity" =>
+          val v = coalesce(c("value"), lit(Double.NaN))
+          val u = coalesce(c("units"), lit("dimensionless"))
+          val converted = rule.toUnits match {
+            case None => struct(v.as("value"), u.as("units"))
             case Some(target) =>
               val factor = conversions.foldLeft(lit(Double.NaN)) {
                 case (acc2, ((from, to), f)) if to == target =>
-                  when(col(s"${rule.dstColumn}.units") === from, lit(f)).otherwise(acc2)
+                  when(u === from, lit(f)).otherwise(acc2)
                 case (acc2, _) => acc2
               }
-              read.withColumn(rule.dstColumn,
-                struct(
-                  (col(s"${rule.dstColumn}.value") * factor).as("value"),
-                  lit(target).as("units")))
+              struct((v * factor).as("value"), lit(target).as("units"))
           }
-        case other => throw new IllegalArgumentException(s"unknown dtype $other")
+          acc.withColumn(rule.dstColumn, converted)
       }
     }
   }
