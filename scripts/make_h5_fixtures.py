@@ -1085,6 +1085,12 @@ def make_vds(outdir: Path):
     i_none = gh.add(vds_heap_block([
         ('vds_missing.h5', '/data', sel_all(), sel_all()),
     ]))
+    # oversized: 2^40 f32 elements — must degrade to a marker, not throw,
+    # even though its source resolves
+    i_huge = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v1([0, 0, 0], [1, 1, 5])),
+    ]))
     heap_addr = gh.flush()
 
     vframes = object_header_v2(f, [
@@ -1102,8 +1108,13 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_none)),
     ])
+    vhuge = object_header_v2(f, [
+        (0x01, space_simple([1 << 20, 1 << 10, 1 << 10])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_huge)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
-                         'vnone': vnone})
+                         'vnone': vnone, 'vhuge': vhuge})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
 
 

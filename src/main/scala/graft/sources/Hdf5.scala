@@ -1373,7 +1373,16 @@ object Hdf5 {
 
     val esz = dt.size
     val totalBytes = dims.product * esz
-    require(totalBytes <= Int.MaxValue, "virtual dataset too large to assemble")
+    if (totalBytes > Int.MaxValue - 16) {
+      // same degrade policy as oversized external-link targets: a scan
+      // over millions of masters must survive one multi-GB stack — the
+      // node stays present and inspectable, data reads via a chunk-range
+      // path, never a task-aborting throw
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"virtual dataset is $totalBytes bytes (> single-buffer bound); " +
+          "degrading to a marker node")
+      return (None, Map("virtual_oversized" -> totalBytes.toString))
+    }
     val out = new Array[Byte](totalBytes.toInt)
     val missing = mutable.LinkedHashSet.empty[String]
     var resolved = 0

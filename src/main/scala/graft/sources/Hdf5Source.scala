@@ -45,7 +45,7 @@ object Hdf5Source {
     * shuffle of raw bytes, no driver involvement, and a task only reads the
     * data files its own master actually links. The Hadoop conf rides a
     * broadcast so object-store credentials and settings reach every task. */
-  private def parseFiles(files: DataFrame): DataFrame = {
+  private def parseFiles(files: DataFrame, lenient: Boolean): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val hconf = SerializableHadoopConf.broadcast(spark)
@@ -53,7 +53,20 @@ object Hdf5Source {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        Hdf5.toTreeRows(file, bytes, siblingResolver(file, hconf.value.value))
+        if (!lenient)
+          Hdf5.toTreeRows(file, bytes, siblingResolver(file, hconf.value.value))
+        else
+          // survive-the-scan mode: one corrupt file out of millions must
+          // not abort the job. The file stays VISIBLE as a single
+          // error-marker row (quarantine-able downstream), never a
+          // silent hole and never a task failure.
+          try Hdf5.toTreeRows(file, bytes, siblingResolver(file, hconf.value.value))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Seq(TreeRow(file, "", None, None, None, None,
+                Map("parse_error" ->
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+          }
       }
       .toDF()
   }
@@ -109,24 +122,30 @@ object Hdf5Source {
       })
   }
 
-  /** Parse every matching file under `path` into TreeRows. */
-  def treeTable(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame =
+  /** Parse every matching file under `path` into TreeRows. `lenient`
+    * converts per-file parse failures into one error-marker row
+    * (`path=""`, `attrs("parse_error")`) instead of failing the scan —
+    * the right default for a first pass over an uncurated corpus; strict
+    * (default) keeps loud failure for curated instrument trees. */
+  def treeTable(spark: SparkSession, path: String, glob: String = "*.h5",
+      lenient: Boolean = false): DataFrame =
     parseFiles(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
-      .load(path))
+      .load(path), lenient)
 
   /** Streaming variant (§2.9): new `.h5`/`.nxs` files appearing under
     * `path` arrive as micro-batches of TreeRows — the same per-file parse as
     * [[treeTable]], so the batch pipeline stages run unchanged downstream
     * (stream/batch DAG reuse). Pair with the [[graft.streaming.Watcher]]
     * completeness gate for the reference's poll-until-stable semantics. */
-  def treeStream(spark: SparkSession, path: String, glob: String = "*.h5"): DataFrame =
+  def treeStream(spark: SparkSession, path: String, glob: String = "*.h5",
+      lenient: Boolean = false): DataFrame =
     parseFiles(spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .schema(binaryFileSchema)
-      .load(path))
+      .load(path), lenient)
 
   /** Parse one in-memory file (testing / driver-side spot reads). */
   def parse(file: String, bytes: Array[Byte]): Seq[TreeRow] =

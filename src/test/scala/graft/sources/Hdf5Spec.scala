@@ -205,6 +205,32 @@ class Hdf5Spec extends SparkSpec {
     assert(p.attrs("virtual_missing_sources") == "vds_missing.h5")
   }
 
+  test("VDS: an oversized virtual dataset degrades to a marker, not a throw") {
+    // 2^40 f32 elements with a RESOLVABLE source — the single-buffer bound
+    // must win before any allocation, same policy as oversized extlinks
+    val h = vdsByPath("/entry/vhuge")
+    assert(h.f32Data.isEmpty && h.scalarF64.isEmpty)
+    assert(h.attrs("virtual_oversized").toLong > Int.MaxValue.toLong)
+  }
+
+  test("lenient treeTable quarantines a corrupt file as an error row") {
+    val dir = Files.createTempDirectory("h5lenient")
+    Files.write(dir.resolve("good.h5"), fixture("mouse_v0.h5"))
+    Files.write(dir.resolve("bad.h5"), fixture("bad_deflate.h5"))
+    // strict (default): the corrupt file fails the scan loudly
+    intercept[org.apache.spark.SparkException] {
+      Hdf5Source.treeTable(spark, dir.toString).count()
+    }
+    // lenient: the corrupt file becomes ONE inspectable error row and
+    // every other file parses normally
+    val rows = Hdf5Source.treeTable(spark, dir.toString, lenient = true).collect()
+    val errs = rows.filter(r =>
+      r.getAs[Map[String, String]]("attrs").contains("parse_error"))
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("file").endsWith("bad.h5"))
+    assert(rows.length == 12) // 11 good nodes + 1 error marker
+  }
+
   test("VDS: all sources missing degrades to a data-less marker node") {
     val n = vdsByPath("/entry/vnone")
     assert(n.f32Data.isEmpty && n.scalarF64.isEmpty)
