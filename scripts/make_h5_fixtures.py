@@ -1029,6 +1029,16 @@ def sel_hyper_v2(start, stride, count, block):
         struct.pack('<I', len(info)) + info
 
 
+def sel_hyper_v3(start, stride, count, block, enc=4):
+    """Version-3 regular hyperslab (HDF5 1.12+): flags bit0 set, variable
+    coordinate width."""
+    rank = len(start)
+    body = struct.pack('<IIBB', 2, 3, 1, enc) + struct.pack('<I', rank)
+    for arr in (start, stride, count, block):
+        body += b''.join(v.to_bytes(enc, 'little') for v in arr)
+    return body
+
+
 def vds_heap_block(entries):
     """Virtual storage global heap block: version, num entries, then
     (source file, source dataset, source selection, virtual selection)
@@ -1077,8 +1087,9 @@ def make_vds(outdir: Path):
          sel_hyper_v1([2, 0], [3, 2])),
     ]))
     i_partial = gh.add(vds_heap_block([
+        # v3-encoded virtual selection (2-byte coords) — HDF5 1.12+ form
         ('vds_data_000001.h5', '/data', sel_all(),
-         sel_hyper_v2([0, 0], [1, 1], [1, 1], [2, 3])),
+         sel_hyper_v3([0, 0], [1, 1], [1, 1], [2, 3], enc=2)),
         ('vds_missing.h5', '/data', sel_all(),
          sel_hyper_v1([2, 0], [3, 2])),
     ]))

@@ -1218,10 +1218,12 @@ object Hdf5 {
   /** Serialized dataspace selection (spec "Dataspace Selection" encoding,
     * as stored in the virtual storage heap block). Supported: ALL (3),
     * NONE (0, maps nothing -> None), and hyperslabs (2) that describe ONE
-    * contiguous block — v1 single-block lists and v2 regular hyperslabs
-    * whose stride equals their block (the shapes libhdf5 writes for
-    * VDS stacking, e.g. Eiger data_0000NN slabs along dim 0). Points,
-    * irregular/strided slabs, and unlimited selections fail loudly. */
+    * contiguous block — v1 single-block lists, v2 regular hyperslabs, and
+    * v3 (HDF5 1.12+, variable coordinate width) in both regular and
+    * single-block forms, where stride equals block (the shapes libhdf5
+    * writes for VDS stacking, e.g. Eiger data_0000NN slabs along dim 0).
+    * Points, irregular/strided slabs, and unlimited selections fail
+    * loudly. */
   private def parseSelection(vb: ByteBuffer, what: String): Option[Sel] = {
     val stype = u32(vb)
     stype match {
@@ -1249,21 +1251,22 @@ object Hdf5 {
             u8(vb) // flags (bit 0: regular — always set in v2)
             u32(vb) // length
             val rank = u32(vb).toInt
-            val start = (0 until rank).map(_ => u64(vb))
-            val stride = (0 until rank).map(_ => u64(vb))
-            val count = (0 until rank).map(_ => u64(vb))
-            val block = (0 until rank).map(_ => u64(vb))
-            require(count.forall(_ != UNDEF),
-              s"$what: unlimited (printf-style) selection not supported")
-            val ext = (0 until rank).map { d =>
-              if (count(d) == 1L) block(d)
-              else {
-                require(stride(d) == block(d),
-                  s"$what: strided hyperslab is not one contiguous block")
-                count(d) * block(d)
-              }
+            regularSlab(vb, rank, 8, what)
+          case 3 => // v3 (HDF5 1.12+): variable coordinate width
+            val flags = u8(vb)
+            val encSize = u8(vb)
+            require(encSize == 2 || encSize == 4 || encSize == 8,
+              s"$what: v3 selection encode size $encSize")
+            val rank = u32(vb).toInt
+            if ((flags & 1) != 0) regularSlab(vb, rank, encSize, what)
+            else { // block list, like v1 but variable-width coords
+              val nblocks = readUIntN(vb, encSize)
+              require(nblocks == 1,
+                s"$what: $nblocks-block hyperslab selection (1 supported)")
+              val start = (0 until rank).map(_ => readUIntN(vb, encSize))
+              val end = (0 until rank).map(_ => readUIntN(vb, encSize))
+              Some(SlabSel(start, start.zip(end).map { case (s, e) => e - s + 1 }))
             }
-            Some(SlabSel(start, ext))
           case v =>
             throw new UnsupportedOperationException(s"$what: hyperslab selection v$v")
         }
@@ -1272,6 +1275,29 @@ object Hdf5 {
       case t =>
         throw new UnsupportedOperationException(s"$what: selection type $t")
     }
+  }
+
+  /** start/stride/count/block arrays at `encSize` bytes per coordinate ->
+    * one contiguous slab (count 1, or adjacent blocks via stride==block).
+    * An all-ones coordinate at the encode width is H5S_UNLIMITED. */
+  private def regularSlab(
+      vb: ByteBuffer, rank: Int, encSize: Int, what: String): Option[Sel] = {
+    val unlimited = if (encSize == 8) UNDEF else (1L << (encSize * 8)) - 1
+    val start = (0 until rank).map(_ => readUIntN(vb, encSize))
+    val stride = (0 until rank).map(_ => readUIntN(vb, encSize))
+    val count = (0 until rank).map(_ => readUIntN(vb, encSize))
+    val block = (0 until rank).map(_ => readUIntN(vb, encSize))
+    require((count ++ block).forall(_ != unlimited),
+      s"$what: unlimited (printf-style) selection not supported")
+    val ext = (0 until rank).map { d =>
+      if (count(d) == 1L) block(d)
+      else {
+        require(stride(d) == block(d),
+          s"$what: strided hyperslab is not one contiguous block")
+        count(d) * block(d)
+      }
+    }
+    Some(SlabSel(start, ext))
   }
 
   private def dimStrides(dims: Seq[Long]): Seq[Long] =

@@ -199,6 +199,8 @@ class Hdf5Spec extends SparkSpec {
   }
 
   test("VDS: a missing source fills its region and is surfaced in attrs") {
+    // the resolvable mapping's virtual selection is v3-encoded (2-byte
+    // coords, HDF5 1.12+ form) — identical values prove the v3 decode
     val p = vdsByPath("/entry/vpartial")
     assert(p.f32Data.map(_.toSeq).contains(
       (0 until 6).map(_.toFloat) ++ Seq.fill(6)(0.0f)))
