@@ -596,6 +596,12 @@ def make_v2(path: Path):
         (0x01, space_scalar()),
         (0x03, dt_enum_v1(dt_i32(), '<i', [('OFF', 0), ('ON', 1)])),
         (0x08, layout_contiguous(mode_raw, 4)),
+        # compound-typed attr: opaque for scalar-attr reads, must be
+        # SKIPPED (dataset still parses), never a file-aborting failure
+        (0x0C, attr_v3('range', dt_compound(3, 16, [
+            member_v3('lo', 0, dt_f64(), 1),
+            member_v3('hi', 8, dt_f64(), 1),
+        ]), space_scalar(), struct.pack('<dd', 0.0, 2.0))),
     ])
 
     detector = group_v2(f, {'distance': dist, 'frame': frame,

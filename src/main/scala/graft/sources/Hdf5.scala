@@ -1567,8 +1567,10 @@ object Hdf5 {
     val (dims, _, isNull) = parseDataspaceFull(bb)
     bb.position(dsStart + padded(dsSize))
     // scalar attrs only; a null dataspace or zero-size shape has NO data
-    // bytes on disk — reading dt.size bytes would decode padding as a value
-    if (isNull || dims.product != 1) return None
+    // bytes on disk — reading dt.size bytes would decode padding as a value.
+    // Compound-typed attrs are opaque metadata for our reads — skipped,
+    // not a file-aborting failure (same scalar-attrs-only policy).
+    if (isNull || dims.product != 1 || dt.isInstanceOf[Compound]) return None
     val data = take(bb, dt.size)
     val value = dt match {
       case Str(_) | VlenStr => decodeString(bytes, data, dt)
