@@ -11,6 +11,56 @@ import org.apache.spark.sql.SparkSession
   * startup so per-query numbers reflect steady-state plan execution.
   */
 object Bench {
+  /** Bytes of stdout the driver's tail capture retains. Anything before the
+    * last `TailCaptureBytes` of output is lost, so the metric line must be
+    * printed LAST and stay under this budget — r2 (full-precision doubles)
+    * and r7 (the runs map appended to the metric line) both breached it and
+    * the driver recorded no bench total for those rounds.
+    */
+  val TailCaptureBytes = 2000
+
+  /** Keep the metric line this far under the window. r6's 3-decimal line
+    * parsed at ~1950 bytes, so a 1950-byte budget is proven safe; the current
+    * 72-query suite emits 1927 bytes at 3 decimals and degrades to 2 decimals
+    * (1855 bytes) before the budget is ever at risk.
+    */
+  val SafetyMargin = 50
+
+  def fmt(v: Double, scale: Int = 3): String =
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def queriesJson(timings: Seq[(String, Double)], scale: Int): String =
+    timings.map { case (k, v) => "\"" + k + "\":" + fmt(v, scale) }
+      .mkString("{", ",", "}")
+
+  /** Full-fidelity per-query detail (3-decimal timings + run counts), printed
+    * on its own line BEFORE the metric line. It may be arbitrarily long; only
+    * its tail shares the capture window with the metric line.
+    */
+  def detailLine(timings: Seq[(String, Double)], runs: Seq[(String, Int)],
+                 sfName: String): String = {
+    val rs = runs.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    s"""{"bench_detail":{"queries":${queriesJson(timings, 3)},"runs":$rs},"sf":"$sfName"}"""
+  }
+
+  /** The driver-facing metric line. Degrades per-query precision 3→1 decimals
+    * if needed, and as a last resort drops the per-query map entirely (it is
+    * already on the detail line) — it never exceeds the capture budget.
+    */
+  def metricLine(timings: Seq[(String, Double)], sfName: String): String = {
+    val total = timings.map(_._2).filter(_ >= 0).sum
+    def line(qs: Option[String]): String = {
+      val qpart = qs.map(q => s""","queries":$q""").getOrElse("")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$qpart,"sf":"$sfName"}"""
+    }
+    (3 to 1 by -1).iterator
+      .map(scale => line(Some(queriesJson(timings, scale))))
+      .find(_.length <= TailCaptureBytes - SafetyMargin)
+      .getOrElse(line(None))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,19 +124,13 @@ object Bench {
         else n -> (Seq(a, b, c).sorted.apply(1), 3)
       }
     }
-    // Compact emission: values at 3 decimals keep the whole line well under
-    // typical tail-capture windows (r2's full-precision doubles pushed the
-    // line past the driver's capture and truncated the leading entries).
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }
-      .mkString("{", ",", "}")
     graft.queries.DedupQueries.releaseShared(spark)
-    val total = results.map(_._2._1).filter(_ >= 0).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfName"}""")
+    val timings = results.map { case (k, (v, _)) => k -> v }
+    val runs = results.map { case (k, (_, r)) => k -> r }
+    // Detail first, metric line LAST — see TailCaptureBytes.
+    println(detailLine(timings, runs, sfName))
+    println(metricLine(timings, sfName))
     spark.stop()
   }
 }
