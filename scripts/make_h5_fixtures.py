@@ -1026,22 +1026,26 @@ def sel_hyper_v1(start, end):
 
 
 def sel_hyper_v2(start, stride, count, block):
-    """Version-2 regular hyperslab: u64 start/stride/count/block per dim."""
+    """Version-2 regular hyperslab: u64 coordinates INTERLEAVED per
+    dimension (Start #1, Stride #1, Count #1, Block #1, ... Start #n),
+    matching libhdf5's H5S__hyper_serialize / the format spec."""
     rank = len(start)
     info = struct.pack('<I', rank)
-    for arr in (start, stride, count, block):
-        info += b''.join(struct.pack('<Q', v) for v in arr)
+    for d in range(rank):
+        for arr in (start, stride, count, block):
+            info += struct.pack('<Q', arr[d])
     return struct.pack('<II', 2, 2) + struct.pack('<B', 1) + \
         struct.pack('<I', len(info)) + info
 
 
 def sel_hyper_v3(start, stride, count, block, enc=4):
     """Version-3 regular hyperslab (HDF5 1.12+): flags bit0 set, variable
-    coordinate width."""
+    coordinate width, per-dimension interleaved like v2."""
     rank = len(start)
     body = struct.pack('<IIBB', 2, 3, 1, enc) + struct.pack('<I', rank)
-    for arr in (start, stride, count, block):
-        body += b''.join(v.to_bytes(enc, 'little') for v in arr)
+    for d in range(rank):
+        for arr in (start, stride, count, block):
+            body += arr[d].to_bytes(enc, 'little')
     return body
 
 
@@ -1087,8 +1091,12 @@ def make_vds(outdir: Path):
     f.alloc(48)
     gh = GlobalHeap(f)
     i_frames = gh.add(vds_heap_block([
+        # count>1 along dim 0 (2 adjacent 1-row blocks, stride==block) —
+        # same [2,3] slab as a single block, but exercises the count>1
+        # decode path at rank 2 where grouped-vs-interleaved coordinate
+        # order actually differs
         ('vds_data_000001.h5', '/data', sel_all(),
-         sel_hyper_v2([0, 0], [1, 1], [1, 1], [2, 3])),
+         sel_hyper_v2([0, 0], [1, 1], [2, 1], [1, 3])),
         ('vds_data_000002.h5', '/data', sel_all(),
          sel_hyper_v1([2, 0], [3, 2])),
     ]))

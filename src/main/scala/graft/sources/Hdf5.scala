@@ -1277,16 +1277,23 @@ object Hdf5 {
     }
   }
 
-  /** start/stride/count/block arrays at `encSize` bytes per coordinate ->
+  /** Regular hyperslab info at `encSize` bytes per coordinate ->
     * one contiguous slab (count 1, or adjacent blocks via stride==block).
+    * Coordinates are INTERLEAVED per dimension — Start #1, Stride #1,
+    * Count #1, Block #1, ... Start #n (format spec "Hyperslab Selection
+    * Info" v2/v3; libhdf5 H5S__hyper_serialize) — not four grouped
+    * arrays; the orders only coincide at rank 1.
     * An all-ones coordinate at the encode width is H5S_UNLIMITED. */
   private def regularSlab(
       vb: ByteBuffer, rank: Int, encSize: Int, what: String): Option[Sel] = {
     val unlimited = if (encSize == 8) UNDEF else (1L << (encSize * 8)) - 1
-    val start = (0 until rank).map(_ => readUIntN(vb, encSize))
-    val stride = (0 until rank).map(_ => readUIntN(vb, encSize))
-    val count = (0 until rank).map(_ => readUIntN(vb, encSize))
-    val block = (0 until rank).map(_ => readUIntN(vb, encSize))
+    val start, stride, count, block = Array.ofDim[Long](rank)
+    for (d <- 0 until rank) {
+      start(d) = readUIntN(vb, encSize)
+      stride(d) = readUIntN(vb, encSize)
+      count(d) = readUIntN(vb, encSize)
+      block(d) = readUIntN(vb, encSize)
+    }
     require((count ++ block).forall(_ != unlimited),
       s"$what: unlimited (printf-style) selection not supported")
     val ext = (0 until rank).map { d =>
@@ -1297,7 +1304,7 @@ object Hdf5 {
         count(d) * block(d)
       }
     }
-    Some(SlabSel(start, ext))
+    Some(SlabSel(start.toSeq, ext))
   }
 
   private def dimStrides(dims: Seq[Long]): Seq[Long] =
