@@ -1086,6 +1086,9 @@ def make_vds(outdir: Path):
 
     write_source('vds_data_000001.h5', 0.0)
     write_source('vds_data_000002.h5', 100.0)
+    # 0-based printf sources (%b starts at block 0)
+    write_source('vds_blk_000000.h5', 0.0)
+    write_source('vds_blk_000001.h5', 100.0)
 
     f = FileBuf()
     f.alloc(48)
@@ -1116,6 +1119,28 @@ def make_vds(outdir: Path):
         ('vds_data_000001.h5', '/data', sel_all(),
          sel_hyper_v1([0, 0, 0], [1, 1, 5])),
     ]))
+    UNLIM = (1 << 64) - 1
+    # printf-style open-ended mapping (H5Pset_virtual %b form): 2-row
+    # blocks along dim 0, count H5S_UNLIMITED; block k reads
+    # vds_blk_00000k.h5 (0-based). The [6,3] extent holds 3 blocks but
+    # only blocks 0 and 1 exist -> short stack: rows 4-5 fill, first
+    # missing source surfaced.
+    i_printf = gh.add(vds_heap_block([
+        ('vds_blk_%06b.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [2, 1], [UNLIM, 1], [2, 3])),
+    ]))
+    # same printf mapping fully satisfied by the available sources
+    i_printf_full = gh.add(vds_heap_block([
+        ('vds_blk_%06b.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [2, 1], [UNLIM, 1], [2, 3])),
+    ]))
+    # non-printf unlimited mapping: ONE concrete source feeding an
+    # open-ended virtual extent — the resolved source extent (2 rows)
+    # decides the block count, rest of [4,3] reads fill
+    i_grow = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [1, 1], [UNLIM, 1], [1, 3])),
+    ]))
     heap_addr = gh.flush()
 
     vframes = object_header_v2(f, [
@@ -1138,8 +1163,25 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_huge)),
     ])
+    vprintf = object_header_v2(f, [
+        (0x01, space_simple([6, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_printf)),
+    ])
+    vprintf_full = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_printf_full)),
+    ])
+    vgrow = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_grow)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
-                         'vnone': vnone, 'vhuge': vhuge})
+                         'vnone': vnone, 'vhuge': vhuge,
+                         'vprintf': vprintf, 'vprintf_full': vprintf_full,
+                         'vgrow': vgrow})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
 
 

@@ -1215,6 +1215,28 @@ object Hdf5 {
     def toSlab(dims: Seq[Long]): Slab = Slab(start, count)
   }
 
+  /** Regular hyperslab with H5S_UNLIMITED count along `unlimDim`: an
+    * open-ended run of contiguous `block`-shaped slabs (stride == block,
+    * already normalized per non-unlimited dim). This is what
+    * `H5Pset_virtual` writes for printf-style / open-ended acquisitions;
+    * the extent is only known once sources resolve, so `toSlab` clamps the
+    * run to whatever fits the given dims (h5py's view of an unfilled VDS).
+    */
+  private final case class UnlimSel(
+      start: Seq[Long], block: Seq[Long], unlimDim: Int) extends Sel {
+    def blockElems: Long = block.product
+    /** How many whole blocks fit inside `dims`. */
+    def maxBlocks(dims: Seq[Long]): Long =
+      ((dims(unlimDim) - start(unlimDim)) / block(unlimDim)).max(0L)
+    /** The k-th block's slab (0-based). */
+    def blockSlab(k: Long): Slab =
+      Slab(start.updated(unlimDim, start(unlimDim) + k * block(unlimDim)), block)
+    /** One contiguous slab covering the first n blocks. */
+    def slabOf(n: Long): Slab =
+      Slab(start, block.updated(unlimDim, n * block(unlimDim)))
+    def toSlab(dims: Seq[Long]): Slab = slabOf(maxBlocks(dims))
+  }
+
   /** Serialized dataspace selection (spec "Dataspace Selection" encoding,
     * as stored in the virtual storage heap block). Supported: ALL (3),
     * NONE (0, maps nothing -> None), and hyperslabs (2) that describe ONE
@@ -1222,8 +1244,9 @@ object Hdf5 {
     * v3 (HDF5 1.12+, variable coordinate width) in both regular and
     * single-block forms, where stride equals block (the shapes libhdf5
     * writes for VDS stacking, e.g. Eiger data_0000NN slabs along dim 0).
-    * Points, irregular/strided slabs, and unlimited selections fail
-    * loudly. */
+    * Count-unlimited regular hyperslabs decode to [[UnlimSel]] (printf /
+    * open-ended VDS mappings); points, irregular/strided slabs, and
+    * block-unlimited selections fail loudly. */
   private def parseSelection(vb: ByteBuffer, what: String): Option[Sel] = {
     val stype = u32(vb)
     stype match {
@@ -1294,17 +1317,33 @@ object Hdf5 {
       count(d) = readUIntN(vb, encSize)
       block(d) = readUIntN(vb, encSize)
     }
-    require((count ++ block).forall(_ != unlimited),
-      s"$what: unlimited (printf-style) selection not supported")
-    val ext = (0 until rank).map { d =>
+    require((start ++ stride).forall(_ != unlimited),
+      s"$what: H5S_UNLIMITED start/stride is invalid")
+    // Contiguous extent per non-unlimited dim (count 1, or adjacent
+    // blocks via stride==block).
+    def ext(d: Int): Long =
       if (count(d) == 1L) block(d)
       else {
         require(stride(d) == block(d),
           s"$what: strided hyperslab is not one contiguous block")
         count(d) * block(d)
       }
-    }
-    Some(SlabSel(start.toSeq, ext))
+    val unlimDims = (0 until rank).filter(d =>
+      count(d) == unlimited || block(d) == unlimited)
+    if (unlimDims.nonEmpty) {
+      // H5S allows one unlimited dimension; only the count-unlimited form
+      // (fixed block repeating open-endedly — what H5Pset_virtual writes
+      // for printf-style mappings) is supported, loudly otherwise.
+      require(unlimDims.size == 1,
+        s"$what: ${unlimDims.size} unlimited dimensions (1 supported)")
+      val ud = unlimDims.head
+      require(count(ud) == unlimited && block(ud) != unlimited,
+        s"$what: unlimited block extent not supported (count-unlimited only)")
+      require(stride(ud) == block(ud),
+        s"$what: unlimited selection with stride != block is not contiguous")
+      val nb = (0 until rank).map(d => if (d == ud) block(d) else ext(d))
+      Some(UnlimSel(start.toSeq, nb, ud))
+    } else Some(SlabSel(start.toSeq, (0 until rank).map(ext)))
   }
 
   private def dimStrides(dims: Seq[Long]): Seq[Long] =
@@ -1363,6 +1402,25 @@ object Hdf5 {
     }
   }
 
+  /** printf-style block tokens in VDS source names: `%b` is the HDF5
+    * `H5Pset_virtual` convention (0-based block index; we also accept a
+    * zero-padded width like `%06b`, and the `%d` spelling detector file
+    * naming schemes use), `%%` is a literal percent. */
+  private val PrintfToken = "%%|%(0[0-9]+)?[bd]".r
+
+  private def hasBlockPattern(s: String): Boolean =
+    PrintfToken.findAllMatchIn(s).exists(_.matched != "%%")
+
+  /** Substitutes the 0-based block index into every printf token. */
+  private def substBlock(s: String, k: Long): String =
+    PrintfToken.replaceAllIn(s, m =>
+      if (m.matched == "%%") "%"
+      else {
+        val width = Option(m.group(1)).map(_.toInt).getOrElse(0)
+        val digits = k.toString
+        ("0" * ((width - digits.length).max(0))) + digits
+      })
+
   /** NUL-terminated string out of a heap-block buffer. */
   private def cstr(vb: ByteBuffer): String = {
     val arr = vb.array()
@@ -1382,8 +1440,11 @@ object Hdf5 {
     * (0), which is h5py's behavior the reference relies on
     * (`/root/reference/src/utilities.py:112-134` reads Eiger masters
     * transparently whether the frames arrive via external links or VDS).
-    * Unlike h5py we also surface missing source files in a
-    * `virtual_missing_sources` attribute so ingest can tell "short
+    * Printf-style mappings (`data_%b.h5` + count-unlimited selection,
+    * the open-ended-acquisition form `H5Pset_virtual` writes) resolve
+    * block 0, 1, ... until the first missing file, clamped to the
+    * virtual extent. Unlike h5py we also surface missing source files
+    * in a `virtual_missing_sources` attribute so ingest can tell "short
     * stack" from "frames of zeros". A fully-unresolvable dataset keeps
     * NO data (marker semantics, like dangling external links). */
   private def readVirtual(
@@ -1419,26 +1480,77 @@ object Hdf5 {
     val out = new Array[Byte](totalBytes.toInt)
     val missing = mutable.LinkedHashSet.empty[String]
     var resolved = 0
+    def readSource(file: String, dsPath: String)
+        : Option[(Seq[Long], DType, Array[Byte])] = {
+      val srcBytes =
+        if (openFiles.contains(file)) None // cross-file cycle: degrade
+        else resolve(file)
+      val found = srcBytes.flatMap { sb =>
+        val sink = mutable.Map.empty[String, (Seq[Long], DType, Array[Byte])]
+        readGuarded(sb, resolve, openFiles + file, sink)
+        sink.get(normalizePath(dsPath))
+      }
+      found.foreach { case (_, sdt, _) =>
+        require(sdt == dt,
+          s"virtual source $file:$dsPath datatype $sdt != virtual $dt")
+      }
+      found
+    }
     entries.foreach { case (file, dsPath, srcSel, virtSel) =>
       (srcSel, virtSel) match {
         case (Some(ss), Some(vs)) =>
           require(file != ".",
             "virtual mapping with source file '.' (self) not supported")
-          val srcBytes =
-            if (openFiles.contains(file)) None // cross-file cycle: degrade
-            else resolve(file)
-          srcBytes.flatMap { sb =>
-            val sink = mutable.Map.empty[String, (Seq[Long], DType, Array[Byte])]
-            readGuarded(sb, resolve, openFiles + file, sink)
-            sink.get(normalizePath(dsPath))
-          } match {
-            case None => missing += file
-            case Some((sdims, sdt, sraw)) =>
-              require(sdt == dt,
-                s"virtual source $file:$dsPath datatype $sdt != virtual $dt")
-              copySlab(sraw, sdims, ss.toSlab(sdims), out, dims,
-                vs.toSlab(dims), esz)
-              resolved += 1
+          val printf = hasBlockPattern(file) || hasBlockPattern(dsPath)
+          vs match {
+            case u: UnlimSel if printf =>
+              // printf-style open-ended mapping: substitute the block
+              // index into the source name and resolve until the first
+              // missing file (libhdf5's gap=0 iteration), clamped to the
+              // virtual dataset's current extent. A short stack leaves
+              // the remaining blocks as fill and surfaces the first
+              // missing source.
+              val cap = u.maxBlocks(dims)
+              var k = 0L
+              var stop = false
+              while (k < cap && !stop) {
+                val f = substBlock(file, k)
+                readSource(f, substBlock(dsPath, k)) match {
+                  case None =>
+                    missing += f
+                    stop = true
+                  case Some((sdims, _, sraw)) =>
+                    copySlab(sraw, sdims, ss.toSlab(sdims), out, dims,
+                      u.blockSlab(k), esz)
+                    resolved += 1
+                }
+                k += 1
+              }
+            case _ =>
+              require(!printf,
+                s"printf-style source $file:$dsPath without an unlimited " +
+                  "virtual selection")
+              readSource(file, dsPath) match {
+                case None => missing += file
+                case Some((sdims, _, sraw)) =>
+                  val sslab = ss.toSlab(sdims) // UnlimSel clamps to source
+                  val vslab = vs match {
+                    case u: UnlimSel =>
+                      // open-ended virtual extent, single concrete source:
+                      // the resolved source extent decides the block count
+                      // (h5py clamps an unfilled VDS the same way)
+                      val n = sslab.count.product
+                      require(n % u.blockElems == 0,
+                        s"virtual source $file: $n elements do not tile " +
+                          s"${u.blockElems}-element unlimited blocks")
+                      require(n / u.blockElems <= u.maxBlocks(dims),
+                        s"virtual source $file exceeds the virtual extent")
+                      u.slabOf(n / u.blockElems)
+                    case s => s.toSlab(dims)
+                  }
+                  copySlab(sraw, sdims, sslab, out, dims, vslab, esz)
+                  resolved += 1
+              }
           }
         case _ => () // a NONE selection maps nothing
       }

@@ -150,7 +150,8 @@ class Hdf5Spec extends SparkSpec {
 
   private def extResolver: String => Option[Array[Byte]] = {
     case n @ ("data_000001.h5" | "cycle_a.h5" | "cycle_b.h5" |
-              "vds_data_000001.h5" | "vds_data_000002.h5") =>
+              "vds_data_000001.h5" | "vds_data_000002.h5" |
+              "vds_blk_000000.h5" | "vds_blk_000001.h5") =>
       Some(fixture(s"extlink/$n"))
     case _ => None
   }
@@ -207,6 +208,39 @@ class Hdf5Spec extends SparkSpec {
     assert(p.attrs("virtual_missing_sources") == "vds_missing.h5")
   }
 
+  test("VDS: printf-style unlimited mapping resolves blocks until the " +
+      "first missing file and surfaces the short stack") {
+    // vds_blk_%06b.h5 with a 2-row count-unlimited block: blocks 0 and 1
+    // exist, block 2 does not — rows 0-3 carry data, rows 4-5 read fill,
+    // and the first missing substituted name is surfaced
+    val d = vdsByPath("/entry/vprintf")
+    assert(d.dims == Seq(6L, 3L))
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _) ++
+        Seq.fill(6)(0.0f)))
+    assert(d.attrs("virtual_missing_sources") == "vds_blk_000002.h5")
+  }
+
+  test("VDS: printf-style mapping fully satisfied leaves no missing marker") {
+    // same %b mapping over a [4,3] extent: capacity is exactly the two
+    // existing blocks, so iteration stops at the extent, not at a gap
+    val d = vdsByPath("/entry/vprintf_full")
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _)))
+    assert(!d.attrs.contains("virtual_missing_sources"))
+  }
+
+  test("VDS: non-printf unlimited mapping clamps to the resolved source " +
+      "extent") {
+    // one concrete 2x3 source into an open-ended [4,3] extent: the source
+    // decides the block count (h5py clamp), remaining rows read fill, and
+    // nothing is 'missing' — the stack is simply short of capacity
+    val d = vdsByPath("/entry/vgrow")
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ Seq.fill(6)(0.0f)))
+    assert(!d.attrs.contains("virtual_missing_sources"))
+  }
+
   test("VDS: an oversized virtual dataset degrades to a marker, not a throw") {
     // 2^40 f32 elements with a RESOLVABLE source — the single-buffer bound
     // must win before any allocation, same policy as oversized extlinks
@@ -238,8 +272,10 @@ class Hdf5Spec extends SparkSpec {
     assert(n.f32Data.isEmpty && n.scalarF64.isEmpty)
     assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
     // without a resolver at all, every VDS degrades the same way, no error
+    // (vframes, vpartial, vnone + the printf/grow datasets; vhuge is an
+    // oversized marker instead)
     val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
-    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 3)
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 6)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
