@@ -602,6 +602,11 @@ def make_v2(path: Path):
             member_v3('lo', 0, dt_f64(), 1),
             member_v3('hi', 8, dt_f64(), 1),
         ]), space_scalar(), struct.pack('<dd', 0.0, 2.0))),
+        # compound attr with a VLEN-string member: the member datatype
+        # itself fails to parse — the attribute (never the file) is skipped
+        (0x0C, attr_v3('label', dt_compound(3, 16, [
+            member_v3('s', 0, dt_vlen_str(), 1),
+        ]), space_scalar(), bytes(16))),
     ])
 
     detector = group_v2(f, {'distance': dist, 'frame': frame,

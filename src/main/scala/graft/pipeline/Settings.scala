@@ -50,10 +50,12 @@ object Settings {
             require(end > 0, s"line ${i + 1}: unterminated quote: $line")
             raw.substring(1, end)
           } else {
-            // YAML starts a trailing comment only at whitespace + '#';
-            // a bare '#' inside a scalar (masks_dir: /data/run#12) is data
+            // YAML starts a trailing comment only at whitespace + '#' —
+            // or at the very start of the value (`key: # note` is a null
+            // value, not the string "# note"); a bare '#' INSIDE a scalar
+            // (masks_dir: /data/run#12) is data
             val cut = raw.indices.find(j =>
-              raw(j) == '#' && j > 0 && raw(j - 1).isWhitespace)
+              raw(j) == '#' && (j == 0 || raw(j - 1).isWhitespace))
             cut.fold(raw)(raw.substring(0, _)).trim
           }
         require(value.nonEmpty,

@@ -258,16 +258,20 @@ object DedupQueries {
       // cluster-killer at a 100 TB table by accident — the sub-quadratic
       // siblings (d02 text LSH, s02 sign-LSH, s03 IVF) are the scale
       // paths. The pre-count is one column-less scan, O(footers),
-      // negligible next to the quadratic join it gates.
+      // negligible next to the quadratic join it gates. Setting
+      // spark.graft.d05.maxRows <= 0 disables guard AND pre-count for
+      // trusted runs that don't want the extra scan.
       val maxRows = s.conf.getOption("spark.graft.d05.maxRows")
         .map(_.toLong).getOrElse(1000000L)
       val base = Tables.loadSpread(s, dir, "embeddings")
-      val n = base.count()
-      require(n <= maxRows,
-        s"d05_embedding_dup is exact all-pairs (O(n^2)): $n embedding rows " +
-          s"exceed the $maxRows-row guard (spark.graft.d05.maxRows). Use " +
-          "the sub-quadratic paths: d02_minhash_lsh (text), s02_lsh_ann / " +
-          "s03_ivf_ann (embeddings).")
+      if (maxRows > 0) {
+        val n = base.count()
+        require(n <= maxRows,
+          s"d05_embedding_dup is exact all-pairs (O(n^2)): $n embedding rows " +
+            s"exceed the $maxRows-row guard (spark.graft.d05.maxRows). Use " +
+            "the sub-quadratic paths: d02_minhash_lsh (text), s02_lsh_ann / " +
+            "s03_ivf_ann (embeddings).")
+      }
       val nBlocks = 8
       val e = base
         .select(col("vec_id"), col("embedding"),

@@ -1680,7 +1680,13 @@ object Hdf5 {
     val name = new String(rawName, 0, if (nul < 0) rawName.length else nul, "UTF-8")
     bb.position(nameStart + padded(nameSize))
     val dtStart = bb.position()
-    val dt = parseDatatype(bb)
+    // Attributes are opaque metadata for our reads: a datatype the parser
+    // does not support (vlen, array-typed or nested compound members, ...)
+    // skips the attribute like the compound skip below — loud failure is
+    // reserved for DATASET datatypes, where data would be misread.
+    val dt = try parseDatatype(bb) catch {
+      case _: UnsupportedOperationException => return None
+    }
     bb.position(dtStart + padded(dtSize))
     val dsStart = bb.position()
     val (dims, _, isNull) = parseDataspaceFull(bb)

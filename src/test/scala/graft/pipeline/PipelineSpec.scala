@@ -291,5 +291,28 @@ class PipelineSpec extends SparkSpec {
       "masks_dir: /data/run#12\nnotes: a#b c  # real comment\n")
     assert(hash("masks_dir") == "/data/run#12")
     assert(hash("notes") == "a#b c")
+
+    // a value that is ENTIRELY a comment is a null value in YAML — the
+    // 'no scalar value' failure must fire, not the literal string "# note"
+    intercept[IllegalArgumentException] {
+      Settings.parse("vsi_root: # note\n")
+    }
+  }
+
+  test("S10: the reference's real MOUSE_settings.yaml parses into Carrier") {
+    // the one settings file actually shipped with the reference
+    // (MOUSE_settings.yaml) — read in place, skipped if not present
+    val p = java.nio.file.Paths.get("/root/reference/MOUSE_settings.yaml")
+    assume(java.nio.file.Files.exists(p), "reference checkout not present")
+    val c = Settings.fromYaml(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    assert(c.vsiRoot.endsWith("/newMouseTest/"))
+    assert(c.saxsDir.endsWith("/Measurements/SAXS002"))
+    assert(c.postTranslationDir.endsWith("/src"))
+    assert(c.translatorTemplateDir.endsWith("/data/TranslatorConfigurations"))
+    assert(c.logbookFile.endsWith("Logbook_MOUSE_Dataprocessing.xlsx"))
+    // derived keys fall back exactly like DefaultsCarrier defaults
+    assert(c.dataDir == c.saxsDir + "/data")
+    assert(c.loggingLevel == "INFO")
   }
 }

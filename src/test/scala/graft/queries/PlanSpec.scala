@@ -171,6 +171,11 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.d05.maxRows")
     // below the (default) bound the query still builds and runs
     assert(SparkEntry.queries("d05_embedding_dup")(spark, sf).count() > 0)
+    // maxRows <= 0 disables guard AND pre-count: a bound the corpus would
+    // exceed, negated, must run — proving the count() gate is skipped
+    spark.conf.set("spark.graft.d05.maxRows", "-10")
+    try assert(SparkEntry.queries("d05_embedding_dup")(spark, sf).count() > 0)
+    finally spark.conf.unset("spark.graft.d05.maxRows")
   }
 
   test("driver smoke contract: entry() returns rows") {

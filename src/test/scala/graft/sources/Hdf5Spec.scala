@@ -343,6 +343,9 @@ class Hdf5Spec extends SparkSpec {
     assert(v2ByPath("/entry1/detector/mode").scalarF64.contains(1.0))
     // its compound-typed attribute is skipped, not a file-aborting failure
     assert(!v2ByPath("/entry1/detector/mode").attrs.contains("range"))
+    // a compound attr whose MEMBER datatype doesn't even parse (vlen
+    // string) is likewise skipped at the datatype-parse stage
+    assert(!v2ByPath("/entry1/detector/mode").attrs.contains("label"))
   }
 
   test("truncated deflate chunks and string arrays fail loudly") {
