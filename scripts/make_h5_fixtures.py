@@ -1021,13 +1021,30 @@ def sel_all():
     return struct.pack('<II', 3, 1) + bytes(8)
 
 
+def sel_hyper_v1_multi(blocks):
+    """Version-1 hyperslab block list: u32 (start corner, opposite corner)
+    coordinate pairs, block-major."""
+    rank = len(blocks[0][0])
+    info = struct.pack('<II', rank, len(blocks))
+    for start, end in blocks:
+        info += b''.join(struct.pack('<I', s) for s in start)
+        info += b''.join(struct.pack('<I', e) for e in end)
+    return struct.pack('<IIII', 2, 1, 0, len(info)) + info
+
+
 def sel_hyper_v1(start, end):
     """Version-1 hyperslab selection: ONE block, u32 start/end corners."""
-    rank = len(start)
-    info = struct.pack('<II', rank, 1)
-    info += b''.join(struct.pack('<I', s) for s in start)
-    info += b''.join(struct.pack('<I', e) for e in end)
-    return struct.pack('<IIII', 2, 1, 0, len(info)) + info
+    return sel_hyper_v1_multi([(start, end)])
+
+
+def sel_points(points):
+    """Version-1 point selection: u32 coordinates, point-major, iterated
+    in stored order."""
+    rank = len(points[0])
+    info = struct.pack('<II', rank, len(points))
+    for p in points:
+        info += b''.join(struct.pack('<I', c) for c in p)
+    return struct.pack('<IIII', 1, 1, 0, len(info)) + info
 
 
 def sel_hyper_v2(start, stride, count, block):
@@ -1146,6 +1163,25 @@ def make_vds(outdir: Path):
         ('vds_data_000001.h5', '/data', sel_all(),
          sel_hyper_v2([0, 0], [1, 1], [UNLIM, 1], [1, 3])),
     ]))
+    # 2-module interleave: STRIDED virtual selections (stride > block) —
+    # source 1 feeds rows 0,2; source 2 feeds rows 1,3
+    i_ilv = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [2, 3], [2, 1], [1, 3])),
+        ('vds_data_000002.h5', '/data', sel_all(),
+         sel_hyper_v2([1, 0], [2, 3], [2, 1], [1, 3])),
+    ]))
+    # multi-block v1 list: rows 0 and 2 of [4,3] from one source, two
+    # dim-0-stacked blocks in one selection
+    i_multi = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v1_multi([([0, 0], [0, 2]), ([2, 0], [2, 2])])),
+    ]))
+    # point selection: 6 explicit coordinates in stored order
+    i_points = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_points([(0, 0), (0, 1), (1, 2), (2, 0), (3, 1), (3, 2)])),
+    ]))
     heap_addr = gh.flush()
 
     vframes = object_header_v2(f, [
@@ -1183,10 +1219,26 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_grow)),
     ])
+    vinterleave = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_ilv)),
+    ])
+    vmulti = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_multi)),
+    ])
+    vpoints = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_points)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
                          'vnone': vnone, 'vhuge': vhuge,
                          'vprintf': vprintf, 'vprintf_full': vprintf_full,
-                         'vgrow': vgrow})
+                         'vgrow': vgrow, 'vinterleave': vinterleave,
+                         'vmulti': vmulti, 'vpoints': vpoints})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
 
 

@@ -1207,12 +1207,137 @@ object Hdf5 {
   /** A contiguous axis-aligned region: per-dim start + extent. */
   private final case class Slab(start: Seq[Long], count: Seq[Long])
 
-  private sealed trait Sel { def toSlab(dims: Seq[Long]): Slab }
+  private def inBounds(slab: Slab, dims: Seq[Long], what: String): Unit = {
+    require(slab.count.length == dims.length, s"$what selection rank")
+    slab.start.indices.foreach { d =>
+      require(slab.start(d) >= 0 && slab.start(d) + slab.count(d) <= dims(d),
+        s"$what selection out of bounds in dim $d")
+    }
+  }
+
+  /** Ordered contiguous pieces of one slab in the array's row-major element
+    * space: the innermost extent, widened across trailing dimensions the
+    * slab covers completely, so whole-row regions become single copies. */
+  private def slabSpans(slab: Slab, dims: Seq[Long]): Iterator[(Long, Long)] = {
+    val n = slab.count.product
+    if (n == 0) return Iterator.empty
+    var run = 1L
+    var d = dims.length - 1
+    while (d >= 0 && slab.start(d) == 0 && slab.count(d) == dims(d)) {
+      run *= dims(d); d -= 1
+    }
+    if (d >= 0) run *= slab.count(d)
+    val strd = dimStrides(dims)
+    val step = run
+    Iterator.iterate(0L)(_ + step).takeWhile(_ < n)
+      .map(k => (slabOffset(k, slab, strd), step))
+  }
+
+  /** A dataspace selection. `spans(dims)` enumerates the selected elements
+    * as ordered (element-offset, run-length) pieces of the dataset's
+    * row-major element space — the order libhdf5's selection iterator
+    * visits elements for I/O — so grafting SOURCE elements into a VIRTUAL
+    * extent is a zip of two span streams regardless of the two selections'
+    * shapes (or ranks: an Eiger [n,H,W] virtual stack fed by [H,W]
+    * sources). */
+  private sealed trait Sel {
+    def numElems(dims: Seq[Long]): Long
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)]
+    def validate(dims: Seq[Long], what: String): Unit
+  }
   private case object AllSel extends Sel {
-    def toSlab(dims: Seq[Long]): Slab = Slab(dims.map(_ => 0L), dims)
+    def numElems(dims: Seq[Long]): Long = dims.product
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] =
+      if (dims.product == 0) Iterator.empty else Iterator((0L, dims.product))
+    def validate(dims: Seq[Long], what: String): Unit = ()
   }
   private final case class SlabSel(start: Seq[Long], count: Seq[Long]) extends Sel {
-    def toSlab(dims: Seq[Long]): Slab = Slab(start, count)
+    private def slab: Slab = Slab(start, count)
+    def numElems(dims: Seq[Long]): Long = count.product
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] = slabSpans(slab, dims)
+    def validate(dims: Seq[Long], what: String): Unit = inBounds(slab, dims, what)
+  }
+
+  /** Regular hyperslab whose blocks are NOT mutually adjacent (stride >
+    * block with count > 1 in some dim) — the multi-module detector
+    * interleave shape. Row-major element order over a regular pattern is
+    * the cartesian product of per-dim ascending coordinates, one
+    * innermost block per span. */
+  private final case class StridedSel(start: Seq[Long], stride: Seq[Long],
+      count: Seq[Long], block: Seq[Long]) extends Sel {
+    private def rank = start.length
+    def numElems(dims: Seq[Long]): Long =
+      (0 until rank).map(d => count(d) * block(d)).product
+    def validate(dims: Seq[Long], what: String): Unit = {
+      require(rank == dims.length, s"$what selection rank")
+      (0 until rank).foreach { d =>
+        require(stride(d) >= block(d),
+          s"$what: overlapping hyperslab blocks in dim $d")
+        val end = start(d) + (count(d) - 1) * stride(d) + block(d)
+        require(start(d) >= 0 && end <= dims(d),
+          s"$what selection out of bounds in dim $d")
+      }
+    }
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] = {
+      val strd = dimStrides(dims)
+      val runLen = block(rank - 1)
+      // mixed-radix run index: element coordinate per outer dim, block
+      // index on the innermost (each innermost block is one contiguous run)
+      val radices = (0 until rank - 1).map(d => count(d) * block(d)) :+
+        count(rank - 1)
+      val total = radices.product
+      Iterator.iterate(0L)(_ + 1).takeWhile(_ < total).map { r =>
+        var rem = r
+        var off = 0L
+        var d = rank - 1
+        while (d >= 0) {
+          val c = rem % radices(d); rem /= radices(d)
+          val coord =
+            if (d == rank - 1) start(d) + c * stride(d)
+            else start(d) + (c / block(d)) * stride(d) + (c % block(d))
+          off += coord * strd(d)
+          d -= 1
+        }
+        (off, runLen)
+      }
+    }
+  }
+
+  /** Block-list selection with several blocks, supported when the blocks
+    * are disjoint and stacked along dim 0 in stored order (the frame-
+    * stacking shape) — then block-by-block iteration IS row-major element
+    * order. Irregular unions would need span-tree iteration and fail
+    * loudly rather than risk a wrong element order. */
+  private final case class MultiBlockSel(blocks: Seq[Slab]) extends Sel {
+    def numElems(dims: Seq[Long]): Long = blocks.map(_.count.product).sum
+    def validate(dims: Seq[Long], what: String): Unit = {
+      blocks.foreach(inBounds(_, dims, what))
+      blocks.sliding(2).foreach {
+        case Seq(a, b) =>
+          require(a.start(0) + a.count(0) <= b.start(0),
+            s"$what: multi-block selection not stacked along dim 0 " +
+              "(irregular unions not supported)")
+        case _ => ()
+      }
+    }
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] =
+      blocks.iterator.flatMap(slabSpans(_, dims))
+  }
+
+  /** Point selection: explicit coordinates, iterated in stored order
+    * (h5py/libhdf5 I/O order for point selections). */
+  private final case class PointSel(points: Seq[Seq[Long]]) extends Sel {
+    def numElems(dims: Seq[Long]): Long = points.length.toLong
+    def validate(dims: Seq[Long], what: String): Unit =
+      points.foreach { p =>
+        require(p.length == dims.length, s"$what selection rank")
+        p.indices.foreach(d => require(p(d) >= 0 && p(d) < dims(d),
+          s"$what point out of bounds in dim $d"))
+      }
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] = {
+      val strd = dimStrides(dims)
+      points.iterator.map(p => (p.indices.map(d => p(d) * strd(d)).sum, 1L))
+    }
   }
 
   /** Regular hyperslab with H5S_UNLIMITED count along `unlimDim`: an
@@ -1235,18 +1360,22 @@ object Hdf5 {
     def slabOf(n: Long): Slab =
       Slab(start, block.updated(unlimDim, n * block(unlimDim)))
     def toSlab(dims: Seq[Long]): Slab = slabOf(maxBlocks(dims))
+    def numElems(dims: Seq[Long]): Long = toSlab(dims).count.product
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] =
+      slabSpans(toSlab(dims), dims)
+    def validate(dims: Seq[Long], what: String): Unit =
+      inBounds(toSlab(dims), dims, what)
   }
 
   /** Serialized dataspace selection (spec "Dataspace Selection" encoding,
     * as stored in the virtual storage heap block). Supported: ALL (3),
-    * NONE (0, maps nothing -> None), and hyperslabs (2) that describe ONE
-    * contiguous block — v1 single-block lists, v2 regular hyperslabs, and
-    * v3 (HDF5 1.12+, variable coordinate width) in both regular and
-    * single-block forms, where stride equals block (the shapes libhdf5
-    * writes for VDS stacking, e.g. Eiger data_0000NN slabs along dim 0).
-    * Count-unlimited regular hyperslabs decode to [[UnlimSel]] (printf /
-    * open-ended VDS mappings); points, irregular/strided slabs, and
-    * block-unlimited selections fail loudly. */
+    * NONE (0, maps nothing -> None), point selections (1, v1 encoding),
+    * and hyperslabs (2) — v1/v3 block lists (one block, or several
+    * stacked along dim 0), v2/v3 regular hyperslabs whether contiguous
+    * (stride == block, the Eiger data_0000NN stacking shape), strided
+    * (gaps between blocks — module interleave), or count-unlimited
+    * ([[UnlimSel]], printf / open-ended mappings). Irregular multi-block
+    * unions and block-unlimited selections fail loudly. */
   private def parseSelection(vb: ByteBuffer, what: String): Option[Sel] = {
     val stype = u32(vb)
     stype match {
@@ -1265,11 +1394,7 @@ object Hdf5 {
             u32(vb) // length
             val rank = u32(vb).toInt
             val nblocks = u32(vb)
-            require(nblocks == 1,
-              s"$what: $nblocks-block hyperslab selection (1 supported)")
-            val start = (0 until rank).map(_ => u32(vb))
-            val end = (0 until rank).map(_ => u32(vb))
-            Some(SlabSel(start, start.zip(end).map { case (s, e) => e - s + 1 }))
+            blockList(nblocks, rank, () => u32(vb), what)
           case 2 => // regular start/stride/count/block; u64 coords
             u8(vb) // flags (bit 0: regular — always set in v2)
             u32(vb) // length
@@ -1284,24 +1409,45 @@ object Hdf5 {
             if ((flags & 1) != 0) regularSlab(vb, rank, encSize, what)
             else { // block list, like v1 but variable-width coords
               val nblocks = readUIntN(vb, encSize)
-              require(nblocks == 1,
-                s"$what: $nblocks-block hyperslab selection (1 supported)")
-              val start = (0 until rank).map(_ => readUIntN(vb, encSize))
-              val end = (0 until rank).map(_ => readUIntN(vb, encSize))
-              Some(SlabSel(start, start.zip(end).map { case (s, e) => e - s + 1 }))
+              blockList(nblocks, rank, () => readUIntN(vb, encSize), what)
             }
           case v =>
             throw new UnsupportedOperationException(s"$what: hyperslab selection v$v")
         }
-      case 1 =>
-        throw new UnsupportedOperationException(s"$what: point selection not supported")
+      case 1 => // H5S_SEL_POINTS
+        require(u32(vb) == 1, s"$what: point selection version")
+        u32(vb) // reserved
+        u32(vb) // length
+        val rank = u32(vb).toInt
+        val npoints = u32(vb)
+        val points = (0L until npoints).map(_ =>
+          (0 until rank).map(_ => u32(vb)))
+        if (points.isEmpty) None else Some(PointSel(points))
       case t =>
         throw new UnsupportedOperationException(s"$what: selection type $t")
     }
   }
 
-  /** Regular hyperslab info at `encSize` bytes per coordinate ->
-    * one contiguous slab (count 1, or adjacent blocks via stride==block).
+  /** (start corner, opposite corner) pairs, block-major — one block is a
+    * plain slab; several become a dim-0-stacked [[MultiBlockSel]]. */
+  private def blockList(
+      nblocks: Long, rank: Int, coord: () => Long, what: String): Option[Sel] = {
+    val blocks = (0L until nblocks).map { _ =>
+      val start = (0 until rank).map(_ => coord())
+      val end = (0 until rank).map(_ => coord())
+      Slab(start, start.zip(end).map { case (s, e) => e - s + 1 })
+    }
+    blocks match {
+      case Seq() => None
+      case Seq(one) => Some(SlabSel(one.start, one.count))
+      case many => Some(MultiBlockSel(many))
+    }
+  }
+
+  /** Regular hyperslab info at `encSize` bytes per coordinate -> a
+    * contiguous slab (count 1, or adjacent blocks via stride==block), a
+    * [[StridedSel]] when blocks have gaps, or an [[UnlimSel]] when the
+    * count is H5S_UNLIMITED.
     * Coordinates are INTERLEAVED per dimension — Start #1, Stride #1,
     * Count #1, Block #1, ... Start #n (format spec "Hyperslab Selection
     * Info" v2/v3; libhdf5 H5S__hyper_serialize) — not four grouped
@@ -1343,7 +1489,10 @@ object Hdf5 {
         s"$what: unlimited selection with stride != block is not contiguous")
       val nb = (0 until rank).map(d => if (d == ud) block(d) else ext(d))
       Some(UnlimSel(start.toSeq, nb, ud))
-    } else Some(SlabSel(start.toSeq, (0 until rank).map(ext)))
+    } else if ((0 until rank).forall(d => count(d) == 1L || stride(d) == block(d)))
+      Some(SlabSel(start.toSeq, (0 until rank).map(ext)))
+    else // gaps between blocks: the interleave/decimation shape
+      Some(StridedSel(start.toSeq, stride.toSeq, count.toSeq, block.toSeq))
   }
 
   private def dimStrides(dims: Seq[Long]): Seq[Long] =
@@ -1364,41 +1513,29 @@ object Hdf5 {
     off
   }
 
-  @annotation.tailrec
-  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-
-  /** Element-wise copy of the source selection into the virtual selection,
-    * both in row-major order (how libhdf5 iterates selections), in runs
-    * contiguous on BOTH sides (gcd of the innermost extents). Ranks may
-    * differ — an Eiger [n,H,W] virtual slab fed by an [H,W] source. */
-  private def copySlab(
-      src: Array[Byte], srcDims: Seq[Long], s: Slab,
-      dst: Array[Byte], dstDims: Seq[Long], v: Slab, esz: Int): Unit = {
-    require(s.count.nonEmpty && v.count.nonEmpty,
-      "scalar virtual mapping not supported")
-    require(s.count.product == v.count.product,
-      s"virtual mapping: source ${s.count.mkString("x")} != " +
-        s"virtual ${v.count.mkString("x")} elements")
-    def inBounds(slab: Slab, dims: Seq[Long], what: String): Unit = {
-      require(slab.count.length == dims.length, s"$what selection rank")
-      slab.start.indices.foreach { d =>
-        require(slab.start(d) >= 0 && slab.start(d) + slab.count(d) <= dims(d),
-          s"$what selection out of bounds in dim $d")
+  /** Zips two span streams, copying min-length contiguous pieces — the
+    * general element-order graft between any two equal-count selections
+    * (slab into slab, strided into blocks, points into anything, ...). */
+  private def copySpans(src: Array[Byte], sit: Iterator[(Long, Long)],
+      dst: Array[Byte], dit: Iterator[(Long, Long)], esz: Int): Unit = {
+    var so = 0L; var sl = 0L
+    var vo = 0L; var vl = 0L
+    var more = true
+    while (more) {
+      if (sl == 0L) {
+        if (sit.hasNext) { val p = sit.next(); so = p._1; sl = p._2 }
+        else more = false
       }
-    }
-    inBounds(s, srcDims, "source")
-    inBounds(v, dstDims, "virtual")
-    val n = s.count.product
-    if (n == 0) return
-    val run = gcd(s.count.last, v.count.last)
-    val sStrd = dimStrides(srcDims)
-    val vStrd = dimStrides(dstDims)
-    var k = 0L
-    while (k < n) {
-      System.arraycopy(
-        src, (slabOffset(k, s, sStrd) * esz).toInt,
-        dst, (slabOffset(k, v, vStrd) * esz).toInt, (run * esz).toInt)
-      k += run
+      if (vl == 0L) {
+        if (dit.hasNext) { val p = dit.next(); vo = p._1; vl = p._2 }
+        else more = false
+      }
+      if (more && sl > 0L && vl > 0L) {
+        val n = math.min(sl, vl)
+        System.arraycopy(src, (so * esz).toInt, dst, (vo * esz).toInt,
+          (n * esz).toInt)
+        so += n; sl -= n; vo += n; vl -= n
+      }
     }
   }
 
@@ -1520,8 +1657,12 @@ object Hdf5 {
                     missing += f
                     stop = true
                   case Some((sdims, _, sraw)) =>
-                    copySlab(sraw, sdims, ss.toSlab(sdims), out, dims,
-                      u.blockSlab(k), esz)
+                    ss.validate(sdims, s"source $f")
+                    require(ss.numElems(sdims) == u.blockElems,
+                      s"virtual mapping: source $f ${ss.numElems(sdims)} " +
+                        s"!= block ${u.blockElems} elements")
+                    copySpans(sraw, ss.spans(sdims), out,
+                      slabSpans(u.blockSlab(k), dims), esz)
                     resolved += 1
                 }
                 k += 1
@@ -1533,22 +1674,27 @@ object Hdf5 {
               readSource(file, dsPath) match {
                 case None => missing += file
                 case Some((sdims, _, sraw)) =>
-                  val sslab = ss.toSlab(sdims) // UnlimSel clamps to source
-                  val vslab = vs match {
+                  ss.validate(sdims, "source") // UnlimSel clamps to source
+                  val n = ss.numElems(sdims)
+                  val vspans = vs match {
                     case u: UnlimSel =>
                       // open-ended virtual extent, single concrete source:
                       // the resolved source extent decides the block count
                       // (h5py clamps an unfilled VDS the same way)
-                      val n = sslab.count.product
                       require(n % u.blockElems == 0,
                         s"virtual source $file: $n elements do not tile " +
                           s"${u.blockElems}-element unlimited blocks")
                       require(n / u.blockElems <= u.maxBlocks(dims),
                         s"virtual source $file exceeds the virtual extent")
-                      u.slabOf(n / u.blockElems)
-                    case s => s.toSlab(dims)
+                      slabSpans(u.slabOf(n / u.blockElems), dims)
+                    case s =>
+                      s.validate(dims, "virtual extent")
+                      require(n == s.numElems(dims),
+                        s"virtual mapping: source $n != virtual " +
+                          s"${s.numElems(dims)} elements")
+                      s.spans(dims)
                   }
-                  copySlab(sraw, sdims, sslab, out, dims, vslab, esz)
+                  copySpans(sraw, ss.spans(sdims), out, vspans, esz)
                   resolved += 1
               }
           }

@@ -241,6 +241,31 @@ class Hdf5Spec extends SparkSpec {
     assert(!d.attrs.contains("virtual_missing_sources"))
   }
 
+  test("VDS: strided virtual selections interleave two module sources") {
+    // the multi-module detector shape: source 1 -> rows 0,2 and source 2
+    // -> rows 1,3 via stride-2 regular hyperslabs (stride > block)
+    val d = vdsByPath("/entry/vinterleave")
+    assert(d.f32Data.map(_.toSeq).contains(Seq(
+      0f, 1f, 2f, 100f, 101f, 102f, 3f, 4f, 5f, 103f, 104f, 105f)))
+    assert(!d.attrs.contains("virtual_missing_sources"))
+  }
+
+  test("VDS: a dim-0-stacked multi-block list maps one source into " +
+      "disjoint row blocks") {
+    // one v1 selection, two blocks (rows 0 and 2): source elements 0-2
+    // land in row 0, 3-5 in row 2, rows 1/3 read fill
+    val d = vdsByPath("/entry/vmulti")
+    assert(d.f32Data.map(_.toSeq).contains(Seq(
+      0f, 1f, 2f, 0f, 0f, 0f, 3f, 4f, 5f, 0f, 0f, 0f)))
+  }
+
+  test("VDS: a point selection scatters source elements in stored order") {
+    val d = vdsByPath("/entry/vpoints")
+    // points (0,0),(0,1),(1,2),(2,0),(3,1),(3,2) receive elements 0..5
+    assert(d.f32Data.map(_.toSeq).contains(Seq(
+      0f, 1f, 0f, 0f, 0f, 2f, 3f, 0f, 0f, 0f, 4f, 5f)))
+  }
+
   test("VDS: an oversized virtual dataset degrades to a marker, not a throw") {
     // 2^40 f32 elements with a RESOLVABLE source — the single-buffer bound
     // must win before any allocation, same policy as oversized extlinks
@@ -272,10 +297,10 @@ class Hdf5Spec extends SparkSpec {
     assert(n.f32Data.isEmpty && n.scalarF64.isEmpty)
     assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
     // without a resolver at all, every VDS degrades the same way, no error
-    // (vframes, vpartial, vnone + the printf/grow datasets; vhuge is an
-    // oversized marker instead)
+    // (vframes, vpartial, vnone, printf x2, vgrow, vinterleave, vmulti,
+    // vpoints; vhuge is an oversized marker instead)
     val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
-    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 6)
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 9)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
