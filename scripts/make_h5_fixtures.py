@@ -115,6 +115,22 @@ def dt_i64():
     return struct.pack('<B3sI2H', 0x10, bytes([0x08, 0x00, 0x00]), 8, 0, 64)
 
 
+def dt_array(base, base_size, dims, version=3):
+    """Class 10 array datatype: dimensionality, [v2: 3 reserved], u32 dims,
+    [v2: u32 permutation per dim], then the full base-type encoding."""
+    total = base_size
+    for d in dims:
+        total *= d
+    props = struct.pack('<B', len(dims))
+    if version == 2:
+        props += bytes(3)
+    props += b''.join(struct.pack('<I', d) for d in dims)
+    if version == 2:
+        props += b''.join(struct.pack('<I', 0) for _ in dims)
+    return struct.pack('<B3sI', (version << 4) | 10, bytes(3), total) + \
+        props + base
+
+
 def dt_u32():
     # class 0 fixed-point, UNSIGNED LE (Eiger pixel data type)
     return struct.pack('<B3sI2H', 0x10, bytes([0x00, 0x00, 0x00]), 4, 0, 32)
@@ -609,10 +625,28 @@ def make_v2(path: Path):
         ]), space_scalar(), bytes(16))),
     ])
 
+    # array datatype (class 10, v3): dataspace [2] of f32[3] elements ->
+    # reads as a [2,3] f32 dataset (h5py folds the element dims)
+    vec_raw = f.append(b''.join(struct.pack('<f', float(i)) for i in range(6)))
+    vectors = object_header_v2(f, [
+        (0x01, space_simple([2])),
+        (0x03, dt_array(dt_f32(), 4, [3])),
+        (0x08, layout_contiguous(vec_raw, 24)),
+    ])
+    # v2-encoded array type (reserved + permutation bytes) over a SCALAR
+    # dataspace: a lone f64[2,2] element -> reads as a [2,2] dataset
+    ten_raw = f.append(b''.join(struct.pack('<d', 10.0 + i) for i in range(4)))
+    tensor = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_array(dt_f64(), 8, [2, 2], version=2)),
+        (0x08, layout_contiguous(ten_raw, 32)),
+    ])
+
     detector = group_v2(f, {'distance': dist, 'frame': frame,
                             'u32_pixels': u32arr, 'u64_count': u64big,
                             'roi': cmp_scalar, 'table': cmp_array,
-                            'mode': mode})
+                            'mode': mode, 'vectors': vectors,
+                            'tensor': tensor})
     # soft link + external link (the Eiger master shape:
     # /entry/data/data_000001 -> another file)
     entry1 = object_header_v2(f, [

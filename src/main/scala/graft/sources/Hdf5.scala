@@ -107,6 +107,21 @@ object Hdf5 {
   private case class Member(name: String, offset: Int, dt: DType)
   private case class Compound(size: Int, members: Seq[Member]) extends DType
 
+  /** Array datatype (class 10): each dataspace element is a fixed-shape
+    * array of the base type (NeXus per-point vectors/tensors). Reads fold
+    * the array dims into trailing dataset dims, h5py's presentation. */
+  private case class ArrayT(base: DType, adims: Seq[Int]) extends DType {
+    def size: Int = base.size * adims.product
+  }
+
+  /** dataspace dims + datatype, with array-typed elements folded into
+    * extra trailing dims over the base type. */
+  private def normalizeArray(dims: Seq[Long], dt: DType): (Seq[Long], DType) =
+    dt match {
+      case a: ArrayT => (dims ++ a.adims.map(_.toLong), a.base)
+      case _ => (dims, dt)
+    }
+
   private def parseDatatype(bb: ByteBuffer): DType = {
     val b0 = u8(bb)
     val cls = b0 & 0x0F
@@ -185,6 +200,20 @@ object Hdf5 {
       case 9 =>
         require((bits(0) & 0x0F) == 1, "only vlen STRINGS are supported")
         VlenStr
+      case 10 => // array: per-element fixed dims, then the base datatype
+        val ndims = u8(bb)
+        if (version == 2) bb.position(bb.position() + 3) // reserved
+        val adims = (0 until ndims).map(_ => u32(bb).toInt)
+        if (version == 2) bb.position(bb.position() + 4 * ndims) // permutation
+        val base = parseDatatype(bb)
+        base match {
+          case Fixed(_, _) | Flt(_) => ()
+          case other => throw new UnsupportedOperationException(
+            s"array datatype over $other not supported")
+        }
+        require(size == base.size * adims.product,
+          s"array datatype size $size != ${base.size}x${adims.mkString("x")}")
+        ArrayT(base, adims)
       case other =>
         throw new UnsupportedOperationException(s"datatype class $other not supported")
     }
@@ -1589,6 +1618,8 @@ object Hdf5 {
       dims: Seq[Long], dt: DType,
       resolve: String => Option[Array[Byte]],
       openFiles: Set[String]): (Option[Array[Byte]], Map[String, String]) = {
+    require(!dt.isInstanceOf[ArrayT],
+      "array-typed virtual dataset not supported")
     val blk = gcolObject(bytes, heapAddr, heapIdx).getOrElse(
       throw new IllegalArgumentException("virtual storage heap block missing"))
     val vb = ByteBuffer.wrap(blk).order(ByteOrder.LITTLE_ENDIAN)
@@ -1841,7 +1872,8 @@ object Hdf5 {
     // bytes on disk — reading dt.size bytes would decode padding as a value.
     // Compound-typed attrs are opaque metadata for our reads — skipped,
     // not a file-aborting failure (same scalar-attrs-only policy).
-    if (isNull || dims.product != 1 || dt.isInstanceOf[Compound]) return None
+    if (isNull || dims.product != 1 || dt.isInstanceOf[Compound] ||
+      dt.isInstanceOf[ArrayT]) return None
     val data = take(bb, dt.size)
     val value = dt match {
       case Str(_) | VlenStr => decodeString(bytes, data, dt)
@@ -1972,8 +2004,12 @@ object Hdf5 {
             else
               (readLayout(bytes, layOff, dims, maxdims, dt, filters),
                 Map.empty[String, String])
-          (buildNode(bytes, path, dims, dt, raw, attrs ++ vattrs),
-            (dims, dt, raw))
+          // array-typed elements fold into trailing dims AFTER the layout
+          // read (chunk geometry is in dataspace dims with whole-array
+          // element size); everything downstream sees the base type
+          val (ndims, ndt) = normalizeArray(dims, dt)
+          (buildNode(bytes, path, ndims, ndt, raw, attrs ++ vattrs),
+            (ndims, ndt, raw))
         })
         nodes += node.copy(path = path)
         rawInfo match {

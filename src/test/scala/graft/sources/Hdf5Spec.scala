@@ -373,6 +373,18 @@ class Hdf5Spec extends SparkSpec {
     assert(!v2ByPath("/entry1/detector/mode").attrs.contains("label"))
   }
 
+  test("array datatypes (class 10) fold element dims into trailing dims") {
+    // v3 encoding: [2] dataspace of f32[3] elements -> [2,3] f32 data
+    val v = v2ByPath("/entry1/detector/vectors")
+    assert(v.dims == Seq(2L, 3L))
+    assert(v.f32Data.map(_.toSeq).contains((0 until 6).map(_.toFloat)))
+    // v2 encoding (reserved + permutation bytes) over a SCALAR dataspace:
+    // one f64[2,2] element -> [2,2] f64 data
+    val t = v2ByPath("/entry1/detector/tensor")
+    assert(t.dims == Seq(2L, 2L))
+    assert(t.f64Data.map(_.toSeq).contains((0 until 4).map(10.0 + _)))
+  }
+
   test("truncated deflate chunks and string arrays fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Hdf5.read(fixture("bad_deflate.h5"))
@@ -399,9 +411,10 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    // 11 v0 nodes + 14 v2 nodes (incl. links, the compound datasets'
-    // parent + member-child rows, and the enum scalar)
-    assert(tree.count() == 25)
+    // 11 v0 nodes + 16 v2 nodes (incl. links, the compound datasets'
+    // parent + member-child rows, the enum scalar, and the two
+    // array-datatype datasets)
+    assert(tree.count() == 27)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -471,6 +484,28 @@ class Hdf5Spec extends SparkSpec {
       "virtual_missing_sources") == "vds_missing.h5")
   }
 
+  test("VDS: printf sources resolve through the production siblingResolver") {
+    // end to end on disk: the %b-substituted names are ordinary sibling
+    // files of the master, exactly how a scan over an acquisition dir
+    // resolves them (no test-map resolver involved)
+    val dir = Files.createTempDirectory("h5printf")
+    Seq("vds_master.h5", "vds_blk_000000.h5", "vds_blk_000001.h5",
+      "vds_data_000001.h5", "vds_data_000002.h5").foreach(n =>
+      Files.write(dir.resolve(n), fixture(s"extlink/$n")))
+    val resolve = Hdf5Source.siblingResolver(
+      dir.resolve("vds_master.h5").toString,
+      spark.sparkContext.hadoopConfiguration)
+    val nodes = Hdf5.read(fixture("extlink/vds_master.h5"), resolve)
+    val byPath = nodes.map(n => n.path -> n).toMap
+    assert(byPath("/entry/vprintf").f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _) ++
+        Seq.fill(6)(0.0f)))
+    assert(byPath("/entry/vprintf").attrs("virtual_missing_sources") ==
+      "vds_blk_000002.h5")
+    assert(byPath("/entry/vinterleave").f32Data.map(_.toSeq).contains(Seq(
+      0f, 1f, 2f, 100f, 101f, 102f, 3f, 4f, 5f, 103f, 104f, 105f)))
+  }
+
   test("oversized external-link targets degrade to markers, not scan aborts") {
     val dir = Files.createTempDirectory("h5big")
     Files.write(dir.resolve("master.h5"), fixture("extlink/master.h5"))
@@ -522,7 +557,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 25) // + mouse_v2's 14 incl. compound children
+    assert(tree.count() == 27) // + mouse_v2's 16 incl. compound children
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
