@@ -625,6 +625,21 @@ def make_v2(path: Path):
         ]), space_scalar(), bytes(16))),
     ])
 
+    # nested compound: {t: f32 @0, pos: {x: f64, y: f64} @8} (size 24) —
+    # must flatten to members t, pos.x, pos.y with absolute offsets
+    nest_raw = f.append(struct.pack('<f4xdd', 1.5, 2.25, 3.5))
+    nested = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_compound(3, 24, [
+            member_v3('t', 0, dt_f32(), 1),
+            member_v3('pos', 8, dt_compound(3, 16, [
+                member_v3('x', 0, dt_f64(), 1),
+                member_v3('y', 8, dt_f64(), 1),
+            ]), 1),
+        ])),
+        (0x08, layout_contiguous(nest_raw, 24)),
+    ])
+
     # array datatype (class 10, v3): dataspace [2] of f32[3] elements ->
     # reads as a [2,3] f32 dataset (h5py folds the element dims)
     vec_raw = f.append(b''.join(struct.pack('<f', float(i)) for i in range(6)))
@@ -646,7 +661,7 @@ def make_v2(path: Path):
                             'u32_pixels': u32arr, 'u64_count': u64big,
                             'roi': cmp_scalar, 'table': cmp_array,
                             'mode': mode, 'vectors': vectors,
-                            'tensor': tensor})
+                            'tensor': tensor, 'nested': nested})
     # soft link + external link (the Eiger master shape:
     # /entry/data/data_000001 -> another file)
     entry1 = object_header_v2(f, [

@@ -169,15 +169,23 @@ object Hdf5 {
           }
           val mdt = parseDatatype(bb)
           mdt match {
-            case Fixed(_, _) | Flt(_) | Str(_) => ()
+            case Fixed(_, _) | Flt(_) | Str(_) | _: Compound => ()
             case other => throw new UnsupportedOperationException(
               s"compound member '$name' type $other (flat scalar members only)")
           }
           Member(name, offset, mdt)
         }
-        members.foreach(m => require(m.offset + m.dt.size <= size,
+        // nested compounds flatten to dotted member names with absolute
+        // offsets (h5py's structured-dtype view of 'a.b'); the inner
+        // compound arrived already flat from its own recursive parse
+        val flat = members.flatMap {
+          case Member(n, off, Compound(_, subs)) =>
+            subs.map(s => Member(s"$n.${s.name}", off + s.offset, s.dt))
+          case m => Seq(m)
+        }
+        flat.foreach(m => require(m.offset + m.dt.size <= size,
           s"compound member '${m.name}' overruns the ${size}-byte element"))
-        Compound(size, members)
+        Compound(size, flat)
       case 8 => // enum: reads as its base integer type (h5py semantics)
         val nMembers = ((bits(1) & 0xFF) << 8) | (bits(0) & 0xFF)
         val base = parseDatatype(bb)

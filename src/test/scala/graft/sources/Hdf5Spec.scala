@@ -362,6 +362,13 @@ class Hdf5Spec extends SparkSpec {
       .contains(Seq(0.0, 0.5, 1.0)))
     assert(v2ByPath("/entry1/detector/table/v").f64Data.map(_.toSeq)
       .contains(Seq(10.0, 11.0, 12.0)))
+    // nested compound {t, pos:{x,y}} flattens to dotted members with
+    // absolute offsets, h5py's structured-dtype view
+    val nest = v2ByPath("/entry1/detector/nested")
+    assert(nest.attrs("compound_members") == "t,pos.x,pos.y")
+    assert(v2ByPath("/entry1/detector/nested/t").scalarF64.contains(1.5))
+    assert(v2ByPath("/entry1/detector/nested/pos.x").scalarF64.contains(2.25))
+    assert(v2ByPath("/entry1/detector/nested/pos.y").scalarF64.contains(3.5))
   }
 
   test("enum datatypes (class 8) read as their base integer, h5py-style") {
@@ -411,10 +418,10 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    // 11 v0 nodes + 16 v2 nodes (incl. links, the compound datasets'
-    // parent + member-child rows, the enum scalar, and the two
-    // array-datatype datasets)
-    assert(tree.count() == 27)
+    // 11 v0 nodes + 20 v2 nodes (incl. links, the compound datasets'
+    // parent + member-child rows — flat, array, and nested — the enum
+    // scalar, and the two array-datatype datasets)
+    assert(tree.count() == 31)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -557,7 +564,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 27) // + mouse_v2's 16 incl. compound children
+    assert(tree.count() == 31) // + mouse_v2's 20 incl. compound children
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
