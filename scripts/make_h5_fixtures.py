@@ -1213,12 +1213,14 @@ def make_vds(outdir: Path):
          sel_hyper_v2([0, 0], [1, 1], [UNLIM, 1], [1, 3])),
     ]))
     # 2-module interleave: STRIDED virtual selections (stride > block) —
-    # source 1 feeds rows 0,2; source 2 feeds rows 1,3
+    # source 1 feeds rows 0,2; source 2 feeds rows 1,3. Dim 1 keeps the
+    # libhdf5 DEFAULT stride 1 under a 3-wide block (stride is
+    # meaningless at count 1 — real files look like this)
     i_ilv = gh.add(vds_heap_block([
         ('vds_data_000001.h5', '/data', sel_all(),
-         sel_hyper_v2([0, 0], [2, 3], [2, 1], [1, 3])),
+         sel_hyper_v2([0, 0], [2, 1], [2, 1], [1, 3])),
         ('vds_data_000002.h5', '/data', sel_all(),
-         sel_hyper_v2([1, 0], [2, 3], [2, 1], [1, 3])),
+         sel_hyper_v2([1, 0], [2, 1], [2, 1], [1, 3])),
     ]))
     # multi-block v1 list: rows 0 and 2 of [4,3] from one source, two
     # dim-0-stacked blocks in one selection

@@ -1308,7 +1308,9 @@ object Hdf5 {
     def validate(dims: Seq[Long], what: String): Unit = {
       require(rank == dims.length, s"$what selection rank")
       (0 until rank).foreach { d =>
-        require(stride(d) >= block(d),
+        // stride only means anything with >1 block; libhdf5 leaves the
+        // default stride 1 on count-1 dims even when block > 1
+        require(count(d) == 1 || stride(d) >= block(d),
           s"$what: overlapping hyperslab blocks in dim $d")
         val end = start(d) + (count(d) - 1) * stride(d) + block(d)
         require(start(d) >= 0 && end <= dims(d),
