@@ -1160,6 +1160,8 @@ def make_vds(outdir: Path):
     # 0-based printf sources (%b starts at block 0)
     write_source('vds_blk_000000.h5', 0.0)
     write_source('vds_blk_000001.h5', 100.0)
+    # literal percent in an on-disk source name ('%%' escape target)
+    write_source('vds%lit.h5', 200.0)
 
     f = FileBuf()
     f.alloc(48)
@@ -1233,6 +1235,13 @@ def make_vds(outdir: Path):
         ('vds_data_000001.h5', '/data', sel_all(),
          sel_points([(0, 0), (0, 1), (1, 2), (2, 0), (3, 1), (3, 2)])),
     ]))
+    # literal-% names with FIXED selections: '%%' unescapes to a literal
+    # percent and resolves; a stray %d-looking name resolves literally and
+    # degrades to a missing marker — neither is a printf mapping
+    i_escape = gh.add(vds_heap_block([
+        ('vds%%lit.h5', '/data', sel_all(), sel_hyper_v1([0, 0], [1, 2])),
+        ('scan%day.h5', '/data', sel_all(), sel_hyper_v1([2, 0], [3, 2])),
+    ]))
     heap_addr = gh.flush()
 
     vframes = object_header_v2(f, [
@@ -1285,11 +1294,17 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_points)),
     ])
+    vescape = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_escape)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
                          'vnone': vnone, 'vhuge': vhuge,
                          'vprintf': vprintf, 'vprintf_full': vprintf_full,
                          'vgrow': vgrow, 'vinterleave': vinterleave,
-                         'vmulti': vmulti, 'vpoints': vpoints})
+                         'vmulti': vmulti, 'vpoints': vpoints,
+                         'vescape': vescape})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
 
 

@@ -1494,7 +1494,11 @@ object Hdf5 {
     * An all-ones coordinate at the encode width is H5S_UNLIMITED. */
   private def regularSlab(
       vb: ByteBuffer, rank: Int, encSize: Int, what: String): Option[Sel] = {
-    val unlimited = if (encSize == 8) UNDEF else (1L << (encSize * 8)) - 1
+    // H5S_UNLIMITED is HSIZE_UNDEF (2^64-1), which only fits an 8-byte
+    // encode width — libhdf5 picks the width from the largest coordinate,
+    // so at widths 2/4 an all-ones count is a LEGITIMATE value, not the
+    // sentinel (Long.MinValue below can never match a decoded coordinate)
+    val unlimited = if (encSize == 8) UNDEF else Long.MinValue
     val start, stride, count, block = Array.ofDim[Long](rank)
     for (d <- 0 until rank) {
       start(d) = readUIntN(vb, encSize)
@@ -1586,6 +1590,10 @@ object Hdf5 {
 
   private def hasBlockPattern(s: String): Boolean =
     PrintfToken.findAllMatchIn(s).exists(_.matched != "%%")
+
+  /** `%%` -> literal percent for non-printf source names (any other %
+    * token stays literal there). */
+  private def unescapePercents(s: String): String = s.replace("%%", "%")
 
   /** Substitutes the 0-based block index into every printf token. */
   private def substBlock(s: String, k: Long): String =
@@ -1688,6 +1696,7 @@ object Hdf5 {
               // virtual dataset's current extent. A short stack leaves
               // the remaining blocks as fill and surfaces the first
               // missing source.
+              u.validate(dims, "virtual extent") // non-unlimited dims too
               val cap = u.maxBlocks(dims)
               var k = 0L
               var stop = false
@@ -1709,11 +1718,14 @@ object Hdf5 {
                 k += 1
               }
             case _ =>
-              require(!printf,
-                s"printf-style source $file:$dsPath without an unlimited " +
-                  "virtual selection")
-              readSource(file, dsPath) match {
-                case None => missing += file
+              // a %b/%d token WITHOUT an unlimited selection is not a
+              // printf mapping (libhdf5 pairs them at creation time) —
+              // the name is literal modulo the %% escape, and an
+              // unresolvable one degrades to the marker like any other
+              // missing source, never a file-aborting throw
+              val litFile = unescapePercents(file)
+              readSource(litFile, unescapePercents(dsPath)) match {
+                case None => missing += litFile
                 case Some((sdims, _, sraw)) =>
                   ss.validate(sdims, "source") // UnlimSel clamps to source
                   val n = ss.numElems(sdims)
@@ -1722,6 +1734,7 @@ object Hdf5 {
                       // open-ended virtual extent, single concrete source:
                       // the resolved source extent decides the block count
                       // (h5py clamps an unfilled VDS the same way)
+                      u.validate(dims, "virtual extent")
                       require(n % u.blockElems == 0,
                         s"virtual source $file: $n elements do not tile " +
                           s"${u.blockElems}-element unlimited blocks")

@@ -10,15 +10,28 @@ class BenchEmitSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
-  test("metric line for the full query suite stays under the capture budget") {
-    // Worst realistic case: every query slow (3 digits before the decimal).
-    val timings = names.map(_ -> 999.999)
+  test("metric line for the full query suite stays under the capture " +
+      "budget AND keeps its 3-decimal per-query map") {
+    // Realistic magnitudes (every sf0.1 query runs single-digit seconds):
+    // the line must fit WITHOUT dropping the per-query map — the driver
+    // reads per-query timings from this line
+    val timings = names.map(_ -> 9.999)
     val line = Bench.metricLine(timings, "sf0.1")
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin,
       s"metric line is ${line.length} bytes for ${names.size} queries")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
+    assert(line.contains("\"" + names.head + "\":9.999"),
+      "per-query map was dropped or degraded for realistic magnitudes")
     assert(!line.contains("\"runs\""), "runs belongs on the detail line only")
+  }
+
+  test("absurdly slow suites drop the per-query map rather than exceed " +
+      "the budget") {
+    val timings = names.map(_ -> 999999.999)
+    val line = Bench.metricLine(timings, "sf0.1")
+    assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin)
+    assert(line.contains("\"metric\":\"total\",\"value\":"))
   }
 
   test("metric line never exceeds the budget even with absurd suite growth") {

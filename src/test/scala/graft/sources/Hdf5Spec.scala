@@ -151,7 +151,8 @@ class Hdf5Spec extends SparkSpec {
   private def extResolver: String => Option[Array[Byte]] = {
     case n @ ("data_000001.h5" | "cycle_a.h5" | "cycle_b.h5" |
               "vds_data_000001.h5" | "vds_data_000002.h5" |
-              "vds_blk_000000.h5" | "vds_blk_000001.h5") =>
+              "vds_blk_000000.h5" | "vds_blk_000001.h5" |
+              "vds%lit.h5") =>
       Some(fixture(s"extlink/$n"))
     case _ => None
   }
@@ -266,6 +267,17 @@ class Hdf5Spec extends SparkSpec {
       0f, 1f, 0f, 0f, 0f, 2f, 3f, 0f, 0f, 0f, 4f, 5f)))
   }
 
+  test("VDS: literal-% names with fixed selections resolve via the %% " +
+      "escape and degrade, never abort") {
+    val d = vdsByPath("/entry/vescape")
+    // 'vds%%lit.h5' -> literal 'vds%lit.h5', resolved into rows 0-1;
+    // 'scan%day.h5' (a %d-looking substring, NOT a printf mapping) is
+    // tried literally, misses, and becomes a marker for rows 2-3
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(200.0f + _) ++ Seq.fill(6)(0.0f)))
+    assert(d.attrs("virtual_missing_sources") == "scan%day.h5")
+  }
+
   test("VDS: an oversized virtual dataset degrades to a marker, not a throw") {
     // 2^40 f32 elements with a RESOLVABLE source — the single-buffer bound
     // must win before any allocation, same policy as oversized extlinks
@@ -298,9 +310,9 @@ class Hdf5Spec extends SparkSpec {
     assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
     // without a resolver at all, every VDS degrades the same way, no error
     // (vframes, vpartial, vnone, printf x2, vgrow, vinterleave, vmulti,
-    // vpoints; vhuge is an oversized marker instead)
+    // vpoints, vescape; vhuge is an oversized marker instead)
     val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
-    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 9)
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 10)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
