@@ -1242,6 +1242,19 @@ def make_vds(outdir: Path):
         ('vds%%lit.h5', '/data', sel_all(), sel_hyper_v1([0, 0], [1, 2])),
         ('scan%day.h5', '/data', sel_all(), sel_hyper_v1([2, 0], [3, 2])),
     ]))
+    # IRREGULAR multi-block union: rows 0-1 cols 0-1 plus rows 0-1 col 2 —
+    # element order must be global row-major (merge by offset), which
+    # interleaves the two stored blocks within each row
+    i_irr = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v1_multi([([0, 0], [1, 1]), ([0, 2], [1, 2])])),
+    ]))
+    # block-unlimited selection (count 1, block H5S_UNLIMITED along dim 0):
+    # one open-ended block clamped by the resolved source extent
+    i_blkunlim = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [1, 1], [1, 1], [UNLIM, 3])),
+    ]))
     heap_addr = gh.flush()
 
     vframes = object_header_v2(f, [
@@ -1299,12 +1312,23 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_escape)),
     ])
+    virregular = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_irr)),
+    ])
+    vblockunlim = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_blkunlim)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
                          'vnone': vnone, 'vhuge': vhuge,
                          'vprintf': vprintf, 'vprintf_full': vprintf_full,
                          'vgrow': vgrow, 'vinterleave': vinterleave,
                          'vmulti': vmulti, 'vpoints': vpoints,
-                         'vescape': vescape})
+                         'vescape': vescape, 'virregular': virregular,
+                         'vblockunlim': vblockunlim})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
 
 

@@ -1342,25 +1342,32 @@ object Hdf5 {
     }
   }
 
-  /** Block-list selection with several blocks, supported when the blocks
-    * are disjoint and stacked along dim 0 in stored order (the frame-
-    * stacking shape) — then block-by-block iteration IS row-major element
-    * order. Irregular unions would need span-tree iteration and fail
-    * loudly rather than risk a wrong element order. */
+  /** Block-list selection with several DISJOINT blocks (how libhdf5
+    * normalizes hyperslab unions). Row-major element order over a union
+    * is ascending linear offset, so the per-block span streams merge by
+    * offset — any box arrangement, stored in any order. Overlap (which a
+    * well-formed file never stores) is detected during the merge and
+    * fails loudly rather than risk a wrong element order. */
   private final case class MultiBlockSel(blocks: Seq[Slab]) extends Sel {
     def numElems(dims: Seq[Long]): Long = blocks.map(_.count.product).sum
-    def validate(dims: Seq[Long], what: String): Unit = {
+    def validate(dims: Seq[Long], what: String): Unit =
       blocks.foreach(inBounds(_, dims, what))
-      blocks.sliding(2).foreach {
-        case Seq(a, b) =>
-          require(a.start(0) + a.count(0) <= b.start(0),
-            s"$what: multi-block selection not stacked along dim 0 " +
-              "(irregular unions not supported)")
-        case _ => ()
-      }
+    def spans(dims: Seq[Long]): Iterator[(Long, Long)] = {
+      val streams = blocks.map(b => slabSpans(b, dims).buffered)
+      var last = -1L // end of the previously emitted span
+      Iterator.continually(()).map { _ =>
+        val open = streams.filter(_.hasNext)
+        if (open.isEmpty) None
+        else {
+          val next = open.minBy(_.head._1)
+          val (off, len) = next.next()
+          require(off >= last,
+            "multi-block selection has overlapping blocks")
+          last = off + len
+          Some((off, len))
+        }
+      }.takeWhile(_.isDefined).map(_.get)
     }
-    def spans(dims: Seq[Long]): Iterator[(Long, Long)] =
-      blocks.iterator.flatMap(slabSpans(_, dims))
   }
 
   /** Point selection: explicit coordinates, iterated in stored order
@@ -1520,17 +1527,26 @@ object Hdf5 {
     val unlimDims = (0 until rank).filter(d =>
       count(d) == unlimited || block(d) == unlimited)
     if (unlimDims.nonEmpty) {
-      // H5S allows one unlimited dimension; only the count-unlimited form
-      // (fixed block repeating open-endedly — what H5Pset_virtual writes
-      // for printf-style mappings) is supported, loudly otherwise.
+      // H5S allows one unlimited dimension, as either an unlimited COUNT
+      // of fixed blocks (what H5Pset_virtual writes for printf mappings;
+      // growth unit = the block) or ONE unlimited-extent block (count 1;
+      // growth unit = a single row of the pattern).
       require(unlimDims.size == 1,
         s"$what: ${unlimDims.size} unlimited dimensions (1 supported)")
       val ud = unlimDims.head
-      require(count(ud) == unlimited && block(ud) != unlimited,
-        s"$what: unlimited block extent not supported (count-unlimited only)")
-      require(stride(ud) == block(ud),
-        s"$what: unlimited selection with stride != block is not contiguous")
-      val nb = (0 until rank).map(d => if (d == ud) block(d) else ext(d))
+      val growUnit =
+        if (count(ud) == unlimited) {
+          require(block(ud) != unlimited,
+            s"$what: unlimited count AND block in dim $ud")
+          require(stride(ud) == block(ud),
+            s"$what: unlimited selection with stride != block is not contiguous")
+          block(ud)
+        } else {
+          require(count(ud) == 1,
+            s"$what: unlimited block extent with count ${count(ud)} > 1")
+          1L
+        }
+      val nb = (0 until rank).map(d => if (d == ud) growUnit else ext(d))
       Some(UnlimSel(start.toSeq, nb, ud))
     } else if ((0 until rank).forall(d => count(d) == 1L || stride(d) == block(d)))
       Some(SlabSel(start.toSeq, (0 until rank).map(ext)))

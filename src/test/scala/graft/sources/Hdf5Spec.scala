@@ -278,6 +278,24 @@ class Hdf5Spec extends SparkSpec {
     assert(d.attrs("virtual_missing_sources") == "scan%day.h5")
   }
 
+  test("VDS: an irregular multi-block union maps in global row-major " +
+      "order, not block-by-block") {
+    // blocks (rows 0-1, cols 0-1) and (rows 0-1, col 2) stored in that
+    // order: offsets merge to plain row-major, so source 0..5 fills rows
+    // 0-1 contiguously; block-by-block order would scatter 0,1,4/2,3,5
+    val d = vdsByPath("/entry/virregular")
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ Seq.fill(6)(0.0f)))
+  }
+
+  test("VDS: a block-unlimited selection (count 1) clamps to the " +
+      "resolved source extent") {
+    val d = vdsByPath("/entry/vblockunlim")
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ Seq.fill(6)(0.0f)))
+    assert(!d.attrs.contains("virtual_missing_sources"))
+  }
+
   test("VDS: an oversized virtual dataset degrades to a marker, not a throw") {
     // 2^40 f32 elements with a RESOLVABLE source — the single-buffer bound
     // must win before any allocation, same policy as oversized extlinks
@@ -310,9 +328,10 @@ class Hdf5Spec extends SparkSpec {
     assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
     // without a resolver at all, every VDS degrades the same way, no error
     // (vframes, vpartial, vnone, printf x2, vgrow, vinterleave, vmulti,
-    // vpoints, vescape; vhuge is an oversized marker instead)
+    // vpoints, vescape, virregular, vblockunlim; vhuge is an oversized
+    // marker instead)
     val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
-    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 10)
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 12)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
