@@ -150,6 +150,12 @@ def dt_vlen_str():
     return struct.pack('<B3sI', 0x19, bytes([0x01, 0x00, 0x00]), 16) + dt_str(1)
 
 
+def dt_vlen_seq():
+    # class 9 vlen SEQUENCE (bits[0] type 0, not string) — the reader
+    # supports vlen STRINGS only, so parsing this datatype throws
+    return struct.pack('<B3sI', 0x19, bytes([0x00, 0x00, 0x00]), 16) + dt_f32()
+
+
 def space_scalar():
     return struct.pack('<4B4x', 1, 0, 0, 0)
 
@@ -515,6 +521,7 @@ def make_v2(path: Path):
     f.alloc(48)  # superblock v2 placeholder
     gh = GlobalHeap(f)
     i_units = gh.add(b'mm')
+    i_note = gh.add(b'powder A')
     gh_addr = gh.flush()
 
     # /entry1/detector/distance : f64 scalar, vlen units attr (v3 attrs)
@@ -571,16 +578,19 @@ def make_v2(path: Path):
                            (len(members_enc) >> 8) & 0xFF, 0, size) + \
             b''.join(members_enc)
 
-    # scalar: {x: f64, n: i64, tag: 4-char str} (v1 members, size 20)
-    cmp_raw = f.append(struct.pack('<dq4s', 1.25, 42, b'roi\x00'))
+    # scalar: {x: f64, n: i64, tag: 4-char str, note: vlen str} (v1
+    # members, size 36; the vlen member resolves through the global heap)
+    cmp_raw = f.append(struct.pack('<dq4s', 1.25, 42, b'roi\x00') +
+                       vlen_ref(gh_addr, i_note, 8))
     cmp_scalar = object_header_v2(f, [
         (0x01, space_scalar()),
-        (0x03, dt_compound(1, 20, [
+        (0x03, dt_compound(1, 36, [
             member_v1('x', 0, dt_f64()),
             member_v1('n', 8, dt_i64()),
             member_v1('tag', 16, dt_str(4)),
+            member_v1('note', 20, dt_vlen_str()),
         ])),
-        (0x08, layout_contiguous(cmp_raw, 20)),
+        (0x08, layout_contiguous(cmp_raw, 36)),
     ])
     # array[3]: {t: f32, v: f64} (v3 members, size 12 -> 1-byte offsets)
     rows = b''.join(struct.pack('<fd', 0.5 * i, 10.0 + i) for i in range(3))
@@ -618,10 +628,10 @@ def make_v2(path: Path):
             member_v3('lo', 0, dt_f64(), 1),
             member_v3('hi', 8, dt_f64(), 1),
         ]), space_scalar(), struct.pack('<dd', 0.0, 2.0))),
-        # compound attr with a VLEN-string member: the member datatype
+        # compound attr with a VLEN-SEQUENCE member: the member datatype
         # itself fails to parse — the attribute (never the file) is skipped
         (0x0C, attr_v3('label', dt_compound(3, 16, [
-            member_v3('s', 0, dt_vlen_str(), 1),
+            member_v3('s', 0, dt_vlen_seq(), 1),
         ]), space_scalar(), bytes(16))),
     ])
 

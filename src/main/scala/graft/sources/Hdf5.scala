@@ -169,7 +169,7 @@ object Hdf5 {
           }
           val mdt = parseDatatype(bb)
           mdt match {
-            case Fixed(_, _) | Flt(_) | Str(_) | _: Compound => ()
+            case Fixed(_, _) | Flt(_) | Str(_) | VlenStr | _: Compound => ()
             case other => throw new UnsupportedOperationException(
               s"compound member '$name' type $other (flat scalar members only)")
           }
@@ -206,7 +206,10 @@ object Hdf5 {
         bb.position(bb.position() + nMembers * base.size)
         base
       case 9 =>
-        require((bits(0) & 0x0F) == 1, "only vlen STRINGS are supported")
+        // unsupported FEATURE (not a malformed file): vlen sequences are
+        // skippable as attributes, loud as dataset types
+        if ((bits(0) & 0x0F) != 1)
+          throw new UnsupportedOperationException("only vlen STRINGS are supported")
         VlenStr
       case 10 => // array: per-element fixed dims, then the base datatype
         val ndims = u8(bb)
@@ -2204,7 +2207,7 @@ object Hdf5 {
         java.util.Arrays.copyOfRange(raw, base, base + m.dt.size)
       }
       m.dt match {
-        case Str(_) =>
+        case Str(_) | VlenStr => // vlen resolves through the global heap
           if (elems > 1) throw new UnsupportedOperationException(
             s"string ARRAY compound member not supported at $mpath")
           Node(mpath, dims, None, Some(decodeString(bytes, slice(0), m.dt)),

@@ -383,11 +383,13 @@ class Hdf5Spec extends SparkSpec {
   test("compound datasets (class 6) read as member child nodes") {
     // scalar {x: f64, n: i64, tag: str} with v1-encoded members
     val roi = v2ByPath("/entry1/detector/roi")
-    assert(roi.attrs("compound_members") == "x,n,tag")
+    assert(roi.attrs("compound_members") == "x,n,tag,note")
     assert(roi.scalarF64.isEmpty) // the parent carries structure, not data
     assert(v2ByPath("/entry1/detector/roi/x").scalarF64.contains(1.25))
     assert(v2ByPath("/entry1/detector/roi/n").scalarF64.contains(42.0))
     assert(v2ByPath("/entry1/detector/roi/tag").scalarStr.contains("roi"))
+    // vlen-string member resolves through the global heap
+    assert(v2ByPath("/entry1/detector/roi/note").scalarStr.contains("powder A"))
     // array[3] {t: f32, v: f64} with v3-encoded members (strided slices)
     assert(v2ByPath("/entry1/detector/table/t").f64Data.map(_.toSeq)
       .contains(Seq(0.0, 0.5, 1.0)))
@@ -449,10 +451,10 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    // 11 v0 nodes + 20 v2 nodes (incl. links, the compound datasets'
-    // parent + member-child rows — flat, array, and nested — the enum
-    // scalar, and the two array-datatype datasets)
-    assert(tree.count() == 31)
+    // 11 v0 nodes + 21 v2 nodes (incl. links, the compound datasets'
+    // parent + member-child rows — flat, vlen-string, array, and nested —
+    // the enum scalar, and the two array-datatype datasets)
+    assert(tree.count() == 32)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -595,7 +597,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 31) // + mouse_v2's 20 incl. compound children
+    assert(tree.count() == 32) // + mouse_v2's 21 incl. compound children
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
