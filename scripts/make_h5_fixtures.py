@@ -578,17 +578,19 @@ def make_v2(path: Path):
                            (len(members_enc) >> 8) & 0xFF, 0, size) + \
             b''.join(members_enc)
 
-    # scalar: {x: f64, n: i64, tag: 4-char str, note: vlen str} (v1
-    # members, size 36; the vlen member resolves through the global heap)
-    cmp_raw = f.append(struct.pack('<dq4s', 1.25, 42, b'roi\x00') +
-                       vlen_ref(gh_addr, i_note, 8))
+    # scalar: {x: f64, note: vlen str, n: i64, tag: 4-char str} (v1
+    # members, size 36). The vlen member sits MID-STRUCT on purpose: its
+    # base-datatype encoding must be consumed or every later member
+    # misparses — n and tag after it prove position-correct parsing.
+    cmp_raw = f.append(struct.pack('<d', 1.25) + vlen_ref(gh_addr, i_note, 8) +
+                       struct.pack('<q4s', 42, b'roi\x00'))
     cmp_scalar = object_header_v2(f, [
         (0x01, space_scalar()),
         (0x03, dt_compound(1, 36, [
             member_v1('x', 0, dt_f64()),
-            member_v1('n', 8, dt_i64()),
-            member_v1('tag', 16, dt_str(4)),
-            member_v1('note', 20, dt_vlen_str()),
+            member_v1('note', 8, dt_vlen_str()),
+            member_v1('n', 24, dt_i64()),
+            member_v1('tag', 32, dt_str(4)),
         ])),
         (0x08, layout_contiguous(cmp_raw, 36)),
     ])

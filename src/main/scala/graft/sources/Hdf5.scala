@@ -210,6 +210,9 @@ object Hdf5 {
         // skippable as attributes, loud as dataset types
         if ((bits(0) & 0x0F) != 1)
           throw new UnsupportedOperationException("only vlen STRINGS are supported")
+        // consume the BASE datatype encoding that follows the vlen header
+        // so sequential parses (compound members) stay position-correct
+        parseDatatype(bb)
         VlenStr
       case 10 => // array: per-element fixed dims, then the base datatype
         val ndims = u8(bb)
@@ -1353,23 +1356,32 @@ object Hdf5 {
     * fails loudly rather than risk a wrong element order. */
   private final case class MultiBlockSel(blocks: Seq[Slab]) extends Sel {
     def numElems(dims: Seq[Long]): Long = blocks.map(_.count.product).sum
-    def validate(dims: Seq[Long], what: String): Unit =
+    def validate(dims: Seq[Long], what: String): Unit = {
       blocks.foreach(inBounds(_, dims, what))
+      // run the merge dry so an overlapping (malformed) union fails HERE,
+      // with the source/virtual designation, not mid-copy
+      try spans(dims).foreach(_ => ()) catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$what: ${e.getMessage}", e)
+      }
+    }
     def spans(dims: Seq[Long]): Iterator[(Long, Long)] = {
-      val streams = blocks.map(b => slabSpans(b, dims).buffered)
+      type Stream = BufferedIterator[(Long, Long)]
+      val pq = mutable.PriorityQueue.empty[Stream](
+        Ordering.by[Stream, Long](_.head._1).reverse)
+      blocks.foreach { b =>
+        val it = slabSpans(b, dims).buffered
+        if (it.hasNext) pq.enqueue(it)
+      }
       var last = -1L // end of the previously emitted span
-      Iterator.continually(()).map { _ =>
-        val open = streams.filter(_.hasNext)
-        if (open.isEmpty) None
-        else {
-          val next = open.minBy(_.head._1)
-          val (off, len) = next.next()
-          require(off >= last,
-            "multi-block selection has overlapping blocks")
-          last = off + len
-          Some((off, len))
-        }
-      }.takeWhile(_.isDefined).map(_.get)
+      Iterator.continually(()).takeWhile(_ => pq.nonEmpty).map { _ =>
+        val it = pq.dequeue()
+        val (off, len) = it.next()
+        require(off >= last, "multi-block selection has overlapping blocks")
+        last = off + len
+        if (it.hasNext) pq.enqueue(it)
+        (off, len)
+      }
     }
   }
 
@@ -1419,12 +1431,12 @@ object Hdf5 {
   /** Serialized dataspace selection (spec "Dataspace Selection" encoding,
     * as stored in the virtual storage heap block). Supported: ALL (3),
     * NONE (0, maps nothing -> None), point selections (1, v1 encoding),
-    * and hyperslabs (2) — v1/v3 block lists (one block, or several
-    * stacked along dim 0), v2/v3 regular hyperslabs whether contiguous
-    * (stride == block, the Eiger data_0000NN stacking shape), strided
-    * (gaps between blocks — module interleave), or count-unlimited
-    * ([[UnlimSel]], printf / open-ended mappings). Irregular multi-block
-    * unions and block-unlimited selections fail loudly. */
+    * and hyperslabs (2) — v1/v3 block lists (one block or any disjoint
+    * union, merged to row-major order), v2/v3 regular hyperslabs whether
+    * contiguous (stride == block, the Eiger data_0000NN stacking shape),
+    * strided (gaps between blocks — module interleave), count-unlimited,
+    * or block-unlimited ([[UnlimSel]], printf / open-ended mappings).
+    * Overlapping unions and v2+ point encodings fail loudly. */
   private def parseSelection(vb: ByteBuffer, what: String): Option[Sel] = {
     val stype = u32(vb)
     stype match {
@@ -1478,7 +1490,7 @@ object Hdf5 {
   }
 
   /** (start corner, opposite corner) pairs, block-major — one block is a
-    * plain slab; several become a dim-0-stacked [[MultiBlockSel]]. */
+    * plain slab; several become a [[MultiBlockSel]] (any disjoint union). */
   private def blockList(
       nblocks: Long, rank: Int, coord: () => Long, what: String): Option[Sel] = {
     val blocks = (0L until nblocks).map { _ =>

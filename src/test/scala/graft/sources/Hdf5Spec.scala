@@ -383,12 +383,14 @@ class Hdf5Spec extends SparkSpec {
   test("compound datasets (class 6) read as member child nodes") {
     // scalar {x: f64, n: i64, tag: str} with v1-encoded members
     val roi = v2ByPath("/entry1/detector/roi")
-    assert(roi.attrs("compound_members") == "x,n,tag,note")
+    assert(roi.attrs("compound_members") == "x,note,n,tag")
     assert(roi.scalarF64.isEmpty) // the parent carries structure, not data
     assert(v2ByPath("/entry1/detector/roi/x").scalarF64.contains(1.25))
     assert(v2ByPath("/entry1/detector/roi/n").scalarF64.contains(42.0))
     assert(v2ByPath("/entry1/detector/roi/tag").scalarStr.contains("roi"))
-    // vlen-string member resolves through the global heap
+    // vlen-string member (mid-struct!) resolves through the global heap;
+    // n and tag decode correctly AFTER it, proving the vlen base-type
+    // encoding was consumed during the member parse
     assert(v2ByPath("/entry1/detector/roi/note").scalarStr.contains("powder A"))
     // array[3] {t: f32, v: f64} with v3-encoded members (strided slices)
     assert(v2ByPath("/entry1/detector/table/t").f64Data.map(_.toSeq)
