@@ -1248,7 +1248,7 @@ object Hdf5 {
   // -------------------------------------------- virtual (VDS) storage ------
 
   /** A contiguous axis-aligned region: per-dim start + extent. */
-  private final case class Slab(start: Seq[Long], count: Seq[Long])
+  private[sources] final case class Slab(start: Seq[Long], count: Seq[Long])
 
   private def inBounds(slab: Slab, dims: Seq[Long], what: String): Unit = {
     require(slab.count.length == dims.length, s"$what selection rank")
@@ -1261,7 +1261,7 @@ object Hdf5 {
   /** Ordered contiguous pieces of one slab in the array's row-major element
     * space: the innermost extent, widened across trailing dimensions the
     * slab covers completely, so whole-row regions become single copies. */
-  private def slabSpans(slab: Slab, dims: Seq[Long]): Iterator[(Long, Long)] = {
+  private[sources] def slabSpans(slab: Slab, dims: Seq[Long]): Iterator[(Long, Long)] = {
     val n = slab.count.product
     if (n == 0) return Iterator.empty
     var run = 1L
@@ -1283,18 +1283,18 @@ object Hdf5 {
     * extent is a zip of two span streams regardless of the two selections'
     * shapes (or ranks: an Eiger [n,H,W] virtual stack fed by [H,W]
     * sources). */
-  private sealed trait Sel {
+  private[sources] sealed trait Sel {
     def numElems(dims: Seq[Long]): Long
     def spans(dims: Seq[Long]): Iterator[(Long, Long)]
     def validate(dims: Seq[Long], what: String): Unit
   }
-  private case object AllSel extends Sel {
+  private[sources] case object AllSel extends Sel {
     def numElems(dims: Seq[Long]): Long = dims.product
     def spans(dims: Seq[Long]): Iterator[(Long, Long)] =
       if (dims.product == 0) Iterator.empty else Iterator((0L, dims.product))
     def validate(dims: Seq[Long], what: String): Unit = ()
   }
-  private final case class SlabSel(start: Seq[Long], count: Seq[Long]) extends Sel {
+  private[sources] final case class SlabSel(start: Seq[Long], count: Seq[Long]) extends Sel {
     private def slab: Slab = Slab(start, count)
     def numElems(dims: Seq[Long]): Long = count.product
     def spans(dims: Seq[Long]): Iterator[(Long, Long)] = slabSpans(slab, dims)
@@ -1306,7 +1306,7 @@ object Hdf5 {
     * interleave shape. Row-major element order over a regular pattern is
     * the cartesian product of per-dim ascending coordinates, one
     * innermost block per span. */
-  private final case class StridedSel(start: Seq[Long], stride: Seq[Long],
+  private[sources] final case class StridedSel(start: Seq[Long], stride: Seq[Long],
       count: Seq[Long], block: Seq[Long]) extends Sel {
     private def rank = start.length
     def numElems(dims: Seq[Long]): Long =
@@ -1354,7 +1354,7 @@ object Hdf5 {
     * offset — any box arrangement, stored in any order. Overlap (which a
     * well-formed file never stores) is detected during the merge and
     * fails loudly rather than risk a wrong element order. */
-  private final case class MultiBlockSel(blocks: Seq[Slab]) extends Sel {
+  private[sources] final case class MultiBlockSel(blocks: Seq[Slab]) extends Sel {
     def numElems(dims: Seq[Long]): Long = blocks.map(_.count.product).sum
     def validate(dims: Seq[Long], what: String): Unit = {
       blocks.foreach(inBounds(_, dims, what))
@@ -1387,7 +1387,7 @@ object Hdf5 {
 
   /** Point selection: explicit coordinates, iterated in stored order
     * (h5py/libhdf5 I/O order for point selections). */
-  private final case class PointSel(points: Seq[Seq[Long]]) extends Sel {
+  private[sources] final case class PointSel(points: Seq[Seq[Long]]) extends Sel {
     def numElems(dims: Seq[Long]): Long = points.length.toLong
     def validate(dims: Seq[Long], what: String): Unit =
       points.foreach { p =>
@@ -1408,7 +1408,7 @@ object Hdf5 {
     * the extent is only known once sources resolve, so `toSlab` clamps the
     * run to whatever fits the given dims (h5py's view of an unfilled VDS).
     */
-  private final case class UnlimSel(
+  private[sources] final case class UnlimSel(
       start: Seq[Long], block: Seq[Long], unlimDim: Int) extends Sel {
     def blockElems: Long = block.product
     /** How many whole blocks fit inside `dims`. */
@@ -1569,7 +1569,7 @@ object Hdf5 {
       Some(StridedSel(start.toSeq, stride.toSeq, count.toSeq, block.toSeq))
   }
 
-  private def dimStrides(dims: Seq[Long]): Seq[Long] =
+  private[sources] def dimStrides(dims: Seq[Long]): Seq[Long] =
     dims.scanRight(1L)(_ * _).tail
 
   /** Linear element offset (row-major, full-array strides) of position `k`
@@ -1590,7 +1590,7 @@ object Hdf5 {
   /** Zips two span streams, copying min-length contiguous pieces — the
     * general element-order graft between any two equal-count selections
     * (slab into slab, strided into blocks, points into anything, ...). */
-  private def copySpans(src: Array[Byte], sit: Iterator[(Long, Long)],
+  private[sources] def copySpans(src: Array[Byte], sit: Iterator[(Long, Long)],
       dst: Array[Byte], dit: Iterator[(Long, Long)], esz: Int): Unit = {
     var so = 0L; var sl = 0L
     var vo = 0L; var vl = 0L
