@@ -137,6 +137,19 @@ class SelectionSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("UnlimSel clamps to whole blocks of the given extent") {
+    val u = Hdf5.UnlimSel(Seq(0L, 0L), Seq(2L, 3L), 0)
+    // [7,3]: three whole 2-row blocks fit, the 7th row does not
+    assert(u.maxBlocks(Seq(7L, 3L)) == 3L)
+    assert(u.numElems(Seq(7L, 3L)) == 18L)
+    assert(elems(u.spans(Seq(7L, 3L))) == (0L until 18L))
+    // k-th block slab sits k*blockRows down
+    assert(u.blockSlab(2) == Slab(Seq(4L, 0L), Seq(2L, 3L)))
+    // start offset shrinks the usable extent
+    assert(Hdf5.UnlimSel(Seq(1L, 0L), Seq(2L, 3L), 0).maxBlocks(Seq(7L, 3L)) == 3L)
+    assert(Hdf5.UnlimSel(Seq(2L, 0L), Seq(2L, 3L), 0).maxBlocks(Seq(5L, 3L)) == 1L)
+  }
+
   test("PointSel preserves stored point order, not offset order") {
     val pts = Seq(Seq(3L, 1L), Seq(0L, 2L), Seq(1L, 0L))
     val sel = PointSel(pts)
