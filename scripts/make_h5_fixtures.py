@@ -782,15 +782,60 @@ def bitshuffle_raw_stream(data: bytes, elem_size: int, block_elems: int) -> byte
 
 def filter_generic(fid, values, name=b''):
     """Filter-pipeline v1 message with one filter and u32 client values."""
-    body = struct.pack('<BB2x4x', 1, 1)
-    nm = name + b'\x00' if name else b''
-    nm += bytes(pad8(len(nm)) - len(nm)) if nm else b''
-    body += struct.pack('<4H', fid, len(nm), 1, len(values)) + nm
-    for v in values:
-        body += struct.pack('<I', v)
-    if len(values) % 2 == 1:
-        body += b'\x00' * 4
+    return filter_pipeline([(fid, name, values)])
+
+
+def filter_pipeline(filters):
+    """Filter-pipeline v1 message; filters = [(fid, name_bytes, values)] in
+    WRITE order (read undoes them back to front)."""
+    body = struct.pack('<BB2x4x', 1, len(filters))
+    for fid, name, values in filters:
+        nm = name + b'\x00' if name else b''
+        nm += bytes(pad8(len(nm)) - len(nm)) if nm else b''
+        body += struct.pack('<4H', fid, len(nm), 1, len(values)) + nm
+        for v in values:
+            body += struct.pack('<I', v)
+        if len(values) % 2 == 1:
+            body += b'\x00' * 4
     return body
+
+
+def shuffle_bytes(data, esz):
+    """Filter 2 byte transpose: all byte-0s, then all byte-1s, ...;
+    trailing partial-element bytes stay in place."""
+    n = len(data) // esz
+    out = bytearray(len(data))
+    k = 0
+    for j in range(esz):
+        for i in range(n):
+            out[k] = data[i * esz + j]
+            k += 1
+    out[n * esz:] = data[n * esz:]
+    return bytes(out)
+
+
+def fletcher32(data):
+    """HDF5's modified fletcher-32 (public H5checksum algorithm)."""
+    sum1 = sum2 = 0
+    i = 0
+    words = len(data) // 2
+    while words:
+        tlen = min(360, words)
+        words -= tlen
+        for _ in range(tlen):
+            sum1 += (data[i] << 8) | data[i + 1]
+            i += 2
+            sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[i] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 & 0xFFFF) << 16) | (sum1 & 0xFFFF)
 
 
 # ------------------------------------------------- v4 chunked layouts ------
@@ -895,6 +940,41 @@ def make_v4(path: Path):
         (0x08, layout_v4_single(sz_addr, [H, W], filtered_size=len(z))),
     ])
 
+    # shufz : shuffle (byte transpose) + deflate — the classic h5py
+    # `shuffle=True, compression='gzip'` recipe
+    shz = zlib.compress(shuffle_bytes(img_bytes, 4), 6)
+    shz_addr = f.append(shz)
+    shufz = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_pipeline([(2, b'shuffle', [4]),
+                                (1, b'deflate', [6])])),
+        (0x08, layout_v4_single(shz_addr, [H, W], filtered_size=len(shz))),
+    ])
+
+    # fletch : fletcher32 alone (stored = payload + LE u32 checksum)
+    fl = img_bytes + struct.pack('<I', fletcher32(img_bytes))
+    fl_addr = f.append(fl)
+    fletch = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_pipeline([(3, b'fletcher32', [])])),
+        (0x08, layout_v4_single(fl_addr, [H, W], filtered_size=len(fl))),
+    ])
+
+    # shufzf : shuffle + deflate + fletcher32 — the full classic pipeline;
+    # the checksum covers the COMPRESSED stream (write order)
+    szf = zlib.compress(shuffle_bytes(img_bytes, 4), 6)
+    szf += struct.pack('<I', fletcher32(szf))
+    szf_addr = f.append(szf)
+    shufzf = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_pipeline([(2, b'shuffle', [4]), (1, b'deflate', [6]),
+                                (3, b'fletcher32', [])])),
+        (0x08, layout_v4_single(szf_addr, [H, W], filtered_size=len(szf))),
+    ])
+
     # implicit : 2x5 chunks laid contiguously (3 whole-row chunks, no edge)
     _, base = v4_chunk_data(f, H, W, 2, W, contiguous=True)
     implicit = object_header_v2(f, [
@@ -970,7 +1050,9 @@ def make_v4(path: Path):
                             'single_skip': single_skip,
                             'implicit': implicit, 'fixedarr': fixedarr,
                             'fixedarr_z': fixedarr_z, 'lz4': lz4ds,
-                            'bitshuf_z': bitshuf_z, 'bitshuf_raw': bitshuf_raw})
+                            'bitshuf_z': bitshuf_z, 'bitshuf_raw': bitshuf_raw,
+                            'shufz': shufz, 'fletch': fletch,
+                            'shufzf': shufzf})
     entry1 = group_v2(f, {'detector': detector})
     root = group_v2(f, {'entry1': entry1})
 
@@ -996,6 +1078,30 @@ def make_bad_deflate(path: Path):
         (0x03, dt_f32()),
         (0x0B, filter_deflate()),
         (0x08, layout_v4_single(addr, [4, 4], filtered_size=len(z) // 2)),
+    ])
+    root = group_v2(f, {'bad': ds})
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 3, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
+def make_bad_fletcher(path: Path):
+    """A fletcher32-checksummed chunk whose stored checksum is corrupted —
+    the reader must fail loudly (data corruption), never return data."""
+    f = FileBuf()
+    f.alloc(48)
+    _, img = f32_grid(4, 4)
+    flb = img + struct.pack('<I', fletcher32(img) ^ 0xDEAD)
+    addr = f.append(flb)
+    ds = object_header_v2(f, [
+        (0x01, space_simple([4, 4])),
+        (0x03, dt_f32()),
+        (0x0B, filter_pipeline([(3, b'fletcher32', [])])),
+        (0x08, layout_v4_single(addr, [4, 4], filtered_size=len(flb))),
     ])
     root = group_v2(f, {'bad': ds})
     sb = bytearray()
@@ -2208,6 +2314,7 @@ if __name__ == '__main__':
     make_v2(out / 'mouse_v2.h5')
     make_v4(out / 'mouse_v4.h5')
     make_bad_deflate(out / 'bad_deflate.h5')
+    make_bad_fletcher(out / 'bad_fletcher.h5')
     make_bad_swizzle(out / 'bad_swizzle.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')

@@ -646,6 +646,8 @@ object Hdf5 {
     * left. */
   private sealed trait H5Filter
   private case object Deflate extends H5Filter
+  private case object Shuffle extends H5Filter // id 2: byte transpose
+  private case object Fletcher32 extends H5Filter // id 3: trailing checksum
   private case object Lz4 extends H5Filter // HDF5Plugin id 32004
   private case class Bitshuffle(blockElems: Int, lz4: Boolean) extends H5Filter // id 32008
 
@@ -658,11 +660,76 @@ object Hdf5 {
     filters.reverse.foldLeft(raw) { (data, f) =>
       f match {
         case Deflate => inflate(data, outSize)
+        case Shuffle => unshuffle(data, elemSize)
+        case Fletcher32 => fletcherStrip(data)
         case Lz4 => lz4Defilter(data, outSize)
         case Bitshuffle(blockElems, lz4) =>
           bitshuffleDefilter(data, outSize, elemSize, blockElems, lz4)
       }
     }
+
+  /** Undo the byte-transpose shuffle (filter 2): the filtered stream holds
+    * every element's byte 0, then every byte 1, ...; bytes past the last
+    * whole element are stored unshuffled. */
+  private[sources] def unshuffle(data: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return data
+    val n = data.length / elemSize
+    val out = new Array[Byte](data.length)
+    var src = 0
+    var j = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + j) = data(src); src += 1; i += 1 }
+      j += 1
+    }
+    System.arraycopy(data, n * elemSize, out, n * elemSize,
+      data.length - n * elemSize)
+    out
+  }
+
+  /** Verify and strip the trailing little-endian fletcher-32 checksum
+    * (filter 3). A mismatch is data corruption — loud. */
+  private[sources] def fletcherStrip(data: Array[Byte]): Array[Byte] = {
+    require(data.length >= 4, "fletcher32 chunk shorter than its checksum")
+    val payload = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+    val stored = ByteBuffer.wrap(data, data.length - 4, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    val computed = fletcher32(payload)
+    require(computed == stored,
+      f"fletcher32 mismatch: computed $computed%08x != stored $stored%08x")
+    payload
+  }
+
+  /** HDF5's modified fletcher-32 (the public H5checksum algorithm):
+    * big-endian 16-bit words, 360-word overflow blocks, an odd trailing
+    * byte as the word's high half, double end-fold. */
+  private[sources] def fletcher32(data: Array[Byte]): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    var words = data.length / 2
+    while (words > 0) {
+      var tlen = math.min(360, words)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)).toLong
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if (data.length % 2 == 1) {
+      sum1 += (data(i) & 0xFF).toLong << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    ((sum2 & 0xFFFF) << 16) | (sum1 & 0xFFFF)
+  }
 
   private lazy val lz4Dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
 
@@ -2136,6 +2203,8 @@ object Hdf5 {
       if (version == 1 && nvals % 2 == 1) bb.position(bb.position() + 4)
       id match {
         case 1 => Deflate
+        case 2 => Shuffle
+        case 3 => Fletcher32
         case 32004 => Lz4
         case 32008 =>
           val comp = values.lift(4).getOrElse(0L)

@@ -128,6 +128,24 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("shuffle (2) and fletcher32 (3) filters decode, alone and in the " +
+      "classic shuffle+deflate+fletcher pipeline") {
+    val v4 = Hdf5.read(fixture("mouse_v4.h5"))
+    val m = v4.map(n => n.path -> n).toMap
+    val expected = (0 until 30).map(_.toFloat)
+    for (name <- Seq("shufz", "fletch", "shufzf")) {
+      val n = m(s"/entry1/detector/$name")
+      assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
+    }
+  }
+
+  test("a corrupted fletcher32 checksum fails loudly, never returns data") {
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_fletcher.h5"))
+    }
+    assert(e.getMessage.contains("fletcher32 mismatch"), e.getMessage)
+  }
+
   private lazy val v2 = Hdf5.read(fixture("mouse_v2.h5"))
   private lazy val v2ByPath = v2.map(n => n.path -> n).toMap
 
