@@ -975,6 +975,20 @@ def make_v4(path: Path):
         (0x08, layout_v4_single(szf_addr, [H, W], filtered_size=len(szf))),
     ])
 
+    # zstdds : HDF5Plugin Zstandard (32015) — one raw zstd frame per chunk;
+    # compressed with the zstd CLI (no python zstd binding in this
+    # container), decoded by the zstd-jni on Spark's classpath
+    import subprocess
+    zs = subprocess.run(['zstd', '-q', '-c'], input=img_bytes,
+                        stdout=subprocess.PIPE, check=True).stdout
+    zs_addr = f.append(zs)
+    zstdds = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_generic(32015, [3], name=b'zstd')),
+        (0x08, layout_v4_single(zs_addr, [H, W], filtered_size=len(zs))),
+    ])
+
     # implicit : 2x5 chunks laid contiguously (3 whole-row chunks, no edge)
     _, base = v4_chunk_data(f, H, W, 2, W, contiguous=True)
     implicit = object_header_v2(f, [
@@ -1052,7 +1066,7 @@ def make_v4(path: Path):
                             'fixedarr_z': fixedarr_z, 'lz4': lz4ds,
                             'bitshuf_z': bitshuf_z, 'bitshuf_raw': bitshuf_raw,
                             'shufz': shufz, 'fletch': fletch,
-                            'shufzf': shufzf})
+                            'shufzf': shufzf, 'zstd': zstdds})
     entry1 = group_v2(f, {'detector': detector})
     root = group_v2(f, {'entry1': entry1})
 

@@ -650,6 +650,7 @@ object Hdf5 {
   private case object Fletcher32 extends H5Filter // id 3: trailing checksum
   private case object Lz4 extends H5Filter // HDF5Plugin id 32004
   private case class Bitshuffle(blockElems: Int, lz4: Boolean) extends H5Filter // id 32008
+  private case object Zstd extends H5Filter // HDF5Plugin id 32015: one raw frame
 
   /** Undo one chunk's filter chain. `outSize` is the unfiltered chunk byte
     * count (every supported transform either restores exactly that size or
@@ -665,6 +666,11 @@ object Hdf5 {
         case Lz4 => lz4Defilter(data, outSize)
         case Bitshuffle(blockElems, lz4) =>
           bitshuffleDefilter(data, outSize, elemSize, blockElems, lz4)
+        case Zstd =>
+          val out = com.github.luben.zstd.Zstd.decompress(data, outSize)
+          require(out.length == outSize,
+            s"zstd filter produced ${out.length} of $outSize bytes")
+          out
       }
     }
 
@@ -2210,8 +2216,10 @@ object Hdf5 {
           val comp = values.lift(4).getOrElse(0L)
           require(comp == 0L || comp == 2L, s"bitshuffle compression mode $comp")
           Bitshuffle(values.lift(3).getOrElse(0L).toInt, lz4 = comp == 2L)
+        case 32015 => Zstd
         case other => throw new UnsupportedOperationException(
-          s"unsupported filter id $other (deflate/lz4/bitshuffle only)")
+          s"unsupported filter id $other " +
+            "(deflate/shuffle/fletcher32/lz4/bitshuffle/zstd only)")
       }
     }
   }

@@ -137,6 +137,8 @@ class Hdf5Spec extends SparkSpec {
       val n = m(s"/entry1/detector/$name")
       assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
     }
+    // HDF5Plugin Zstandard (32015): one raw frame, zstd-jni decode
+    assert(m("/entry1/detector/zstd").f32Data.map(_.toSeq).contains(expected))
   }
 
   test("a corrupted fletcher32 checksum fails loudly, never returns data") {
