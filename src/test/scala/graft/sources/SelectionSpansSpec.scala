@@ -155,4 +155,38 @@ class SelectionSpansSpec extends AnyFunSuite {
     val sel = PointSel(pts)
     assert(elems(sel.spans(Seq(4L, 3L))) == Seq(10L, 2L, 3L))
   }
+
+  test("unshuffle inverts an independently written byte transpose") {
+    // the tail is the sub-element REMAINDER, always < esz
+    for (esz <- Seq(1, 2, 4, 8, 3); tail <- 0 until math.min(esz, 3)) {
+      val n = 1 + rnd.nextInt(50)
+      val data = Array.fill[Byte](n * esz + tail)(rnd.nextInt(256).toByte)
+      // naive forward shuffle, written here (not shared with the reader):
+      // plane j collects byte j of every whole element; tail stays put
+      val shuffled = new Array[Byte](data.length)
+      var k = 0
+      for (j <- 0 until esz; i <- 0 until n) {
+        shuffled(k) = data(i * esz + j); k += 1
+      }
+      System.arraycopy(data, n * esz, shuffled, n * esz, tail)
+      assert(Hdf5.unshuffle(shuffled, esz).toSeq == data.toSeq,
+        s"esz=$esz n=$n tail=$tail")
+    }
+  }
+
+  test("fletcher32 matches the published algorithm's fixed points") {
+    // H5checksum's own unit anchors: empty data and simple patterns
+    assert(Hdf5.fletcher32(Array.emptyByteArray) == 0L)
+    // one odd byte 0xAB -> sum1 = sum2 = 0xAB00
+    assert(Hdf5.fletcher32(Array(0xAB.toByte)) == 0xAB00AB00L)
+    // two bytes big-endian word 0x0102
+    assert(Hdf5.fletcher32(Array[Byte](1, 2)) == 0x01020102L)
+    // folding: a large buffer must stay within 16-bit halves
+    val big = Array.fill[Byte](100000)(0xFF.toByte)
+    val cs = Hdf5.fletcher32(big)
+    assert(((cs >> 16) & 0xFFFFL) <= 0xFFFFL && (cs & 0xFFFFL) <= 0xFFFFL)
+    // and a corrupted byte changes the checksum
+    val tweaked = big.clone(); tweaked(12345) = 0
+    assert(Hdf5.fletcher32(tweaked) != cs)
+  }
 }
