@@ -962,6 +962,23 @@ def make_v4(path: Path):
         (0x08, layout_v4_single(fl_addr, [H, W], filtered_size=len(fl))),
     ])
 
+    # fzd : netCDF-C write order — shuffle, FLETCHER32, deflate: the
+    # checksum sits INSIDE the compressed stream, so the read side must
+    # inflate to chunk+4 bytes before stripping (both orders are valid)
+    pay = shuffle_bytes(img_bytes, 4)
+    pay += struct.pack('<I', fletcher32(pay))
+    fzd_bytes = zlib.compress(pay, 6)
+    fzd_addr = f.append(fzd_bytes)
+    fzd = object_header_v2(f, [
+        (0x01, space_simple([H, W])),
+        (0x03, dt_f32()),
+        (0x0B, filter_pipeline([(2, b'shuffle', [4]),
+                                (3, b'fletcher32', []),
+                                (1, b'deflate', [6])])),
+        (0x08, layout_v4_single(fzd_addr, [H, W],
+                                filtered_size=len(fzd_bytes))),
+    ])
+
     # shufzf : shuffle + deflate + fletcher32 — the full classic pipeline;
     # the checksum covers the COMPRESSED stream (write order)
     szf = zlib.compress(shuffle_bytes(img_bytes, 4), 6)
@@ -1066,7 +1083,7 @@ def make_v4(path: Path):
                             'fixedarr_z': fixedarr_z, 'lz4': lz4ds,
                             'bitshuf_z': bitshuf_z, 'bitshuf_raw': bitshuf_raw,
                             'shufz': shufz, 'fletch': fletch,
-                            'shufzf': shufzf, 'zstd': zstdds})
+                            'shufzf': shufzf, 'fzd': fzd, 'zstd': zstdds})
     entry1 = group_v2(f, {'detector': detector})
     root = group_v2(f, {'entry1': entry1})
 

@@ -646,33 +646,41 @@ object Hdf5 {
     * left. */
   private sealed trait H5Filter
   private case object Deflate extends H5Filter
-  private case object Shuffle extends H5Filter // id 2: byte transpose
+  private case class Shuffle(esz: Int) extends H5Filter // id 2: byte transpose
   private case object Fletcher32 extends H5Filter // id 3: trailing checksum
   private case object Lz4 extends H5Filter // HDF5Plugin id 32004
   private case class Bitshuffle(blockElems: Int, lz4: Boolean) extends H5Filter // id 32008
   private case object Zstd extends H5Filter // HDF5Plugin id 32015: one raw frame
 
-  /** Undo one chunk's filter chain. `outSize` is the unfiltered chunk byte
-    * count (every supported transform either restores exactly that size or
-    * is size-preserving, so it holds at each fold step). */
+  /** Undo one chunk's filter chain (reverse of write order). The expected
+    * size after undoing stage i is the stream size BEFORE stage i ran on
+    * write: the unfiltered chunk plus 4 bytes for every fletcher32
+    * checksum added by an earlier write stage — netCDF places fletcher32
+    * BEFORE deflate, h5py after, and both orders are valid. */
   private def defilter(
       raw: Array[Byte], outSize: Int, filters: Seq[H5Filter],
-      elemSize: Int): Array[Byte] =
-    filters.reverse.foldLeft(raw) { (data, f) =>
-      f match {
-        case Deflate => inflate(data, outSize)
-        case Shuffle => unshuffle(data, elemSize)
+      elemSize: Int): Array[Byte] = {
+    val target = filters.indices.map(i =>
+      outSize + 4 * filters.take(i).count(_ == Fletcher32))
+    filters.indices.reverse.foldLeft(raw) { (data, i) =>
+      filters(i) match {
+        case Deflate => inflate(data, target(i))
+        case Shuffle(esz) =>
+          // libhdf5 trusts the filter's recorded element size (cd_values
+          // 0) over the datatype's; 0 = not recorded, fall back
+          unshuffle(data, if (esz > 0) esz else elemSize)
         case Fletcher32 => fletcherStrip(data)
-        case Lz4 => lz4Defilter(data, outSize)
+        case Lz4 => lz4Defilter(data, target(i))
         case Bitshuffle(blockElems, lz4) =>
-          bitshuffleDefilter(data, outSize, elemSize, blockElems, lz4)
+          bitshuffleDefilter(data, target(i), elemSize, blockElems, lz4)
         case Zstd =>
-          val out = com.github.luben.zstd.Zstd.decompress(data, outSize)
-          require(out.length == outSize,
-            s"zstd filter produced ${out.length} of $outSize bytes")
+          val out = com.github.luben.zstd.Zstd.decompress(data, target(i))
+          require(out.length == target(i),
+            s"zstd filter produced ${out.length} of ${target(i)} bytes")
           out
       }
     }
+  }
 
   /** Undo the byte-transpose shuffle (filter 2): the filtered stream holds
     * every element's byte 0, then every byte 1, ...; bytes past the last
@@ -2191,9 +2199,11 @@ object Hdf5 {
   }
 
   /** Parse the filter-pipeline message into the typed filter chain.
-    * Supported: deflate (1), HDF5Plugin LZ4 (32004), bitshuffle (32008 —
-    * the Eiger detector default, cd_values = [major, minor, elem, block,
-    * compression]). Anything else fails loudly. */
+    * Supported: deflate (1), shuffle (2, element size from cd_values 0),
+    * fletcher32 (3), HDF5Plugin LZ4 (32004), bitshuffle (32008 — the
+    * Eiger detector default, cd_values = [major, minor, elem, block,
+    * compression]), and Zstandard (32015). Anything else (szip, nbit,
+    * scaleoffset, other plugins) fails loudly. */
   private def parseFilters(bytes: Array[Byte], off: Int): Seq[H5Filter] = {
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
@@ -2209,7 +2219,7 @@ object Hdf5 {
       if (version == 1 && nvals % 2 == 1) bb.position(bb.position() + 4)
       id match {
         case 1 => Deflate
-        case 2 => Shuffle
+        case 2 => Shuffle(values.headOption.getOrElse(0L).toInt)
         case 3 => Fletcher32
         case 32004 => Lz4
         case 32008 =>

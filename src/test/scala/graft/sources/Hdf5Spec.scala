@@ -133,7 +133,10 @@ class Hdf5Spec extends SparkSpec {
     val v4 = Hdf5.read(fixture("mouse_v4.h5"))
     val m = v4.map(n => n.path -> n).toMap
     val expected = (0 until 30).map(_.toFloat)
-    for (name <- Seq("shufz", "fletch", "shufzf")) {
+    // shufzf = h5py order (checksum last, covers the compressed stream);
+    // fzd = netCDF-C order (checksum INSIDE the compressed stream — the
+    // read side must inflate to chunk+4 bytes before stripping)
+    for (name <- Seq("shufz", "fletch", "shufzf", "fzd")) {
       val n = m(s"/entry1/detector/$name")
       assert(n.f32Data.map(_.toSeq).contains(expected), s"$name payload")
     }

@@ -174,19 +174,31 @@ class SelectionSpansSpec extends AnyFunSuite {
     }
   }
 
-  test("fletcher32 matches the published algorithm's fixed points") {
-    // H5checksum's own unit anchors: empty data and simple patterns
+  test("fletcher32 matches an independent per-word-fold implementation") {
+    // H5checksum's own unit anchors first
     assert(Hdf5.fletcher32(Array.emptyByteArray) == 0L)
-    // one odd byte 0xAB -> sum1 = sum2 = 0xAB00
     assert(Hdf5.fletcher32(Array(0xAB.toByte)) == 0xAB00AB00L)
-    // two bytes big-endian word 0x0102
     assert(Hdf5.fletcher32(Array[Byte](1, 2)) == 0x01020102L)
-    // folding: a large buffer must stay within 16-bit halves
-    val big = Array.fill[Byte](100000)(0xFF.toByte)
-    val cs = Hdf5.fletcher32(big)
-    assert(((cs >> 16) & 0xFFFFL) <= 0xFFFFL && (cs & 0xFFFFL) <= 0xFFFFL)
-    // and a corrupted byte changes the checksum
-    val tweaked = big.clone(); tweaked(12345) = 0
-    assert(Hdf5.fletcher32(tweaked) != cs)
+    // independent oracle: fold after EVERY word instead of HDF5's
+    // 360-word overflow blocks — a broken block fold cannot agree with
+    // this on multi-block (>720-byte) buffers
+    def slow(data: Array[Byte]): Long = {
+      def fold(x: Long): Long = (x & 0xFFFF) + (x >> 16)
+      var s1 = 0L
+      var s2 = 0L
+      for (k <- 0 until data.length / 2) {
+        s1 = fold(s1 + ((((data(2 * k) & 0xFF) << 8) | (data(2 * k + 1) & 0xFF)).toLong))
+        s2 = fold(s2 + s1)
+      }
+      if (data.length % 2 == 1) {
+        s1 = fold(s1 + ((data.last & 0xFF).toLong << 8))
+        s2 = fold(s2 + s1)
+      }
+      ((fold(s2) & 0xFFFF) << 16) | (fold(s1) & 0xFFFF)
+    }
+    for (len <- Seq(2, 719, 720, 721, 1441, 100000, 100001)) {
+      val data = Array.fill[Byte](len)(rnd.nextInt(256).toByte)
+      assert(Hdf5.fletcher32(data) == slow(data), s"len=$len")
+    }
   }
 }
