@@ -45,15 +45,56 @@ object Bench {
     s"""{"bench_detail":{"queries":${queriesJson(timings, 3)},"runs":$rs},"sf":"$sfName"}"""
   }
 
+  /** Scan-only canary queries with their pinned clean sf0.1 medians
+    * (seconds), from judge-verified clean runs on this container (r6–r8:
+    * q02 0.163, q16 0.099, q30 0.087). Rationale: median-of-3 rejects a
+    * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
+    * noisy neighbor) elevates all three runs of every query — r8's driver
+    * artifact recorded 43.4 s against 27.4–30.6 s clean same-code runs and
+    * there was nothing on the metric line to say so. These three queries
+    * are pure parquet scan-aggs whose clean runtimes are flat across
+    * rounds, so elevation on ≥2 of the 3 medians is a session signal, not
+    * query noise. The pins are sf0.1- and container-specific; at any other
+    * SF the flag is omitted rather than guessed.
+    */
+  val CanaryCleanSf01: Map[String, Double] = Map(
+    "q02_filter_project" -> 0.163,
+    "q16_string_funcs"   -> 0.099,
+    "q30_date_funcs"     -> 0.087)
+
+  /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
+    * the canaries; clean round-to-round spread on them is well under 1.5×.
+    */
+  val CanaryFactor = 1.75
+
+  /** Some(true/false) when the canaries can be judged (sf0.1 and ≥2 canary
+    * medians present), None otherwise — absence means "not evaluated",
+    * never "clean".
+    */
+  def contaminationFlag(timings: Seq[(String, Double)],
+                        sfName: String): Option[Boolean] = {
+    if (sfName != "sf0.1") return None
+    val byName = timings.toMap
+    val ratios = CanaryCleanSf01.toSeq.flatMap { case (q, clean) =>
+      byName.get(q).filter(_ >= 0).map(_ / clean)
+    }
+    if (ratios.size < 2) None
+    else Some(ratios.count(_ > CanaryFactor) >= 2)
+  }
+
   /** The driver-facing metric line. Degrades per-query precision 3→1 decimals
     * if needed, and as a last resort drops the per-query map entirely (it is
     * already on the detail line) — it never exceeds the capture budget.
+    * `contaminated` (when evaluated) always survives degradation: it is the
+    * one bit that tells the reader whether the total is trustworthy.
     */
-  def metricLine(timings: Seq[(String, Double)], sfName: String): String = {
+  def metricLine(timings: Seq[(String, Double)], sfName: String,
+                 contaminated: Option[Boolean] = None): String = {
     val total = timings.map(_._2).filter(_ >= 0).sum
+    val cpart = contaminated.map(c => s""","contaminated":$c""").getOrElse("")
     def line(qs: Option[String]): String = {
       val qpart = qs.map(q => s""","queries":$q""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$qpart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$qpart$cpart,"sf":"$sfName"}"""
     }
     (3 to 1 by -1).iterator
       .map(scale => line(Some(queriesJson(timings, scale))))
@@ -98,31 +139,24 @@ object Bench {
     force("q01_pricing_summary")
     force("s01_cosine_topk")
 
-    // steady-state timing: min of two runs per query — the first run of
-    // each distinct plan pays one-time Janino/JIT compilation that is
-    // amortized away on any real workload.
+    // steady-state timing: MEDIAN OF THREE runs for EVERY query — the first
+    // run of each distinct plan pays one-time Janino/JIT compilation that
+    // is amortized away on any real workload, and the median kills any
+    // single outlier run. r8 showed min-of-two on multi-second queries
+    // cannot reject even a one-off stall when both runs land in a
+    // disturbed window; the third run costs the suite ~10 s and removes
+    // that class entirely. What median-of-3 still CANNOT reject is a
+    // disturbance spanning the whole session — that is the canary flag's
+    // job (see CanaryCleanSf01).
     // SPARK_GRAFT_ONLY: regex over query names for targeted runs (scale
     // probes, single-query investigation); absent = the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
-    // Sub-2 s queries get a THIRD run and report the median: single-run
-    // environment spikes on trivial scan-aggs repeatedly read as phantom
-    // 2-8x regressions across rounds (a one-off stall survives min-of-two
-    // whenever it hits the first run and the second is also disturbed);
-    // the median of three kills any single outlier. Long queries keep
-    // min-of-two — their runtimes dwarf scheduler jitter, and a third run
-    // of the multi-second dedup suite would cost more than it informs.
     val results = names.map { n =>
-      val a = force(n)
-      val b = force(n)
-      if (a < 0 || b < 0) n -> (-1.0, 2)
-      else if (math.min(a, b) >= 2.0) n -> (math.min(a, b), 2)
-      else {
-        val c = force(n)
-        if (c < 0) n -> (-1.0, 3)
-        else n -> (Seq(a, b, c).sorted.apply(1), 3)
-      }
+      val rs = Seq(force(n), force(n), force(n))
+      if (rs.exists(_ < 0)) n -> (-1.0, 3)
+      else n -> (rs.sorted.apply(1), 3)
     }
     graft.queries.DedupQueries.releaseShared(spark)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -130,7 +164,7 @@ object Bench {
     val runs = results.map { case (k, (_, r)) => k -> r }
     // Detail first, metric line LAST — see TailCaptureBytes.
     println(detailLine(timings, runs, sfName))
-    println(metricLine(timings, sfName))
+    println(metricLine(timings, sfName, contaminationFlag(timings, sfName)))
     spark.stop()
   }
 }
