@@ -1120,6 +1120,33 @@ def make_bad_deflate(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+def make_bad_stack(path: Path):
+    """A chunk whose filter pipeline stacks TWO compressors (deflate then
+    zstd) — legal HDF5, but the intermediate stream size between the
+    stages is recorded nowhere in the file; the reader must reject the
+    chain by name up front rather than mis-decode or fail cryptically."""
+    f = FileBuf()
+    f.alloc(48)
+    _, img = f32_grid(4, 4)
+    z = zlib.compress(img, 6)  # payload is irrelevant: the CHAIN is rejected
+    addr = f.append(z)
+    ds = object_header_v2(f, [
+        (0x01, space_simple([4, 4])),
+        (0x03, dt_f32()),
+        (0x0B, filter_pipeline([(1, b'deflate', [6]),
+                                (32015, b'zstd', [])])),
+        (0x08, layout_v4_single(addr, [4, 4], filtered_size=len(z))),
+    ])
+    root = group_v2(f, {'stacked': ds})
+    sb = bytearray()
+    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    sb += struct.pack('<4B', 3, 8, 8, 0)
+    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
+    sb += struct.pack('<I', lookup3(bytes(sb)))
+    f.write(0, bytes(sb))
+    path.write_bytes(bytes(f.buf))
+
+
 def make_bad_fletcher(path: Path):
     """A fletcher32-checksummed chunk whose stored checksum is corrupted —
     the reader must fail loudly (data corruption), never return data."""
@@ -1311,6 +1338,13 @@ def make_vds(outdir: Path):
     write_source('vds_blk_000001.h5', 100.0)
     # literal percent in an on-disk source name ('%%' escape target)
     write_source('vds%lit.h5', 200.0)
+    # literal '%d' name on disk (the %d-fallback target: scan0_a.h5 does
+    # NOT exist, so printf substitution misses at block 0 and the reader
+    # must retry the name literally)
+    write_source('scan%d_a.h5', 300.0)
+    # a %d-spelled printf FAMILY that really exists (detector naming)
+    write_source('vds_det_0.h5', 0.0)
+    write_source('vds_det_1.h5', 100.0)
 
     f = FileBuf()
     f.alloc(48)
@@ -1404,6 +1438,18 @@ def make_vds(outdir: Path):
         ('vds_data_000001.h5', '/data', sel_all(),
          sel_hyper_v2([0, 0], [1, 1], [1, 1], [UNLIM, 3])),
     ]))
+    # literal '%d' + unlimited selection: substituted block 0 is missing,
+    # so the reader falls back to the literal name (which exists) — the
+    # %d-mis-trigger case where fabricated names must not win
+    i_dlit = gh.add(vds_heap_block([
+        ('scan%d_a.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [1, 1], [UNLIM, 1], [1, 3])),
+    ]))
+    # %d printf family that exists: blocks 0,1 resolve, block 2 missing
+    i_dfam = gh.add(vds_heap_block([
+        ('vds_det_%d.h5', '/data', sel_all(),
+         sel_hyper_v2([0, 0], [2, 1], [UNLIM, 1], [2, 3])),
+    ]))
     heap_addr = gh.flush()
 
     vframes = object_header_v2(f, [
@@ -1471,14 +1517,42 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_blkunlim)),
     ])
+    vdlit = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_dlit)),
+    ])
+    vdfam = object_header_v2(f, [
+        (0x01, space_simple([6, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_dfam)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
                          'vnone': vnone, 'vhuge': vhuge,
                          'vprintf': vprintf, 'vprintf_full': vprintf_full,
                          'vgrow': vgrow, 'vinterleave': vinterleave,
                          'vmulti': vmulti, 'vpoints': vpoints,
                          'vescape': vescape, 'virregular': virregular,
-                         'vblockunlim': vblockunlim})
+                         'vblockunlim': vblockunlim, 'vdlit': vdlit,
+                         'vdfam': vdfam})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
+
+    # vlen-string VIRTUAL dataset: its elements would be global-heap
+    # REFERENCES copied across files — the reader must reject it loudly.
+    # Separate master so the rejection does not abort the main fixtures.
+    fv = FileBuf()
+    fv.alloc(48)
+    ghv = GlobalHeap(fv)
+    i_vlen = ghv.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(), sel_all()),
+    ]))
+    heap_v = ghv.flush()
+    dsv = object_header_v2(fv, [
+        (0x01, space_simple([4])),
+        (0x03, dt_vlen_str()),
+        (0x08, layout_virtual(heap_v, i_vlen)),
+    ])
+    finish_v2(fv, group_v2(fv, {'vstr': dsv}), outdir / 'vds_vlen_master.h5')
 
 
 def make_bad_swizzle(path: Path):
@@ -2345,6 +2419,7 @@ if __name__ == '__main__':
     make_v2(out / 'mouse_v2.h5')
     make_v4(out / 'mouse_v4.h5')
     make_bad_deflate(out / 'bad_deflate.h5')
+    make_bad_stack(out / 'bad_stack.h5')
     make_bad_fletcher(out / 'bad_fletcher.h5')
     make_bad_swizzle(out / 'bad_swizzle.h5')
     make_str_array(out / 'str_array.h5')

@@ -18,18 +18,25 @@ import scala.collection.mutable
   *    groups (fractal-heap link storage, direct- and indirect-rooted, with
   *    the v2-B-tree name index, huge-object B-trees and dense attributes)
   *  - object header messages: dataspace (v1/v2, incl. maxdims), datatype
-  *    (fixed-point, IEEE float, fixed string, vlen string; compound with
-  *    flat scalar members — v1/v2/v3 encodings — surfacing each member as
-  *    a `<path>/<member>` child node; enums over integer bases, read as
-  *    the base type like h5py), data layout v3
+  *    (fixed-point, IEEE float, fixed string, vlen string; compound — v1/
+  *    v2/v3 encodings — with scalar, vlen-string and nested-compound
+  *    members (nested ones flatten to dotted names, h5py's structured-
+  *    dtype view), surfacing each member as a `<path>/<member>` child
+  *    node; enums over integer bases, read as the base type like h5py;
+  *    array datatypes (class 10) over fixed/float bases, folded into
+  *    trailing dims), data layout v3
   *    (compact, contiguous, chunked + v1 B-tree) and v4 (chunked with ALL
   *    FIVE index types: Single Chunk, Implicit, Fixed Array, Extensible
   *    Array — every addressing tier incl. paged data blocks with MSB-first
   *    page-init bitmasks — and v2 B-tree chunk records at any depth) plus
-  *    virtual (VDS) storage assembled from sibling source files, filter
-  *    pipelines (deflate; HDF5Plugin LZ4 32004 via the lz4-java already on
+  *    virtual (VDS) storage assembled from sibling source files — regular
+  *    and irregular hyperslab, v1 point, strided, multi-block and ALL
+  *    selections, plus count- and block-unlimited selections with
+  *    printf-style `%b`/`%d` source-name substitution — filter
+  *    pipelines (deflate; shuffle; fletcher32 in either order vs the
+  *    compressor; HDF5Plugin LZ4 32004 via the lz4-java already on
   *    Spark's classpath; bitshuffle 32008 ± internal LZ4 — the Eiger
-  *    default), attributes (v1/v2/v3), header continuations
+  *    default; zstd 32015), attributes (v1/v2/v3), header continuations
   *  - global heap collections (GCOL) for variable-length strings and
   *    virtual-storage mapping blocks
   *  - links: hard links may alias one object under many paths (every path
@@ -44,13 +51,18 @@ import scala.collection.mutable
   *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * filtered fractal-heap blocks,
-  * filters beyond the three above, non-IEEE or big-endian numeric types,
-  * reference types, enums over non-integer bases, compound members that
-  * are themselves arrays/nested compounds, extensible arrays whose
-  * unlimited dimension
-  * is not dim 0 (libhdf5 swizzles coordinates there), and
-  * point/strided/multi-block virtual selections.
+  * filtered fractal-heap blocks; filters beyond the six above, and chains
+  * stacking more than one compressor (per-stage sizes are only known for
+  * one size-changing stage); non-IEEE or big-endian numeric types;
+  * reference types; enums over non-integer bases; compound members that
+  * are themselves array-typed; extensible arrays whose unlimited
+  * dimension is not dim 0 (libhdf5 swizzles coordinates there); v2+
+  * point-selection encodings; overlapping multi-block selection unions;
+  * and virtual datasets over vlen-string (or vlen-member compound)
+  * datatypes — their global-heap references are not portable across
+  * files. Array-typed and compound-typed ATTRIBUTES are skipped as
+  * opaque metadata (loud failure is reserved for dataset datatypes,
+  * where data would be misread).
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -660,6 +672,22 @@ object Hdf5 {
   private def defilter(
       raw: Array[Byte], outSize: Int, filters: Seq[H5Filter],
       elemSize: Int): Array[Byte] = {
+    // The per-stage target sizes below assume exactly one size-changing
+    // compression stage (fletcher32's +4 per checksum is accounted for
+    // separately). Two stacked compressors are legal HDF5 (e.g. deflate
+    // then zstd) but the intermediate stream size between them is not
+    // recorded anywhere in the file — reject the chain by name rather
+    // than fail later with a misleading length error.
+    val compressors = filters.collect {
+      case Deflate => "deflate"
+      case Lz4 => "lz4"
+      case Zstd => "zstd"
+      case Bitshuffle(_, true) => "bitshuffle+lz4"
+    }
+    require(compressors.size <= 1,
+      s"filter chain stacks ${compressors.size} compressors " +
+        s"(${compressors.mkString(" then ")}); only one compression " +
+        "stage per chain is supported")
     val target = filters.indices.map(i =>
       outSize + 4 * filters.take(i).count(_ == Fletcher32))
     filters.indices.reverse.foldLeft(raw) { (data, i) =>
@@ -1697,11 +1725,21 @@ object Hdf5 {
   /** printf-style block tokens in VDS source names: `%b` is the HDF5
     * `H5Pset_virtual` convention (0-based block index; we also accept a
     * zero-padded width like `%06b`, and the `%d` spelling detector file
-    * naming schemes use), `%%` is a literal percent. */
+    * naming schemes use), `%%` is a literal percent. libhdf5 only ever
+    * substitutes `%b`, so a name whose ONLY tokens are `%d` might equally
+    * be a literal file name containing a percent — those names try printf
+    * substitution first and fall back to literal resolution when the
+    * substituted block-0 file is missing (a `%b` anywhere disables the
+    * fallback: that spelling is unambiguous). */
   private val PrintfToken = "%%|%(0[0-9]+)?[bd]".r
 
   private def hasBlockPattern(s: String): Boolean =
     PrintfToken.findAllMatchIn(s).exists(_.matched != "%%")
+
+  /** An unambiguous `%b` token (the only spelling libhdf5 substitutes). */
+  private def hasBTok(s: String): Boolean =
+    PrintfToken.findAllMatchIn(s)
+      .exists(m => m.matched != "%%" && m.matched.endsWith("b"))
 
   /** `%%` -> literal percent for non-printf source names (any other %
     * token stays literal there). */
@@ -1750,6 +1788,19 @@ object Hdf5 {
       openFiles: Set[String]): (Option[Array[Byte]], Map[String, String]) = {
     require(!dt.isInstanceOf[ArrayT],
       "array-typed virtual dataset not supported")
+    // vlen-string elements are 16-byte global-heap REFERENCES into the
+    // file that wrote them; grafting source-file bytes into this file's
+    // buffer would later decode them against the MASTER's heap — wrong
+    // strings or a decode failure, never detectable from the bytes alone.
+    def heapRefs(t: DType): Boolean = t match {
+      case VlenStr => true
+      case Compound(_, ms) => ms.exists(m => heapRefs(m.dt))
+      case ArrayT(base, _) => heapRefs(base)
+      case _ => false
+    }
+    if (heapRefs(dt)) throw new UnsupportedOperationException(
+      "virtual dataset over vlen-string (or vlen-member compound) " +
+        "datatype: global-heap references are not portable across files")
     val blk = gcolObject(bytes, heapAddr, heapIdx).getOrElse(
       throw new IllegalArgumentException("virtual storage heap block missing"))
     val vb = ByteBuffer.wrap(blk).order(ByteOrder.LITTLE_ENDIAN)
@@ -1795,6 +1846,39 @@ object Hdf5 {
       found
     }
     entries.foreach { case (file, dsPath, srcSel, virtSel) =>
+      // Literal (non-printf) resolution: the name is literal modulo the
+      // %% escape, and an unresolvable one degrades to the marker like
+      // any other missing source, never a file-aborting throw.
+      def resolveLiteral(ss: Sel, vs: Sel): Unit = {
+        val litFile = unescapePercents(file)
+        readSource(litFile, unescapePercents(dsPath)) match {
+          case None => missing += litFile
+          case Some((sdims, _, sraw)) =>
+            ss.validate(sdims, "source") // UnlimSel clamps to source
+            val n = ss.numElems(sdims)
+            val vspans = vs match {
+              case u: UnlimSel =>
+                // open-ended virtual extent, single concrete source:
+                // the resolved source extent decides the block count
+                // (h5py clamps an unfilled VDS the same way)
+                u.validate(dims, "virtual extent")
+                require(n % u.blockElems == 0,
+                  s"virtual source $file: $n elements do not tile " +
+                    s"${u.blockElems}-element unlimited blocks")
+                require(n / u.blockElems <= u.maxBlocks(dims),
+                  s"virtual source $file exceeds the virtual extent")
+                slabSpans(u.slabOf(n / u.blockElems), dims)
+              case s =>
+                s.validate(dims, "virtual extent")
+                require(n == s.numElems(dims),
+                  s"virtual mapping: source $n != virtual " +
+                    s"${s.numElems(dims)} elements")
+                s.spans(dims)
+            }
+            copySpans(sraw, ss.spans(sdims), out, vspans, esz)
+            resolved += 1
+        }
+      }
       (srcSel, virtSel) match {
         case (Some(ss), Some(vs)) =>
           require(file != ".",
@@ -1810,6 +1894,7 @@ object Hdf5 {
               // missing source.
               u.validate(dims, "virtual extent") // non-unlimited dims too
               val cap = u.maxBlocks(dims)
+              val resolvedBefore = resolved
               var k = 0L
               var stop = false
               while (k < cap && !stop) {
@@ -1829,40 +1914,21 @@ object Hdf5 {
                 }
                 k += 1
               }
+              // libhdf5 only substitutes %b; a name whose only tokens are
+              // %d may equally be a LITERAL name containing a percent. If
+              // even block 0 was missing under substitution, retry the
+              // name unsubstituted before recording the miss — this keeps
+              // detector-style %d families working while never fabricating
+              // sources for a literal-%d file that actually exists.
+              if (stop && k == 1 && resolved == resolvedBefore &&
+                  !hasBTok(file) && !hasBTok(dsPath)) {
+                missing -= substBlock(file, 0L)
+                resolveLiteral(ss, u)
+              }
             case _ =>
               // a %b/%d token WITHOUT an unlimited selection is not a
-              // printf mapping (libhdf5 pairs them at creation time) —
-              // the name is literal modulo the %% escape, and an
-              // unresolvable one degrades to the marker like any other
-              // missing source, never a file-aborting throw
-              val litFile = unescapePercents(file)
-              readSource(litFile, unescapePercents(dsPath)) match {
-                case None => missing += litFile
-                case Some((sdims, _, sraw)) =>
-                  ss.validate(sdims, "source") // UnlimSel clamps to source
-                  val n = ss.numElems(sdims)
-                  val vspans = vs match {
-                    case u: UnlimSel =>
-                      // open-ended virtual extent, single concrete source:
-                      // the resolved source extent decides the block count
-                      // (h5py clamps an unfilled VDS the same way)
-                      u.validate(dims, "virtual extent")
-                      require(n % u.blockElems == 0,
-                        s"virtual source $file: $n elements do not tile " +
-                          s"${u.blockElems}-element unlimited blocks")
-                      require(n / u.blockElems <= u.maxBlocks(dims),
-                        s"virtual source $file exceeds the virtual extent")
-                      slabSpans(u.slabOf(n / u.blockElems), dims)
-                    case s =>
-                      s.validate(dims, "virtual extent")
-                      require(n == s.numElems(dims),
-                        s"virtual mapping: source $n != virtual " +
-                          s"${s.numElems(dims)} elements")
-                      s.spans(dims)
-                  }
-                  copySpans(sraw, ss.spans(sdims), out, vspans, esz)
-                  resolved += 1
-              }
+              // printf mapping (libhdf5 pairs them at creation time)
+              resolveLiteral(ss, vs)
           }
         case _ => () // a NONE selection maps nothing
       }

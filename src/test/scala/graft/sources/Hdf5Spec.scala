@@ -175,7 +175,8 @@ class Hdf5Spec extends SparkSpec {
     case n @ ("data_000001.h5" | "cycle_a.h5" | "cycle_b.h5" |
               "vds_data_000001.h5" | "vds_data_000002.h5" |
               "vds_blk_000000.h5" | "vds_blk_000001.h5" |
-              "vds%lit.h5") =>
+              "vds%lit.h5" | "scan%d_a.h5" |
+              "vds_det_0.h5" | "vds_det_1.h5") =>
       Some(fixture(s"extlink/$n"))
     case _ => None
   }
@@ -319,6 +320,45 @@ class Hdf5Spec extends SparkSpec {
     assert(!d.attrs.contains("virtual_missing_sources"))
   }
 
+  test("VDS: a %d-only printf name whose block 0 is missing falls back " +
+      "to the literal file name") {
+    // 'scan%d_a.h5' exists LITERALLY; 'scan0_a.h5' does not. libhdf5 only
+    // substitutes %b, so the %d spelling is ambiguous — substitution is
+    // tried first, and the block-0 miss triggers the literal retry. No
+    // fabricated 'scan0_a.h5' marker may survive.
+    val d = vdsByPath("/entry/vdlit")
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(300.0f + _) ++ Seq.fill(6)(0.0f)))
+    assert(!d.attrs.contains("virtual_missing_sources"))
+  }
+
+  test("VDS: a %d printf family that exists still resolves as printf") {
+    // vds_det_0/1.h5 exist, vds_det_2.h5 does not: blocks 0-1 carry
+    // data, rows 4-5 fill, and the short stack surfaces the SUBSTITUTED
+    // name — the literal fallback fires only when even block 0 misses
+    val d = vdsByPath("/entry/vdfam")
+    assert(d.dims == Seq(6L, 3L))
+    assert(d.f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toFloat) ++ (0 until 6).map(100.0f + _) ++
+        Seq.fill(6)(0.0f)))
+    assert(d.attrs("virtual_missing_sources") == "vds_det_2.h5")
+  }
+
+  test("VDS: vlen-string virtual datasets are rejected loudly — heap " +
+      "references are not portable across files") {
+    val e = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("extlink/vds_vlen_master.h5"), extResolver)
+    }
+    assert(e.getMessage.contains("not portable"))
+  }
+
+  test("a filter chain stacking two compressors is rejected by name") {
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_stack.h5"))
+    }
+    assert(e.getMessage.contains("deflate then zstd"), e.getMessage)
+  }
+
   test("VDS: an oversized virtual dataset degrades to a marker, not a throw") {
     // 2^40 f32 elements with a RESOLVABLE source — the single-buffer bound
     // must win before any allocation, same policy as oversized extlinks
@@ -351,10 +391,10 @@ class Hdf5Spec extends SparkSpec {
     assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
     // without a resolver at all, every VDS degrades the same way, no error
     // (vframes, vpartial, vnone, printf x2, vgrow, vinterleave, vmulti,
-    // vpoints, vescape, virregular, vblockunlim; vhuge is an oversized
-    // marker instead)
+    // vpoints, vescape, virregular, vblockunlim, vdlit, vdfam; vhuge is
+    // an oversized marker instead)
     val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
-    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 12)
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 14)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
