@@ -1272,6 +1272,19 @@ def sel_points(points):
     return struct.pack('<IIII', 1, 1, 0, len(info)) + info
 
 
+def sel_points_v2(points, enc=2):
+    """Version-2 point selection (HDF5 1.12+, H5S__point_serialize):
+    type, version, u8 encode size, u32 rank, then num points and
+    point-major coordinates at the encode width."""
+    rank = len(points[0])
+    body = struct.pack('<IIB', 1, 2, enc) + struct.pack('<I', rank)
+    body += len(points).to_bytes(enc, 'little')
+    for p in points:
+        for c in p:
+            body += c.to_bytes(enc, 'little')
+    return body
+
+
 def sel_hyper_v2(start, stride, count, block):
     """Version-2 regular hyperslab: u64 coordinates INTERLEAVED per
     dimension (Start #1, Stride #1, Count #1, Block #1, ... Start #n),
@@ -1418,6 +1431,12 @@ def make_vds(outdir: Path):
         ('vds_data_000001.h5', '/data', sel_all(),
          sel_points([(0, 0), (0, 1), (1, 2), (2, 0), (3, 1), (3, 2)])),
     ]))
+    # same scatter, VERSION-2 encoding (HDF5 1.12+, 2-byte coords)
+    i_points2 = gh.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_points_v2([(0, 0), (0, 1), (1, 2), (2, 0), (3, 1), (3, 2)],
+                       enc=2)),
+    ]))
     # literal-% names with FIXED selections: '%%' unescapes to a literal
     # percent and resolves; a stray %d-looking name resolves literally and
     # degrades to a missing marker — neither is a printf mapping
@@ -1527,6 +1546,11 @@ def make_vds(outdir: Path):
         (0x03, dt_f32()),
         (0x08, layout_virtual(heap_addr, i_dfam)),
     ])
+    vpoints2 = object_header_v2(f, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_addr, i_points2)),
+    ])
     entry = group_v2(f, {'vframes': vframes, 'vpartial': vpartial,
                          'vnone': vnone, 'vhuge': vhuge,
                          'vprintf': vprintf, 'vprintf_full': vprintf_full,
@@ -1534,8 +1558,28 @@ def make_vds(outdir: Path):
                          'vmulti': vmulti, 'vpoints': vpoints,
                          'vescape': vescape, 'virregular': virregular,
                          'vblockunlim': vblockunlim, 'vdlit': vdlit,
-                         'vdfam': vdfam})
+                         'vdfam': vdfam, 'vpoints2': vpoints2})
     finish_v2(f, group_v2(f, {'entry': entry}), outdir / 'vds_master.h5')
+
+    # OVERLAPPING multi-block union (malformed: libhdf5 normalizes unions
+    # to disjoint blocks before serializing) — the reader must reject it
+    # loudly during validation rather than risk a wrong element order.
+    # Separate master so the rejection cannot abort the main fixtures.
+    fo = FileBuf()
+    fo.alloc(48)
+    gho = GlobalHeap(fo)
+    i_ovl = gho.add(vds_heap_block([
+        ('vds_data_000001.h5', '/data', sel_all(),
+         sel_hyper_v1_multi([([0, 0], [1, 1]), ([1, 1], [2, 2])])),
+    ]))
+    heap_o = gho.flush()
+    dso = object_header_v2(fo, [
+        (0x01, space_simple([4, 3])),
+        (0x03, dt_f32()),
+        (0x08, layout_virtual(heap_o, i_ovl)),
+    ])
+    finish_v2(fo, group_v2(fo, {'voverlap': dso}),
+              outdir / 'vds_overlap_master.h5')
 
     # vlen-string VIRTUAL dataset: its elements would be global-heap
     # REFERENCES copied across files — the reader must reject it loudly.

@@ -30,7 +30,8 @@ import scala.collection.mutable
   *    Array — every addressing tier incl. paged data blocks with MSB-first
   *    page-init bitmasks — and v2 B-tree chunk records at any depth) plus
   *    virtual (VDS) storage assembled from sibling source files — regular
-  *    and irregular hyperslab, v1 point, strided, multi-block and ALL
+  *    and irregular hyperslab, point (v1 u32 and v2 variable-width
+  *    HDF5 1.12+ encodings), strided, multi-block and ALL
   *    selections, plus count- and block-unlimited selections with
   *    printf-style `%b`/`%d` source-name substitution — filter
   *    pipelines (deflate; shuffle; fletcher32 in either order vs the
@@ -56,8 +57,9 @@ import scala.collection.mutable
   * one size-changing stage); non-IEEE or big-endian numeric types;
   * reference types; enums over non-integer bases; compound members that
   * are themselves array-typed; extensible arrays whose unlimited
-  * dimension is not dim 0 (libhdf5 swizzles coordinates there); v2+
-  * point-selection encodings; overlapping multi-block selection unions;
+  * dimension is not dim 0 (libhdf5 swizzles coordinates there);
+  * overlapping multi-block selection unions (malformed — libhdf5
+  * normalizes unions to disjoint blocks before serializing);
   * and virtual datasets over vlen-string (or vlen-member compound)
   * datatypes — their global-heap references are not portable across
   * files. Array-typed and compound-typed ATTRIBUTES are skipped as
@@ -1585,14 +1587,27 @@ object Hdf5 {
             throw new UnsupportedOperationException(s"$what: hyperslab selection v$v")
         }
       case 1 => // H5S_SEL_POINTS
-        require(u32(vb) == 1, s"$what: point selection version")
-        u32(vb) // reserved
-        u32(vb) // length
-        val rank = u32(vb).toInt
-        val npoints = u32(vb)
-        val points = (0L until npoints).map(_ =>
-          (0 until rank).map(_ => u32(vb)))
-        if (points.isEmpty) None else Some(PointSel(points))
+        u32(vb) match {
+          case 1 => // u32 coords
+            u32(vb) // reserved
+            u32(vb) // length
+            val rank = u32(vb).toInt
+            val npoints = u32(vb)
+            val points = (0L until npoints).map(_ =>
+              (0 until rank).map(_ => u32(vb)))
+            if (points.isEmpty) None else Some(PointSel(points))
+          case 2 => // HDF5 1.12+ (H5S__point_serialize): variable width
+            val encSize = u8(vb)
+            require(encSize == 2 || encSize == 4 || encSize == 8,
+              s"$what: v2 point selection encode size $encSize")
+            val rank = u32(vb).toInt
+            val npoints = readUIntN(vb, encSize)
+            val points = (0L until npoints).map(_ =>
+              (0 until rank).map(_ => readUIntN(vb, encSize)))
+            if (points.isEmpty) None else Some(PointSel(points))
+          case v => throw new UnsupportedOperationException(
+            s"$what: point selection v$v")
+        }
       case t =>
         throw new UnsupportedOperationException(s"$what: selection type $t")
     }

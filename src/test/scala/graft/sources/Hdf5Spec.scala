@@ -291,6 +291,23 @@ class Hdf5Spec extends SparkSpec {
       0f, 1f, 0f, 0f, 0f, 2f, 3f, 0f, 0f, 0f, 4f, 5f)))
   }
 
+  test("VDS: a VERSION-2 point selection (HDF5 1.12+ 2-byte coords) " +
+      "decodes identically to v1") {
+    val d = vdsByPath("/entry/vpoints2")
+    assert(d.f32Data.map(_.toSeq).contains(Seq(
+      0f, 1f, 0f, 0f, 0f, 2f, 3f, 0f, 0f, 0f, 4f, 5f)))
+  }
+
+  test("VDS: an OVERLAPPING multi-block union is rejected loudly during " +
+      "validation, never a wrong element order") {
+    // blocks (0,0)-(1,1) and (1,1)-(2,2) share cell (1,1) — libhdf5
+    // normalizes unions to disjoint blocks, so an overlap is malformed
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("extlink/vds_overlap_master.h5"), extResolver)
+    }
+    assert(e.getMessage.contains("overlapping"), e.getMessage)
+  }
+
   test("VDS: literal-% names with fixed selections resolve via the %% " +
       "escape and degrade, never abort") {
     val d = vdsByPath("/entry/vescape")
@@ -391,10 +408,10 @@ class Hdf5Spec extends SparkSpec {
     assert(n.attrs("virtual_missing_sources") == "vds_missing.h5")
     // without a resolver at all, every VDS degrades the same way, no error
     // (vframes, vpartial, vnone, printf x2, vgrow, vinterleave, vmulti,
-    // vpoints, vescape, virregular, vblockunlim, vdlit, vdfam; vhuge is
-    // an oversized marker instead)
+    // vpoints, vpoints2, vescape, virregular, vblockunlim, vdlit, vdfam;
+    // vhuge is an oversized marker instead)
     val bare = Hdf5.read(fixture("extlink/vds_master.h5"))
-    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 14)
+    assert(bare.count(_.attrs.contains("virtual_missing_sources")) == 15)
   }
 
   test("A->B->A external-link cycle terminates at a marker node") {
