@@ -2084,6 +2084,139 @@ def fractal_heap_links(f: FileBuf, link_bodies):
     return hdr_addr, btree_addr
 
 
+def fractal_heap_links_filtered(f: FileBuf, link_bodies):
+    """Single-direct-block fractal heap whose direct block is stored as ONE
+    deflate-filtered stream (the NeXus long-group shape with compressed
+    link heaps). The header carries the encoded pipeline plus the filtered
+    root-block size and filter mask (H5HF__hdr_decode order)."""
+    width, start_size, max_bits, max_man = 4, 512, 32, 4096
+    off_size = (max_bits + 7) // 8
+    len_size = min(off_size, (max_man.bit_length() + 7) // 8)
+    heap_id_len = 1 + off_size + len_size
+    pline = filter_pipeline([(1, b'deflate', [6])])
+
+    hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
+                       + 2 + 2 + 8 + 2 + 8 + 4 + len(pline) + 4)
+
+    body = b'FHDB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
+    body += (0).to_bytes(off_size, 'little')
+    ids = []
+    for name, lm in link_bodies:
+        ids.append((name, len(body), len(lm)))
+        body += lm
+    used = len(body)
+    assert used <= start_size, "fixture heap overflows one direct block"
+    z = zlib.compress(body + b'\0' * (start_size - used), 6)
+    dblock_addr = f.append(z)
+
+    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    rec_size = 4 + heap_id_len
+    leaf = b'BTLF' + struct.pack('<BB', 0, 5)
+    for h, off, ln in recs:
+        leaf += struct.pack('<IB', h, 0)
+        leaf += off.to_bytes(off_size, 'little') + ln.to_bytes(len_size, 'little')
+    leaf += struct.pack('<I', lookup3(leaf))
+    leaf_addr = f.append(leaf)
+    bt = b'BTHD' + struct.pack('<BB', 0, 5)
+    bt += struct.pack('<IHHBB', 512, rec_size, 0, 100, 40)
+    bt += struct.pack('<QHQ', leaf_addr, len(recs), len(recs))
+    bt += struct.pack('<I', lookup3(bt))
+    btree_addr = f.append(bt)
+
+    hdr = b'FRHP' + struct.pack('<B', 0)
+    hdr += struct.pack('<HHB', heap_id_len, len(pline), 0)
+    hdr += struct.pack('<I', max_man)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', start_size - used, UNDEF)
+    hdr += struct.pack('<QQ', start_size, start_size)
+    hdr += struct.pack('<QQ', used, len(ids))
+    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)
+    hdr += struct.pack('<H', width)
+    hdr += struct.pack('<QQ', start_size, 64 * 1024)
+    hdr += struct.pack('<HH', max_bits, 0)
+    hdr += struct.pack('<QH', dblock_addr, 0)
+    hdr += struct.pack('<QI', len(z), 0)  # filtered root size + filter mask
+    hdr += pline
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr, btree_addr
+
+
+def fractal_heap_links_indirect_filtered(f: FileBuf, link_bodies,
+                                         start_size=128):
+    """Indirect-rooted FILTERED fractal heap: each direct block compressed
+    as its own deflate stream, the root FHIB storing
+    (address, filtered size, filter mask) per direct-block entry."""
+    width, max_bits, max_man = 4, 32, 4096
+    off_size = (max_bits + 7) // 8
+    len_size = min(off_size, (max_man.bit_length() + 7) // 8)
+    heap_id_len = 1 + off_size + len_size
+    dhdr = 4 + 1 + 8 + off_size
+    pline = filter_pipeline([(1, b'deflate', [6])])
+
+    hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
+                       + 2 + 2 + 8 + 2 + 8 + 4 + len(pline) + 4)
+
+    blocks, cur, cur_off, ids = [], None, 0, []
+    for name, lm in link_bodies:
+        if cur is None or cur_off + len(lm) > start_size:
+            vbase = len(blocks) * start_size
+            cur = bytearray(b'FHDB' + struct.pack('<B', 0)
+                            + struct.pack('<Q', hdr_addr)
+                            + vbase.to_bytes(off_size, 'little'))
+            cur_off = dhdr
+            blocks.append((vbase, cur))
+        ids.append((name, blocks[-1][0] + cur_off, len(lm)))
+        cur.extend(lm)
+        cur_off += len(lm)
+    assert len(blocks) <= 2 * width, "fixture outgrew rows 0+1"
+    zblocks = [zlib.compress(bytes(b) + b'\0' * (start_size - len(b)), 6)
+               for _, b in blocks]
+    dblk_addrs = [f.append(z) for z in zblocks]
+    nrows = (len(blocks) + width - 1) // width
+    ib = b'FHIB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
+    ib += (0).to_bytes(off_size, 'little')
+    for i in range(nrows * width):
+        if i < len(dblk_addrs):
+            ib += struct.pack('<QQI', dblk_addrs[i], len(zblocks[i]), 0)
+        else:
+            ib += struct.pack('<QQI', UNDEF, 0, 0)
+    ib += struct.pack('<I', lookup3(ib))
+    root_addr = f.append(ib)
+
+    recs = sorted((lookup3(n.encode()), off, ln) for n, off, ln in ids)
+    rec_size = 4 + heap_id_len
+    leaf = b'BTLF' + struct.pack('<BB', 0, 5)
+    for h, off, ln in recs:
+        leaf += struct.pack('<IB', h, 0)
+        leaf += off.to_bytes(off_size, 'little') + ln.to_bytes(len_size, 'little')
+    leaf += struct.pack('<I', lookup3(leaf))
+    leaf_addr = f.append(leaf)
+    bt = b'BTHD' + struct.pack('<BB', 0, 5)
+    bt += struct.pack('<IHHBB', 512, rec_size, 0, 100, 40)
+    bt += struct.pack('<QHQ', leaf_addr, len(recs), len(recs))
+    bt += struct.pack('<I', lookup3(bt))
+    btree_addr = f.append(bt)
+
+    hdr = b'FRHP' + struct.pack('<B', 0)
+    hdr += struct.pack('<HHB', heap_id_len, len(pline), 0)
+    hdr += struct.pack('<I', max_man)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', 0, UNDEF)
+    hdr += struct.pack('<QQ', len(blocks) * start_size, len(blocks) * start_size)
+    hdr += struct.pack('<QQ', len(blocks) * start_size, len(ids))
+    hdr += struct.pack('<QQQQ', 0, 0, 0, 0)
+    hdr += struct.pack('<H', width)
+    hdr += struct.pack('<QQ', start_size, 64 * 1024)
+    hdr += struct.pack('<HH', max_bits, nrows)
+    hdr += struct.pack('<QH', root_addr, nrows)
+    hdr += struct.pack('<QI', 0, 0)  # no filtered ROOT DIRECT block
+    hdr += pline
+    hdr += struct.pack('<I', lookup3(hdr))
+    f.write(hdr_addr, hdr)
+    return hdr_addr, btree_addr
+
+
 def fractal_heap_links_indirect(f: FileBuf, link_bodies, start_size=128):
     """Indirect-rooted fractal heap: objects packed across several small
     direct blocks, a root FHIB indirect block addressing them row-wise
@@ -2368,6 +2501,34 @@ def make_dense(path: Path):
     li3 = struct.pack('<BB', 0, 0) + struct.pack('<QQ', fheap3, btree3)
     data3 = object_header_v2(f, [(0x02, li3)])
 
+    # a FILTERED single-direct-block heap (compressed link names, the
+    # large-NeXus-group shape): same link semantics through the deflate path
+    bodies4 = []
+    for i in range(10):
+        raw = f.append(struct.pack('<d', i * 3.5))
+        ds = object_header_v2(f, [
+            (0x01, space_scalar()), (0x03, dt_f64()),
+            (0x08, layout_contiguous(raw, 8))])
+        name = f'zvalue_{i:03d}'
+        bodies4.append((name, link_msg(name, ds)))
+    fheap4, btree4 = fractal_heap_links_filtered(f, bodies4)
+    li4 = struct.pack('<BB', 0, 0) + struct.pack('<QQ', fheap4, btree4)
+    data4 = object_header_v2(f, [(0x02, li4)])
+
+    # a FILTERED indirect-rooted heap: per-entry (addr, filtered size,
+    # filter mask) triplets in the root FHIB
+    bodies5 = []
+    for i in range(14):
+        raw = f.append(struct.pack('<d', i * 4.5))
+        ds = object_header_v2(f, [
+            (0x01, space_scalar()), (0x03, dt_f64()),
+            (0x08, layout_contiguous(raw, 8))])
+        name = f'zframe_{i:03d}'
+        bodies5.append((name, link_msg(name, ds)))
+    fheap5, btree5 = fractal_heap_links_indirect_filtered(f, bodies5)
+    li5 = struct.pack('<BB', 0, 0) + struct.pack('<QQ', fheap5, btree5)
+    data5 = object_header_v2(f, [(0x02, li5)])
+
     # a dataset with 10 attributes -> dense attribute storage (0x15)
     raw = f.append(struct.pack('<d', 42.0))
     attr_bodies = [('units', attr_v3('units', dt_str(3), space_scalar(),
@@ -2386,6 +2547,7 @@ def make_dense(path: Path):
     ])
 
     entry = group_v2(f, {'data': data, 'data2': data2, 'data3': data3,
+                         'data4': data4, 'data5': data5,
                          'manyattrs': manyattrs})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 

@@ -16,7 +16,9 @@ import scala.collection.mutable
   *  - superblock v0 (old-style: v1 object headers, symbol-table groups) and
   *    v2/v3 (OHDR v2 object headers, compact link-message groups); dense
   *    groups (fractal-heap link storage, direct- and indirect-rooted, with
-  *    the v2-B-tree name index, huge-object B-trees and dense attributes)
+  *    the v2-B-tree name index, huge-object B-trees, dense attributes,
+  *    and FILTERED heaps — direct blocks stored as compressed streams,
+  *    decoded through the same six-filter chain as chunk data)
   *  - object header messages: dataspace (v1/v2, incl. maxdims), datatype
   *    (fixed-point, IEEE float, fixed string, vlen string; compound — v1/
   *    v2/v3 encodings — with scalar, vlen-string and nested-compound
@@ -52,7 +54,9 @@ import scala.collection.mutable
   *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * filtered fractal-heap blocks; filters beyond the six above, and chains
+  * partially-filtered heap blocks (nonzero per-block filter mask) and
+  * filtered HUGE heap objects (v2-B-tree record type 2);
+  * filters beyond the six above, and chains
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE or big-endian numeric types;
   * reference types; enums over non-integer bases; compound members that
@@ -384,9 +388,10 @@ object Hdf5 {
     * heap — a single root direct block, or the doubling-table pyramid of
     * an indirect root at ANY depth (child indirect blocks recurse);
     * objects past the managed-size ceiling resolve through the
-    * huge-object b-tree. Loud-fail corners: filtered heaps and tiny heap
-    * IDs (which cannot occur for link or attribute messages at these ID
-    * widths). */
+    * huge-object b-tree; filtered heaps decompress each direct block as
+    * one stream. Loud-fail corners: partially-filtered blocks, filtered
+    * HUGE objects, and tiny heap IDs (which cannot occur for link or
+    * attribute messages at these ID widths). */
   private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
     val bb = bufAt(bytes, off.toLong)
     require(u8(bb) == 0, "link info version")
@@ -401,7 +406,8 @@ object Hdf5 {
     val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(5))
     recs.map { lb =>
       u32(lb) // name hash — enumeration doesn't need it
-      linkChild(bytes, heapObjectAddr(bytes, heap, lb).toInt)
+      val (buf, o) = heapObjectAt(bytes, heap, lb)
+      linkChild(buf, o)
     }
   }
 
@@ -421,12 +427,17 @@ object Hdf5 {
     val heap = fractalHeap(bytes, fheapAddr)
     val (_, _, recs) = btree2Records(bytes, btreeAddr, Set(8))
     recs.flatMap { rb =>
-      parseAttribute(bytes, heapObjectAddr(bytes, heap, rb).toInt)
+      val (buf, o) = heapObjectAt(bytes, heap, rb)
+      parseAttribute(bytes, buf, o)
     }
   }
 
-  private case class FHeap(locate: Long => Long, offSize: Int, lenSize: Int,
-      heapIdLen: Int, hugeBtree: Long)
+  /** `objectAt` maps a managed heap offset to (buffer, index): the file
+    * bytes themselves for unfiltered heaps, or a decompressed direct-block
+    * buffer for filtered heaps (where no file address exists for an
+    * object — the block is one compressed stream on disk). */
+  private case class FHeap(objectAt: Long => (Array[Byte], Int), offSize: Int,
+      lenSize: Int, heapIdLen: Int, hugeBtree: Long)
 
   /** Resolve an object ID from a fractal heap's huge-object v2 B-tree
     * (record type 1: address + length + ID — objects too big for managed
@@ -444,34 +455,39 @@ object Hdf5 {
   }
 
   /** Read a (managed or huge) heap ID at the buffer position and return the
-    * object's file address. */
-  private def heapObjectAddr(bytes: Array[Byte], heap: FHeap, rb: ByteBuffer): Long = {
+    * object's location as (buffer, index). */
+  private def heapObjectAt(bytes: Array[Byte], heap: FHeap,
+      rb: ByteBuffer): (Array[Byte], Int) = {
     val idFlags = u8(rb)
     require((idFlags & 0xC0) == 0, "fractal heap ID version")
     (idFlags >> 4) & 3 match {
       case 0 => // managed: offset into the heap's block space
         val objOff = readUIntN(rb, heap.offSize)
         readUIntN(rb, heap.lenSize) // length; stored messages self-delimit
-        heap.locate(objOff)
+        heap.objectAt(objOff)
       case 1 => // huge: ID into the huge-object b-tree
-        hugeObjectAddr(bytes, heap, readUIntN(rb, heap.heapIdLen - 1))
+        (bytes, hugeObjectAddr(bytes, heap, readUIntN(rb, heap.heapIdLen - 1)).toInt)
       case t =>
         throw new UnsupportedOperationException(s"tiny heap ID type $t")
     }
   }
 
-  /** Fractal heap header -> heap-ID field widths and an offset→file-address
+  /** Fractal heap header -> heap-ID field widths and an offset→location
     * mapper. Root = one direct block (curRows 0), or a root indirect block
     * whose rows of width `tableWidth` point at direct blocks via the
-    * doubling table (row sizes S, S, 2S, 4S, …). Rows deep enough to hold
-    * child INDIRECT blocks stay loud-fail (a group that size is beyond any
-    * real master file). */
+    * doubling table (row sizes S, S, 2S, 4S, …), with child indirect
+    * blocks recursing at any depth. FILTERED heaps (NeXus groups with
+    * compressed link-name heaps): the header carries the pipeline and
+    * each direct block is ONE filtered stream — decompressed through the
+    * shared `defilter` chain and cached, objects then read out of the
+    * decompressed buffer. Partially-applied filters (nonzero per-block
+    * filter mask) stay loud-fail. */
   private def fractalHeap(bytes: Array[Byte], fheapAddr: Long): FHeap = {
     val hb = bufAt(bytes, fheapAddr)
     sig(hb, "FRHP")
     require(u8(hb) == 0, "fractal heap version")
     val heapIdLen = u16(hb)
-    require(u16(hb) == 0, "filtered fractal heap not supported")
+    val filterLen = u16(hb)
     u8(hb) // heap flags (checksum bits affect only writes we don't do)
     val maxManSize = u32(hb)
     u64(hb) // next huge object id
@@ -484,16 +500,43 @@ object Hdf5 {
     u16(hb) // starting rows in root indirect block
     val rootAddr = u64(hb)
     val curRows = u16(hb)
+    // filtered heap: filtered-root-direct-block size + filter mask +
+    // the encoded Filter Pipeline message (H5HF__hdr_decode order)
+    val (rootFilteredSize, filters) =
+      if (filterLen == 0) (0L, Seq.empty[H5Filter])
+      else {
+        val sz = u64(hb)
+        require(u32(hb) == 0L,
+          "partially-filtered root direct block (nonzero filter mask)")
+        (sz, parseFilters(bytes, hb.position()))
+      }
     require(rootAddr != UNDEF, "fractal heap with no root block")
     val offSize = (maxHeapBits + 7) / 8
     val lenSize = math.min(offSize, (64 - java.lang.Long.numberOfLeadingZeros(
       math.max(maxManSize, 1L)) + 7) / 8)
 
+    // decompress-once cache: a direct block is one filtered stream whose
+    // unfiltered size is its doubling-table block size
+    val blockCache = mutable.Map.empty[Long, Array[Byte]]
+    def directBlock(addr: Long, filtSize: Long, blockSize: Long): Array[Byte] =
+      blockCache.getOrElseUpdate(addr, {
+        require(filtSize > 0, "filtered direct block with no stored size")
+        val out = defilter(bytes.slice(addr.toInt, (addr + filtSize).toInt),
+          blockSize.toInt, filters, 1)
+        sig(bufAt(out, 0L), "FHDB")
+        out
+      })
+
     def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
-    val locate: Long => Long =
+    val objectAt: Long => (Array[Byte], Int) =
       if (curRows == 0) {
-        sig(bufAt(bytes, rootAddr), "FHDB")
-        off => rootAddr + off
+        if (filters.isEmpty) {
+          sig(bufAt(bytes, rootAddr), "FHDB")
+          off => (bytes, (rootAddr + off).toInt)
+        } else {
+          off =>
+            (directBlock(rootAddr, rootFilteredSize, startBlockSize), off.toInt)
+        }
       } else {
         // Doubling-table pyramid, any depth. Rows 0..maxDirectRows-1 of an
         // indirect block hold direct blocks (sizes S, S, 2S, 4S, …); rows
@@ -506,17 +549,32 @@ object Hdf5 {
         val log2W = 31 - Integer.numberOfLeadingZeros(tableWidth)
         def rowSize(r: Int): Long =
           if (r < 2) startBlockSize else startBlockSize << (r - 1)
-        val entryCache = mutable.Map.empty[Long, IndexedSeq[Long]]
-        def entries(ibAddr: Long, nrows: Int): IndexedSeq[Long] =
+        // entry = (address, filtered size): filtered heaps store
+        // (addr, size, mask) for DIRECT-block entries — child indirect
+        // entries and unfiltered heaps store the address alone
+        val entryCache = mutable.Map.empty[Long, IndexedSeq[(Long, Long)]]
+        def entries(ibAddr: Long, nrows: Int): IndexedSeq[(Long, Long)] =
           entryCache.getOrElseUpdate(ibAddr, {
             val ib = bufAt(bytes, ibAddr)
             sig(ib, "FHIB")
             require(u8(ib) == 0, "fractal heap indirect block version")
             u64(ib) // heap header back-pointer
             readUIntN(ib, offSize) // block offset
-            (0 until nrows * tableWidth).map(_ => u64(ib)).toIndexedSeq
+            (0 until nrows * tableWidth).map { e =>
+              val a = u64(ib)
+              val fsz =
+                if (filters.nonEmpty && e / tableWidth < maxDirectRows) {
+                  val s = u64(ib)
+                  val mask = u32(ib)
+                  require(mask == 0L || a == UNDEF,
+                    "partially-filtered direct block (nonzero filter mask)")
+                  s
+                } else 0L
+              (a, fsz)
+            }.toIndexedSeq
           })
-        def locateIn(ibAddr: Long, ibStart: Long, nrows: Int, off: Long): Long = {
+        def locateIn(ibAddr: Long, ibStart: Long, nrows: Int,
+            off: Long): (Array[Byte], Int) = {
           val addrs = entries(ibAddr, nrows)
           var r = 0
           var rowStart = ibStart
@@ -525,15 +583,16 @@ object Hdf5 {
           }
           require(r < nrows, s"heap offset $off beyond indirect-block rows")
           val idx = ((off - rowStart) / rowSize(r)).toInt
-          val addr = addrs(r * tableWidth + idx)
+          val (addr, fsz) = addrs(r * tableWidth + idx)
           require(addr != UNDEF, "object in unallocated fractal-heap block")
           val entryStart = rowStart + idx * rowSize(r)
-          if (r < maxDirectRows) addr + (off - entryStart)
-          else locateIn(addr, entryStart, r - log2W, off)
+          if (r >= maxDirectRows) locateIn(addr, entryStart, r - log2W, off)
+          else if (filters.isEmpty) (bytes, (addr + (off - entryStart)).toInt)
+          else (directBlock(addr, fsz, rowSize(r)), (off - entryStart).toInt)
         }
         off => locateIn(rootAddr, 0L, curRows, off)
       }
-    FHeap(locate, offSize, lenSize, heapIdLen, hugeBtree)
+    FHeap(objectAt, offSize, lenSize, heapIdLen, hugeBtree)
   }
 
   private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[Link] = {
@@ -2056,8 +2115,15 @@ object Hdf5 {
 
   // ----------------------------------------------------------- attributes --
 
-  private def parseAttribute(bytes: Array[Byte], off: Int): Option[(String, String)] = {
-    val bb = bufAt(bytes, off.toLong)
+  private def parseAttribute(bytes: Array[Byte], off: Int): Option[(String, String)] =
+    parseAttribute(bytes, bytes, off)
+
+  /** `buf` holds the attribute MESSAGE bytes (the file itself, or a
+    * decompressed filtered-heap block); `bytes` stays the whole file —
+    * vlen values dereference its global heap. */
+  private def parseAttribute(bytes: Array[Byte], buf: Array[Byte],
+      off: Int): Option[(String, String)] = {
+    val bb = bufAt(buf, off.toLong)
     val version = u8(bb)
     require(version >= 1 && version <= 3, s"attribute message v$version")
     val flags = u8(bb) // v1: reserved (0); v2/3: flags (shared types unsupported)

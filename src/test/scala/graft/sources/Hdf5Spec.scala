@@ -440,6 +440,16 @@ class Hdf5Spec extends SparkSpec {
     // addressed through an FHIB row
     for (i <- 0 until 14)
       assert(byP(f"/entry/data2/frame_$i%03d").scalarF64.contains(i * 0.5))
+    // FILTERED single-direct-block heap (compressed link names, the
+    // large-NeXus-group shape): the whole block is one deflate stream
+    for (i <- 0 until 10)
+      assert(byP(f"/entry/data4/zvalue_$i%03d").scalarF64.contains(i * 3.5),
+        s"filtered-heap link zvalue_$i%03d")
+    // FILTERED indirect-rooted heap: root FHIB entries carry
+    // (address, filtered size, filter mask) per direct block
+    for (i <- 0 until 14)
+      assert(byP(f"/entry/data5/zframe_$i%03d").scalarF64.contains(i * 4.5),
+        s"filtered-indirect-heap link zframe_$i%03d")
     // dense ATTRIBUTE storage (0x15): 11 attrs via heap + type-8 index
     val ma = byP("/entry/manyattrs")
     assert(ma.scalarF64.contains(42.0))
@@ -447,8 +457,10 @@ class Hdf5Spec extends SparkSpec {
     assert((0 until 9).forall(i => ma.attrs(f"a$i%02d") == f"v$i%02d"))
     // >4 KB attribute -> huge heap ID resolved through the huge b-tree
     assert(ma.attrs("blob") == "x" * 4999)
-    // 28 pre-existing + data3's 110 deep-heap links
-    assert(dense.size == 138, dense.map(_.path).sorted.mkString("\n"))
+    // 28 pre-existing + data3's 110 deep-heap links + data4's 10 filtered
+    // + data5's 14 filtered-indirect (and the data4/data5 group nodes are
+    // not datasets, so only their children count)
+    assert(dense.size == 162, dense.map(_.path).sorted.mkString("\n"))
   }
 
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
