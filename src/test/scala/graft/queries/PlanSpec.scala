@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("q36 skew-salted join: the join key space is (key, salt)") {
+    val p = plan("q36_skew_salted")
+    // the physical join must include the synthetic __salt column in its
+    // keys — that is what spreads each hot l_returnflag over 16 reducers
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("l_returnflag"))
+      .getOrElse("")
+    assert(joinLine.contains("__salt"), s"join keys lack __salt:\n$joinLine")
+    // the small side replicates via explode(sequence(...)), one copy per
+    // salt — visible as a Generate explode in the plan
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the scan-side of the flagship query") {
     // AQE prints no codegen stages until the plan is final — execute first
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
