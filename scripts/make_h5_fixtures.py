@@ -1120,6 +1120,63 @@ def make_bad_deflate(path: Path):
     path.write_bytes(bytes(f.buf))
 
 
+def make_bigendian(path: Path):
+    """Big-endian numerics (the conversion-tool / cross-platform output
+    shape): BE f32 array, BE f64 scalar, BE signed i64 scalar, and a BE
+    u32 sentinel array — all must decode exactly through a BE buffer."""
+    f = FileBuf()
+    f.alloc(48)
+
+    def dt_f32_be():
+        return struct.pack('<B3sI2H4BI', 0x11, bytes([0x21, 0x1F, 0x00]), 4,
+                           0, 32, 23, 8, 0, 23, 127)
+
+    def dt_f64_be():
+        return struct.pack('<B3sI2H4BI', 0x11, bytes([0x21, 0x3F, 0x00]), 8,
+                           0, 64, 52, 11, 0, 52, 1023)
+
+    def dt_i64_be():
+        return struct.pack('<B3sI2H', 0x10, bytes([0x09, 0x00, 0x00]), 8, 0, 64)
+
+    def dt_u32_be():
+        return struct.pack('<B3sI2H', 0x10, bytes([0x01, 0x00, 0x00]), 4, 0, 32)
+
+    arr = b''.join(struct.pack('>f', i * 1.5) for i in range(6))
+    f32arr = object_header_v2(f, [
+        (0x01, space_simple([2, 3])), (0x03, dt_f32_be()),
+        (0x08, layout_contiguous(f.append(arr), len(arr)))])
+    f64s = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f64_be()),
+        (0x08, layout_contiguous(f.append(struct.pack('>d', 6.25)), 8))])
+    i64s = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_i64_be()),
+        (0x08, layout_contiguous(f.append(struct.pack('>q', -42)), 8))])
+    u32raw = struct.pack('>II', 0xFFFFFFFF, 7)
+    u32arr = object_header_v2(f, [
+        (0x01, space_simple([2])), (0x03, dt_u32_be()),
+        (0x08, layout_contiguous(f.append(u32raw), 8))])
+    be = group_v2(f, {'f32arr': f32arr, 'f64scalar': f64s,
+                      'i64scalar': i64s, 'u32arr': u32arr})
+    finish_v2(f, group_v2(f, {'be': be}), path)
+
+
+def make_bad_vax(path: Path):
+    """VAX-order float dataset (byte-order bits 0 and 6 both set) —
+    unsupported, must fail loudly rather than decode garbage."""
+    f = FileBuf()
+    f.alloc(48)
+
+    def dt_f32_vax():
+        return struct.pack('<B3sI2H4BI', 0x11, bytes([0x61, 0x1F, 0x00]), 4,
+                           0, 32, 23, 8, 0, 23, 127)
+
+    raw = f.append(struct.pack('<f', 1.0))
+    ds = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f32_vax()),
+        (0x08, layout_contiguous(raw, 4))])
+    finish_v2(f, group_v2(f, {'v': ds}), path)
+
+
 def make_bad_stack(path: Path):
     """A chunk whose filter pipeline stacks TWO compressors (deflate then
     zstd) — legal HDF5, but the intermediate stream size between the
@@ -2626,6 +2683,8 @@ if __name__ == '__main__':
     make_v4(out / 'mouse_v4.h5')
     make_bad_deflate(out / 'bad_deflate.h5')
     make_bad_stack(out / 'bad_stack.h5')
+    make_bigendian(out / 'mouse_bigendian.h5')
+    make_bad_vax(out / 'bad_vax.h5')
     make_bad_fletcher(out / 'bad_fletcher.h5')
     make_bad_swizzle(out / 'bad_swizzle.h5')
     make_str_array(out / 'str_array.h5')

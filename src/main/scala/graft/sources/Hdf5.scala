@@ -20,7 +20,9 @@ import scala.collection.mutable
   *    and FILTERED heaps — direct blocks stored as compressed streams,
   *    decoded through the same six-filter chain as chunk data)
   *  - object header messages: dataspace (v1/v2, incl. maxdims), datatype
-  *    (fixed-point, IEEE float, fixed string, vlen string; compound — v1/
+  *    (fixed-point and IEEE float in either byte order — big-endian
+  *    conversion-tool outputs decode through an order-aware buffer —
+  *    fixed string, vlen string; compound — v1/
   *    v2/v3 encodings — with scalar, vlen-string and nested-compound
   *    members (nested ones flatten to dotted names, h5py's structured-
   *    dtype view), surfacing each member as a `<path>/<member>` child
@@ -58,7 +60,8 @@ import scala.collection.mutable
   * filtered HUGE heap objects (v2-B-tree record type 2);
   * filters beyond the six above, and chains
   * stacking more than one compressor (per-stage sizes are only known for
-  * one size-changing stage); non-IEEE or big-endian numeric types;
+  * one size-changing stage); non-IEEE numeric types (VAX byte order,
+  * non-standard float widths);
   * reference types; enums over non-integer bases; compound members that
   * are themselves array-typed; extensible arrays whose unlimited
   * dimension is not dim 0 (libhdf5 swizzles coordinates there);
@@ -118,8 +121,9 @@ object Hdf5 {
   // ------------------------------------------------------------ datatypes --
 
   private sealed trait DType { def size: Int }
-  private case class Fixed(size: Int, signed: Boolean) extends DType
-  private case class Flt(size: Int) extends DType
+  private case class Fixed(size: Int, signed: Boolean,
+      be: Boolean = false) extends DType
+  private case class Flt(size: Int, be: Boolean = false) extends DType
   private case class Str(size: Int) extends DType
   private case object VlenStr extends DType { val size = 16 }
   private case class Member(name: String, offset: Int, dt: DType)
@@ -151,14 +155,18 @@ object Hdf5 {
       // + the float exponent/mantissa layout) so SEQUENTIAL parses —
       // compound members — stay position-correct
       case 0 =>
-        require((bits(0) & 0x01) == 0, "big-endian fixed-point not supported")
         bb.position(bb.position() + 4) // bit offset + precision
-        Fixed(size, signed = (bits(0) & 0x08) != 0)
+        Fixed(size, signed = (bits(0) & 0x08) != 0,
+          be = (bits(0) & 0x01) != 0)
       case 1 =>
-        require((bits(0) & 0x01) == 0, "big-endian float not supported")
+        // float byte order is bits 0 AND 6: 00 LE, 01 BE, 11 VAX.
+        // UnsupportedOperationException (not require) so a VAX-typed
+        // ATTRIBUTE skips like other unparseable attribute datatypes
+        if ((bits(0) & 0x40) != 0)
+          throw new UnsupportedOperationException("VAX-order float not supported")
         require(size == 4 || size == 8, s"unsupported float width $size")
         bb.position(bb.position() + 12) // bit layout + exponent bias
-        Flt(size)
+        Flt(size, be = (bits(0) & 0x01) != 0)
       case 3 => Str(size)
       case 6 => // compound: the flat scalar-member shape NeXus tables use
         val nMembers = ((bits(1) & 0xFF) << 8) | (bits(0) & 0xFF)
@@ -187,7 +195,7 @@ object Hdf5 {
           }
           val mdt = parseDatatype(bb)
           mdt match {
-            case Fixed(_, _) | Flt(_) | Str(_) | VlenStr | _: Compound => ()
+            case _: Fixed | _: Flt | Str(_) | VlenStr | _: Compound => ()
             case other => throw new UnsupportedOperationException(
               s"compound member '$name' type $other (flat scalar members only)")
           }
@@ -208,7 +216,7 @@ object Hdf5 {
         val nMembers = ((bits(1) & 0xFF) << 8) | (bits(0) & 0xFF)
         val base = parseDatatype(bb)
         base match {
-          case Fixed(_, _) => ()
+          case _: Fixed => ()
           case other => throw new UnsupportedOperationException(
             s"enum base type $other not supported")
         }
@@ -239,7 +247,7 @@ object Hdf5 {
         if (version == 2) bb.position(bb.position() + 4 * ndims) // permutation
         val base = parseDatatype(bb)
         base match {
-          case Fixed(_, _) | Flt(_) => ()
+          case _: Fixed | _: Flt => ()
           case other => throw new UnsupportedOperationException(
             s"array datatype over $other not supported")
         }
@@ -2057,19 +2065,27 @@ object Hdf5 {
   private def unsignedLongToDouble(v: Long): Double =
     if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552e19 // + 2^64
 
+  /** Both decoders honor the datatype's recorded byte order by wrapping
+    * the raw bytes in a buffer of that order — the sign/width logic is
+    * order-agnostic. */
+  private def byteOrderOf(dt: DType): ByteOrder = dt match {
+    case Fixed(_, _, true) | Flt(_, true) => ByteOrder.BIG_ENDIAN
+    case _ => ByteOrder.LITTLE_ENDIAN
+  }
+
   private def decodeF64(data: Array[Byte], dt: DType, i: Int): Double = {
-    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(data).order(byteOrderOf(dt))
     dt match {
-      case Flt(4) => bb.getFloat(i * 4).toDouble
-      case Flt(8) => bb.getDouble(i * 8)
-      case Fixed(1, true) => bb.get(i).toDouble
-      case Fixed(2, true) => bb.getShort(i * 2).toDouble
-      case Fixed(4, true) => bb.getInt(i * 4).toDouble
-      case Fixed(8, true) => bb.getLong(i * 8).toDouble
-      case Fixed(1, false) => (bb.get(i) & 0xFF).toDouble
-      case Fixed(2, false) => (bb.getShort(i * 2) & 0xFFFF).toDouble
-      case Fixed(4, false) => (bb.getInt(i * 4) & 0xFFFFFFFFL).toDouble
-      case Fixed(8, false) => unsignedLongToDouble(bb.getLong(i * 8))
+      case Flt(4, _) => bb.getFloat(i * 4).toDouble
+      case Flt(8, _) => bb.getDouble(i * 8)
+      case Fixed(1, true, _) => bb.get(i).toDouble
+      case Fixed(2, true, _) => bb.getShort(i * 2).toDouble
+      case Fixed(4, true, _) => bb.getInt(i * 4).toDouble
+      case Fixed(8, true, _) => bb.getLong(i * 8).toDouble
+      case Fixed(1, false, _) => (bb.get(i) & 0xFF).toDouble
+      case Fixed(2, false, _) => (bb.getShort(i * 2) & 0xFFFF).toDouble
+      case Fixed(4, false, _) => (bb.getInt(i * 4) & 0xFFFFFFFFL).toDouble
+      case Fixed(8, false, _) => unsignedLongToDouble(bb.getLong(i * 8))
       case other => throw new IllegalStateException(s"not numeric: $other")
     }
   }
@@ -2078,34 +2094,34 @@ object Hdf5 {
     * the whole array — the per-element form would allocate a ByteBuffer
     * per pixel on multi-megapixel frames. */
   private def decodeArrayF64(data: Array[Byte], dt: DType, n: Int): Array[Double] = {
-    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(data).order(byteOrderOf(dt))
     val out = new Array[Double](n)
     var i = 0
     dt match {
-      case Flt(4) =>
+      case Flt(4, _) =>
         val fb = bb.asFloatBuffer()
         while (i < n) { out(i) = fb.get(i).toDouble; i += 1 }
-      case Flt(8) =>
+      case Flt(8, _) =>
         val db = bb.asDoubleBuffer()
         while (i < n) { out(i) = db.get(i); i += 1 }
-      case Fixed(1, true) => while (i < n) { out(i) = data(i).toDouble; i += 1 }
-      case Fixed(2, true) =>
+      case Fixed(1, true, _) => while (i < n) { out(i) = data(i).toDouble; i += 1 }
+      case Fixed(2, true, _) =>
         val sb = bb.asShortBuffer()
         while (i < n) { out(i) = sb.get(i).toDouble; i += 1 }
-      case Fixed(4, true) =>
+      case Fixed(4, true, _) =>
         val ib = bb.asIntBuffer()
         while (i < n) { out(i) = ib.get(i).toDouble; i += 1 }
-      case Fixed(8, true) =>
+      case Fixed(8, true, _) =>
         val lb = bb.asLongBuffer()
         while (i < n) { out(i) = lb.get(i).toDouble; i += 1 }
-      case Fixed(1, false) => while (i < n) { out(i) = (data(i) & 0xFF).toDouble; i += 1 }
-      case Fixed(2, false) =>
+      case Fixed(1, false, _) => while (i < n) { out(i) = (data(i) & 0xFF).toDouble; i += 1 }
+      case Fixed(2, false, _) =>
         val sb = bb.asShortBuffer()
         while (i < n) { out(i) = (sb.get(i) & 0xFFFF).toDouble; i += 1 }
-      case Fixed(4, false) =>
+      case Fixed(4, false, _) =>
         val ib = bb.asIntBuffer()
         while (i < n) { out(i) = (ib.get(i) & 0xFFFFFFFFL).toDouble; i += 1 }
-      case Fixed(8, false) =>
+      case Fixed(8, false, _) =>
         val lb = bb.asLongBuffer()
         while (i < n) { out(i) = unsignedLongToDouble(lb.get(i)); i += 1 }
       case other => throw new IllegalStateException(s"not numeric: $other")
@@ -2422,7 +2438,7 @@ object Hdf5 {
               ("compound_members" -> c.members.map(_.name).mkString(",")))
           case _ if elems == 1 =>
             empty.copy(scalarF64 = Some(decodeF64(data, dt, 0)))
-          case Flt(4) =>
+          case Flt(4, _) =>
             // f32 stays f32 (lossless); everything wider or integral goes
             // to f64 — int32/int64 sentinels like 0xFFFFFFFF exceed Float's
             // 24-bit mantissa and would silently round

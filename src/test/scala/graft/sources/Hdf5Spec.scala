@@ -463,6 +463,25 @@ class Hdf5Spec extends SparkSpec {
     assert(dense.size == 162, dense.map(_.path).sorted.mkString("\n"))
   }
 
+  test("big-endian numerics decode exactly (conversion-tool outputs)") {
+    val be = Hdf5.read(fixture("mouse_bigendian.h5"))
+    val byP2 = be.map(n => n.path -> n).toMap
+    assert(byP2("/be/f32arr").f32Data.map(_.toSeq).contains(
+      (0 until 6).map(_ * 1.5f)))
+    assert(byP2("/be/f64scalar").scalarF64.contains(6.25))
+    assert(byP2("/be/i64scalar").scalarF64.contains(-42.0))
+    // BE uint32 sentinel: 2^32-1 must survive exactly (f64 route)
+    assert(byP2("/be/u32arr").f64Data.map(_.toSeq).contains(
+      Seq(4294967295.0, 7.0)))
+  }
+
+  test("VAX-order floats fail loudly, never decode garbage") {
+    val e = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("bad_vax.h5"))
+    }
+    assert(e.getMessage.contains("VAX"), e.getMessage)
+  }
+
   test("unsigned integers decode exactly (Eiger gap-pixel sentinel)") {
     // uint32 array routes to f64 — 2^32-1 would round to 2^32 in Float
     assert(v2ByPath("/entry1/detector/u32_pixels").f64Data.map(_.toSeq)
