@@ -2428,28 +2428,35 @@ def fractal_heap_links_deep(f: FileBuf, link_bodies):
     return hdr_addr, btree_addr
 
 
-def attr_info_dense(f: FileBuf, named_bodies):
+def attr_info_dense(f: FileBuf, named_bodies, filtered=False):
     """Attribute Info (0x15) message body with DENSE storage: attribute
     messages in a single-direct-block fractal heap, name-indexed by a
     type-8 v2 B-tree (8-byte heap ID, message flags, creation order,
-    hash). Returns the 0x15 message body."""
+    hash). With filtered=True the direct block is one deflate stream and
+    huge objects are each their own deflate stream indexed by TYPE-2
+    records (addr, filtered length, mask, memory size, id). Returns the
+    0x15 message body."""
     width, start_size, max_bits, max_man = 4, 512, 32, 4096
     off_size = (max_bits + 7) // 8
     len_size = min(off_size, (max_man.bit_length() + 7) // 8)
     heap_id_len = 8  # attribute heaps use the fixed 8-byte ID form
+    pline = filter_pipeline([(1, b'deflate', [6])]) if filtered else b''
 
     hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
-                       + 2 + 2 + 8 + 2 + 4)
+                       + 2 + 2 + 8 + 2 + (8 + 4 + len(pline) if filtered else 0)
+                       + 4)
     body = b'FHDB' + struct.pack('<B', 0) + struct.pack('<Q', hdr_addr)
     body += (0).to_bytes(off_size, 'little')
     ids = []  # (name, heap-id bytes)
     huge_recs = []
     for name, ab in named_bodies:
         if len(ab) > max_man:
-            # huge: object stored bare, indexed by the huge-object b-tree
+            # huge: own stream in the file, indexed by the huge b-tree
             hid = struct.pack('<B', 0x10)
             hid += (len(huge_recs) + 1).to_bytes(heap_id_len - 1, 'little')
-            huge_recs.append((f.append(ab), len(ab), len(huge_recs) + 1))
+            stored = zlib.compress(ab, 6) if filtered else ab
+            huge_recs.append((f.append(stored), len(stored), len(ab),
+                              len(huge_recs) + 1))
         else:
             hid = (struct.pack('<B', 0) + len(body).to_bytes(off_size, 'little')
                    + len(ab).to_bytes(len_size, 'little'))
@@ -2458,17 +2465,23 @@ def attr_info_dense(f: FileBuf, named_bodies):
         ids.append((name, hid))
     used = len(body)
     assert used <= start_size, "fixture attr heap overflows one direct block"
-    dblock_addr = f.append(body + b'\0' * (start_size - used))
+    full = body + b'\0' * (start_size - used)
+    zfull = zlib.compress(full, 6) if filtered else full
+    dblock_addr = f.append(zfull)
 
     huge_btree = UNDEF
     if huge_recs:
-        leaf = b'BTLF' + struct.pack('<BB', 0, 1)
-        for a, ln, i in huge_recs:  # type-1 record: addr, length, id
-            leaf += struct.pack('<QQQ', a, ln, i)
+        rtype = 2 if filtered else 1
+        leaf = b'BTLF' + struct.pack('<BB', 0, rtype)
+        for a, stored_ln, mem_ln, i in huge_recs:
+            if filtered:  # type-2: addr, filt len, mask, memory size, id
+                leaf += struct.pack('<QQIQQ', a, stored_ln, 0, mem_ln, i)
+            else:  # type-1: addr, length, id
+                leaf += struct.pack('<QQQ', a, stored_ln, i)
         leaf += struct.pack('<I', lookup3(leaf))
         leaf_addr = f.append(leaf)
-        bt = b'BTHD' + struct.pack('<BB', 0, 1)
-        bt += struct.pack('<IHHBB', 512, 24, 0, 100, 40)
+        bt = b'BTHD' + struct.pack('<BB', 0, rtype)
+        bt += struct.pack('<IHHBB', 512, 36 if filtered else 24, 0, 100, 40)
         bt += struct.pack('<QHQ', leaf_addr, len(huge_recs), len(huge_recs))
         bt += struct.pack('<I', lookup3(bt))
         huge_btree = f.append(bt)
@@ -2487,18 +2500,20 @@ def attr_info_dense(f: FileBuf, named_bodies):
     btree_addr = f.append(bt)
 
     hdr = b'FRHP' + struct.pack('<B', 0)
-    hdr += struct.pack('<HHB', heap_id_len, 0, 0)
+    hdr += struct.pack('<HHB', heap_id_len, len(pline), 0)
     hdr += struct.pack('<I', max_man)
     hdr += struct.pack('<QQ', len(huge_recs) + 1, huge_btree)
     hdr += struct.pack('<QQ', start_size - used, UNDEF)
     hdr += struct.pack('<QQ', start_size, start_size)
     hdr += struct.pack('<QQ', used, len(ids))
-    hdr += struct.pack('<QQ', sum(r[1] for r in huge_recs), len(huge_recs))
+    hdr += struct.pack('<QQ', sum(r[2] for r in huge_recs), len(huge_recs))
     hdr += struct.pack('<QQ', 0, 0)
     hdr += struct.pack('<H', width)
     hdr += struct.pack('<QQ', start_size, 64 * 1024)
     hdr += struct.pack('<HH', max_bits, 0)
     hdr += struct.pack('<QH', dblock_addr, 0)
+    if filtered:
+        hdr += struct.pack('<QI', len(zfull), 0) + pline
     hdr += struct.pack('<I', lookup3(hdr))
     f.write(hdr_addr, hdr)
     return struct.pack('<BB', 0, 0) + struct.pack('<QQ', hdr_addr, btree_addr)
@@ -2603,9 +2618,24 @@ def make_dense(path: Path):
         (0x15, attr_info_dense(f, attr_bodies)),
     ])
 
+    # FILTERED dense attributes: compressed attribute heap plus a >4 KB
+    # blob stored as its own deflate stream behind a TYPE-2 huge record
+    raw2 = f.append(struct.pack('<d', 43.0))
+    attr_bodies2 = [(f'z{i:02d}',
+                     attr_v3(f'z{i:02d}', dt_str(4), space_scalar(),
+                             f'w{i:02d}\x00'.encode())) for i in range(6)]
+    attr_bodies2.append(('zblob', attr_v3('zblob', dt_str(6000),
+                                          space_scalar(),
+                                          b'y' * 5999 + b'\x00')))
+    manyattrs2 = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f64()),
+        (0x08, layout_contiguous(raw2, 8)),
+        (0x15, attr_info_dense(f, attr_bodies2, filtered=True)),
+    ])
+
     entry = group_v2(f, {'data': data, 'data2': data2, 'data3': data3,
                          'data4': data4, 'data5': data5,
-                         'manyattrs': manyattrs})
+                         'manyattrs': manyattrs, 'manyattrs2': manyattrs2})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 
 

@@ -56,8 +56,9 @@ import scala.collection.mutable
   *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * partially-filtered heap blocks (nonzero per-block filter mask) and
-  * filtered HUGE heap objects (v2-B-tree record type 2);
+  * partially-filtered heap blocks and huge objects (nonzero filter
+  * mask) and indirectly-accessed huge objects (v2-B-tree record types
+  * 3/4);
   * filters beyond the six above, and chains
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
@@ -443,21 +444,42 @@ object Hdf5 {
   /** `objectAt` maps a managed heap offset to (buffer, index): the file
     * bytes themselves for unfiltered heaps, or a decompressed direct-block
     * buffer for filtered heaps (where no file address exists for an
-    * object — the block is one compressed stream on disk). */
+    * object — the block is one compressed stream on disk). `filters` is
+    * the heap's pipeline; huge objects in a filtered heap are each their
+    * own filtered stream. */
   private case class FHeap(objectAt: Long => (Array[Byte], Int), offSize: Int,
-      lenSize: Int, heapIdLen: Int, hugeBtree: Long)
+      lenSize: Int, heapIdLen: Int, hugeBtree: Long,
+      filters: Seq[H5Filter] = Nil)
 
-  /** Resolve an object ID from a fractal heap's huge-object v2 B-tree
-    * (record type 1: address + length + ID — objects too big for managed
-    * blocks, stored bare in the file; type 2 = filtered stays loud-fail
-    * via the expected-type check). */
-  private def hugeObjectAddr(bytes: Array[Byte], heap: FHeap, id: Long): Long = {
+  /** Resolve an object ID from a fractal heap's huge-object v2 B-tree:
+    * record type 1 (address + length + ID, stored bare) for unfiltered
+    * heaps, type 2 (address + filtered length + filter mask + memory
+    * size + ID, one filtered stream per object) for filtered ones.
+    * Types 3/4 (indirectly accessed) stay loud-fail via the
+    * expected-type check. */
+  private def hugeObjectAt(bytes: Array[Byte], heap: FHeap,
+      id: Long): (Array[Byte], Int) = {
     require(heap.hugeBtree != UNDEF, "huge heap ID with no huge-object b-tree")
-    val (_, _, recs) = btree2Records(bytes, heap.hugeBtree, Set(1))
+    val expected = if (heap.filters.isEmpty) 1 else 2
+    val (_, _, recs) = btree2Records(bytes, heap.hugeBtree, Set(expected))
     recs.collectFirst(Function.unlift { rb =>
-      val a = u64(rb)
-      u64(rb) // length — the stored messages are self-delimiting
-      if (u64(rb) == id) Some(a) else None
+      if (expected == 1) {
+        val a = u64(rb)
+        u64(rb) // length — the stored messages are self-delimiting
+        if (u64(rb) == id) Some((bytes, a.toInt)) else None
+      } else {
+        val a = u64(rb)
+        val filtLen = u64(rb)
+        val mask = u32(rb)
+        val memSize = u64(rb)
+        if (u64(rb) != id) None
+        else {
+          require(mask == 0L,
+            "partially-filtered huge heap object (nonzero filter mask)")
+          Some((defilter(bytes.slice(a.toInt, (a + filtLen).toInt),
+            memSize.toInt, heap.filters, 1), 0))
+        }
+      }
     }).getOrElse(
       throw new IllegalArgumentException(s"huge heap object $id not indexed"))
   }
@@ -474,7 +496,7 @@ object Hdf5 {
         readUIntN(rb, heap.lenSize) // length; stored messages self-delimit
         heap.objectAt(objOff)
       case 1 => // huge: ID into the huge-object b-tree
-        (bytes, hugeObjectAddr(bytes, heap, readUIntN(rb, heap.heapIdLen - 1)).toInt)
+        hugeObjectAt(bytes, heap, readUIntN(rb, heap.heapIdLen - 1))
       case t =>
         throw new UnsupportedOperationException(s"tiny heap ID type $t")
     }
@@ -600,7 +622,7 @@ object Hdf5 {
         }
         off => locateIn(rootAddr, 0L, curRows, off)
       }
-    FHeap(objectAt, offSize, lenSize, heapIdLen, hugeBtree)
+    FHeap(objectAt, offSize, lenSize, heapIdLen, hugeBtree, filters)
   }
 
   private def childrenV0(bytes: Array[Byte], stabOff: Int): Seq[Link] = {

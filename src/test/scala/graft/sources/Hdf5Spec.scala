@@ -457,10 +457,16 @@ class Hdf5Spec extends SparkSpec {
     assert((0 until 9).forall(i => ma.attrs(f"a$i%02d") == f"v$i%02d"))
     // >4 KB attribute -> huge heap ID resolved through the huge b-tree
     assert(ma.attrs("blob") == "x" * 4999)
+    // FILTERED dense attributes: compressed attr heap + a huge blob
+    // stored as its own deflate stream behind a TYPE-2 huge record
+    val ma2 = byP("/entry/manyattrs2")
+    assert(ma2.scalarF64.contains(43.0))
+    assert((0 until 6).forall(i => ma2.attrs(f"z$i%02d") == f"w$i%02d"))
+    assert(ma2.attrs("zblob") == "y" * 5999)
     // 28 pre-existing + data3's 110 deep-heap links + data4's 10 filtered
-    // + data5's 14 filtered-indirect (and the data4/data5 group nodes are
-    // not datasets, so only their children count)
-    assert(dense.size == 162, dense.map(_.path).sorted.mkString("\n"))
+    // + data5's 14 filtered-indirect + manyattrs2 (the data4/data5 group
+    // nodes are not datasets, so only their children count)
+    assert(dense.size == 163, dense.map(_.path).sorted.mkString("\n"))
   }
 
   test("big-endian numerics decode exactly (conversion-tool outputs)") {
