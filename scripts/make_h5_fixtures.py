@@ -563,10 +563,13 @@ def make_v2(path: Path):
     # compound datasets (class 6), flat scalar members — the common NeXus
     # table shape. One scalar element with a v1-encoded datatype, one
     # 3-element array with a v3-encoded datatype (offsets in minimal bytes).
-    def member_v1(name, offset, dt):
+    def member_v1(name, offset, dt, dims=()):
+        # v1 members carry their own dims (pre-class-10 array members):
+        # dimensionality byte + permutation + reserved + four dim slots
         nm = name.encode() + b'\x00'
         nm += bytes(pad8(len(nm)) - len(nm))
-        return nm + struct.pack('<IB3xII4I', offset, 0, 0, 0, 0, 0, 0, 0) + dt
+        ds = (list(dims) + [0, 0, 0, 0])[:4]
+        return nm + struct.pack('<IB3xII4I', offset, len(dims), 0, 0, *ds) + dt
 
     def member_v3(name, offset, dt, off_bytes):
         return name.encode() + b'\x00' + \
@@ -669,11 +672,39 @@ def make_v2(path: Path):
         (0x08, layout_contiguous(ten_raw, 32)),
     ])
 
+    # compound with an ARRAY-TYPED member (class 10): dataspace [2] of
+    # {t: f32 @0, xy: f32[3,2] @4} (size 28) — xy folds to a [2,3,2] column
+    traj_rows = b''.join(
+        struct.pack('<f', 0.5 * i) +
+        b''.join(struct.pack('<f', 100.0 * i + j) for j in range(6))
+        for i in range(2))
+    traj_raw = f.append(traj_rows)
+    traj = object_header_v2(f, [
+        (0x01, space_simple([2])),
+        (0x03, dt_compound(3, 28, [
+            member_v3('t', 0, dt_f32(), 1),
+            member_v3('xy', 4, dt_array(dt_f32(), 4, [3, 2]), 1),
+        ])),
+        (0x08, layout_contiguous(traj_raw, len(traj_rows))),
+    ])
+    # v1 members with their OWN dims (the pre-class-10 array-member
+    # encoding): scalar {bias: f64 @0, gain: f64[4] @8} (size 40)
+    cal_raw = f.append(struct.pack('<5d', 1.0, 2.0, 3.0, 4.0, 5.0))
+    cal = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_compound(1, 40, [
+            member_v1('bias', 0, dt_f64()),
+            member_v1('gain', 8, dt_f64(), dims=[4]),
+        ])),
+        (0x08, layout_contiguous(cal_raw, 40)),
+    ])
+
     detector = group_v2(f, {'distance': dist, 'frame': frame,
                             'u32_pixels': u32arr, 'u64_count': u64big,
                             'roi': cmp_scalar, 'table': cmp_array,
                             'mode': mode, 'vectors': vectors,
-                            'tensor': tensor, 'nested': nested})
+                            'tensor': tensor, 'nested': nested,
+                            'traj': traj, 'cal': cal})
     # soft link + external link (the Eiger master shape:
     # /entry/data/data_000001 -> another file)
     entry1 = object_header_v2(f, [

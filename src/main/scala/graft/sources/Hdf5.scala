@@ -23,9 +23,11 @@ import scala.collection.mutable
   *    (fixed-point and IEEE float in either byte order — big-endian
   *    conversion-tool outputs decode through an order-aware buffer —
   *    fixed string, vlen string; compound — v1/
-  *    v2/v3 encodings — with scalar, vlen-string and nested-compound
-  *    members (nested ones flatten to dotted names, h5py's structured-
-  *    dtype view), surfacing each member as a `<path>/<member>` child
+  *    v2/v3 encodings — with scalar, vlen-string, nested-compound and
+  *    array-typed members (nested ones flatten to dotted names, array
+  *    ones — class-10 or v1 member dims — fold into trailing dims,
+  *    h5py's structured-dtype view), surfacing each member as a
+  *    `<path>/<member>` child
   *    node; enums over integer bases, read as the base type like h5py;
   *    array datatypes (class 10) over fixed/float bases, folded into
   *    trailing dims), data layout v3
@@ -63,8 +65,8 @@ import scala.collection.mutable
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
   * non-standard float widths);
-  * reference types; enums over non-integer bases; compound members that
-  * are themselves array-typed; extensible arrays whose unlimited
+  * reference types; enums over non-integer bases;
+  * extensible arrays whose unlimited
   * dimension is not dim 0 (libhdf5 swizzles coordinates there);
   * overlapping multi-block selection unions (malformed — libhdf5
   * normalizes unions to disjoint blocks before serializing);
@@ -179,12 +181,17 @@ object Hdf5 {
           val name = new String(bb.array(), start, end - start, "UTF-8")
           val nameLen = end - start + 1
           bb.position(start + (if (version < 3) (nameLen + 7) & ~7 else nameLen))
+          // v1 members carry their own dims (predating class-10 array
+          // datatypes): a scalar base + member dims is the old encoding
+          // of an array member, normalized to ArrayT below
+          var v1dims: Seq[Int] = Nil
           val offset = version match {
             case 1 =>
               val off = u32(bb).toInt
               val ndims = u8(bb)
-              require(ndims == 0, "array compound member (v1 dims) not supported")
-              bb.position(bb.position() + 3 + 4 + 4 + 16) // resv+perm+resv+dims
+              bb.position(bb.position() + 3 + 4 + 4) // resv + perm + resv
+              val slots = (0 until 4).map(_ => u32(bb).toInt)
+              v1dims = slots.take(ndims)
               off
             case 2 => u32(bb).toInt
             case 3 => // minimal bytes that can hold the compound's size
@@ -194,9 +201,19 @@ object Hdf5 {
             case v =>
               throw new UnsupportedOperationException(s"compound datatype v$v")
           }
-          val mdt = parseDatatype(bb)
+          val mdt0 = parseDatatype(bb)
+          val mdt =
+            if (v1dims.isEmpty) mdt0
+            else mdt0 match {
+              case b @ (_: Fixed | _: Flt) => ArrayT(b, v1dims)
+              case other => throw new UnsupportedOperationException(
+                s"v1 array compound member '$name' over $other not supported")
+            }
           mdt match {
-            case _: Fixed | _: Flt | Str(_) | VlenStr | _: Compound => ()
+            // ArrayT's base is already restricted to Fixed/Flt by the
+            // class-10 parse and the v1 normalization above
+            case _: Fixed | _: Flt | Str(_) | VlenStr | _: Compound |
+                 _: ArrayT => ()
             case other => throw new UnsupportedOperationException(
               s"compound member '$name' type $other (flat scalar members only)")
           }
@@ -2496,6 +2513,18 @@ object Hdf5 {
             s"string ARRAY compound member not supported at $mpath")
           Node(mpath, dims, None, Some(decodeString(bytes, slice(0), m.dt)),
             None, None, Map.empty)
+        case ArrayT(base, adims) =>
+          // array member: each row carries a fixed-shape block; rows
+          // concatenate to one f64 column with dims = dataset dims ++
+          // member dims (h5py's structured-dtype view of a subarray field)
+          val per = adims.product
+          val vals = Array.tabulate(elems * per) { j =>
+            val at = (j / per) * cdt.size + m.offset + (j % per) * base.size
+            decodeF64(java.util.Arrays.copyOfRange(raw, at, at + base.size),
+              base, 0)
+          }
+          Node(mpath, dims ++ adims.map(_.toLong), None, None, None,
+            Some(vals), Map.empty)
         case mdt =>
           if (elems == 1)
             Node(mpath, dims, Some(decodeF64(slice(0), mdt, 0)),

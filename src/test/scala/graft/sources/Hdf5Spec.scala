@@ -521,6 +521,23 @@ class Hdf5Spec extends SparkSpec {
     assert(v2ByPath("/entry1/detector/nested/t").scalarF64.contains(1.5))
     assert(v2ByPath("/entry1/detector/nested/pos.x").scalarF64.contains(2.25))
     assert(v2ByPath("/entry1/detector/nested/pos.y").scalarF64.contains(3.5))
+    // ARRAY-TYPED member (class 10 inside a compound): [2] dataspace of
+    // {t: f32, xy: f32[3,2]} -> xy reads as a [2,3,2] column, rows
+    // concatenated, h5py's subarray-field view
+    val xy = v2ByPath("/entry1/detector/traj/xy")
+    assert(xy.dims == Seq(2L, 3L, 2L))
+    assert(xy.f64Data.map(_.toSeq).contains(
+      (0 until 6).map(_.toDouble) ++ (0 until 6).map(100.0 + _)))
+    assert(v2ByPath("/entry1/detector/traj/t").f64Data.map(_.toSeq)
+      .contains(Seq(0.0, 0.5)))
+    // v1 members carrying their OWN dims (pre-class-10 array members):
+    // scalar {bias: f64, gain: f64[4]}
+    assert(v2ByPath("/entry1/detector/cal").attrs("compound_members")
+      == "bias,gain")
+    assert(v2ByPath("/entry1/detector/cal/bias").scalarF64.contains(1.0))
+    val gain = v2ByPath("/entry1/detector/cal/gain")
+    assert(gain.dims == Seq(4L))
+    assert(gain.f64Data.map(_.toSeq).contains(Seq(2.0, 3.0, 4.0, 5.0)))
   }
 
   test("enum datatypes (class 8) read as their base integer, h5py-style") {
@@ -570,10 +587,11 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
 
     val tree = Hdf5Source.treeTable(spark, dir.toString)
-    // 11 v0 nodes + 21 v2 nodes (incl. links, the compound datasets'
-    // parent + member-child rows — flat, vlen-string, array, and nested —
-    // the enum scalar, and the two array-datatype datasets)
-    assert(tree.count() == 32)
+    // 11 v0 nodes + 27 v2 nodes (incl. links, the compound datasets'
+    // parent + member-child rows — flat, vlen-string, array-typed-member,
+    // v1-dims-member, array, and nested — the enum scalar, and the two
+    // array-datatype datasets)
+    assert(tree.count() == 38)
 
     val files = tree.select(col("file")).distinct()
     // a.h5 has the path, b.h5 defaults to 0.0 (S3 tolerate-missing)
@@ -716,7 +734,7 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixture("mouse_v2.h5"))
     drain()
     val tree = spark.read.parquet(out)
-    assert(tree.count() == 32) // + mouse_v2's 21 incl. compound children
+    assert(tree.count() == 38) // + mouse_v2's 27 incl. compound children
     // the batch read-helper contract holds on the streamed table
     val files = tree.select(col("file")).distinct()
     val cfg = TreeTable.readF64(tree, files, "/entry1/instrument/configuration", "cfg")
