@@ -2459,19 +2459,35 @@ def fractal_heap_links_deep(f: FileBuf, link_bodies):
     return hdr_addr, btree_addr
 
 
-def attr_info_dense(f: FileBuf, named_bodies, filtered=False):
+def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate'):
     """Attribute Info (0x15) message body with DENSE storage: attribute
     messages in a single-direct-block fractal heap, name-indexed by a
     type-8 v2 B-tree (8-byte heap ID, message flags, creation order,
-    hash). With filtered=True the direct block is one deflate stream and
-    huge objects are each their own deflate stream indexed by TYPE-2
-    records (addr, filtered length, mask, memory size, id). Returns the
-    0x15 message body."""
+    hash). With filtered=True the direct block is one filtered stream and
+    huge objects are each their own filtered stream indexed by TYPE-2
+    records (addr, filtered length, mask, memory size, id); `chain`
+    selects the pipeline: 'deflate' alone, or 'szf' = shuffle + deflate
+    + fletcher32 (checksum over the compressed stream, write order).
+    Returns the 0x15 message body."""
     width, start_size, max_bits, max_man = 4, 512, 32, 4096
     off_size = (max_bits + 7) // 8
     len_size = min(off_size, (max_man.bit_length() + 7) // 8)
     heap_id_len = 8  # attribute heaps use the fixed 8-byte ID form
-    pline = filter_pipeline([(1, b'deflate', [6])]) if filtered else b''
+
+    def encode_stream(data):
+        if not filtered:
+            return data
+        if chain == 'szf':
+            s = zlib.compress(shuffle_bytes(data, 4), 6)
+            return s + struct.pack('<I', fletcher32(s))
+        return zlib.compress(data, 6)
+
+    pline = b''
+    if filtered:
+        pline = filter_pipeline(
+            [(2, b'shuffle', [4]), (1, b'deflate', [6]),
+             (3, b'fletcher32', [])] if chain == 'szf'
+            else [(1, b'deflate', [6])])
 
     hdr_addr = f.alloc(4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8
                        + 2 + 2 + 8 + 2 + (8 + 4 + len(pline) if filtered else 0)
@@ -2485,7 +2501,7 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False):
             # huge: own stream in the file, indexed by the huge b-tree
             hid = struct.pack('<B', 0x10)
             hid += (len(huge_recs) + 1).to_bytes(heap_id_len - 1, 'little')
-            stored = zlib.compress(ab, 6) if filtered else ab
+            stored = encode_stream(ab)
             huge_recs.append((f.append(stored), len(stored), len(ab),
                               len(huge_recs) + 1))
         else:
@@ -2497,7 +2513,7 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False):
     used = len(body)
     assert used <= start_size, "fixture attr heap overflows one direct block"
     full = body + b'\0' * (start_size - used)
-    zfull = zlib.compress(full, 6) if filtered else full
+    zfull = encode_stream(full)
     dblock_addr = f.append(zfull)
 
     huge_btree = UNDEF
@@ -2664,9 +2680,26 @@ def make_dense(path: Path):
         (0x15, attr_info_dense(f, attr_bodies2, filtered=True)),
     ])
 
+    # full classic pipeline on the attribute heap: shuffle + deflate +
+    # fletcher32 — exercises the multi-stage per-stage target sizes on
+    # BOTH the managed direct block and the type-2 huge-object stream
+    raw3 = f.append(struct.pack('<d', 44.0))
+    attr_bodies3 = [(f'k{i:02d}',
+                     attr_v3(f'k{i:02d}', dt_str(4), space_scalar(),
+                             f'u{i:02d}\x00'.encode())) for i in range(5)]
+    attr_bodies3.append(('kblob', attr_v3('kblob', dt_str(5500),
+                                          space_scalar(),
+                                          b'q' * 5499 + b'\x00')))
+    manyattrs3 = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f64()),
+        (0x08, layout_contiguous(raw3, 8)),
+        (0x15, attr_info_dense(f, attr_bodies3, filtered=True, chain='szf')),
+    ])
+
     entry = group_v2(f, {'data': data, 'data2': data2, 'data3': data3,
                          'data4': data4, 'data5': data5,
-                         'manyattrs': manyattrs, 'manyattrs2': manyattrs2})
+                         'manyattrs': manyattrs, 'manyattrs2': manyattrs2,
+                         'manyattrs3': manyattrs3})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 
 

@@ -463,10 +463,18 @@ class Hdf5Spec extends SparkSpec {
     assert(ma2.scalarF64.contains(43.0))
     assert((0 until 6).forall(i => ma2.attrs(f"z$i%02d") == f"w$i%02d"))
     assert(ma2.attrs("zblob") == "y" * 5999)
+    // full shuffle+deflate+fletcher32 chain on the attribute heap: the
+    // managed block AND the type-2 huge stream both decode through the
+    // multi-stage per-stage target sizes
+    val ma3 = byP("/entry/manyattrs3")
+    assert(ma3.scalarF64.contains(44.0))
+    assert((0 until 5).forall(i => ma3.attrs(f"k$i%02d") == f"u$i%02d"))
+    assert(ma3.attrs("kblob") == "q" * 5499)
     // 28 pre-existing + data3's 110 deep-heap links + data4's 10 filtered
-    // + data5's 14 filtered-indirect + manyattrs2 (the data4/data5 group
-    // nodes are not datasets, so only their children count)
-    assert(dense.size == 163, dense.map(_.path).sorted.mkString("\n"))
+    // + data5's 14 filtered-indirect + manyattrs2 + manyattrs3 (the
+    // data4/data5 group nodes are not datasets, so only their children
+    // count)
+    assert(dense.size == 164, dense.map(_.path).sorted.mkString("\n"))
   }
 
   test("big-endian numerics decode exactly (conversion-tool outputs)") {
