@@ -43,6 +43,16 @@ object TextFns {
   def minHash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => md5Hash32(s, seed)))
 
+  /** Full per-document MinHash signature in one map-side pass — the native
+    * codegen expression [[MinHashSigF]]: array<long> of
+    * [distinct_shingle_count, band minima 1..6], null when the document
+    * has no 3-shingles. Value-identical to the explode + md5Hash32 +
+    * groupBy chain (the DuckDB oracle's formulation). */
+  def minhashSig(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(MinHashSigF(expression(text)))
+  }
+
   /** 32-bit SimHash over a token array. For each bit b, sum +1/-1 according
     * to bit b of each token's hash; bit set in the result when the sum is
     * positive. Duplicate tokens are weighted by their count (classic

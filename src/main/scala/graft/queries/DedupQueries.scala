@@ -30,33 +30,32 @@ object DedupQueries {
   private val shingleK = 3
 
   /** Verified near-dup pairs (doc_a < doc_b, shingle-Jaccard >= 0.5) via the
-    * MinHash+LSH path. Explode form: each (shingle, band) hash computed
-    * exactly once — the array-HOF form re-evaluates the md5 chain per reuse
-    * (3x slower at sf0.1, and the re-evaluation would multiply at 100 TB).
+    * MinHash+LSH path.
     *
-    * ONE md5 per distinct shingle; the 6 band hashes are an affine universal
-    * family over it ((A_b*h + B_b) mod M, all < 2^62 so exact in both
-    * engines), and all 6 band-minima + the set size come out of a single
-    * groupBy pass. The shingle frame feeds three consumers (signatures +
-    * both sides of the intersection join); it is RECOMPUTED per consumer,
-    * not persisted — the exploded frame is larger than the corpus itself,
-    * so at 100 TB caching it costs more than re-scanning the pruned
-    * (doc_id, text) columns. A long-lived pipeline would checkpoint it to
-    * parquet instead.
+    * Signatures come from the native codegen expression
+    * [[graft.functions.MinHashSigF]]: distinct-shingle count + all 6 band
+    * minima in ONE map-side pass per document — no shingle explode and no
+    * aggregation exchange. The declarative form this replaced
+    * (explode(array_distinct(shingles)) -> md5 per shingle ->
+    * groupBy(doc_id)) shuffled the exploded shingle frame, which is larger
+    * than the corpus itself; at 100 TB the signature stage alone would
+    * re-shuffle more bytes than the input. Value parity with the DuckDB
+    * oracle's explode formulation is exact (documented clause-by-clause on
+    * the expression, property-tested in `MinHashSigFSpec`).
+    *
+    * The verify join then explodes shingles for CANDIDATE documents only
+    * (left-semi prune first): candidate density x doc length, not corpus
+    * size, prices the exact-Jaccard verification at scale.
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val shd = Tables.loadSpread(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-    val hs = shd.select(col("doc_id"), TextFns.md5Hash32(col("s")).as("h"))
-    val bandMins = (1 to nBands).map { b =>
-      min((col("h") * lit(1000003L + b * 7919L) + lit(b * 104729L)) % lit(2147483647L))
-        .as(s"mh$b")
-    }
-    val sigw = hs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("c"), bandMins: _*)
-    val sig = sigw.select(col("doc_id"), col("c"), explode(array(
-        (1 to nBands).map(b => struct(lit(b).as("band"), col(s"mh$b").as("mh"))): _*)).as("bm"))
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val sigw = docs
+      .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
+      // null = no 3-shingles: the rows the explode form never emitted
+      .filter(col("sig").isNotNull)
+    val sig = sigw.select(col("doc_id"), col("sig").getItem(0).as("c"),
+        explode(array((1 to nBands).map(b =>
+          struct(lit(b).as("band"), col("sig").getItem(b).as("mh"))): _*)).as("bm"))
       .select(col("doc_id"), col("c"), col("bm.band").as("band"), col("bm.mh").as("mh"))
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
@@ -64,15 +63,32 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.c").as("ca"), col("b.c").as("cb"))
       .distinct()
-    // Plain equi-join on doc_id: the candidate-pair set grows with corpus
-    // size x duplication density, so broadcasting it would cap scale —
-    // AQE may still choose broadcast when the measured size is small.
-    val inter = shd.join(cand, col("doc_id") === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("s"))
-      .join(shd.select(col("doc_id").as("doc_b2"), col("s").as("s2")),
-        col("doc_b2") === col("doc_b") && col("s2") === col("s"))
-      .groupBy(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
+    // Exact verify on candidate docs only (left-semi prune first), via the
+    // inverted-index shape: join shingles on the shingle itself and count
+    // shared ones per doc pair, THEN restrict to candidate pairs. The
+    // pair-expansion alternative (join cand to the a-side shingles, match
+    // b-side per pair) multiplies the a-side by candidate-pairs-per-doc
+    // BEFORE matching — at the 100x probe's duplication density that is a
+    // ~325 M-row intermediate and 3x the runtime of this shape. Here the
+    // shingle join emits only MATCHING rows and the pair-count aggregation
+    // combines map-side; at low duplication density the semi prune keeps
+    // the explode candidate-sized, so this wins in both regimes.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shd = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+    val inter0 = shd.as("a").join(shd.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
+    // Plain equi-join with cand (attaches ca/cb and drops non-candidate
+    // co-shingle pairs): the candidate-pair set grows with corpus size x
+    // duplication density, so broadcasting it would cap scale — AQE may
+    // still choose broadcast when the measured size is small. Candidate
+    // pairs sharing zero shingles drop out of the inner shingle join in
+    // both shapes (their jaccard is 0 < 0.5 regardless).
+    val inter = inter0.join(cand, Seq("doc_a", "doc_b"))
     inter
       .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
       .filter(col("jaccard") >= 0.5)
