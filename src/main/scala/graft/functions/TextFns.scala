@@ -53,6 +53,15 @@ object TextFns {
     column(MinHashSigF(expression(text)))
   }
 
+  /** 32-bit Charikar SimHash in one map-side pass — the native codegen
+    * expression [[SimHashF]]. Value-identical to the explode + md5Hash32 +
+    * 32-conditional-sum groupBy chain (the DuckDB oracle's formulation)
+    * and to [[simHash32]]'s HOF form. */
+  def simhashNative(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(SimHashF(expression(text)))
+  }
+
   /** 32-bit SimHash over a token array. For each bit b, sum +1/-1 according
     * to bit b of each token's hash; bit set in the result when the sum is
     * positive. Duplicate tokens are weighted by their count (classic

@@ -148,24 +148,14 @@ object DedupQueries {
     }
   }
 
-  /** 32-bit Charikar SimHash per document. Explode form: one md5 per token,
-    * 32 conditional sums in one groupBy — the nested-HOF form
-    * (TextFns.simHash32) re-evaluates every token hash per bit (32x the md5
-    * work). */
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.loadSpread(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), TextFns.md5Hash32(col("tok")).as("hv"))
-    val bitVotes = (0 until 32).map { b =>
-      val p = 1L << b
-      sum(when((col("hv") / p).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    tok.groupBy(col("doc_id"))
-      .agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+  /** 32-bit Charikar SimHash per document — the native codegen expression
+    * [[graft.functions.SimHashF]]: one map-side pass per document, no
+    * token explode and no 32-conditional-sum aggregation exchange (the
+    * declarative form re-shuffled the corpus re-keyed one row per word;
+    * value parity is property-tested in `SimHashFSpec`). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), TextFns.simhashNative(col("text")).as("simhash"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
