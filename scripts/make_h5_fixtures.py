@@ -110,6 +110,13 @@ def dt_f32():
                        0, 32, 23, 8, 0, 23, 127)
 
 
+def dt_f16():
+    # class 1 float, v1; LE, IEEE half — an UNSUPPORTED width: datasets
+    # fail loudly, attributes must SKIP (never abort the file read)
+    return struct.pack('<B3sI2H4BI', 0x11, bytes([0x20, 0x0F, 0x00]), 2,
+                       0, 16, 10, 5, 0, 10, 15)
+
+
 def dt_i64():
     # class 0 fixed-point, signed LE
     return struct.pack('<B3sI2H', 0x10, bytes([0x08, 0x00, 0x00]), 8, 0, 64)
@@ -638,6 +645,9 @@ def make_v2(path: Path):
         (0x0C, attr_v3('label', dt_compound(3, 16, [
             member_v3('s', 0, dt_vlen_seq(), 1),
         ]), space_scalar(), bytes(16))),
+        # f16-typed attr: an unsupported FLOAT WIDTH must also skip the
+        # attribute, not abort the file (h5py writes np.float16 attrs)
+        (0x0C, attr_v3('half', dt_f16(), space_scalar(), bytes(2))),
     ])
 
     # nested compound: {t: f32 @0, pos: {x: f64, y: f64} @8} (size 24) —
@@ -1439,10 +1449,11 @@ def make_vds(outdir: Path):
     write_source('vds_blk_000001.h5', 100.0)
     # literal percent in an on-disk source name ('%%' escape target)
     write_source('vds%lit.h5', 200.0)
-    # literal '%d' name on disk (the %d-fallback target: scan0_a.h5 does
-    # NOT exist, so printf substitution misses at block 0 and the reader
-    # must retry the name literally)
+    # literal '%d' name on disk: the literal file is what libhdf5 would
+    # read, so it must take PRIORITY over substitution — scan0_a.h5 is a
+    # deliberate DECOY that a substitute-first reader would wrongly pick
     write_source('scan%d_a.h5', 300.0)
+    write_source('scan0_a.h5', 999.0)
     # a %d-spelled printf FAMILY that really exists (detector naming)
     write_source('vds_det_0.h5', 0.0)
     write_source('vds_det_1.h5', 100.0)

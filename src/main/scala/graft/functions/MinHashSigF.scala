@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -79,13 +76,11 @@ object MinHashSigF {
 
   /** One-pass signature; static so generated code can call it directly.
     * Returns null for documents with no 3-shingles (the rows the explode
-    * form never emits). */
+    * form never emits). Tokenize/hash via the shared [[TextHash]] core. */
   def compute(text: UTF8String): ArrayData = {
-    // UTF8String.trim strips 0x20 only — Spark's `trim`, not Java's
-    val toks = text.trim().toString.split("\\s+", -1)
+    val toks = TextHash.tokenize(text)
     if (toks.length < ShingleK) return null
     val seen = new java.util.HashSet[String]()
-    val md = MessageDigest.getInstance("MD5")
     val sb = new java.lang.StringBuilder
     var c = 0L
     val mins = Array.fill(NumBands)(Long.MaxValue)
@@ -97,10 +92,7 @@ object MinHashSigF {
       val sh = sb.toString
       if (seen.add(sh)) {
         c += 1
-        val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
-        md.reset()
-        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val h = TextHash.md5_32(sh)
         var b = 1
         while (b <= NumBands) {
           val v = (h * (1000003L + b * 7919L) + b * 104729L) % Mod

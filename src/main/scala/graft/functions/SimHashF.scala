@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -59,18 +56,14 @@ case class SimHashF(child: Expression) extends UnaryExpression {
 
 object SimHashF {
 
-  /** One-pass 32-bit SimHash; static so generated code calls it directly. */
+  /** One-pass 32-bit SimHash; static so generated code calls it directly.
+    * Tokenize/hash via the shared [[TextHash]] core. */
   def compute(text: UTF8String): Long = {
-    // UTF8String.trim strips 0x20 only — Spark's `trim`, not Java's
-    val toks = text.trim().toString.split("\\s+", -1)
+    val toks = TextHash.tokenize(text)
     val votes = new Array[Int](32)
-    val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < toks.length) {
-      val d = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
-      md.reset()
-      val h = (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)).toInt
+      val h = TextHash.md5_32(toks(i)).toInt
       var b = 0
       while (b < 32) {
         if (((h >>> b) & 1) == 1) votes(b) += 1 else votes(b) -= 1

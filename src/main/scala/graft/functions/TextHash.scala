@@ -1,0 +1,36 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The single shared tokenize/hash core behind the map-side signature
+  * expressions ([[MinHashSigF]], [[SimHashF]]): exactly one copy of the
+  * oracle-parity contract — `split(trim(text), "\\s+")` tokenization and
+  * the md5-hex-prefix 32-bit hash ([[TextFns.md5Hash32]]) — so the two
+  * expressions cannot drift apart, and one MessageDigest per thread
+  * instead of a provider lookup per row on the scan hot path. */
+private[functions] object TextHash {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** `split(trim(text), "\\s+")` — UTF8String.trim() strips 0x20 only
+    * (Spark's `trim` semantics, NOT Java's `String.trim`), then Java
+    * regex split with limit -1, the same regex engine Spark's `split`
+    * uses. An empty/whitespace-only input yields one empty token. */
+  def tokenize(text: UTF8String): Array[String] =
+    text.trim().toString.split("\\s+", -1)
+
+  /** First 8 hex chars of md5(s) as an unsigned 32-bit value in a Long —
+    * [[TextFns.md5Hash32]]'s column formulation, byte-exact. `digest()`
+    * leaves the instance reset for the next call. */
+  def md5_32(s: String): Long = {
+    val d = digest.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+}

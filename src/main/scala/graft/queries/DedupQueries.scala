@@ -72,7 +72,13 @@ object DedupQueries {
     // ~325 M-row intermediate and 3x the runtime of this shape. Here the
     // shingle join emits only MATCHING rows and the pair-count aggregation
     // combines map-side; at low duplication density the semi prune keeps
-    // the explode candidate-sized, so this wins in both regimes.
+    // the explode candidate-sized, so this wins in both regimes. Known
+    // trade: a shingle shared by m candidate docs contributes ~m^2/2 join
+    // rows (the d04 inverted-index hazard; the pair-expansion shape was
+    // immune to it but 3x slower overall) — AQE's skew split distributes
+    // a hot shingle's partition, and exact-Jaccard semantics need every
+    // shared shingle of a candidate pair, so a frequency cap would change
+    // results.
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shd = docs.join(candIds, Seq("doc_id"), "left_semi")

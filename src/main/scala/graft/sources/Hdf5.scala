@@ -163,11 +163,13 @@ object Hdf5 {
           be = (bits(0) & 0x01) != 0)
       case 1 =>
         // float byte order is bits 0 AND 6: 00 LE, 01 BE, 11 VAX.
-        // UnsupportedOperationException (not require) so a VAX-typed
-        // ATTRIBUTE skips like other unparseable attribute datatypes
+        // UnsupportedOperationException (not require) for BOTH unsupported
+        // shapes so a VAX-typed or f16/f128-typed ATTRIBUTE skips like
+        // other unparseable attribute datatypes (datasets stay loud)
         if ((bits(0) & 0x40) != 0)
           throw new UnsupportedOperationException("VAX-order float not supported")
-        require(size == 4 || size == 8, s"unsupported float width $size")
+        if (size != 4 && size != 8)
+          throw new UnsupportedOperationException(s"unsupported float width $size")
         bb.position(bb.position() + 12) // bit layout + exponent bias
         Flt(size, be = (bits(0) & 0x01) != 0)
       case 3 => Str(size)
@@ -1848,10 +1850,10 @@ object Hdf5 {
     * zero-padded width like `%06b`, and the `%d` spelling detector file
     * naming schemes use), `%%` is a literal percent. libhdf5 only ever
     * substitutes `%b`, so a name whose ONLY tokens are `%d` might equally
-    * be a literal file name containing a percent — those names try printf
-    * substitution first and fall back to literal resolution when the
-    * substituted block-0 file is missing (a `%b` anywhere disables the
-    * fallback: that spelling is unambiguous). */
+    * be a literal file name containing a percent — for those names the
+    * LITERAL file (libhdf5's own reading) takes priority and printf
+    * substitution runs only when no literal file resolves (a `%b`
+    * anywhere skips the literal probe: that spelling is unambiguous). */
   private val PrintfToken = "%%|%(0[0-9]+)?[bd]".r
 
   private def hasBlockPattern(s: String): Boolean =
@@ -2007,44 +2009,50 @@ object Hdf5 {
           val printf = hasBlockPattern(file) || hasBlockPattern(dsPath)
           vs match {
             case u: UnlimSel if printf =>
-              // printf-style open-ended mapping: substitute the block
-              // index into the source name and resolve until the first
-              // missing file (libhdf5's gap=0 iteration), clamped to the
-              // virtual dataset's current extent. A short stack leaves
-              // the remaining blocks as fill and surfaces the first
-              // missing source.
-              u.validate(dims, "virtual extent") // non-unlimited dims too
-              val cap = u.maxBlocks(dims)
-              val resolvedBefore = resolved
-              var k = 0L
-              var stop = false
-              while (k < cap && !stop) {
-                val f = substBlock(file, k)
-                readSource(f, substBlock(dsPath, k)) match {
-                  case None =>
-                    missing += f
-                    stop = true
-                  case Some((sdims, _, sraw)) =>
-                    ss.validate(sdims, s"source $f")
-                    require(ss.numElems(sdims) == u.blockElems,
-                      s"virtual mapping: source $f ${ss.numElems(sdims)} " +
-                        s"!= block ${u.blockElems} elements")
-                    copySpans(sraw, ss.spans(sdims), out,
-                      slabSpans(u.blockSlab(k), dims), esz)
-                    resolved += 1
-                }
-                k += 1
-              }
               // libhdf5 only substitutes %b; a name whose only tokens are
-              // %d may equally be a LITERAL name containing a percent. If
-              // even block 0 was missing under substitution, retry the
-              // name unsubstituted before recording the miss — this keeps
-              // detector-style %d families working while never fabricating
-              // sources for a literal-%d file that actually exists.
-              if (stop && k == 1 && resolved == resolvedBefore &&
-                  !hasBTok(file) && !hasBTok(dsPath)) {
-                missing -= substBlock(file, 0L)
+              // %d may equally be a LITERAL name containing a percent
+              // (accepting %d families is our deliberate extension for
+              // detector-style numeric stacks). The literal file is what
+              // libhdf5 itself would read, so for %d-only names LITERAL
+              // resolution takes priority — substitution never shadows an
+              // existing literal-%d file and only runs when none resolves.
+              val dOnly = !hasBTok(file) && !hasBTok(dsPath)
+              if (dOnly && readSource(unescapePercents(file),
+                  unescapePercents(dsPath)).isDefined) {
                 resolveLiteral(ss, u)
+              } else {
+                // printf-style open-ended mapping: substitute the block
+                // index into the source name and resolve until the first
+                // missing file (libhdf5's gap=0 iteration), clamped to the
+                // virtual dataset's current extent. A short stack leaves
+                // the remaining blocks as fill and surfaces the first
+                // missing source.
+                u.validate(dims, "virtual extent") // non-unlimited dims too
+                val cap = u.maxBlocks(dims)
+                var k = 0L
+                var stop = false
+                while (k < cap && !stop) {
+                  val f = substBlock(file, k)
+                  readSource(f, substBlock(dsPath, k)) match {
+                    case None =>
+                      // a %d-only family whose block 0 is missing has no
+                      // resolvable reading at all — record the LITERAL
+                      // name (libhdf5's view), never a fabricated one,
+                      // and never un-record another mapping's miss
+                      missing += (if (k == 0L && dOnly)
+                        unescapePercents(file) else f)
+                      stop = true
+                    case Some((sdims, _, sraw)) =>
+                      ss.validate(sdims, s"source $f")
+                      require(ss.numElems(sdims) == u.blockElems,
+                        s"virtual mapping: source $f ${ss.numElems(sdims)} " +
+                          s"!= block ${u.blockElems} elements")
+                      copySpans(sraw, ss.spans(sdims), out,
+                        slabSpans(u.blockSlab(k), dims), esz)
+                      resolved += 1
+                  }
+                  k += 1
+                }
               }
             case _ =>
               // a %b/%d token WITHOUT an unlimited selection is not a
@@ -2516,12 +2524,20 @@ object Hdf5 {
         case ArrayT(base, adims) =>
           // array member: each row carries a fixed-shape block; rows
           // concatenate to one f64 column with dims = dataset dims ++
-          // member dims (h5py's structured-dtype view of a subarray field)
+          // member dims (h5py's structured-dtype view of a subarray
+          // field). Each row's block is contiguous, so bulk-decode it —
+          // one copy + one buffer wrap per ROW, not per element (same
+          // rationale as decodeArrayF64's own doc)
           val per = adims.product
-          val vals = Array.tabulate(elems * per) { j =>
-            val at = (j / per) * cdt.size + m.offset + (j % per) * base.size
-            decodeF64(java.util.Arrays.copyOfRange(raw, at, at + base.size),
-              base, 0)
+          val vals = new Array[Double](elems * per)
+          var k = 0
+          while (k < elems) {
+            val at = k * cdt.size + m.offset
+            val block = decodeArrayF64(
+              java.util.Arrays.copyOfRange(raw, at, at + per * base.size),
+              base, per)
+            System.arraycopy(block, 0, vals, k * per, per)
+            k += 1
           }
           Node(mpath, dims ++ adims.map(_.toLong), None, None, None,
             Some(vals), Map.empty)

@@ -337,12 +337,12 @@ class Hdf5Spec extends SparkSpec {
     assert(!d.attrs.contains("virtual_missing_sources"))
   }
 
-  test("VDS: a %d-only printf name whose block 0 is missing falls back " +
-      "to the literal file name") {
-    // 'scan%d_a.h5' exists LITERALLY; 'scan0_a.h5' does not. libhdf5 only
-    // substitutes %b, so the %d spelling is ambiguous — substitution is
-    // tried first, and the block-0 miss triggers the literal retry. No
-    // fabricated 'scan0_a.h5' marker may survive.
+  test("VDS: a literal %d-only file takes priority over substitution — " +
+      "a same-named block-0 decoy never shadows it") {
+    // 'scan%d_a.h5' exists LITERALLY and a DECOY 'scan0_a.h5' (999-based
+    // values) exists too. libhdf5 only substitutes %b, so the literal
+    // file is what it would read: literal resolution runs first and the
+    // decoy must not be touched. No fabricated marker may survive.
     val d = vdsByPath("/entry/vdlit")
     assert(d.f32Data.map(_.toSeq).contains(
       (0 until 6).map(300.0f + _) ++ Seq.fill(6)(0.0f)))
@@ -555,6 +555,9 @@ class Hdf5Spec extends SparkSpec {
     // a compound attr whose MEMBER datatype doesn't even parse (vlen
     // string) is likewise skipped at the datatype-parse stage
     assert(!v2ByPath("/entry1/detector/mode").attrs.contains("label"))
+    // an f16-typed attr (unsupported float WIDTH, not just order) skips
+    // too — the dataset and file stay readable
+    assert(!v2ByPath("/entry1/detector/mode").attrs.contains("half"))
   }
 
   test("array datatypes (class 10) fold element dims into trailing dims") {
