@@ -227,7 +227,13 @@ object DedupQueries {
       val sh = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      // distinct-shingle count map-side (MinHashSigF slot 0) — the groupBy
+      // form re-shuffled the exploded frame just to count it; value parity
+      // with count-over-explode is MinHashSigFSpec's property
+      val cnt = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id"), col("sig").getItem(0).as("c"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
