@@ -163,6 +163,12 @@ def dt_vlen_seq():
     return struct.pack('<B3sI', 0x19, bytes([0x00, 0x00, 0x00]), 16) + dt_f32()
 
 
+def dt_objref(rtype=0, size=8):
+    # class 7 reference, v1; bits[0] low nibble = reference type
+    # (0 = H5R_OBJECT: an 8-byte object-header address into this file)
+    return struct.pack('<B3sI', 0x17, bytes([rtype, 0x00, 0x00]), size)
+
+
 def space_scalar():
     return struct.pack('<4B4x', 1, 0, 0, 0)
 
@@ -1698,33 +1704,121 @@ def make_vds(outdir: Path):
     finish_v2(fv, group_v2(fv, {'vstr': dsv}), outdir / 'vds_vlen_master.h5')
 
 
-def make_bad_swizzle(path: Path):
-    """A 2-D dataset whose UNLIMITED dimension is dim 1 (not dim 0) with an
-    Extensible Array chunk index. libhdf5 would have swizzled the chunk
-    coordinates before linearizing (H5VM_swizzle_coords); the reader does
-    not implement the swizzle and must fail loudly, never scramble data."""
+def make_swizzle(path: Path):
+    """Extensible-array chunk indexes whose UNLIMITED dimension is dim 1
+    (not dim 0): libhdf5 swizzles chunk coordinates so the unlimited dim
+    is slowest-varying before linearizing (H5VM_swizzle_coords). swz has
+    a 1x3 chunk grid (the linear order happens to match row-major — the
+    placement itself is what's checked); swz2 has a 2x3 grid whose
+    swizzled linear order genuinely differs from row-major enumeration,
+    so a reader without the swizzle scrambles chunk placement."""
     f = FileBuf()
     f.alloc(48)
-    # maxdims: [4, UNLIMITED]
-    space = struct.pack('<4B4x', 1, 2, 1, 0)
-    space += struct.pack('<QQ', 4, 6)
-    space += struct.pack('<QQ', 4, UNDEF)
-    raw = b''.join(struct.pack('<f', float(i)) for i in range(24))
-    entries = [(f.append(raw[i * 8:(i + 1) * 8]), 8, 0) for i in range(3)]
-    ds = object_header_v2(f, [
-        (0x01, space),
+
+    def space_unlim1(dims):
+        # maxdims stored, dim 1 unlimited
+        body = struct.pack('<4B4x', 1, len(dims), 1, 0)
+        body += b''.join(struct.pack('<Q', d) for d in dims)
+        body += struct.pack('<QQ', dims[0], UNDEF)
+        return body
+
+    # swz: [4,6] f32, chunk [4,2] -> grid 1x3; swizzled grid (3,1) walks
+    # the same 0,1,2 order; chunk i holds values i*8 + r*2 + cc row-major
+    entries = []
+    for i in range(3):
+        chunk = b''.join(struct.pack('<f', float(i * 8 + r * 2 + cc))
+                         for r in range(4) for cc in range(2))
+        entries.append((f.append(chunk), 32, 0))
+    swz = object_header_v2(f, [
+        (0x01, space_unlim1([4, 6])),
         (0x03, dt_f32()),
         (0x08, layout_v4_ext_array(ext_array(f, entries, filtered=False),
                                    [4, 2])),
     ])
-    root = group_v2(f, {'badswz': ds})
-    sb = bytearray()
-    sb += bytes([0x89]) + b'HDF' + bytes([0x0D, 0x0A, 0x1A, 0x0A])
-    sb += struct.pack('<4B', 3, 8, 8, 0)
-    sb += struct.pack('<QQQQ', 0, UNDEF, len(f.buf), root)
-    sb += struct.pack('<I', lookup3(bytes(sb)))
-    f.write(0, bytes(sb))
-    path.write_bytes(bytes(f.buf))
+
+    # swz2: [4,6] f32, chunk [2,2] -> grid 2x3; array element i holds the
+    # chunk at swizzled coords (col_chunk, row_chunk) = (i // 2, i % 2)
+    vals, _ = f32_grid(4, 6)
+    entries2 = []
+    for i in range(6):
+        cc, rc = i // 2, i % 2
+        chunk = b''.join(struct.pack('<f', vals[r * 6 + c])
+                         for r in range(rc * 2, rc * 2 + 2)
+                         for c in range(cc * 2, cc * 2 + 2))
+        entries2.append((f.append(chunk), 16, 0))
+    swz2 = object_header_v2(f, [
+        (0x01, space_unlim1([4, 6])),
+        (0x03, dt_f32()),
+        (0x08, layout_v4_ext_array(ext_array(f, entries2, filtered=False),
+                                   [2, 2])),
+    ])
+    finish_v2(f, group_v2(f, {'swz': swz, 'swz2': swz2}), path)
+
+
+def make_objref(path: Path):
+    """Scalar object references (datatype class 7, rtype 0): /refs/to_ds
+    and /refs/to_grp resolve to the referenced object's PATH, a zero
+    address reads as '' (null reference, h5py's None), and an address
+    that is no visited object header surfaces the unresolved_object_ref
+    marker. The reference-typed ATTRIBUTE on the target must be SKIPPED
+    (opaque metadata), never abort the read."""
+    f = FileBuf()
+    f.alloc(48)
+    t_raw = f.append(struct.pack('<d', 42.0))
+    target = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(t_raw, 8)),
+        (0x0C, attr_v3('refattr', dt_objref(), space_scalar(),
+                       struct.pack('<Q', 0))),
+    ])
+    grp = group_v2(f, {'target': target})
+
+    def ref_ds(addr):
+        raw = f.append(struct.pack('<Q', addr))
+        return object_header_v2(f, [
+            (0x01, space_scalar()),
+            (0x03, dt_objref()),
+            (0x08, layout_contiguous(raw, 8)),
+        ])
+
+    refs = group_v2(f, {
+        'to_ds': ref_ds(target),
+        'to_grp': ref_ds(grp),
+        'to_null': ref_ds(0),
+        'to_nowhere': ref_ds(t_raw),  # raw-data bytes, not an object header
+    })
+    finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
+
+
+def make_bad_regionref(path: Path):
+    """A dataset-region reference (rtype 1) dataset — element selections
+    live in a global-heap block the reader does not decode; must fail
+    loudly, never decode the heap id as data."""
+    f = FileBuf()
+    f.alloc(48)
+    raw = f.append(bytes(12))
+    ds = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_objref(rtype=1, size=12)),
+        (0x08, layout_contiguous(raw, 12)),
+    ])
+    finish_v2(f, group_v2(f, {'region': ds}), path)
+
+
+def make_bad_refarray(path: Path):
+    """An object-reference ARRAY dataset — scalar-only policy (same as
+    strings): keeping element 0 silently would be an undetectable partial
+    read, so it must fail loudly."""
+    f = FileBuf()
+    f.alloc(48)
+    raw = f.append(struct.pack('<3Q', 0, 0, 0))
+    ds = object_header_v2(f, [
+        (0x01, space_simple([3])),
+        (0x03, dt_objref()),
+        (0x08, layout_contiguous(raw, 24)),
+    ])
+    finish_v2(f, group_v2(f, {'refarr': ds}), path)
 
 
 def make_str_array(path: Path):
@@ -2791,7 +2885,10 @@ if __name__ == '__main__':
     make_bigendian(out / 'mouse_bigendian.h5')
     make_bad_vax(out / 'bad_vax.h5')
     make_bad_fletcher(out / 'bad_fletcher.h5')
-    make_bad_swizzle(out / 'bad_swizzle.h5')
+    make_swizzle(out / 'swizzle.h5')
+    make_objref(out / 'objref.h5')
+    make_bad_regionref(out / 'bad_regionref.h5')
+    make_bad_refarray(out / 'bad_refarray.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
     make_vds(out / 'extlink')

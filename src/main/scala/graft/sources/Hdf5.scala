@@ -30,11 +30,14 @@ import scala.collection.mutable
   *    `<path>/<member>` child
   *    node; enums over integer bases, read as the base type like h5py;
   *    array datatypes (class 10) over fixed/float bases, folded into
-  *    trailing dims), data layout v3
+  *    trailing dims; scalar object references (class 7 rtype 0), read as
+  *    the referenced object's path string), data layout v3
   *    (compact, contiguous, chunked + v1 B-tree) and v4 (chunked with ALL
   *    FIVE index types: Single Chunk, Implicit, Fixed Array, Extensible
   *    Array — every addressing tier incl. paged data blocks with MSB-first
-  *    page-init bitmasks — and v2 B-tree chunk records at any depth) plus
+  *    page-init bitmasks, with H5VM_swizzle_coords chunk ordering when the
+  *    unlimited dimension is not dim 0 — and v2 B-tree chunk records at
+  *    any depth) plus
   *    virtual (VDS) storage assembled from sibling source files — regular
   *    and irregular hyperslab, point (v1 u32 and v2 variable-width
   *    HDF5 1.12+ encodings), strided, multi-block and ALL
@@ -65,16 +68,19 @@ import scala.collection.mutable
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
   * non-standard float widths);
-  * reference types; enums over non-integer bases;
-  * extensible arrays whose unlimited
-  * dimension is not dim 0 (libhdf5 swizzles coordinates there);
+  * region references (rtype 1) and the revised H5T_STD_REF token forms
+  * (rtype 2+) — scalar OBJECT references (rtype 0) ARE supported,
+  * resolving to the referenced object's path, with null references
+  * reading as '' and dangling addresses surfacing a marker attribute;
+  * enums over non-integer bases;
   * overlapping multi-block selection unions (malformed — libhdf5
   * normalizes unions to disjoint blocks before serializing);
-  * and virtual datasets over vlen-string (or vlen-member compound)
-  * datatypes — their global-heap references are not portable across
-  * files. Array-typed and compound-typed ATTRIBUTES are skipped as
-  * opaque metadata (loud failure is reserved for dataset datatypes,
-  * where data would be misread).
+  * and virtual datasets over vlen-string, object-reference or
+  * vlen-member-compound datatypes — their heap/address references are
+  * not portable across files. Array-typed, compound-typed and
+  * reference-typed ATTRIBUTES are skipped as opaque metadata (loud
+  * failure is reserved for dataset datatypes, where data would be
+  * misread).
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -129,6 +135,9 @@ object Hdf5 {
   private case class Flt(size: Int, be: Boolean = false) extends DType
   private case class Str(size: Int) extends DType
   private case object VlenStr extends DType { val size = 16 }
+  /** Object reference (class 7, rtype 0): an 8-byte object-header address
+    * into THIS file, resolved post-walk to the referenced object's path. */
+  private case class ObjRef(size: Int) extends DType
   private case class Member(name: String, offset: Int, dt: DType)
   private case class Compound(size: Int, members: Seq[Member]) extends DType
 
@@ -274,6 +283,17 @@ object Hdf5 {
         require(size == base.size * adims.product,
           s"array datatype size $size != ${base.size}x${adims.mkString("x")}")
         ArrayT(base, adims)
+      case 7 =>
+        // reference: bits 0-3 = rtype. Only 0 (H5R_OBJECT, an 8-byte
+        // object-header address into this file) is supported; region
+        // references (1) select elements via a global-heap block and the
+        // revised H5T_STD_REF forms (2+, HDF5 1.12) are opaque tokens —
+        // both fail loudly rather than decode addresses as data
+        val rtype = bits(0) & 0x0F
+        if (rtype != 0) throw new UnsupportedOperationException(
+          s"reference datatype rtype $rtype not supported (object references only)")
+        require(size == 8, s"object reference size $size (8-byte offsets only)")
+        ObjRef(size)
       case other =>
         throw new UnsupportedOperationException(s"datatype class $other not supported")
     }
@@ -1165,21 +1185,38 @@ object Hdf5 {
       case 4 => // Extensible Array: EAHD -> EAIB (+EASB/EADB) elements
         // libhdf5 swizzles chunk coordinates so the single unlimited
         // dimension becomes the SLOWEST-varying before linearizing
-        // (H5Dearray.c H5D__earray_idx_... via H5VM_swizzle_coords).
-        // Our row-major gridOffsets is only correct when that dimension
-        // is already dim 0 — the detector-stack case this index targets.
-        // Anything else would silently scramble chunk placement, so fail.
+        // (H5Dearray.c H5D__earray_idx_* via H5VM_swizzle_coords): array
+        // element i enumerates row-major over the grid with the unlimited
+        // dimension moved to the front, and the coordinates swizzle back
+        // for placement. When the unlimited dim IS dim 0 (the detector
+        // append-mode stack), this degenerates to plain gridOffsets.
         val unlim = maxdims.indices.filter(maxdims(_) == UNDEF)
-        require(unlim.isEmpty || unlim == Seq(0),
-          s"extensible-array chunk index with unlimited dimension at " +
-            s"${unlim.mkString(",")} (only dim 0 supported: libhdf5 " +
-            "swizzles coordinates for other dims)")
+        require(unlim.size <= 1,
+          s"extensible-array chunk index with ${unlim.size} unlimited " +
+            "dimensions (libhdf5 uses a v2 B-tree index for more than one)")
+        val u = unlim.headOption.getOrElse(0)
+        val swizGrid = gridDims(u) +: (gridDims.take(u) ++ gridDims.drop(u + 1))
+        def swizOffsets(i: Int): Seq[Long] = {
+          var rem = i
+          val sc = new Array[Int](rank)
+          var d = rank - 1
+          while (d >= 0) { sc(d) = rem % swizGrid(d); rem /= swizGrid(d); d -= 1 }
+          val real = new Array[Long](rank)
+          real(u) = sc(0).toLong * chunkDims(u)
+          var j = 1
+          var dd = 0
+          while (dd < rank) {
+            if (dd != u) { real(dd) = sc(j).toLong * chunkDims(dd); j += 1 }
+            dd += 1
+          }
+          real.toSeq
+        }
         bb.position(bb.position() + 5) // cparams: the header repeats them
         val addr = u64(bb)
         if (addr == UNDEF) return None
         readExtensibleArray(bytes, addr, nChunks, chunkBytes).zipWithIndex
           .collect { case ((a, n, m), i) if a != UNDEF =>
-            ChunkRef(gridOffsets(i), a, n, m)
+            ChunkRef(swizOffsets(i), a, n, m)
           }
 
       case 5 => // v2 B-tree: BTHD -> BTLF chunk records (scaled offsets)
@@ -1917,13 +1954,14 @@ object Hdf5 {
     // strings or a decode failure, never detectable from the bytes alone.
     def heapRefs(t: DType): Boolean = t match {
       case VlenStr => true
+      case _: ObjRef => true // object-header addresses: equally file-local
       case Compound(_, ms) => ms.exists(m => heapRefs(m.dt))
       case ArrayT(base, _) => heapRefs(base)
       case _ => false
     }
     if (heapRefs(dt)) throw new UnsupportedOperationException(
-      "virtual dataset over vlen-string (or vlen-member compound) " +
-        "datatype: global-heap references are not portable across files")
+      "virtual dataset over vlen-string, object-reference (or vlen-member " +
+        "compound) datatype: heap/address references are not portable across files")
     val blk = gcolObject(bytes, heapAddr, heapIdx).getOrElse(
       throw new IllegalArgumentException("virtual storage heap block missing"))
     val vb = ByteBuffer.wrap(blk).order(ByteOrder.LITTLE_ENDIAN)
@@ -2217,8 +2255,10 @@ object Hdf5 {
     // bytes on disk — reading dt.size bytes would decode padding as a value.
     // Compound-typed attrs are opaque metadata for our reads — skipped,
     // not a file-aborting failure (same scalar-attrs-only policy).
+    // Reference-typed attrs are also skipped: attribute values surface as
+    // strings and the address->path map is not available at attribute time.
     if (isNull || dims.product != 1 || dt.isInstanceOf[Compound] ||
-      dt.isInstanceOf[ArrayT]) return None
+      dt.isInstanceOf[ArrayT] || dt.isInstanceOf[ObjRef]) return None
     val data = take(bb, dt.size)
     val value = dt match {
       case Str(_) | VlenStr => decodeString(bytes, data, dt)
@@ -2295,9 +2335,14 @@ object Hdf5 {
     val datasetCache =
       mutable.Map.empty[Long, (Node, (Seq[Long], DType, Option[Array[Byte]]))]
     val softLinks = mutable.ArrayBuffer.empty[(String, String)] // alias -> target
+    // first path seen per object-header address — the canonical name an
+    // object reference resolves to (libhdf5's H5Rget_name also returns
+    // one arbitrary-but-stable path for a multiply-hard-linked object)
+    val addrToPath = mutable.Map.empty[Long, String]
 
     def visit(addr: Long, path: String, ancestors: List[Long]): Unit = {
       if (addr == UNDEF || ancestors.contains(addr)) return
+      addrToPath.getOrElseUpdate(addr, path)
       val msgs = headerCache.getOrElseUpdate(addr, parseObjectHeader(bytes, addr))
       val byType = msgs.groupBy(_.mtype)
       val links =
@@ -2371,6 +2416,27 @@ object Hdf5 {
     }
 
     visit(rootAddr, "", Nil)
+
+    // Resolve object-reference datasets to the referenced object's path,
+    // now that every address has been walked (forward references are
+    // legal). Runs BEFORE soft-link aliasing so alias copies inherit the
+    // resolved value. A dangling address (never an object header we
+    // visited) becomes a marker attribute — inspectable, never silent.
+    var ri = 0
+    while (ri < nodes.length) {
+      val n = nodes(ri)
+      n.attrs.get("object_ref_addr").foreach { a =>
+        val refAddr = a.toLong
+        nodes(ri) = addrToPath.get(refAddr) match {
+          case Some(p) =>
+            n.copy(scalarStr = Some(if (p.isEmpty) "/" else p),
+              attrs = n.attrs - "object_ref_addr")
+          case None => n.copy(attrs = n.attrs - "object_ref_addr" +
+            ("unresolved_object_ref" -> refAddr.toString))
+        }
+      }
+      ri += 1
+    }
 
     // Resolve soft links to alias nodes. Targets may be absolute or
     // relative to the link's parent group and may point at groups (alias
@@ -2483,6 +2549,16 @@ object Hdf5 {
             // dataset node itself carries the member list for discovery
             empty.copy(attrs = attrs +
               ("compound_members" -> c.members.map(_.name).mkString(",")))
+          case ObjRef(_) =>
+            // scalar only, same policy as strings: silently keeping element
+            // 0 of a reference ARRAY would be an undetectable partial read
+            if (elems > 1) throw new UnsupportedOperationException(
+              s"object-reference ARRAY dataset ($elems elements) not supported at $path")
+            val addr = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN).getLong(0)
+            if (addr == 0L || addr == UNDEF)
+              empty.copy(scalarStr = Some("")) // null reference, h5py's None
+            else // resolved to a path AFTER the walk (forward refs are legal)
+              empty.copy(attrs = attrs + ("object_ref_addr" -> addr.toString))
           case _ if elems == 1 =>
             empty.copy(scalarF64 = Some(decodeF64(data, dt, 0)))
           case Flt(4, _) =>

@@ -583,13 +583,51 @@ class Hdf5Spec extends SparkSpec {
     assert(e2.getMessage.contains("string ARRAY"))
   }
 
-  test("extensible array with unlimited dim != 0 fails loudly (no swizzle)") {
+  test("extensible array with unlimited dim != 0 swizzles chunk order") {
     // libhdf5 swizzles chunk coords so the unlimited dim is slowest before
-    // linearizing; reading without the swizzle would scramble chunks
-    val e = intercept[IllegalArgumentException] {
-      Hdf5.read(fixture("bad_swizzle.h5"))
+    // linearizing (H5VM_swizzle_coords); placement must unswizzle.
+    val nodes = Hdf5.read(fixture("swizzle.h5"))
+    // swz: 1x3 grid — linear order matches row-major, placement checked:
+    // chunk i covers all 4 rows, cols 2i..2i+2, values i*8 + r*2 + cc
+    val swz = nodes.find(_.path == "/swz").get
+    assert(swz.dims == Seq(4L, 6L))
+    val a = swz.f32Data.get
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert(a(r * 6 + c) == ((c / 2) * 8 + r * 2 + (c % 2)).toFloat,
+        s"swz($r,$c)")
+    // swz2: 2x3 grid — swizzled element order (col-chunk major) genuinely
+    // differs from row-major; expect the plain f32_grid values
+    val swz2 = nodes.find(_.path == "/swz2").get
+    val b = swz2.f32Data.get
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert(b(r * 6 + c) == (r * 6 + c).toFloat, s"swz2($r,$c)")
+  }
+
+  test("scalar object references resolve to the referenced object's path") {
+    val nodes = Hdf5.read(fixture("objref.h5"))
+    def at(p: String) = nodes.find(_.path == p).get
+    assert(at("/refs/to_ds").scalarStr.contains("/grp/target"))
+    assert(at("/refs/to_grp").scalarStr.contains("/grp"))
+    // zero address = null reference (h5py's None) -> '' default
+    assert(at("/refs/to_null").scalarStr.contains(""))
+    // an address that is no visited object header: marker, never silent
+    val nowhere = at("/refs/to_nowhere")
+    assert(nowhere.scalarStr.isEmpty)
+    assert(nowhere.attrs.contains("unresolved_object_ref"))
+    // the reference-typed ATTRIBUTE is skipped as opaque metadata
+    assert(!at("/grp/target").attrs.contains("refattr"))
+    assert(at("/grp/target").scalarF64.contains(42.0))
+  }
+
+  test("region references and reference arrays fail loudly") {
+    val e1 = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("bad_regionref.h5"))
     }
-    assert(e.getMessage.contains("unlimited dimension"))
+    assert(e1.getMessage.contains("rtype 1"))
+    val e2 = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("bad_refarray.h5"))
+    }
+    assert(e2.getMessage.contains("object-reference ARRAY"))
   }
 
   test("end to end: binaryFile scan -> tree table -> typed reads (S3-S6)") {
