@@ -2564,12 +2564,13 @@ def fractal_heap_links_deep(f: FileBuf, link_bodies):
     return hdr_addr, btree_addr
 
 
-def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate'):
+def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate',
+                    partial_mask=0):
     """Attribute Info (0x15) message body with DENSE storage: attribute
     messages in a single-direct-block fractal heap, name-indexed by a
     type-8 v2 B-tree (8-byte heap ID, message flags, creation order,
     hash). With filtered=True the direct block is one filtered stream and
-    huge objects are each their own filtered stream indexed by TYPE-2
+    huge objects are each their own filtered stream indexed by TYPE-4
     records (addr, filtered length, mask, memory size, id); `chain`
     selects the pipeline: 'deflate' alone, or 'szf' = shuffle + deflate
     + fletcher32 (checksum over the compressed stream, write order).
@@ -2579,13 +2580,19 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate'):
     len_size = min(off_size, (max_man.bit_length() + 7) // 8)
     heap_id_len = 8  # attribute heaps use the fixed 8-byte ID form
 
-    def encode_stream(data):
+    def encode_stream(data, mask=0):
+        """Apply the pipeline, skipping stages whose mask bit is set
+        (libhdf5 records a skipped OPTIONAL filter this way)."""
         if not filtered:
             return data
         if chain == 'szf':
-            s = zlib.compress(shuffle_bytes(data, 4), 6)
-            return s + struct.pack('<I', fletcher32(s))
-        return zlib.compress(data, 6)
+            s = data if mask & 1 else shuffle_bytes(data, 4)
+            if not mask & 2:
+                s = zlib.compress(s, 6)
+            if not mask & 4:
+                s = s + struct.pack('<I', fletcher32(s))
+            return s
+        return data if mask & 1 else zlib.compress(data, 6)
 
     pline = b''
     if filtered:
@@ -2606,7 +2613,7 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate'):
             # huge: own stream in the file, indexed by the huge b-tree
             hid = struct.pack('<B', 0x10)
             hid += (len(huge_recs) + 1).to_bytes(heap_id_len - 1, 'little')
-            stored = encode_stream(ab)
+            stored = encode_stream(ab, partial_mask)
             huge_recs.append((f.append(stored), len(stored), len(ab),
                               len(huge_recs) + 1))
         else:
@@ -2618,17 +2625,22 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate'):
     used = len(body)
     assert used <= start_size, "fixture attr heap overflows one direct block"
     full = body + b'\0' * (start_size - used)
-    zfull = encode_stream(full)
+    zfull = encode_stream(full, partial_mask)
     dblock_addr = f.append(zfull)
 
     huge_btree = UNDEF
     if huge_recs:
-        rtype = 2 if filtered else 1
+        # 8-byte heap IDs cannot embed (addr, length), so libhdf5 stores
+        # huge objects INDIRECTLY: B-tree record type 3 (unfiltered) or
+        # 4 (filtered), the ID-bearing layouts. Types 1/2 are the
+        # directly-accessed (ID-embedded) forms, impossible here.
+        rtype = 4 if filtered else 3
         leaf = b'BTLF' + struct.pack('<BB', 0, rtype)
         for a, stored_ln, mem_ln, i in huge_recs:
-            if filtered:  # type-2: addr, filt len, mask, memory size, id
-                leaf += struct.pack('<QQIQQ', a, stored_ln, 0, mem_ln, i)
-            else:  # type-1: addr, length, id
+            if filtered:  # type-4: addr, filt len, mask, memory size, id
+                leaf += struct.pack('<QQIQQ', a, stored_ln, partial_mask,
+                                    mem_ln, i)
+            else:  # type-3: addr, length, id
                 leaf += struct.pack('<QQQ', a, stored_ln, i)
         leaf += struct.pack('<I', lookup3(leaf))
         leaf_addr = f.append(leaf)
@@ -2665,7 +2677,7 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate'):
     hdr += struct.pack('<HH', max_bits, 0)
     hdr += struct.pack('<QH', dblock_addr, 0)
     if filtered:
-        hdr += struct.pack('<QI', len(zfull), 0) + pline
+        hdr += struct.pack('<QI', len(zfull), partial_mask) + pline
     hdr += struct.pack('<I', lookup3(hdr))
     f.write(hdr_addr, hdr)
     return struct.pack('<BB', 0, 0) + struct.pack('<QQ', hdr_addr, btree_addr)
@@ -2771,7 +2783,7 @@ def make_dense(path: Path):
     ])
 
     # FILTERED dense attributes: compressed attribute heap plus a >4 KB
-    # blob stored as its own deflate stream behind a TYPE-2 huge record
+    # blob stored as its own deflate stream behind a TYPE-4 huge record
     raw2 = f.append(struct.pack('<d', 43.0))
     attr_bodies2 = [(f'z{i:02d}',
                      attr_v3(f'z{i:02d}', dt_str(4), space_scalar(),
@@ -2787,7 +2799,7 @@ def make_dense(path: Path):
 
     # full classic pipeline on the attribute heap: shuffle + deflate +
     # fletcher32 — exercises the multi-stage per-stage target sizes on
-    # BOTH the managed direct block and the type-2 huge-object stream
+    # BOTH the managed direct block and the type-4 huge-object stream
     raw3 = f.append(struct.pack('<d', 44.0))
     attr_bodies3 = [(f'k{i:02d}',
                      attr_v3(f'k{i:02d}', dt_str(4), space_scalar(),
@@ -2801,10 +2813,28 @@ def make_dense(path: Path):
         (0x15, attr_info_dense(f, attr_bodies3, filtered=True, chain='szf')),
     ])
 
+    # PARTIALLY-filtered heap: deflate (an optional filter) skipped at
+    # write time for both the direct block and the huge stream — the
+    # stored streams are shuffle+fletcher32 only, filter mask bit 1 set
+    # in the heap header and in the type-4 huge record
+    raw4 = f.append(struct.pack('<d', 45.0))
+    attr_bodies4 = [(f'p{i:02d}',
+                     attr_v3(f'p{i:02d}', dt_str(4), space_scalar(),
+                             f't{i:02d}\x00'.encode())) for i in range(5)]
+    attr_bodies4.append(('pblob', attr_v3('pblob', dt_str(5200),
+                                          space_scalar(),
+                                          b'r' * 5199 + b'\x00')))
+    manyattrs4 = object_header_v2(f, [
+        (0x01, space_scalar()), (0x03, dt_f64()),
+        (0x08, layout_contiguous(raw4, 8)),
+        (0x15, attr_info_dense(f, attr_bodies4, filtered=True, chain='szf',
+                               partial_mask=2)),
+    ])
+
     entry = group_v2(f, {'data': data, 'data2': data2, 'data3': data3,
                          'data4': data4, 'data5': data5,
                          'manyattrs': manyattrs, 'manyattrs2': manyattrs2,
-                         'manyattrs3': manyattrs3})
+                         'manyattrs3': manyattrs3, 'manyattrs4': manyattrs4})
     finish_v2(f, group_v2(f, {'entry': entry}), path)
 
 

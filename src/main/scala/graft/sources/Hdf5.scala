@@ -16,9 +16,13 @@ import scala.collection.mutable
   *  - superblock v0 (old-style: v1 object headers, symbol-table groups) and
   *    v2/v3 (OHDR v2 object headers, compact link-message groups); dense
   *    groups (fractal-heap link storage, direct- and indirect-rooted, with
-  *    the v2-B-tree name index, huge-object B-trees, dense attributes,
+  *    the v2-B-tree name index, indirectly-accessed huge objects
+  *    (v2-B-tree record types 3/4 — the only forms reachable through the
+  *    fixed 8-byte link/attr heap IDs), dense attributes,
   *    and FILTERED heaps — direct blocks stored as compressed streams,
-  *    decoded through the same six-filter chain as chunk data)
+  *    decoded through the same six-filter chain as chunk data, honoring
+  *    per-block/per-object filter masks for optional stages skipped at
+  *    write time)
   *  - object header messages: dataspace (v1/v2, incl. maxdims), datatype
   *    (fixed-point and IEEE float in either byte order — big-endian
   *    conversion-tool outputs decode through an order-aware buffer —
@@ -61,9 +65,9 @@ import scala.collection.mutable
   *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * partially-filtered heap blocks and huge objects (nonzero filter
-  * mask) and indirectly-accessed huge objects (v2-B-tree record types
-  * 3/4);
+  * directly-accessed huge heap objects (v2-B-tree record types 1/2 —
+  * they require ≥17-byte heap IDs, impossible for the fixed 8-byte
+  * link/attr form, so no real file shape reaches them);
   * filters beyond the six above, and chains
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
@@ -490,19 +494,25 @@ object Hdf5 {
       lenSize: Int, heapIdLen: Int, hugeBtree: Long,
       filters: Seq[H5Filter] = Nil)
 
-  /** Resolve an object ID from a fractal heap's huge-object v2 B-tree:
-    * record type 1 (address + length + ID, stored bare) for unfiltered
-    * heaps, type 2 (address + filtered length + filter mask + memory
-    * size + ID, one filtered stream per object) for filtered ones.
-    * Types 3/4 (indirectly accessed) stay loud-fail via the
-    * expected-type check. */
+  /** Resolve an object ID from a fractal heap's huge-object v2 B-tree.
+    * Link/attr heaps use the fixed 8-byte heap-ID form, too small to embed
+    * an (address, length) pair, so libhdf5 always stores their huge
+    * objects INDIRECTLY: record type 3 (address + length + ID, stored
+    * bare) for unfiltered heaps, type 4 (address + filtered length +
+    * filter mask + memory size + ID, one filtered stream per object) for
+    * filtered ones. A nonzero per-object filter mask marks pipeline
+    * stages skipped at write time (an optional filter that grew the
+    * data) and disables exactly those stages, as on chunks. Types 1/2
+    * (directly accessed — the heap ID itself carries address + length,
+    * needing ≥17 ID bytes) stay loud-fail via the expected-type check;
+    * see [[heapObjectAt]]. */
   private def hugeObjectAt(bytes: Array[Byte], heap: FHeap,
       id: Long): (Array[Byte], Int) = {
     require(heap.hugeBtree != UNDEF, "huge heap ID with no huge-object b-tree")
-    val expected = if (heap.filters.isEmpty) 1 else 2
+    val expected = if (heap.filters.isEmpty) 3 else 4
     val (_, _, recs) = btree2Records(bytes, heap.hugeBtree, Set(expected))
     recs.collectFirst(Function.unlift { rb =>
-      if (expected == 1) {
+      if (expected == 3) {
         val a = u64(rb)
         u64(rb) // length — the stored messages are self-delimiting
         if (u64(rb) == id) Some((bytes, a.toInt)) else None
@@ -513,10 +523,11 @@ object Hdf5 {
         val memSize = u64(rb)
         if (u64(rb) != id) None
         else {
-          require(mask == 0L,
-            "partially-filtered huge heap object (nonzero filter mask)")
+          val active = heap.filters.zipWithIndex.collect {
+            case (f, i) if (mask & (1L << i)) == 0 => f
+          }
           Some((defilter(bytes.slice(a.toInt, (a + filtLen).toInt),
-            memSize.toInt, heap.filters, 1), 0))
+            memSize.toInt, active, 1), 0))
         }
       }
     }).getOrElse(
@@ -534,7 +545,16 @@ object Hdf5 {
         val objOff = readUIntN(rb, heap.offSize)
         readUIntN(rb, heap.lenSize) // length; stored messages self-delimit
         heap.objectAt(objOff)
-      case 1 => // huge: ID into the huge-object b-tree
+      case 1 => // huge
+        // libhdf5 embeds (address, length) in the heap ID itself —
+        // "directly accessed", B-tree record types 1/2 — only when the ID
+        // is wide enough (≥ 1+8+8 bytes unfiltered, ≥ 1+8+8+4+8
+        // filtered). Link/attr heaps fix the ID at 8 bytes, so their huge
+        // objects are always INDIRECT: the ID bytes hold a sequential
+        // huge-object ID resolved through the type-3/4 B-tree.
+        val directLen = 1 + 8 + 8 + (if (heap.filters.isEmpty) 0 else 4 + 8)
+        require(heap.heapIdLen < directLen,
+          s"directly-accessed huge heap ID (${heap.heapIdLen}-byte IDs)")
         hugeObjectAt(bytes, heap, readUIntN(rb, heap.heapIdLen - 1))
       case t =>
         throw new UnsupportedOperationException(s"tiny heap ID type $t")
@@ -571,13 +591,12 @@ object Hdf5 {
     val curRows = u16(hb)
     // filtered heap: filtered-root-direct-block size + filter mask +
     // the encoded Filter Pipeline message (H5HF__hdr_decode order)
-    val (rootFilteredSize, filters) =
-      if (filterLen == 0) (0L, Seq.empty[H5Filter])
+    val (rootFilteredSize, rootFilterMask, filters) =
+      if (filterLen == 0) (0L, 0L, Seq.empty[H5Filter])
       else {
         val sz = u64(hb)
-        require(u32(hb) == 0L,
-          "partially-filtered root direct block (nonzero filter mask)")
-        (sz, parseFilters(bytes, hb.position()))
+        val mask = u32(hb)
+        (sz, mask, parseFilters(bytes, hb.position()))
       }
     require(rootAddr != UNDEF, "fractal heap with no root block")
     val offSize = (maxHeapBits + 7) / 8
@@ -585,13 +604,19 @@ object Hdf5 {
       math.max(maxManSize, 1L)) + 7) / 8)
 
     // decompress-once cache: a direct block is one filtered stream whose
-    // unfiltered size is its doubling-table block size
+    // unfiltered size is its doubling-table block size; a nonzero
+    // per-block filter mask disables the stages an optional filter
+    // skipped at write time (same semantics as chunk masks)
     val blockCache = mutable.Map.empty[Long, Array[Byte]]
-    def directBlock(addr: Long, filtSize: Long, blockSize: Long): Array[Byte] =
+    def directBlock(addr: Long, filtSize: Long, blockSize: Long,
+        mask: Long): Array[Byte] =
       blockCache.getOrElseUpdate(addr, {
         require(filtSize > 0, "filtered direct block with no stored size")
+        val active = filters.zipWithIndex.collect {
+          case (f, i) if (mask & (1L << i)) == 0 => f
+        }
         val out = defilter(bytes.slice(addr.toInt, (addr + filtSize).toInt),
-          blockSize.toInt, filters, 1)
+          blockSize.toInt, active, 1)
         sig(bufAt(out, 0L), "FHDB")
         out
       })
@@ -603,8 +628,8 @@ object Hdf5 {
           sig(bufAt(bytes, rootAddr), "FHDB")
           off => (bytes, (rootAddr + off).toInt)
         } else {
-          off =>
-            (directBlock(rootAddr, rootFilteredSize, startBlockSize), off.toInt)
+          off => (directBlock(rootAddr, rootFilteredSize, startBlockSize,
+            rootFilterMask), off.toInt)
         }
       } else {
         // Doubling-table pyramid, any depth. Rows 0..maxDirectRows-1 of an
@@ -618,11 +643,11 @@ object Hdf5 {
         val log2W = 31 - Integer.numberOfLeadingZeros(tableWidth)
         def rowSize(r: Int): Long =
           if (r < 2) startBlockSize else startBlockSize << (r - 1)
-        // entry = (address, filtered size): filtered heaps store
-        // (addr, size, mask) for DIRECT-block entries — child indirect
-        // entries and unfiltered heaps store the address alone
-        val entryCache = mutable.Map.empty[Long, IndexedSeq[(Long, Long)]]
-        def entries(ibAddr: Long, nrows: Int): IndexedSeq[(Long, Long)] =
+        // entry = (address, filtered size, filter mask): filtered heaps
+        // store (addr, size, mask) for DIRECT-block entries — child
+        // indirect entries and unfiltered heaps store the address alone
+        val entryCache = mutable.Map.empty[Long, IndexedSeq[(Long, Long, Long)]]
+        def entries(ibAddr: Long, nrows: Int): IndexedSeq[(Long, Long, Long)] =
           entryCache.getOrElseUpdate(ibAddr, {
             val ib = bufAt(bytes, ibAddr)
             sig(ib, "FHIB")
@@ -631,15 +656,11 @@ object Hdf5 {
             readUIntN(ib, offSize) // block offset
             (0 until nrows * tableWidth).map { e =>
               val a = u64(ib)
-              val fsz =
-                if (filters.nonEmpty && e / tableWidth < maxDirectRows) {
-                  val s = u64(ib)
-                  val mask = u32(ib)
-                  require(mask == 0L || a == UNDEF,
-                    "partially-filtered direct block (nonzero filter mask)")
-                  s
-                } else 0L
-              (a, fsz)
+              val (fsz, mask) =
+                if (filters.nonEmpty && e / tableWidth < maxDirectRows)
+                  (u64(ib), u32(ib))
+                else (0L, 0L)
+              (a, fsz, mask)
             }.toIndexedSeq
           })
         def locateIn(ibAddr: Long, ibStart: Long, nrows: Int,
@@ -652,12 +673,13 @@ object Hdf5 {
           }
           require(r < nrows, s"heap offset $off beyond indirect-block rows")
           val idx = ((off - rowStart) / rowSize(r)).toInt
-          val (addr, fsz) = addrs(r * tableWidth + idx)
+          val (addr, fsz, mask) = addrs(r * tableWidth + idx)
           require(addr != UNDEF, "object in unallocated fractal-heap block")
           val entryStart = rowStart + idx * rowSize(r)
           if (r >= maxDirectRows) locateIn(addr, entryStart, r - log2W, off)
           else if (filters.isEmpty) (bytes, (addr + (off - entryStart)).toInt)
-          else (directBlock(addr, fsz, rowSize(r)), (off - entryStart).toInt)
+          else (directBlock(addr, fsz, rowSize(r), mask),
+            (off - entryStart).toInt)
         }
         off => locateIn(rootAddr, 0L, curRows, off)
       }
