@@ -2570,7 +2570,7 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate',
     messages in a single-direct-block fractal heap, name-indexed by a
     type-8 v2 B-tree (8-byte heap ID, message flags, creation order,
     hash). With filtered=True the direct block is one filtered stream and
-    huge objects are each their own filtered stream indexed by TYPE-4
+    huge objects are each their own filtered stream indexed by TYPE-2
     records (addr, filtered length, mask, memory size, id); `chain`
     selects the pipeline: 'deflate' alone, or 'szf' = shuffle + deflate
     + fletcher32 (checksum over the compressed stream, write order).
@@ -2631,16 +2631,17 @@ def attr_info_dense(f: FileBuf, named_bodies, filtered=False, chain='deflate',
     huge_btree = UNDEF
     if huge_recs:
         # 8-byte heap IDs cannot embed (addr, length), so libhdf5 stores
-        # huge objects INDIRECTLY: B-tree record type 3 (unfiltered) or
-        # 4 (filtered), the ID-bearing layouts. Types 1/2 are the
-        # directly-accessed (ID-embedded) forms, impossible here.
-        rtype = 4 if filtered else 3
+        # huge objects INDIRECTLY: B-tree record type 1 (unfiltered) or
+        # 2 (filtered), the ID-bearing layouts — the B-tree maps the
+        # sequential ID to the object. Types 3/4 are the directly-
+        # accessed (ID-embedded, no ID field) forms, impossible here.
+        rtype = 2 if filtered else 1
         leaf = b'BTLF' + struct.pack('<BB', 0, rtype)
         for a, stored_ln, mem_ln, i in huge_recs:
-            if filtered:  # type-4: addr, filt len, mask, memory size, id
+            if filtered:  # type-2: addr, filt len, mask, memory size, id
                 leaf += struct.pack('<QQIQQ', a, stored_ln, partial_mask,
                                     mem_ln, i)
-            else:  # type-3: addr, length, id
+            else:  # type-1: addr, length, id
                 leaf += struct.pack('<QQQ', a, stored_ln, i)
         leaf += struct.pack('<I', lookup3(leaf))
         leaf_addr = f.append(leaf)
@@ -2783,7 +2784,7 @@ def make_dense(path: Path):
     ])
 
     # FILTERED dense attributes: compressed attribute heap plus a >4 KB
-    # blob stored as its own deflate stream behind a TYPE-4 huge record
+    # blob stored as its own deflate stream behind a TYPE-2 huge record
     raw2 = f.append(struct.pack('<d', 43.0))
     attr_bodies2 = [(f'z{i:02d}',
                      attr_v3(f'z{i:02d}', dt_str(4), space_scalar(),
@@ -2799,7 +2800,7 @@ def make_dense(path: Path):
 
     # full classic pipeline on the attribute heap: shuffle + deflate +
     # fletcher32 — exercises the multi-stage per-stage target sizes on
-    # BOTH the managed direct block and the type-4 huge-object stream
+    # BOTH the managed direct block and the type-2 huge-object stream
     raw3 = f.append(struct.pack('<d', 44.0))
     attr_bodies3 = [(f'k{i:02d}',
                      attr_v3(f'k{i:02d}', dt_str(4), space_scalar(),
@@ -2816,7 +2817,7 @@ def make_dense(path: Path):
     # PARTIALLY-filtered heap: deflate (an optional filter) skipped at
     # write time for both the direct block and the huge stream — the
     # stored streams are shuffle+fletcher32 only, filter mask bit 1 set
-    # in the heap header and in the type-4 huge record
+    # in the heap header and in the type-2 huge record
     raw4 = f.append(struct.pack('<d', 45.0))
     attr_bodies4 = [(f'p{i:02d}',
                      attr_v3(f'p{i:02d}', dt_str(4), space_scalar(),

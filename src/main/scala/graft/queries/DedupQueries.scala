@@ -27,7 +27,10 @@ object DedupQueries {
     Tables.load(s, dir, name)
 
   private val nBands = 6
-  private val shingleK = 3
+  // d04 intersects TextFns.shingles(text, shingleK) against the distinct
+  // counts MinHashSigF emits, and MinHashSigF compiles its shingle width
+  // in — the two MUST agree or jaccard denominators silently diverge
+  private val shingleK = graft.functions.MinHashSigF.ShingleK
 
   /** Verified near-dup pairs (doc_a < doc_b, shingle-Jaccard >= 0.5) via the
     * MinHash+LSH path.

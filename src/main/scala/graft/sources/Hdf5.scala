@@ -17,7 +17,7 @@ import scala.collection.mutable
   *    v2/v3 (OHDR v2 object headers, compact link-message groups); dense
   *    groups (fractal-heap link storage, direct- and indirect-rooted, with
   *    the v2-B-tree name index, indirectly-accessed huge objects
-  *    (v2-B-tree record types 3/4 — the only forms reachable through the
+  *    (v2-B-tree record types 1/2 — the only forms reachable through the
   *    fixed 8-byte link/attr heap IDs), dense attributes,
   *    and FILTERED heaps — direct blocks stored as compressed streams,
   *    decoded through the same six-filter chain as chunk data, honoring
@@ -65,7 +65,7 @@ import scala.collection.mutable
   *    files resolve through the same callback with the same degrade
   *
   * Deliberately NOT supported (fails loudly, never silently misreads):
-  * directly-accessed huge heap objects (v2-B-tree record types 1/2 —
+  * directly-accessed huge heap objects (v2-B-tree record types 3/4 —
   * they require ≥17-byte heap IDs, impossible for the fixed 8-byte
   * link/attr form, so no real file shape reaches them);
   * filters beyond the six above, and chains
@@ -104,7 +104,11 @@ object Hdf5 {
       scalarStr: Option[String],
       f32Data: Option[Array[Float]],
       f64Data: Option[Array[Double]],
-      attrs: Map[String, String])
+      attrs: Map[String, String],
+      // pending object-reference target (header address), resolved to a
+      // path after the full walk — a dedicated field, NOT an attrs entry,
+      // so a user attribute of any name can never collide with it
+      refAddr: Option[Long] = None)
 
   // ------------------------------------------------------------- plumbing --
 
@@ -497,22 +501,24 @@ object Hdf5 {
   /** Resolve an object ID from a fractal heap's huge-object v2 B-tree.
     * Link/attr heaps use the fixed 8-byte heap-ID form, too small to embed
     * an (address, length) pair, so libhdf5 always stores their huge
-    * objects INDIRECTLY: record type 3 (address + length + ID, stored
-    * bare) for unfiltered heaps, type 4 (address + filtered length +
+    * objects INDIRECTLY: record type 1 (address + length + ID, stored
+    * bare) for unfiltered heaps, type 2 (address + filtered length +
     * filter mask + memory size + ID, one filtered stream per object) for
-    * filtered ones. A nonzero per-object filter mask marks pipeline
+    * filtered ones — the ID field is what makes a record indirect; the
+    * B-tree maps the sequential ID the heap ID carries to the object's
+    * location. A nonzero per-object filter mask marks pipeline
     * stages skipped at write time (an optional filter that grew the
-    * data) and disables exactly those stages, as on chunks. Types 1/2
+    * data) and disables exactly those stages, as on chunks. Types 3/4
     * (directly accessed — the heap ID itself carries address + length,
-    * needing ≥17 ID bytes) stay loud-fail via the expected-type check;
-    * see [[heapObjectAt]]. */
+    * needing ≥17 ID bytes, and the record carries no ID field) stay
+    * loud-fail via the expected-type check; see [[heapObjectAt]]. */
   private def hugeObjectAt(bytes: Array[Byte], heap: FHeap,
       id: Long): (Array[Byte], Int) = {
     require(heap.hugeBtree != UNDEF, "huge heap ID with no huge-object b-tree")
-    val expected = if (heap.filters.isEmpty) 3 else 4
+    val expected = if (heap.filters.isEmpty) 1 else 2
     val (_, _, recs) = btree2Records(bytes, heap.hugeBtree, Set(expected))
     recs.collectFirst(Function.unlift { rb =>
-      if (expected == 3) {
+      if (expected == 1) {
         val a = u64(rb)
         u64(rb) // length — the stored messages are self-delimiting
         if (u64(rb) == id) Some((bytes, a.toInt)) else None
@@ -547,11 +553,11 @@ object Hdf5 {
         heap.objectAt(objOff)
       case 1 => // huge
         // libhdf5 embeds (address, length) in the heap ID itself —
-        // "directly accessed", B-tree record types 1/2 — only when the ID
+        // "directly accessed", B-tree record types 3/4 — only when the ID
         // is wide enough (≥ 1+8+8 bytes unfiltered, ≥ 1+8+8+4+8
         // filtered). Link/attr heaps fix the ID at 8 bytes, so their huge
         // objects are always INDIRECT: the ID bytes hold a sequential
-        // huge-object ID resolved through the type-3/4 B-tree.
+        // huge-object ID resolved through the type-1/2 B-tree.
         val directLen = 1 + 8 + 8 + (if (heap.filters.isEmpty) 0 else 4 + 8)
         require(heap.heapIdLen < directLen,
           s"directly-accessed huge heap ID (${heap.heapIdLen}-byte IDs)")
@@ -2447,13 +2453,12 @@ object Hdf5 {
     var ri = 0
     while (ri < nodes.length) {
       val n = nodes(ri)
-      n.attrs.get("object_ref_addr").foreach { a =>
-        val refAddr = a.toLong
+      n.refAddr.foreach { refAddr =>
         nodes(ri) = addrToPath.get(refAddr) match {
           case Some(p) =>
             n.copy(scalarStr = Some(if (p.isEmpty) "/" else p),
-              attrs = n.attrs - "object_ref_addr")
-          case None => n.copy(attrs = n.attrs - "object_ref_addr" +
+              refAddr = None)
+          case None => n.copy(refAddr = None, attrs = n.attrs +
             ("unresolved_object_ref" -> refAddr.toString))
         }
       }
@@ -2580,7 +2585,7 @@ object Hdf5 {
             if (addr == 0L || addr == UNDEF)
               empty.copy(scalarStr = Some("")) // null reference, h5py's None
             else // resolved to a path AFTER the walk (forward refs are legal)
-              empty.copy(attrs = attrs + ("object_ref_addr" -> addr.toString))
+              empty.copy(refAddr = Some(addr))
           case _ if elems == 1 =>
             empty.copy(scalarF64 = Some(decodeF64(data, dt, 0)))
           case Flt(4, _) =>
@@ -2639,6 +2644,12 @@ object Hdf5 {
           }
           Node(mpath, dims ++ adims.map(_.toLong), None, None, None,
             Some(vals), Map.empty)
+        case ObjRef(_) =>
+          // references resolve against the walk's address->path map, which
+          // compound decoding does not thread through; loud-fail with the
+          // policy message rather than decodeF64's internal invariant
+          throw new UnsupportedOperationException(
+            s"object-reference compound member not supported at $mpath")
         case mdt =>
           if (elems == 1)
             Node(mpath, dims, Some(decodeF64(slice(0), mdt, 0)),

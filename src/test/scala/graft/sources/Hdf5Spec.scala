@@ -458,21 +458,21 @@ class Hdf5Spec extends SparkSpec {
     // >4 KB attribute -> huge heap ID resolved through the huge b-tree
     assert(ma.attrs("blob") == "x" * 4999)
     // FILTERED dense attributes: compressed attr heap + a huge blob
-    // stored as its own deflate stream behind a TYPE-4 huge record
+    // stored as its own deflate stream behind a TYPE-2 huge record
     // (indirectly accessed — 8-byte attr heap IDs can't embed addr+len)
     val ma2 = byP("/entry/manyattrs2")
     assert(ma2.scalarF64.contains(43.0))
     assert((0 until 6).forall(i => ma2.attrs(f"z$i%02d") == f"w$i%02d"))
     assert(ma2.attrs("zblob") == "y" * 5999)
     // full shuffle+deflate+fletcher32 chain on the attribute heap: the
-    // managed block AND the type-4 huge stream both decode through the
+    // managed block AND the type-2 huge stream both decode through the
     // multi-stage per-stage target sizes
     val ma3 = byP("/entry/manyattrs3")
     assert(ma3.scalarF64.contains(44.0))
     assert((0 until 5).forall(i => ma3.attrs(f"k$i%02d") == f"u$i%02d"))
     assert(ma3.attrs("kblob") == "q" * 5499)
     // PARTIALLY-filtered heap: deflate skipped at write (mask bit 1 in
-    // the heap header and the type-4 record) — the direct block and the
+    // the heap header and the type-2 record) — the direct block and the
     // huge stream decode through shuffle+fletcher32 only
     val ma4 = byP("/entry/manyattrs4")
     assert(ma4.scalarF64.contains(45.0))
