@@ -1782,11 +1782,27 @@ def make_objref(path: Path):
             (0x08, layout_contiguous(raw, 8)),
         ])
 
+    # decoy: a plain dataset whose ordinary USER attribute is literally
+    # named 'object_ref_addr' and holds a plausible address string — the
+    # resolver keeps pending references in a dedicated Node field, so this
+    # must read through untouched (value 7.0, attribute preserved), never
+    # be mistaken for a pending reference
+    d_raw = f.append(struct.pack('<d', 7.0))
+    addr_s = (str(target) + '\x00').encode()
+    decoy = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(d_raw, 8)),
+        (0x0C, attr_v3('object_ref_addr', dt_str(len(addr_s)),
+                       space_scalar(), addr_s)),
+    ])
+
     refs = group_v2(f, {
         'to_ds': ref_ds(target),
         'to_grp': ref_ds(grp),
         'to_null': ref_ds(0),
         'to_nowhere': ref_ds(t_raw),  # raw-data bytes, not an object header
+        'decoy': decoy,
     })
     finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
 
@@ -1819,6 +1835,36 @@ def make_bad_refarray(path: Path):
         (0x08, layout_contiguous(raw, 24)),
     ])
     finish_v2(f, group_v2(f, {'refarr': ds}), path)
+
+
+def make_bad_refcompound(path: Path):
+    """A compound dataset with an object-reference member (class 7) —
+    references resolve against the walk's address map, which compound
+    decoding does not thread through; must fail loudly with the policy
+    message, never an internal invariant error."""
+    f = FileBuf()
+    f.alloc(48)
+
+    def member_v3(name, offset, dt, off_bytes):
+        return name.encode() + b'\x00' + \
+            offset.to_bytes(off_bytes, 'little') + dt
+
+    def dt_compound(version, size, members_enc):
+        return struct.pack('<BBBBI', (version << 4) | 6,
+                           len(members_enc) & 0xFF,
+                           (len(members_enc) >> 8) & 0xFF, 0, size) + \
+            b''.join(members_enc)
+
+    raw = f.append(struct.pack('<dQ', 1.0, 0))
+    ds = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_compound(3, 16, [
+            member_v3('x', 0, dt_f64(), 1),
+            member_v3('ref', 8, dt_objref(), 1),
+        ])),
+        (0x08, layout_contiguous(raw, 16)),
+    ])
+    finish_v2(f, group_v2(f, {'table': ds}), path)
 
 
 def make_str_array(path: Path):
@@ -2920,6 +2966,7 @@ if __name__ == '__main__':
     make_objref(out / 'objref.h5')
     make_bad_regionref(out / 'bad_regionref.h5')
     make_bad_refarray(out / 'bad_refarray.h5')
+    make_bad_refcompound(out / 'bad_refcompound.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
     make_vds(out / 'extlink')

@@ -2644,12 +2644,6 @@ object Hdf5 {
           }
           Node(mpath, dims ++ adims.map(_.toLong), None, None, None,
             Some(vals), Map.empty)
-        case ObjRef(_) =>
-          // references resolve against the walk's address->path map, which
-          // compound decoding does not thread through; loud-fail with the
-          // policy message rather than decodeF64's internal invariant
-          throw new UnsupportedOperationException(
-            s"object-reference compound member not supported at $mpath")
         case mdt =>
           if (elems == 1)
             Node(mpath, dims, Some(decodeF64(slice(0), mdt, 0)),

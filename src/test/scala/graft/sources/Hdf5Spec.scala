@@ -625,6 +625,13 @@ class Hdf5Spec extends SparkSpec {
     // the reference-typed ATTRIBUTE is skipped as opaque metadata
     assert(!at("/grp/target").attrs.contains("refattr"))
     assert(at("/grp/target").scalarF64.contains(42.0))
+    // a USER attribute literally named 'object_ref_addr' on a plain
+    // dataset is just an attribute — pending references live in a
+    // dedicated Node field, so the value and the attribute both survive
+    val decoy = at("/refs/decoy")
+    assert(decoy.scalarF64.contains(7.0))
+    assert(decoy.scalarStr.isEmpty)
+    assert(decoy.attrs.contains("object_ref_addr"))
   }
 
   test("region references and reference arrays fail loudly") {
@@ -636,6 +643,13 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.read(fixture("bad_refarray.h5"))
     }
     assert(e2.getMessage.contains("object-reference ARRAY"))
+    // compound member of reference type: the datatype parse rejects it
+    // up front with the member name — never decodeF64's internal
+    // invariant error
+    val e3 = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("bad_refcompound.h5"))
+    }
+    assert(e3.getMessage.contains("compound member 'ref' type ObjRef"))
   }
 
   test("end to end: binaryFile scan -> tree table -> typed reads (S3-S6)") {
