@@ -67,31 +67,81 @@ object Bench {
     */
   val CanaryFactor = 1.75
 
+  private def canaryRatios(timings: Seq[(String, Double)],
+                           sfName: String): Seq[Double] = {
+    if (sfName != "sf0.1") return Nil
+    val byName = timings.toMap
+    CanaryCleanSf01.toSeq.flatMap { case (q, clean) =>
+      byName.get(q).filter(_ >= 0).map(_ / clean)
+    }
+  }
+
   /** Some(true/false) when the canaries can be judged (sf0.1 and ≥2 canary
     * medians present), None otherwise — absence means "not evaluated",
     * never "clean".
     */
   def contaminationFlag(timings: Seq[(String, Double)],
                         sfName: String): Option[Boolean] = {
-    if (sfName != "sf0.1") return None
-    val byName = timings.toMap
-    val ratios = CanaryCleanSf01.toSeq.flatMap { case (q, clean) =>
-      byName.get(q).filter(_ >= 0).map(_ / clean)
-    }
+    val ratios = canaryRatios(timings, sfName)
     if (ratios.size < 2) None
     else Some(ratios.count(_ > CanaryFactor) >= 2)
+  }
+
+  /** (Upper) median canary elevation ratio vs the pinned clean medians —
+    * the GRADED companion to the boolean flag. Motivation: a session this
+    * round measured the CPU-heavy queries ~2× elevated (43.5 s total vs a
+    * 28.4 s clean same-code run) while the scan canaries sat at only
+    * 1.3–1.5×, under the flag threshold — scans are I/O-shaped and
+    * under-react to host-level CPU contention. The ratio puts that gray
+    * zone on the record instead of collapsing it to `false`.
+    */
+  def canaryRatio(timings: Seq[(String, Double)],
+                  sfName: String): Option[Double] = {
+    val ratios = canaryRatios(timings, sfName).sorted
+    if (ratios.size < 2) None else Some(ratios(ratios.size / 2))
+  }
+
+  /** Seconds for a fixed, deterministic, single-thread workload (MD5 over
+    * 200k short strings; median of 3). Same binary + same work means any
+    * delta between two runs of the same code is pure environment, so the
+    * judge can compare the driver run's `cpu_ref` against a clean re-run
+    * with NO pinned constant — catching the CPU-side contention the scan
+    * canaries under-react to (they elevate ~1.4× when compute-bound
+    * queries elevate ~2×).
+    */
+  def cpuRefSec(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var acc = 0L
+      while (i < 200000) {
+        val d = md.digest(("cpu_ref_" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        acc += d(0)
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == Long.MinValue) System.err.println(acc) // keep acc live
+      dt
+    }
+    Seq(once(), once(), once()).sorted.apply(1)
   }
 
   /** The driver-facing metric line. Degrades per-query precision 3→1 decimals
     * if needed, and as a last resort drops the per-query map entirely (it is
     * already on the detail line) — it never exceeds the capture budget.
-    * `contaminated` (when evaluated) always survives degradation: it is the
-    * one bit that tells the reader whether the total is trustworthy.
+    * `contaminated` / `canary_x` / `cpu_ref` (when evaluated) always survive
+    * degradation: they are the bits that tell the reader whether the total
+    * is trustworthy.
     */
   def metricLine(timings: Seq[(String, Double)], sfName: String,
-                 contaminated: Option[Boolean] = None): String = {
+                 contaminated: Option[Boolean] = None,
+                 canaryX: Option[Double] = None,
+                 cpuRef: Option[Double] = None): String = {
     val total = timings.map(_._2).filter(_ >= 0).sum
-    val cpart = contaminated.map(c => s""","contaminated":$c""").getOrElse("")
+    val cpart = contaminated.map(c => s""","contaminated":$c""").getOrElse("") +
+      canaryX.map(x => s""","canary_x":${fmt(x, 2)}""").getOrElse("") +
+      cpuRef.map(x => s""","cpu_ref":${fmt(x, 3)}""").getOrElse("")
     def line(qs: Option[String]): String = {
       val qpart = qs.map(q => s""","queries":$q""").getOrElse("")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$qpart$cpart,"sf":"$sfName"}"""
@@ -164,7 +214,8 @@ object Bench {
     val runs = results.map { case (k, (_, r)) => k -> r }
     // Detail first, metric line LAST — see TailCaptureBytes.
     println(detailLine(timings, runs, sfName))
-    println(metricLine(timings, sfName, contaminationFlag(timings, sfName)))
+    println(metricLine(timings, sfName, contaminationFlag(timings, sfName),
+      canaryRatio(timings, sfName), Some(cpuRefSec())))
     spark.stop()
   }
 }

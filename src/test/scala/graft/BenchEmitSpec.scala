@@ -22,13 +22,16 @@ class BenchEmitSpec extends AnyFunSuite {
     // + the contamination flag are both guaranteed; 2 decimals is the
     // floor (the detail line always carries 3).
     val timings = names.map(_ -> 0.987)
-    val line = Bench.metricLine(timings, "sf0.1", Some(false))
+    val line = Bench.metricLine(timings, "sf0.1", Some(false),
+      Some(1.38), Some(0.152))
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin,
       s"metric line is ${line.length} bytes for ${names.size} queries")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
     assert(line.contains("\"" + names.head + "\":0.9"),
       "per-query map was dropped or degraded below 2 decimals")
+    assert(line.contains("\"canary_x\":1.38") && line.contains("\"cpu_ref\":0.152"),
+      "graded contamination context must ride the metric line")
     assert(!line.contains("\"runs\""), "runs belongs on the detail line only")
   }
 
@@ -112,8 +115,30 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("contaminated flag survives per-query map degradation") {
     val many = (1 to 500).map(i => f"q${i}%03d_very_long_query_name_padding" -> 12345.678)
-    val line = Bench.metricLine(many, "sf0.1", Some(true))
+    val line = Bench.metricLine(many, "sf0.1", Some(true), Some(1.92), Some(0.31))
     assert(line.contains("\"contaminated\":true"),
       "the one trust bit must never be degraded away")
+    assert(line.contains("\"canary_x\":1.92") && line.contains("\"cpu_ref\":0.310"),
+      "the graded context must never be degraded away either")
+  }
+
+  test("canary_x is the graded elevation even when the boolean stays false " +
+      "(the CPU-contention gray zone)") {
+    // The shape observed this round: scan canaries ~1.4x (under the 1.75
+    // flag threshold) while compute-bound queries ran ~2x — the ratio must
+    // surface the elevation the boolean collapses to false.
+    val timings = suiteWith(
+      "q02_filter_project" -> 0.163 * 1.39, "q16_string_funcs" -> 0.099 * 1.32,
+      "q30_date_funcs" -> 0.087 * 1.48)
+    assert(Bench.contaminationFlag(timings, "sf0.1").contains(false))
+    val x = Bench.canaryRatio(timings, "sf0.1").get
+    assert(x > 1.3 && x < 1.5, s"median ratio $x")
+    // not evaluated off sf0.1, same rule as the flag
+    assert(Bench.canaryRatio(timings, "sf0.01").isEmpty)
+  }
+
+  test("cpu_ref is a positive sub-10s fixed workload") {
+    val t = Bench.cpuRefSec()
+    assert(t > 0.0 && t < 10.0, s"cpu_ref $t")
   }
 }
