@@ -444,10 +444,11 @@ object Hdf5 {
     * heap — a single root direct block, or the doubling-table pyramid of
     * an indirect root at ANY depth (child indirect blocks recurse);
     * objects past the managed-size ceiling resolve through the
-    * huge-object b-tree; filtered heaps decompress each direct block as
-    * one stream. Loud-fail corners: partially-filtered blocks, filtered
-    * HUGE objects, and tiny heap IDs (which cannot occur for link or
-    * attribute messages at these ID widths). */
+    * huge-object b-tree (filtered huge objects are each their own
+    * filtered stream); filtered heaps decompress each direct block as
+    * one stream, honoring per-block/per-object filter masks. Loud-fail
+    * corners: tiny and directly-accessed-huge heap IDs (neither can
+    * occur for link or attribute messages at these ID widths). */
   private def denseLinks(bytes: Array[Byte], off: Int): Seq[Link] = {
     val bb = bufAt(bytes, off.toLong)
     require(u8(bb) == 0, "link info version")
@@ -576,7 +577,8 @@ object Hdf5 {
     * each direct block is ONE filtered stream — decompressed through the
     * shared `defilter` chain and cached, objects then read out of the
     * decompressed buffer. Partially-applied filters (nonzero per-block
-    * filter mask) stay loud-fail. */
+    * filter mask — an optional stage skipped at write time) disable
+    * exactly the masked stages, as on chunks. */
   private def fractalHeap(bytes: Array[Byte], fheapAddr: Long): FHeap = {
     val hb = bufAt(bytes, fheapAddr)
     sig(hb, "FRHP")
