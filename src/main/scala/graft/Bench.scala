@@ -20,9 +20,11 @@ object Bench {
   val TailCaptureBytes = 2000
 
   /** Keep the metric line this far under the window. r6's 3-decimal line
-    * parsed at ~1950 bytes, so a 1950-byte budget is proven safe; the current
-    * 72-query suite emits 1927 bytes at 3 decimals and degrades to 2 decimals
-    * (1855 bytes) before the budget is ever at risk.
+    * parsed at ~1950 bytes, so a 1950-byte budget is proven safe. The
+    * 73-query suite with the canary_x/cpu_ref fields runs ~1960 bytes at
+    * 3 decimals, so full-suite sf0.1 runs now land on the 2-decimal
+    * degradation step (~1890 bytes) — by design: the detail line always
+    * carries 3 decimals, and BenchEmitSpec pins 2 as the metric-line floor.
     */
   val SafetyMargin = 50
 

@@ -87,8 +87,12 @@ object MinHashSigF {
     var i = 0
     while (i + ShingleK - 1 < toks.length) {
       sb.setLength(0)
-      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
-        .append(toks(i + 2))
+      var k = 0
+      while (k < ShingleK) { // body derives from ShingleK too — the
+        if (k > 0) sb.append(' ') // constant is the single source of truth
+        sb.append(toks(i + k)) // for d02/d04's shared shingle width
+        k += 1
+      }
       val sh = sb.toString
       if (seen.add(sh)) {
         c += 1

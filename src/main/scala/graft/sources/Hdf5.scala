@@ -2460,8 +2460,15 @@ object Hdf5 {
           case Some(p) =>
             n.copy(scalarStr = Some(if (p.isEmpty) "/" else p),
               refAddr = None)
-          case None => n.copy(refAddr = None, attrs = n.attrs +
-            ("unresolved_object_ref" -> refAddr.toString))
+          case None =>
+            // the marker is deliberately a user-visible attrs entry; a
+            // genuine user attribute under the same name must not be
+            // silently overwritten — loud beats silent, as everywhere
+            require(!n.attrs.contains("unresolved_object_ref"),
+              s"user attribute 'unresolved_object_ref' collides with the " +
+                s"dangling-reference marker at ${n.path}")
+            n.copy(refAddr = None, attrs = n.attrs +
+              ("unresolved_object_ref" -> refAddr.toString))
         }
       }
       ri += 1
