@@ -1807,6 +1807,27 @@ def make_objref(path: Path):
     finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
 
 
+def make_bad_refmarker(path: Path):
+    """A DANGLING scalar object reference whose dataset also carries a
+    genuine user attribute named 'unresolved_object_ref' — the name the
+    resolver uses for its dangling-reference marker. Writing the marker
+    would silently overwrite the user's value, so the reader must fail
+    loudly instead."""
+    f = FileBuf()
+    f.alloc(48)
+    decoy_raw = f.append(struct.pack('<d', 9.0))
+    raw = f.append(struct.pack('<Q', decoy_raw))  # not an object header
+    mark = b'mine\x00'
+    ds = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_objref()),
+        (0x08, layout_contiguous(raw, 8)),
+        (0x0C, attr_v3('unresolved_object_ref', dt_str(len(mark)),
+                       space_scalar(), mark)),
+    ])
+    finish_v2(f, group_v2(f, {'clash': ds}), path)
+
+
 def make_bad_regionref(path: Path):
     """A dataset-region reference (rtype 1) dataset — element selections
     live in a global-heap block the reader does not decode; must fail
@@ -2967,6 +2988,7 @@ if __name__ == '__main__':
     make_bad_regionref(out / 'bad_regionref.h5')
     make_bad_refarray(out / 'bad_refarray.h5')
     make_bad_refcompound(out / 'bad_refcompound.h5')
+    make_bad_refmarker(out / 'bad_refmarker.h5')
     make_str_array(out / 'str_array.h5')
     make_extlink(out / 'extlink')
     make_vds(out / 'extlink')

@@ -650,6 +650,12 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.read(fixture("bad_refcompound.h5"))
     }
     assert(e3.getMessage.contains("compound member 'ref' type ObjRef"))
+    // a DANGLING reference whose dataset carries a genuine user attribute
+    // named like the marker: loud-fail, never silently overwrite it
+    val e4 = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_refmarker.h5"))
+    }
+    assert(e4.getMessage.contains("unresolved_object_ref"))
   }
 
   test("end to end: binaryFile scan -> tree table -> typed reads (S3-S6)") {
