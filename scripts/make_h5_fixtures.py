@@ -393,7 +393,9 @@ def make_v0(path: Path):
         return vlen_ref(gh_addr, idx[key], len(vlen_items[key]))
 
     # --- leaf datasets -------------------------------------------------
-    # /entry1/instrument/configuration : f64 scalar, fixed-str units attr
+    # /entry1/instrument/configuration : f64 scalar, fixed-str units attr,
+    # plus a NeXus-shaped numeric ARRAY attr (v1 message: padded name/
+    # datatype/dataspace, unpadded data) -> comma-joined decode
     cfg_raw = f.append(struct.pack('<d', 3.0))
     cfg = object_header_v1(f, [
         (0x01, space_scalar()),
@@ -401,6 +403,8 @@ def make_v0(path: Path):
         (0x08, layout_contiguous(cfg_raw, 8)),
         (0x0C, attr_v1('units', dt_str(14), space_scalar(),
                        b'dimensionless\x00')),
+        (0x0C, attr_v1('vector', dt_f64(), space_simple([3]),
+                       struct.pack('<3d', 0.0, 0.0, 1.0))),
     ])
 
     # /entry1/instrument/n_frames : i64 scalar
@@ -654,6 +658,16 @@ def make_v2(path: Path):
         # f16-typed attr: an unsupported FLOAT WIDTH must also skip the
         # attribute, not abort the file (h5py writes np.float16 attrs)
         (0x0C, attr_v3('half', dt_f16(), space_scalar(), bytes(2))),
+        # numeric ARRAY attrs (v3 message, no padding): i32 triple and a
+        # 2x2 f64 (flattens row-major) -> comma-joined decode
+        (0x0C, attr_v3('axes_i', dt_i32(), space_simple([3]),
+                       struct.pack('<3i', 1, 2, 3))),
+        (0x0C, attr_v3('mat', dt_f64(), space_simple([2, 2]),
+                       struct.pack('<4d', 1.5, 2.5, 3.5, 4.5))),
+        # an OVERSIZED numeric array attr (> 256 elements) is data
+        # mislabeled as metadata: skipped, never decoded or aborting
+        (0x0C, attr_v3('big', dt_f64(), space_simple([300]),
+                       struct.pack('<300d', *range(300)))),
     ])
 
     # nested compound: {t: f32 @0, pos: {x: f64, y: f64} @8} (size 24) —

@@ -84,7 +84,9 @@ import scala.collection.mutable
   * not portable across files. Array-typed, compound-typed and
   * reference-typed ATTRIBUTES are skipped as opaque metadata (loud
   * failure is reserved for dataset datatypes, where data would be
-  * misread).
+  * misread). Small numeric ARRAY-dataspace attributes (≤256 elements —
+  * the NeXus vector/offset/axis shape) decode as comma-joined flat
+  * lists, the same rendering the synthetic `dims` attr uses.
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -94,6 +96,11 @@ import scala.collection.mutable
 object Hdf5 {
 
   private val UNDEF = -1L // 0xFFFF_FFFF_FFFF_FFFF unsigned
+
+  /** Numeric ARRAY attributes decode up to this many elements (NeXus
+    * vector/offset/axis attrs are 3–16; anything larger is data mislabeled
+    * as metadata and skips like other opaque attribute types). */
+  private val MaxAttrElems = 256L
 
   /** One dataset in the tree, decoded to the typed forms the pipeline reads
     * (scalar double / scalar string / numeric array) plus its attributes. */
@@ -2281,18 +2288,27 @@ object Hdf5 {
     val dsStart = bb.position()
     val (dims, _, isNull) = parseDataspaceFull(bb)
     bb.position(dsStart + padded(dsSize))
-    // scalar attrs only; a null dataspace or zero-size shape has NO data
-    // bytes on disk — reading dt.size bytes would decode padding as a value.
-    // Compound-typed attrs are opaque metadata for our reads — skipped,
-    // not a file-aborting failure (same scalar-attrs-only policy).
+    // Scalar attrs decode to their value; SMALL NUMERIC ARRAY attrs (the
+    // NeXus `vector`/`offset`/axis shape on NXtransformations) decode to
+    // a comma-joined flat list — the same rendering the synthetic `dims`
+    // attr already uses, so consumers split on ','. A null dataspace or
+    // zero-size shape has NO data bytes on disk — reading dt.size bytes
+    // would decode padding as a value. Compound-typed attrs are opaque
+    // metadata for our reads — skipped, not a file-aborting failure.
     // Reference-typed attrs are also skipped: attribute values surface as
-    // strings and the address->path map is not available at attribute time.
-    if (isNull || dims.product != 1 || dt.isInstanceOf[Compound] ||
-      dt.isInstanceOf[ArrayT] || dt.isInstanceOf[ObjRef]) return None
-    val data = take(bb, dt.size)
+    // strings and the address->path map is not available at attribute
+    // time. String ARRAYS and oversized numeric arrays (> MaxAttrElems —
+    // a megabyte array attr is data mislabeled as metadata) skip too.
+    val n = dims.product
+    val numericArray = n > 1 && n <= MaxAttrElems &&
+      (dt.isInstanceOf[Fixed] || dt.isInstanceOf[Flt])
+    if (isNull || dt.isInstanceOf[Compound] || dt.isInstanceOf[ArrayT] ||
+      dt.isInstanceOf[ObjRef] || (n != 1 && !numericArray)) return None
+    val data = take(bb, dt.size * n.toInt)
     val value = dt match {
       case Str(_) | VlenStr => decodeString(bytes, data, dt)
-      case _ => decodeF64(data, dt, 0).toString
+      case _ if n == 1 => decodeF64(data, dt, 0).toString
+      case _ => decodeArrayF64(data, dt, n.toInt).mkString(",")
     }
     Some(name -> value)
   }

@@ -39,6 +39,8 @@ class Hdf5Spec extends SparkSpec {
     val cfg = byPath("/entry1/instrument/configuration")
     assert(cfg.scalarF64.contains(3.0))
     assert(cfg.attrs("units") == "dimensionless") // fixed-length string attr
+    // numeric ARRAY attr (v1 message): NeXus vector shape, comma-joined
+    assert(cfg.attrs("vector") == "0.0,0.0,1.0")
     val th = byPath("/entry1/sample/thickness")
     assert(th.scalarF64.contains(0.00123))
     assert(th.attrs("units") == "m") // vlen string attr via global heap
@@ -566,6 +568,13 @@ class Hdf5Spec extends SparkSpec {
     // an f16-typed attr (unsupported float WIDTH, not just order) skips
     // too — the dataset and file stay readable
     assert(!v2ByPath("/entry1/detector/mode").attrs.contains("half"))
+    // numeric ARRAY attrs (v3 message) decode comma-joined: an i32
+    // triple, and a 2x2 f64 flattening row-major
+    assert(v2ByPath("/entry1/detector/mode").attrs("axes_i") == "1.0,2.0,3.0")
+    assert(v2ByPath("/entry1/detector/mode").attrs("mat") == "1.5,2.5,3.5,4.5")
+    // an oversized (>256-element) array attr is data mislabeled as
+    // metadata: skipped, never decoded or aborting
+    assert(!v2ByPath("/entry1/detector/mode").attrs.contains("big"))
   }
 
   test("array datatypes (class 10) fold element dims into trailing dims") {
