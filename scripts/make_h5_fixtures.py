@@ -385,6 +385,8 @@ def make_v0(path: Path):
         'sample_name': b'caffeine powder',
         'units_m': b'm',
         'units_deg': b'degrees',
+        'ax_a': b'time',
+        'ax_b': b'q',
     }
     idx = {k: gh.add(v) for k, v in vlen_items.items()}
     gh_addr = gh.flush()
@@ -405,6 +407,13 @@ def make_v0(path: Path):
                        b'dimensionless\x00')),
         (0x0C, attr_v1('vector', dt_f64(), space_simple([3]),
                        struct.pack('<3d', 0.0, 0.0, 1.0))),
+        # string ARRAY attrs, the NeXus `axes` name-list shape: fixed-
+        # width elements at the type's stride, and vlen elements as
+        # 16-byte global-heap refs
+        (0x0C, attr_v1('axes', dt_str(5), space_simple([2]),
+                       b'time\x00q\x00\x00\x00\x00')),
+        (0x0C, attr_v1('axes_v', dt_vlen_str(), space_simple([2]),
+                       vref('ax_a') + vref('ax_b'))),
     ])
 
     # /entry1/instrument/n_frames : i64 scalar

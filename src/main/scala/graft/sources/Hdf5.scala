@@ -84,9 +84,10 @@ import scala.collection.mutable
   * not portable across files. Array-typed, compound-typed and
   * reference-typed ATTRIBUTES are skipped as opaque metadata (loud
   * failure is reserved for dataset datatypes, where data would be
-  * misread). Small numeric ARRAY-dataspace attributes (≤256 elements —
-  * the NeXus vector/offset/axis shape) decode as comma-joined flat
-  * lists, the same rendering the synthetic `dims` attr uses.
+  * misread). Small ARRAY-dataspace attributes (≤256 elements) decode
+  * as comma-joined flat lists, the same rendering the synthetic `dims`
+  * attr uses: numeric (the NeXus vector/offset shape) and string
+  * (the NeXus `axes` name list, fixed-width or vlen elements).
   *
   * Everything here is driven by offsets into one in-memory byte array — the
   * files this parses are single instrument frames (MBs), read in parallel
@@ -2288,24 +2289,32 @@ object Hdf5 {
     val dsStart = bb.position()
     val (dims, _, isNull) = parseDataspaceFull(bb)
     bb.position(dsStart + padded(dsSize))
-    // Scalar attrs decode to their value; SMALL NUMERIC ARRAY attrs (the
-    // NeXus `vector`/`offset`/axis shape on NXtransformations) decode to
-    // a comma-joined flat list — the same rendering the synthetic `dims`
-    // attr already uses, so consumers split on ','. A null dataspace or
-    // zero-size shape has NO data bytes on disk — reading dt.size bytes
-    // would decode padding as a value. Compound-typed attrs are opaque
-    // metadata for our reads — skipped, not a file-aborting failure.
-    // Reference-typed attrs are also skipped: attribute values surface as
-    // strings and the address->path map is not available at attribute
-    // time. String ARRAYS and oversized numeric arrays (> MaxAttrElems —
-    // a megabyte array attr is data mislabeled as metadata) skip too.
+    // Scalar attrs decode to their value; SMALL ARRAY attrs decode to a
+    // comma-joined flat list — numeric (the NeXus `vector`/`offset`
+    // shape on NXtransformations) and string (the NeXus `axes` name
+    // list; fixed-width or vlen elements at the type's stride) — the
+    // same rendering the synthetic `dims` attr already uses, so
+    // consumers split on ','. A null dataspace or zero-size shape has
+    // NO data bytes on disk — reading dt.size bytes would decode
+    // padding as a value. Compound-typed attrs are opaque metadata for
+    // our reads — skipped, not a file-aborting failure. Reference-typed
+    // attrs are also skipped: attribute values surface as strings and
+    // the address->path map is not available at attribute time.
+    // Oversized arrays (> MaxAttrElems — a megabyte array attr is data
+    // mislabeled as metadata) skip too.
     val n = dims.product
-    val numericArray = n > 1 && n <= MaxAttrElems &&
-      (dt.isInstanceOf[Fixed] || dt.isInstanceOf[Flt])
+    val smallArray = n > 1 && n <= MaxAttrElems &&
+      (dt.isInstanceOf[Fixed] || dt.isInstanceOf[Flt] ||
+        dt.isInstanceOf[Str] || dt == VlenStr)
     if (isNull || dt.isInstanceOf[Compound] || dt.isInstanceOf[ArrayT] ||
-      dt.isInstanceOf[ObjRef] || (n != 1 && !numericArray)) return None
+      dt.isInstanceOf[ObjRef] || (n != 1 && !smallArray)) return None
     val data = take(bb, dt.size * n.toInt)
     val value = dt match {
+      case Str(_) | VlenStr if n > 1 =>
+        (0 until n.toInt).map { k =>
+          decodeString(bytes, java.util.Arrays.copyOfRange(
+            data, k * dt.size, (k + 1) * dt.size), dt)
+        }.mkString(",")
       case Str(_) | VlenStr => decodeString(bytes, data, dt)
       case _ if n == 1 => decodeF64(data, dt, 0).toString
       case _ => decodeArrayF64(data, dt, n.toInt).mkString(",")

@@ -41,6 +41,10 @@ class Hdf5Spec extends SparkSpec {
     assert(cfg.attrs("units") == "dimensionless") // fixed-length string attr
     // numeric ARRAY attr (v1 message): NeXus vector shape, comma-joined
     assert(cfg.attrs("vector") == "0.0,0.0,1.0")
+    // string ARRAY attrs (the NeXus axes name list): fixed-width
+    // elements at the type's stride, and vlen via the global heap
+    assert(cfg.attrs("axes") == "time,q")
+    assert(cfg.attrs("axes_v") == "time,q")
     val th = byPath("/entry1/sample/thickness")
     assert(th.scalarF64.contains(0.00123))
     assert(th.attrs("units") == "m") // vlen string attr via global heap
