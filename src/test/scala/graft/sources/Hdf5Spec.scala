@@ -875,6 +875,26 @@ class Hdf5Spec extends SparkSpec {
     intercept[Exception] { Hdf5.read(truncated) }
   }
 
+  test("seeded single-byte corruption of every fixture: throw or finish, " +
+      "never hang or blow up") {
+    // complements the truncation sweep with mid-file damage: flipped
+    // size/offset/count fields must surface as clean exceptions (bounds
+    // checks, signature checks, checksums), never hangs or pathological
+    // allocations that would take down an executor
+    val rnd = new scala.util.Random(42)
+    for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
+      "mouse_unlim.h5", "mouse_dense.h5")) {
+      val full = fixture(name)
+      for (_ <- 1 to 120) {
+        val bytes = full.clone()
+        val at = rnd.nextInt(bytes.length)
+        bytes(at) = (bytes(at) ^ (1 + rnd.nextInt(255))).toByte
+        try { Hdf5.read(bytes); () }
+        catch { case _: Exception => () } // loud failure is the contract
+      }
+    }
+  }
+
   test("systematic truncation of every fixture: throw or finish, never hang") {
     // the executor-facing contract on damaged files: a clean exception —
     // no infinite walks, no pathological allocations, no silent zeros
