@@ -1084,7 +1084,13 @@ object Hdf5 {
       chunkDims: Seq[Int], elemSize: Int, filters: Seq[H5Filter],
       dontFilterEdges: Boolean): Array[Byte] = {
     val rank = dims.length
-    val total = dims.product.toInt * elemSize
+    // Long math + single-buffer bound (as on the VDS path): Int overflow
+    // on a corrupted dims product must not wrap to a small positive
+    // allocation that the stitch loop then silently under-fills
+    val totalL = dims.product * elemSize
+    require(totalL >= 0 && totalL <= Int.MaxValue - 16,
+      s"chunked dataset claims $totalL bytes (> single-buffer bound)")
+    val total = totalL.toInt
     val out = new Array[Byte](total)
     val chunkBytes = chunkDims.product * elemSize
 
@@ -1185,6 +1191,11 @@ object Hdf5 {
     val gridDims = dims.indices.map(i =>
       ((dims(i) + chunkDims(i) - 1) / chunkDims(i)).toInt)
     val nChunks = gridDims.product
+    // a corrupted dims/chunkDims field must not materialize a pathological
+    // chunk list: every stored chunk occupies at least one byte, so the
+    // file's own length bounds any real chunk count
+    require(nChunks >= 0 && nChunks <= bytes.length,
+      s"$nChunks chunks claimed by a ${bytes.length}-byte file")
     def gridOffsets(i: Int): Seq[Long] = {
       var rem = i
       val out = new Array[Long](rank)
@@ -2217,6 +2228,12 @@ object Hdf5 {
     * the whole array — the per-element form would allocate a ByteBuffer
     * per pixel on multi-megapixel frames. */
   private def decodeArrayF64(data: Array[Byte], dt: DType, n: Int): Array[Double] = {
+    // a corrupted element count (dataspace dims live in the object
+    // header, unchecksummed in v1) must not drive a pathological
+    // allocation that takes down an executor: the buffer in hand bounds
+    // the count — every caller sizes `data` from the file's own bytes
+    require(n >= 0 && n.toLong * dt.size <= data.length,
+      s"$n elements claimed but only ${data.length} data bytes")
     val bb = ByteBuffer.wrap(data).order(byteOrderOf(dt))
     val out = new Array[Double](n)
     var i = 0
@@ -2646,6 +2663,12 @@ object Hdf5 {
       bytes: Array[Byte], path: String, dims: Seq[Long], cdt: Compound,
       raw: Array[Byte]): Seq[Node] = {
     val elems = (if (dims.isEmpty) 1L else dims.product).toInt
+    // same allocation guard as decodeArrayF64: the raw buffer (sized
+    // from the file) must hold every row, or a corrupted dims count
+    // would allocate per-member arrays far beyond the file's data (and
+    // copyOfRange would silently zero-pad the missing tail)
+    require(elems >= 0 && elems.toLong * cdt.size <= raw.length,
+      s"$elems compound rows claimed but only ${raw.length} data bytes")
     cdt.members.map { m =>
       val mpath = s"$path/${m.name}"
       def slice(k: Int): Array[Byte] = {

@@ -885,7 +885,7 @@ class Hdf5Spec extends SparkSpec {
     for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5")) {
       val full = fixture(name)
-      for (_ <- 1 to 120) {
+      for (_ <- 1 to 500) {
         val bytes = full.clone()
         val at = rnd.nextInt(bytes.length)
         bytes(at) = (bytes(at) ^ (1 + rnd.nextInt(255))).toByte
