@@ -1743,6 +1743,19 @@ object Hdf5 {
     * or block-unlimited ([[UnlimSel]], printf / open-ended mappings).
     * Overlapping unions and v2+ point encodings fail loudly. */
   private def parseSelection(vb: ByteBuffer, what: String): Option[Sel] = {
+    // corrupted rank / entry-count fields must not drive pathological
+    // allocations: HDF5 caps dataspace rank at 32 (H5S_MAX_RANK), and
+    // every serialized block/point occupies at least one byte, so the
+    // remaining message bytes bound any real entry count
+    def checkRank(rank: Int): Int = {
+      require(rank > 0 && rank <= 32, s"$what: dataspace rank $rank")
+      rank
+    }
+    def checkCount(n: Long): Long = {
+      require(n >= 0 && n <= vb.remaining(),
+        s"$what: $n selection entries in a ${vb.remaining()}-byte tail")
+      n
+    }
     val stype = u32(vb)
     stype match {
       case 0 => // H5S_SEL_NONE
@@ -1758,23 +1771,23 @@ object Hdf5 {
           case 1 => // block list; u32 coords
             u32(vb) // reserved
             u32(vb) // length
-            val rank = u32(vb).toInt
-            val nblocks = u32(vb)
+            val rank = checkRank(u32(vb).toInt)
+            val nblocks = checkCount(u32(vb))
             blockList(nblocks, rank, () => u32(vb), what)
           case 2 => // regular start/stride/count/block; u64 coords
             u8(vb) // flags (bit 0: regular — always set in v2)
             u32(vb) // length
-            val rank = u32(vb).toInt
+            val rank = checkRank(u32(vb).toInt)
             regularSlab(vb, rank, 8, what)
           case 3 => // v3 (HDF5 1.12+): variable coordinate width
             val flags = u8(vb)
             val encSize = u8(vb)
             require(encSize == 2 || encSize == 4 || encSize == 8,
               s"$what: v3 selection encode size $encSize")
-            val rank = u32(vb).toInt
+            val rank = checkRank(u32(vb).toInt)
             if ((flags & 1) != 0) regularSlab(vb, rank, encSize, what)
             else { // block list, like v1 but variable-width coords
-              val nblocks = readUIntN(vb, encSize)
+              val nblocks = checkCount(readUIntN(vb, encSize))
               blockList(nblocks, rank, () => readUIntN(vb, encSize), what)
             }
           case v =>
@@ -1785,8 +1798,8 @@ object Hdf5 {
           case 1 => // u32 coords
             u32(vb) // reserved
             u32(vb) // length
-            val rank = u32(vb).toInt
-            val npoints = u32(vb)
+            val rank = checkRank(u32(vb).toInt)
+            val npoints = checkCount(u32(vb))
             val points = (0L until npoints).map(_ =>
               (0 until rank).map(_ => u32(vb)))
             if (points.isEmpty) None else Some(PointSel(points))
@@ -1794,8 +1807,8 @@ object Hdf5 {
             val encSize = u8(vb)
             require(encSize == 2 || encSize == 4 || encSize == 8,
               s"$what: v2 point selection encode size $encSize")
-            val rank = u32(vb).toInt
-            val npoints = readUIntN(vb, encSize)
+            val rank = checkRank(u32(vb).toInt)
+            val npoints = checkCount(readUIntN(vb, encSize))
             val points = (0L until npoints).map(_ =>
               (0 until rank).map(_ => readUIntN(vb, encSize)))
             if (points.isEmpty) None else Some(PointSel(points))

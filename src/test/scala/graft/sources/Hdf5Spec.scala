@@ -881,17 +881,33 @@ class Hdf5Spec extends SparkSpec {
     // size/offset/count fields must surface as clean exceptions (bounds
     // checks, signature checks, checksums), never hangs or pathological
     // allocations that would take down an executor
+    // two patterns: single-byte flips (seed 42) and whole-field 4-byte
+    // corruption (seed 43) over a wider fixture set — heavier offline
+    // sweeps of both patterns (25k and 16k mutations) drove the
+    // allocation guards in decodeArrayF64 / compoundChildren /
+    // readChunkedV4 / parseSelection
+    val fixtures = Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
+      "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
+      "extlink/vds_master.h5", "objref.h5")
     val rnd = new scala.util.Random(42)
-    for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
-      "mouse_unlim.h5", "mouse_dense.h5")) {
-      val full = fixture(name)
-      for (_ <- 1 to 500) {
-        val bytes = full.clone()
-        val at = rnd.nextInt(bytes.length)
-        bytes(at) = (bytes(at) ^ (1 + rnd.nextInt(255))).toByte
-        try { Hdf5.read(bytes); () }
-        catch { case _: Exception => () } // loud failure is the contract
+    for (name <- fixtures; full = fixture(name); _ <- 1 to 300) {
+      val bytes = full.clone()
+      val at = rnd.nextInt(bytes.length)
+      bytes(at) = (bytes(at) ^ (1 + rnd.nextInt(255))).toByte
+      try { Hdf5.read(bytes); () }
+      catch { case _: Exception => () } // loud failure is the contract
+    }
+    val rnd2 = new scala.util.Random(43)
+    for (name <- fixtures; full = fixture(name); _ <- 1 to 300) {
+      val bytes = full.clone()
+      val at = rnd2.nextInt(math.max(1, bytes.length - 4))
+      var k = 0
+      while (k < 4) {
+        bytes(at + k) = (bytes(at + k) ^ (1 + rnd2.nextInt(255))).toByte
+        k += 1
       }
+      try { Hdf5.read(bytes); () }
+      catch { case _: Exception => () } // loud failure is the contract
     }
   }
 
