@@ -2702,6 +2702,12 @@ object Hdf5 {
           // one copy + one buffer wrap per ROW, not per element (same
           // rationale as decodeArrayF64's own doc)
           val per = adims.product
+          // corrupted member dims must not drive a pathological
+          // allocation (or a silent zero-pad from copyOfRange): the
+          // member's block must fit its slot in the row stride
+          require(per >= 0 && m.offset + per.toLong * base.size <= cdt.size,
+            s"array member '${m.name}' claims $per x ${base.size} bytes " +
+              s"at offset ${m.offset} in a ${cdt.size}-byte compound")
           val vals = new Array[Double](elems * per)
           var k = 0
           while (k < elems) {

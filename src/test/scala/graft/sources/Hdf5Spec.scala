@@ -881,11 +881,12 @@ class Hdf5Spec extends SparkSpec {
     // size/offset/count fields must surface as clean exceptions (bounds
     // checks, signature checks, checksums), never hangs or pathological
     // allocations that would take down an executor
-    // two patterns: single-byte flips (seed 42) and whole-field 4-byte
-    // corruption (seed 43) over a wider fixture set — heavier offline
-    // sweeps of both patterns (25k and 16k mutations) drove the
+    // patterns: single-byte flips (seed 42), then mixed 4/8-byte field
+    // corruption, every third mutation biased into the first 512 bytes
+    // (superblock/root-header density; seed 44) — heavier offline
+    // sweeps of these patterns (25k, 16k and 24k mutations) drove the
     // allocation guards in decodeArrayF64 / compoundChildren /
-    // readChunkedV4 / parseSelection
+    // readChunkedV4 / parseSelection / compoundChildren-ArrayT
     val fixtures = Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
       "extlink/vds_master.h5", "objref.h5")
@@ -897,12 +898,14 @@ class Hdf5Spec extends SparkSpec {
       try { Hdf5.read(bytes); () }
       catch { case _: Exception => () } // loud failure is the contract
     }
-    val rnd2 = new scala.util.Random(43)
-    for (name <- fixtures; full = fixture(name); _ <- 1 to 300) {
+    val rnd2 = new scala.util.Random(44)
+    for (name <- fixtures; full = fixture(name); i <- 1 to 400) {
       val bytes = full.clone()
-      val at = rnd2.nextInt(math.max(1, bytes.length - 4))
+      val span = if (i % 2 == 0) 8 else 4
+      val at = if (i % 3 == 0) rnd2.nextInt(math.min(512, bytes.length - span))
+               else rnd2.nextInt(math.max(1, bytes.length - span))
       var k = 0
-      while (k < 4) {
+      while (k < span) {
         bytes(at + k) = (bytes(at + k) ^ (1 + rnd2.nextInt(255))).toByte
         k += 1
       }
