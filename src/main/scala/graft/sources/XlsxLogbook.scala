@@ -77,7 +77,7 @@ object XlsxLogbook {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseShared(zip, e)).getOrElse(IndexedSeq.empty)
       val sheetName = firstSheetPart(zip, file)
-      val doc = newBuilder.parse(zip.getInputStream(zip.getEntry(sheetName)))
+      val doc = newBuilder.parse(boundedStream(zip, zip.getEntry(sheetName)))
       val rows = doc.getElementsByTagName("row")
       (0 until rows.getLength).map { i =>
         val row = rows.item(i).asInstanceOf[Element]
@@ -104,7 +104,7 @@ object XlsxLogbook {
   private def firstSheetPart(zip: ZipFile, file: File): String = {
     val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
     val viaWorkbook = Option(zip.getEntry("xl/workbook.xml")).flatMap { wb =>
-      val doc = newBuilder.parse(zip.getInputStream(wb))
+      val doc = newBuilder.parse(boundedStream(zip, wb))
       val sheets = doc.getElementsByTagName("sheet")
       if (sheets.getLength == 0) None
       else {
@@ -113,7 +113,7 @@ object XlsxLogbook {
           .orElse(Option(first.getAttribute("r:id")).filter(_.nonEmpty))
         rid.flatMap { id =>
           Option(zip.getEntry("xl/_rels/workbook.xml.rels")).flatMap { re =>
-            val rels = newBuilder.parse(zip.getInputStream(re))
+            val rels = newBuilder.parse(boundedStream(zip, re))
               .getElementsByTagName("Relationship")
             (0 until rels.getLength).map(rels.item(_).asInstanceOf[Element])
               .find(_.getAttribute("Id") == id)
@@ -138,7 +138,7 @@ object XlsxLogbook {
   }
 
   private def parseShared(zip: ZipFile, e: java.util.zip.ZipEntry): IndexedSeq[String] = {
-    val doc = newBuilder.parse(zip.getInputStream(e))
+    val doc = newBuilder.parse(boundedStream(zip, e))
     val items = doc.getElementsByTagName("si")
     (0 until items.getLength).map { i =>
       // concatenate every <t> descendant — plain and rich-text runs alike
@@ -158,12 +158,50 @@ object XlsxLogbook {
     }
   }
 
+  /** ECMA-376's hard sheet bound: columns run A..XFD (16384, 3 letters).
+    * Also the guard that a malformed cell reference cannot drive the
+    * null-fill loop into an unbounded allocation. */
+  private val MaxCols = 16384
+
   /** "C7" -> 2; cells lacking the reference attribute fall back to append. */
   private def colIndex(ref: String, fallback: Int): Int = {
     val letters = ref.takeWhile(_.isLetter)
     if (letters.isEmpty) fallback
-    else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+    else {
+      require(letters.length <= 3,
+        s"cell reference '$ref' beyond the XFD column bound")
+      val idx = letters.foldLeft(0)((acc, ch) =>
+        acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+      require(idx < MaxCols, s"cell reference '$ref' beyond column XFD")
+      idx
+    }
   }
+
+  /** The logbook is thousands of rows (single-digit MBs of XML); a part
+    * decompressing past this bound is a deflate bomb, not a logbook —
+    * fail loudly rather than let the DOM balloon the driver heap. Zip
+    * size fields can lie, so the cap counts ACTUAL decompressed bytes. */
+  private val MaxPartBytes = 256L << 20
+
+  private def boundedStream(zip: ZipFile,
+      e: java.util.zip.ZipEntry): java.io.InputStream =
+    new java.io.FilterInputStream(zip.getInputStream(e)) {
+      private var n = 0L
+      private def count(k: Int): Int = {
+        if (k > 0) {
+          n += k
+          require(n <= MaxPartBytes,
+            s"${e.getName}: decompressed past $MaxPartBytes bytes " +
+              "(deflate bomb?)")
+        }
+        k
+      }
+      override def read(): Int = {
+        val b = in.read(); if (b >= 0) count(1); b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        count(in.read(b, off, len))
+    }
 
   private def newBuilder = {
     val f = DocumentBuilderFactory.newInstance()

@@ -163,6 +163,41 @@ class XlsxLogbookSpec extends SparkSpec {
     assert(raw.collect().map(_.getString(0)).toSeq == Seq("20240101"))
   }
 
+  test("a cell reference beyond column XFD fails loudly, never an " +
+      "unbounded null-fill") {
+    val f = Files.createTempDirectory("xlsx4").resolve("wide.xlsx").toFile
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="AAAA1" t="inlineStr"><is><t>x</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val e = intercept[IllegalArgumentException] {
+      XlsxLogbook.readRaw(spark, f.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("XFD"))
+  }
+
+  test("a part decompressing past the bound fails loudly (deflate bomb)") {
+    val f = Files.createTempDirectory("xlsx5").resolve("bomb.xlsx").toFile
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write("""<?xml version="1.0"?><worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>""".getBytes("UTF-8"))
+    val mb = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(mb, ' '.toByte)
+    for (_ <- 1 to 257) zos.write(mb) // 257 MB of spaces: ~300 KB zipped
+    zos.write("</t></is></c></row></sheetData></worksheet>".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val e = intercept[Exception] { XlsxLogbook.readRaw(spark, f.getAbsolutePath) }
+    // the counter fires mid-parse; the DOM may wrap it, so match the text
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("deflate bomb")), msgs(e).mkString(" | "))
+  }
+
   test("missing logbook columns fail loudly") {
     val e = intercept[IllegalArgumentException] {
       // point the typed reader at a workbook whose header lacks the fields
