@@ -128,6 +128,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("d03: simhash signatures are map-side only — no key shuffle, " +
+      "no shingle explode, no aggregation") {
+    // the round-9 SimHashF codegen expression replaced an
+    // explode+md5+groupBy chain; this pins the map-side shape so a
+    // refactor cannot silently reintroduce the corpus-sized shuffle
+    val p = plan("d03_simhash")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Generate") && !p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("simhash"), p.take(2000))
+  }
+
   test("s03: leaves nothing cached (query vectors self-assign, no diamond)") {
     // baseline-relative: other suites/tests may legitimately hold shared
     // state (e.g. the d02/d07 pair checkpoint) — s03 itself must add none
