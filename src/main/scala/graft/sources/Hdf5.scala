@@ -329,6 +329,19 @@ object Hdf5 {
       case v => throw new UnsupportedOperationException(s"dataspace v$v")
     }
     val dims = (0 until rank).map(_ => u64(bb))
+    // dims are unchecksummed in v1 headers: a corrupted dim must fail
+    // loudly HERE, not wrap the element-count product to a small value
+    // that downstream allocation guards would accept (a silently empty
+    // or truncated read). After this check every consumer may trust
+    // `dims.product` as a non-negative, non-wrapped Long.
+    require(dims.forall(_ >= 0), s"negative dataspace dim in $dims")
+    dims.foldLeft(1L) { (a, d) =>
+      try math.multiplyExact(a, d)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"dataspace dims $dims overflow the element count")
+      }
+    }
     val maxdims =
       if ((flags & 1) != 0) (0 until rank).map(_ => u64(bb)) else dims
     (dims, maxdims, isNull)
@@ -1184,18 +1197,31 @@ object Hdf5 {
     val encLen = u8(bb)
     val chunkDims = (0 until rank).map(_ => readUIntN(bb, encLen).toInt)
     val idxType = u8(bb)
-    val chunkBytes = chunkDims.product * elemSize
+    // overflow-safe: a corrupted chunk dim must not wrap the byte count
+    // to a small positive value (Int products wrap silently)
+    val chunkBytes = {
+      val b = chunkDims.foldLeft(elemSize.toLong)((a, d) =>
+        math.multiplyExact(a, d.toLong))
+      require(b > 0 && b <= Int.MaxValue, s"chunk of $b bytes")
+      b.toInt
+    }
     val dontFilterEdges = (flags & 0x01) != 0
 
-    // chunk-grid shape, row-major enumeration order
-    val gridDims = dims.indices.map(i =>
-      ((dims(i) + chunkDims(i) - 1) / chunkDims(i)).toInt)
-    val nChunks = gridDims.product
-    // a corrupted dims/chunkDims field must not materialize a pathological
-    // chunk list: every stored chunk occupies at least one byte, so the
-    // file's own length bounds any real chunk count
-    require(nChunks >= 0 && nChunks <= bytes.length,
-      s"$nChunks chunks claimed by a ${bytes.length}-byte file")
+    // chunk-grid shape, row-major enumeration order. NOTE the grid-cell
+    // count is NOT bounded by the file length in general: sparse chunked
+    // datasets legally have millions of unwritten cells (addr UNDEF /
+    // absent records) occupying zero file bytes — per-index-type bounds
+    // live where a cell-count-sized materialization actually happens.
+    val gridDims = dims.indices.map { i =>
+      val g = (dims(i) + chunkDims(i) - 1) / chunkDims(i)
+      require(g >= 0 && g <= Int.MaxValue, s"chunk grid dim $g")
+      g.toInt
+    }
+    val nChunks = {
+      val n = gridDims.foldLeft(1L)((a, g) => math.multiplyExact(a, g.toLong))
+      require(n <= Int.MaxValue, s"$n chunk-grid cells")
+      n.toInt
+    }
     def gridOffsets(i: Int): Seq[Long] = {
       var rem = i
       val out = new Array[Long](rank)
@@ -1220,6 +1246,11 @@ object Hdf5 {
       case 2 => // Implicit: unfiltered chunks laid contiguously in grid order
         val addr = u64(bb)
         if (addr == UNDEF) return None
+        // implicit layout stores EVERY grid cell contiguously, so here —
+        // and only here — the file's own length bounds the cell count
+        require(nChunks.toLong * chunkBytes <= bytes.length,
+          s"$nChunks implicit chunks of $chunkBytes bytes in a " +
+            s"${bytes.length}-byte file")
         (0 until nChunks).map(i =>
           ChunkRef(gridOffsets(i), addr + i.toLong * chunkBytes, chunkBytes, 0L))
 
@@ -2338,7 +2369,13 @@ object Hdf5 {
         dt.isInstanceOf[Str] || dt == VlenStr)
     if (isNull || dt.isInstanceOf[Compound] || dt.isInstanceOf[ArrayT] ||
       dt.isInstanceOf[ObjRef] || (n != 1 && !smallArray)) return None
-    val data = take(bb, dt.size * n.toInt)
+    // the value bytes live inside this message: a corrupted datatype
+    // size must not drive the allocation past the message's remaining
+    // bytes (take allocates before the buffer read would throw)
+    val need = dt.size.toLong * n
+    require(need >= 0 && need <= bb.remaining(),
+      s"attribute claims $need value bytes, ${bb.remaining()} in message")
+    val data = take(bb, need.toInt)
     val value = dt match {
       case Str(_) | VlenStr if n > 1 =>
         (0 until n.toInt).map { k =>
@@ -2601,9 +2638,27 @@ object Hdf5 {
     }
   }
 
+  /** Largest single-dataset materialization readLayout will attempt.
+    * Instrument frames are MBs and the pipeline's biggest legitimate
+    * reads (multi-hundred-frame image stacks) stay well under this. A
+    * corrupted dims field claiming more must fail loudly BEFORE any
+    * allocation — a sparse chunked extent cannot be bounded by the file
+    * length (unwritten cells occupy zero bytes), so an explicit ceiling
+    * is the only wrap-free guard. VDS keeps its own larger
+    * degrade-to-marker bound. */
+  private val MaxDatasetBytes = 512L << 20
+
   private def readLayout(
       bytes: Array[Byte], off: Int, dims: Seq[Long], maxdims: Seq[Long],
       dt: DType, filters: Seq[H5Filter]): Option[Array[Byte]] = {
+    val claim =
+      try math.multiplyExact(dims.product, dt.size.toLong)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"dataset byte count overflows ($dims x ${dt.size})")
+      }
+    require(claim <= MaxDatasetBytes,
+      s"dataset claims $claim bytes (> $MaxDatasetBytes single-read bound)")
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
     require(version == 3 || version == 4, s"data layout v$version (v3/v4 supported)")
@@ -2675,13 +2730,16 @@ object Hdf5 {
   private def compoundChildren(
       bytes: Array[Byte], path: String, dims: Seq[Long], cdt: Compound,
       raw: Array[Byte]): Seq[Node] = {
-    val elems = (if (dims.isEmpty) 1L else dims.product).toInt
-    // same allocation guard as decodeArrayF64: the raw buffer (sized
-    // from the file) must hold every row, or a corrupted dims count
-    // would allocate per-member arrays far beyond the file's data (and
-    // copyOfRange would silently zero-pad the missing tail)
-    require(elems >= 0 && elems.toLong * cdt.size <= raw.length,
-      s"$elems compound rows claimed but only ${raw.length} data bytes")
+    // same allocation guard as decodeArrayF64, in LONG math BEFORE any
+    // Int truncation (a product wrapping toInt would pass a small-value
+    // check and silently truncate the member columns): the raw buffer
+    // (sized from the file) must hold every row — dims.product is
+    // wrap-free by parseDataspaceFull's validation
+    val elemsL = if (dims.isEmpty) 1L else dims.product
+    require(cdt.size > 0, s"compound row stride ${cdt.size}")
+    require(math.multiplyExact(elemsL, cdt.size.toLong) <= raw.length,
+      s"$elemsL compound rows claimed but only ${raw.length} data bytes")
+    val elems = elemsL.toInt
     cdt.members.map { m =>
       val mpath = s"$path/${m.name}"
       def slice(k: Int): Array[Byte] = {

@@ -180,8 +180,10 @@ object XlsxLogbook {
   /** The logbook is thousands of rows (single-digit MBs of XML); a part
     * decompressing past this bound is a deflate bomb, not a logbook —
     * fail loudly rather than let the DOM balloon the driver heap. Zip
-    * size fields can lie, so the cap counts ACTUAL decompressed bytes. */
-  private val MaxPartBytes = 256L << 20
+    * size fields can lie, so the cap counts ACTUAL decompressed bytes.
+    * 32 MB is ~10x the largest plausible logbook part while keeping the
+    * worst-case transient DOM (UTF-16 doubles it) well under 100 MB. */
+  private val MaxPartBytes = 32L << 20
 
   private def boundedStream(zip: ZipFile,
       e: java.util.zip.ZipEntry): java.io.InputStream =

@@ -187,7 +187,7 @@ class XlsxLogbookSpec extends SparkSpec {
     zos.write("""<?xml version="1.0"?><worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>""".getBytes("UTF-8"))
     val mb = new Array[Byte](1 << 20)
     java.util.Arrays.fill(mb, ' '.toByte)
-    for (_ <- 1 to 257) zos.write(mb) // 257 MB of spaces: ~300 KB zipped
+    for (_ <- 1 to 33) zos.write(mb) // 33 MB of spaces: ~40 KB zipped
     zos.write("</t></is></c></row></sheetData></worksheet>".getBytes("UTF-8"))
     zos.closeEntry()
     zos.close()
