@@ -889,7 +889,8 @@ class Hdf5Spec extends SparkSpec {
     // readChunkedV4 / parseSelection / compoundChildren-ArrayT
     val fixtures = Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
-      "extlink/vds_master.h5", "objref.h5")
+      "extlink/vds_master.h5", "objref.h5", "mouse_bigendian.h5",
+      "swizzle.h5")
     val rnd = new scala.util.Random(42)
     for (name <- fixtures; full = fixture(name); _ <- 1 to 300) {
       val bytes = full.clone()
