@@ -920,7 +920,8 @@ class Hdf5Spec extends SparkSpec {
     // no infinite walks, no pathological allocations, no silent zeros
     for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
-      "extlink/vds_master.h5")) {
+      "extlink/vds_master.h5", "objref.h5", "mouse_bigendian.h5",
+      "swizzle.h5")) {
       val full = fixture(name)
       for (k <- 1 until 40) {
         val cut = java.util.Arrays.copyOf(full, math.max(9, full.length * k / 40))
