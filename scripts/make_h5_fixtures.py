@@ -1851,13 +1851,87 @@ def make_bad_refmarker(path: Path):
     finish_v2(f, group_v2(f, {'clash': ds}), path)
 
 
-def make_bad_regionref(path: Path):
-    """A dataset-region reference (rtype 1) dataset — element selections
-    live in a global-heap block the reader does not decode; must fail
-    loudly, never decode the heap id as data."""
+def _sel_block_v1(rank, blocks):
+    """Serialized hyperslab block-list selection, v1 encoding (u32 coords,
+    INCLUSIVE end corners — libhdf5 H5S__hyper_serialize pre-1.12)."""
+    body = struct.pack('<II', rank, len(blocks))
+    for start, end in blocks:
+        body += b''.join(struct.pack('<I', c) for c in start)
+        body += b''.join(struct.pack('<I', c) for c in end)
+    return struct.pack('<IIII', 2, 1, 0, len(body)) + body
+
+
+def _sel_points_v1(rank, points):
+    body = struct.pack('<II', rank, len(points))
+    for p in points:
+        body += b''.join(struct.pack('<I', c) for c in p)
+    return struct.pack('<IIII', 1, 1, 0, len(body)) + body
+
+
+def _sel_all():
+    return struct.pack('<II8x', 3, 1)
+
+
+def make_regionref(path: Path):
+    """Dataset-region references (rtype 1, the ≤1.10 12-byte heap form):
+    each value is (GCOL address, index) and the heap object is the
+    target's object-header address + a serialized dataspace selection.
+    The reader resolves the target PATH (like object refs) and renders
+    the selection into the `region_selection` attribute: single-block
+    hyperslabs as half-open `start:end` per dim, multi-block unions
+    `;`-joined, point selections as `points:N`, ALL as `all`. A zero
+    handle is a null reference (''); a handle whose index is absent from
+    the collection surfaces the unresolved_region_ref marker."""
     f = FileBuf()
     f.alloc(48)
-    raw = f.append(bytes(12))
+    t_raw = f.append(struct.pack('<24d', *range(24)))
+    target = object_header_v2(f, [
+        (0x01, space_simple([4, 6])),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(t_raw, 24 * 8)),
+    ])
+    grp = group_v2(f, {'image': target})
+
+    gh = GlobalHeap(f)
+    # rows 1:3, cols 2:5 of the 4x6 image (inclusive ends 2, 4 on disk)
+    i_block = gh.add(struct.pack('<Q', target) +
+                     _sel_block_v1(2, [((1, 2), (2, 4))]))
+    i_union = gh.add(struct.pack('<Q', target) +
+                     _sel_block_v1(2, [((0, 0), (0, 1)), ((3, 4), (3, 5))]))
+    i_points = gh.add(struct.pack('<Q', target) +
+                      _sel_points_v1(2, [(0, 0), (1, 3), (3, 5)]))
+    i_all = gh.add(struct.pack('<Q', target) + _sel_all())
+    heap = gh.flush()
+
+    def ref_ds(addr, idx):
+        raw = f.append(struct.pack('<QI', addr, idx))
+        return object_header_v2(f, [
+            (0x01, space_scalar()),
+            (0x03, dt_objref(rtype=1, size=12)),
+            (0x08, layout_contiguous(raw, 12)),
+        ])
+
+    refs = group_v2(f, {
+        'to_block': ref_ds(heap, i_block),
+        'to_union': ref_ds(heap, i_union),
+        'to_points': ref_ds(heap, i_points),
+        'to_all': ref_ds(heap, i_all),
+        'to_null': ref_ds(0, 0),
+        'dangling': ref_ds(heap, 99),  # collection exists, index absent
+    })
+    finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
+
+
+def make_bad_regionref(path: Path):
+    """A region reference whose heap object is too short to hold the
+    8-byte target address — truncated metadata must fail loudly, never
+    decode garbage as an address."""
+    f = FileBuf()
+    f.alloc(48)
+    gh = GlobalHeap(f)
+    idx = gh.add(b'\x01\x02\x03\x04')  # 4 bytes < the 8-byte address
+    heap = gh.flush()
+    raw = f.append(struct.pack('<QI', heap, idx))
     ds = object_header_v2(f, [
         (0x01, space_scalar()),
         (0x03, dt_objref(rtype=1, size=12)),
@@ -3008,6 +3082,7 @@ if __name__ == '__main__':
     make_bad_fletcher(out / 'bad_fletcher.h5')
     make_swizzle(out / 'swizzle.h5')
     make_objref(out / 'objref.h5')
+    make_regionref(out / 'regionref.h5')
     make_bad_regionref(out / 'bad_regionref.h5')
     make_bad_refarray(out / 'bad_refarray.h5')
     make_bad_refcompound(out / 'bad_refcompound.h5')

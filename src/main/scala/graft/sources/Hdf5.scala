@@ -35,7 +35,10 @@ import scala.collection.mutable
   *    node; enums over integer bases, read as the base type like h5py;
   *    array datatypes (class 10) over fixed/float bases, folded into
   *    trailing dims; scalar object references (class 7 rtype 0), read as
-  *    the referenced object's path string), data layout v3
+  *    the referenced object's path string; scalar dataset-region
+  *    references (class 7 rtype 1, the ≤1.10 heap form), read as the
+  *    target's path with the selection rendered into a
+  *    `region_selection` attribute — the NeXus mask/ROI shape), data layout v3
   *    (compact, contiguous, chunked + v1 B-tree) and v4 (chunked with ALL
   *    FIVE index types: Single Chunk, Implicit, Fixed Array, Extensible
   *    Array — every addressing tier incl. paged data blocks with MSB-first
@@ -72,10 +75,11 @@ import scala.collection.mutable
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
   * non-standard float widths);
-  * region references (rtype 1) and the revised H5T_STD_REF token forms
-  * (rtype 2+) — scalar OBJECT references (rtype 0) ARE supported,
-  * resolving to the referenced object's path, with null references
-  * reading as '' and dangling addresses surfacing a marker attribute;
+  * the revised H5T_STD_REF token forms (rtype 2+, HDF5 1.12 — scalar
+  * OBJECT references (rtype 0) and ≤1.10-form REGION references
+  * (rtype 1) ARE supported, resolving to the referenced object's path,
+  * with null references reading as '' and dangling addresses/heap
+  * handles surfacing a marker attribute; reference ARRAYs fail loudly);
   * enums over non-integer bases;
   * overlapping multi-block selection unions (malformed — libhdf5
   * normalizes unions to disjoint blocks before serializing);
@@ -151,6 +155,14 @@ object Hdf5 {
   private case class Flt(size: Int, be: Boolean = false) extends DType
   private case class Str(size: Int) extends DType
   private case object VlenStr extends DType { val size = 16 }
+  /** Dataset-region reference (class 7, rtype 1, HDF5 ≤1.10 form): a
+    * 12-byte (global-heap collection address, 1-based index) pair whose
+    * heap object holds the target's object-header address plus a
+    * serialized dataspace selection. Decodes to the target PATH (like
+    * object references) with the selection rendered into the
+    * `region_selection` attribute. */
+  private case class RegionRef(size: Int) extends DType
+
   /** Object reference (class 7, rtype 0): an 8-byte object-header address
     * into THIS file, resolved post-walk to the referenced object's path. */
   private case class ObjRef(size: Int) extends DType
@@ -300,16 +312,24 @@ object Hdf5 {
           s"array datatype size $size != ${base.size}x${adims.mkString("x")}")
         ArrayT(base, adims)
       case 7 =>
-        // reference: bits 0-3 = rtype. Only 0 (H5R_OBJECT, an 8-byte
-        // object-header address into this file) is supported; region
-        // references (1) select elements via a global-heap block and the
+        // reference: bits 0-3 = rtype. 0 (H5R_OBJECT, an 8-byte
+        // object-header address into this file) and 1 (H5R_DATASET_REGION,
+        // a 12-byte global-heap handle whose heap object carries the
+        // target address + a serialized selection) are supported; the
         // revised H5T_STD_REF forms (2+, HDF5 1.12) are opaque tokens —
-        // both fail loudly rather than decode addresses as data
-        val rtype = bits(0) & 0x0F
-        if (rtype != 0) throw new UnsupportedOperationException(
-          s"reference datatype rtype $rtype not supported (object references only)")
-        require(size == 8, s"object reference size $size (8-byte offsets only)")
-        ObjRef(size)
+        // those fail loudly rather than decode addresses as data
+        bits(0) & 0x0F match {
+          case 0 =>
+            require(size == 8, s"object reference size $size (8-byte offsets only)")
+            ObjRef(size)
+          case 1 =>
+            require(size == 12,
+              s"region reference size $size (8-byte address + 4-byte index only)")
+            RegionRef(size)
+          case rtype => throw new UnsupportedOperationException(
+            s"reference datatype rtype $rtype not supported " +
+              "(object/region references only)")
+        }
       case other =>
         throw new UnsupportedOperationException(s"datatype class $other not supported")
     }
@@ -2048,6 +2068,7 @@ object Hdf5 {
     def heapRefs(t: DType): Boolean = t match {
       case VlenStr => true
       case _: ObjRef => true // object-header addresses: equally file-local
+      case _: RegionRef => true // heap handle + target address: file-local
       case Compound(_, ms) => ms.exists(m => heapRefs(m.dt))
       case ArrayT(base, _) => heapRefs(base)
       case _ => false
@@ -2368,7 +2389,8 @@ object Hdf5 {
       (dt.isInstanceOf[Fixed] || dt.isInstanceOf[Flt] ||
         dt.isInstanceOf[Str] || dt == VlenStr)
     if (isNull || dt.isInstanceOf[Compound] || dt.isInstanceOf[ArrayT] ||
-      dt.isInstanceOf[ObjRef] || (n != 1 && !smallArray)) return None
+      dt.isInstanceOf[ObjRef] || dt.isInstanceOf[RegionRef] ||
+      (n != 1 && !smallArray)) return None
     // the value bytes live inside this message: a corrupted datatype
     // size must not drive the allocation past the message's remaining
     // bytes (take allocates before the buffer read would throw)
@@ -2638,14 +2660,16 @@ object Hdf5 {
     }
   }
 
-  /** Largest single-dataset materialization readLayout will attempt.
+  /** Largest CHUNKED-dataset materialization readLayout will attempt.
     * Instrument frames are MBs and the pipeline's biggest legitimate
     * reads (multi-hundred-frame image stacks) stay well under this. A
     * corrupted dims field claiming more must fail loudly BEFORE any
     * allocation — a sparse chunked extent cannot be bounded by the file
     * length (unwritten cells occupy zero bytes), so an explicit ceiling
-    * is the only wrap-free guard. VDS keeps its own larger
-    * degrade-to-marker bound. */
+    * is the only wrap-free guard there. Compact/contiguous layouts are
+    * bounded by the file's own bytes instead (the data physically
+    * exists), so a legitimate contiguous dataset above this ceiling
+    * still reads. VDS keeps its own larger degrade-to-marker bound. */
   private val MaxDatasetBytes = 512L << 20
 
   private def readLayout(
@@ -2657,20 +2681,28 @@ object Hdf5 {
         case _: ArithmeticException => throw new IllegalArgumentException(
           s"dataset byte count overflows ($dims x ${dt.size})")
       }
-    require(claim <= MaxDatasetBytes,
-      s"dataset claims $claim bytes (> $MaxDatasetBytes single-read bound)")
     val bb = bufAt(bytes, off.toLong)
     val version = u8(bb)
     require(version == 3 || version == 4, s"data layout v$version (v3/v4 supported)")
     u8(bb) match {
-      case 0 => // compact: u16 size + inline data
+      case 0 => // compact: u16 size + inline data (u16 bounds the read)
         val size = u16(bb)
         Some(take(bb, size))
-      case 1 => readContiguous(bytes, bb.position())
-      case 2 if version == 3 =>
-        readChunked(bytes, bb.position(), dims, dt.size, filters)
+      case 1 =>
+        // Contiguous data physically exists in the file, so the file's own
+        // length is the natural allocation bound — the explicit ceiling
+        // would wrongly reject a legitimate 512 MiB..2 GiB dataset.
+        require(claim <= bytes.length,
+          s"contiguous dataset claims $claim bytes (> file size ${bytes.length})")
+        readContiguous(bytes, bb.position())
       case 2 =>
-        readChunkedV4(bytes, bb.position(), dims, maxdims, dt.size, filters)
+        // Chunked extents are SPARSE: unwritten cells occupy zero file
+        // bytes, so the file length cannot bound the materialization and
+        // the explicit ceiling is the only wrap-free guard.
+        require(claim <= MaxDatasetBytes,
+          s"chunked dataset claims $claim bytes (> $MaxDatasetBytes single-read bound)")
+        if (version == 3) readChunked(bytes, bb.position(), dims, dt.size, filters)
+        else readChunkedV4(bytes, bb.position(), dims, maxdims, dt.size, filters)
       case c => throw new UnsupportedOperationException(s"layout class $c")
     }
   }
@@ -2705,6 +2737,38 @@ object Hdf5 {
               empty.copy(scalarStr = Some("")) // null reference, h5py's None
             else // resolved to a path AFTER the walk (forward refs are legal)
               empty.copy(refAddr = Some(addr))
+          case RegionRef(_) =>
+            // scalar only, same policy as object references
+            if (elems > 1) throw new UnsupportedOperationException(
+              s"region-reference ARRAY dataset ($elems elements) not supported at $path")
+            val hb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+            val collectionAddr = hb.getLong(0)
+            val index = hb.getInt(8)
+            if (collectionAddr == 0L || collectionAddr == UNDEF || index == 0)
+              empty.copy(scalarStr = Some("")) // null reference, h5py's None
+            else gcolObject(bytes, collectionAddr, index) match {
+              case None =>
+                // collection exists but the object index does not — a
+                // dangling handle gets the same inspectable-marker policy
+                // as dangling object references, never a silent hole
+                require(!attrs.contains("unresolved_region_ref"),
+                  s"user attribute 'unresolved_region_ref' collides with " +
+                    s"the dangling-region-reference marker at $path")
+                empty.copy(attrs = attrs + ("unresolved_region_ref" ->
+                  s"$collectionAddr/$index"))
+              case Some(obj) =>
+                // heap object = target object-header address + serialized
+                // dataspace selection (libhdf5 H5R__encode_heap layout)
+                require(obj.length >= 8,
+                  s"region-reference heap object ${obj.length} bytes at $path")
+                val ob = ByteBuffer.wrap(obj).order(ByteOrder.LITTLE_ENDIAN)
+                val objAddr = ob.getLong()
+                val sel = parseSelection(ob, s"region reference at $path")
+                // target path resolves AFTER the walk, like object refs;
+                // the selection is rendered now, from this file's bytes
+                empty.copy(refAddr = Some(objAddr), attrs = attrs +
+                  ("region_selection" -> selSummary(sel)))
+            }
           case _ if elems == 1 =>
             empty.copy(scalarF64 = Some(decodeF64(data, dt, 0)))
           case Flt(4, _) =>
@@ -2720,6 +2784,26 @@ object Hdf5 {
             empty.copy(f64Data = Some(decodeArrayF64(data, dt, elems.toInt)))
         }
     }
+  }
+
+  /** Deterministic, inspectable rendering of a region reference's
+    * selection for the `region_selection` attribute. Slabs and disjoint
+    * block unions render as half-open per-dim ranges (`start:end`, blocks
+    * `;`-separated — the h5py-slice reading of the region); point and
+    * strided selections summarize by shape rather than enumerate. */
+  private def selSummary(sel: Option[Sel]): String = sel match {
+    case None => "none"
+    case Some(AllSel) => "all"
+    case Some(SlabSel(start, count)) =>
+      start.zip(count).map { case (s, c) => s"$s:${s + c}" }.mkString(",")
+    case Some(MultiBlockSel(blocks)) =>
+      blocks.map(b => b.start.zip(b.count)
+        .map { case (s, c) => s"$s:${s + c}" }.mkString(",")).mkString(";")
+    case Some(PointSel(points)) => s"points:${points.size}"
+    case Some(StridedSel(start, stride, count, block)) =>
+      s"strided:start=${start.mkString(",")};stride=${stride.mkString(",")};" +
+        s"count=${count.mkString(",")};block=${block.mkString(",")}"
+    case Some(u: UnlimSel) => "unlimited"
   }
 
   /** Flat compound dataset -> one child node per member (`<path>/<name>`),

@@ -203,6 +203,19 @@ object XlsxLogbook {
       }
       override def read(b: Array[Byte], off: Int, len: Int): Int =
         count(in.read(b, off, len))
+      // FilterInputStream.skip would delegate to the inflater stream and
+      // the skipped DECOMPRESSED bytes would bypass the bomb counter —
+      // route them through read() so every byte is counted.
+      override def skip(k: Long): Long = {
+        val buf = new Array[Byte](8192)
+        var done = 0L
+        var eof = false
+        while (done < k && !eof) {
+          val r = read(buf, 0, math.min(buf.length.toLong, k - done).toInt)
+          if (r < 0) eof = true else done += r
+        }
+        done
+      }
     }
 
   private def newBuilder = {

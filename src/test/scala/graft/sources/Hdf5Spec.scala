@@ -647,11 +647,41 @@ class Hdf5Spec extends SparkSpec {
     assert(decoy.attrs.contains("object_ref_addr"))
   }
 
-  test("region references and reference arrays fail loudly") {
-    val e1 = intercept[UnsupportedOperationException] {
+  test("region references (rtype 1) resolve to the target path with the " +
+      "selection rendered into region_selection") {
+    val nodes = Hdf5.read(fixture("regionref.h5"))
+    def at(p: String) = nodes.find(_.path == p).get
+    // single-block hyperslab: rows 1:3, cols 2:5 of the 4x6 image,
+    // half-open per-dim ranges (the h5py-slice reading of the region)
+    val blk = at("/refs/to_block")
+    assert(blk.scalarStr.contains("/grp/image"))
+    assert(blk.attrs.get("region_selection").contains("1:3,2:5"))
+    // disjoint block union: ;-joined in stored order
+    val un = at("/refs/to_union")
+    assert(un.scalarStr.contains("/grp/image"))
+    assert(un.attrs.get("region_selection").contains("0:1,0:2;3:4,4:6"))
+    // point selection summarizes by count, ALL renders as "all"
+    assert(at("/refs/to_points").attrs.get("region_selection").contains("points:3"))
+    assert(at("/refs/to_all").attrs.get("region_selection").contains("all"))
+    // zero handle = null reference (h5py's None) -> '' default
+    assert(at("/refs/to_null").scalarStr.contains(""))
+    assert(!at("/refs/to_null").attrs.contains("region_selection"))
+    // a handle whose index is absent from the collection: marker, never
+    // a silent hole
+    val dang = at("/refs/dangling")
+    assert(dang.scalarStr.isEmpty)
+    assert(dang.attrs.contains("unresolved_region_ref"))
+    // the target dataset itself reads normally
+    assert(at("/grp/image").f64Data.exists(_.length == 24))
+  }
+
+  test("region references with corrupt heap objects and reference arrays " +
+      "fail loudly") {
+    // heap object too short to hold the 8-byte target address
+    val e1 = intercept[IllegalArgumentException] {
       Hdf5.read(fixture("bad_regionref.h5"))
     }
-    assert(e1.getMessage.contains("rtype 1"))
+    assert(e1.getMessage.contains("region-reference heap object"))
     val e2 = intercept[UnsupportedOperationException] {
       Hdf5.read(fixture("bad_refarray.h5"))
     }
