@@ -3,52 +3,98 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the driver contract on Bench's stdout: the metric line is printed
-  * last and must stay under the driver's tail-capture window, or the round
-  * records no bench total (this bit r2 and r7 — see VERDICT r7 item 1).
-  * Also pins the r9 contamination policy: median-of-3 everywhere plus a
-  * scan-only canary flag, so a disturbed session can never be silently the
-  * round's number of record again (r8's 43.4 s vs 27.4–30.6 s clean).
+  * last and must survive, INTACT AND PARSEABLE, in the driver's 2,000-byte
+  * tail capture — which also retains sbt's `[success] Total time ...`
+  * epilogue after it. r2, r7 and r9 each lost the round's bench total to
+  * this window (r9: the 1,932-byte line + the 74-byte epilogue overran by
+  * 6 bytes), so the tail contract is tested END TO END here: compose the
+  * real lines plus the epilogue, take the last 2,000 bytes, JSON-parse.
+  * Also pins the r10 contamination policy: median canary flag PLUS
+  * canary_max (one blown canary must flag — r9's q16 ran 17× while the
+  * median said clean) PLUS a whole-suite total-canary immune to burst
+  * placement.
   */
 class BenchEmitSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
-  test("metric line for the full query suite stays under the capture " +
-      "budget AND keeps a per-query map at >=2 decimals") {
-    // Realistic magnitudes (the sf0.1 suite is dominated by sub-second
-    // queries): the line must fit WITHOUT dropping the per-query map —
-    // the driver reads per-query timings from this line. 3 decimals is
-    // preferred but the suite has grown past the point where 3 decimals
-    // + the contamination flag are both guaranteed; 2 decimals is the
-    // floor (the detail line always carries 3).
+  /** sbt's post-run epilogue as the driver's tail window sees it (r9
+    * measured 72–74 bytes; the time/date widths vary, so model a wide one).
+    */
+  private val epilogue =
+    "\n[success] Total time: 12345 s, completed Aug 14, 2026, 12:34:56 PM\n"
+
+  private def parse(s: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+
+  test("END TO END: metric line + sbt epilogue fit the 2,000-byte tail " +
+      "window and the captured line JSON-parses with a per-query map") {
     val timings = names.map(_ -> 0.987)
-    val line = Bench.metricLine(timings, "sf0.1", Some(false),
-      Some(1.38), Some(0.152))
+    val line = Bench.metricLine(timings, "sf0.1", contaminated = Some(false),
+      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152))
+    // What the driver captures: last TailCaptureBytes of (…detail…, metric
+    // line, epilogue). The metric line must survive in full.
+    val stdout = Bench.detailLine(timings, names.map(_ -> 3), "sf0.1",
+      Seq(0.04, 0.05, 0.04)) + "\n" + line + epilogue
+    val tail = stdout.takeRight(Bench.TailCaptureBytes)
+    assert(tail.contains(line), "metric line truncated by the tail window")
+    val node = parse(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("value").asDouble > 0)
+    assert(node.get("queries") != null && node.get("queries").size == names.size,
+      "per-query map must survive on the driver-facing line")
+    assert(node.get("canary_x").asDouble == 1.38)
+    assert(node.get("canary_max").asDouble == 1.5)
+    assert(node.get("cpu_ref").asDouble == 0.152)
+    assert(!node.get("contaminated").asBoolean)
+  }
+
+  test("metric line for the full query suite stays under the capture " +
+      "budget (TailCaptureBytes - 80 hard pin) and keeps a per-query map") {
+    val timings = names.map(_ -> 0.987)
+    val line = Bench.metricLine(timings, "sf0.1", contaminated = Some(false),
+      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152))
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin,
       s"metric line is ${line.length} bytes for ${names.size} queries")
+    assert(Bench.SafetyMargin >= 150, "r9: epilogue + headroom needs >=150")
+    assert(line.length <= Bench.TailCaptureBytes - 80)
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
-    assert(line.contains("\"" + names.head + "\":0.9"),
-      "per-query map was dropped or degraded below 2 decimals")
+    // 73 full names cannot fit the post-epilogue budget at any precision
+    // (1,222 bytes of names alone), so the ladder lands on the unique
+    // short-code keys at FULL 3-decimal precision — better than 1-decimal
+    // full names, and self-describing via "keys":"code".
+    val node = parse(line)
+    val q = node.get("queries")
+    assert(q != null && q.size == names.size, "per-query map was dropped")
+    val code = names.head.split('_').head
+    assert(q.has(names.head) || (q.has(code) && node.get("keys").asText == "code"),
+      s"neither full name ${names.head} nor code $code present")
+    val v = if (q.has(names.head)) q.get(names.head) else q.get(code)
+    assert(math.abs(v.asDouble - 0.987) < 0.05, s"precision degraded: $v")
     assert(line.contains("\"canary_x\":1.38") && line.contains("\"cpu_ref\":0.152"),
       "graded contamination context must ride the metric line")
+    assert(line.contains("\"canary_max\":1.5"),
+      "canary_max must ride the metric line (r9: median hid a 17x canary)")
     assert(!line.contains("\"runs\""), "runs belongs on the detail line only")
   }
 
-  test("absurdly slow suites drop the per-query map rather than exceed " +
-      "the budget") {
+  test("absurdly slow suites degrade rather than exceed the budget") {
     val timings = names.map(_ -> 999999.999)
     val line = Bench.metricLine(timings, "sf0.1", Some(true))
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin)
     assert(line.contains("\"metric\":\"total\",\"value\":"))
   }
 
-  test("metric line never exceeds the budget even with absurd suite growth") {
+  test("metric line never exceeds the budget even with absurd suite growth " +
+      "(colliding codes skip the code steps, map drops as last resort)") {
     val many = (1 to 500).map(i => f"q${i}%03d_very_long_query_name_padding" -> 12345.678)
     val line = Bench.metricLine(many, "sf0.1", Some(true))
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin)
-    // Degraded line still carries the headline total.
     assert(line.contains("\"metric\":\"total\",\"value\":"))
+    // 500 distinct codes at 4 digits still can't fit -> map dropped, but
+    // the line parses and the total survives.
+    assert(parse(line).get("value").asDouble > 0)
   }
 
   test("failed queries are excluded from the total but reported as -1") {
@@ -58,9 +104,12 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(line.contains("\"b\":-1"))
   }
 
-  test("detail line carries full-precision timings and run counts") {
-    val line = Bench.detailLine(Seq("a" -> 1.2345), Seq("a" -> 3), "sfX")
+  test("detail line carries full-precision timings, run counts, and the " +
+      "individual cpu_ref samples") {
+    val line = Bench.detailLine(Seq("a" -> 1.2345), Seq("a" -> 3), "sfX",
+      Seq(0.039, 0.172, 0.041))
     assert(line.contains("\"a\":1.235") && line.contains("\"runs\":{\"a\":3}"))
+    assert(line.contains("\"cpu_refs\":[0.039,0.172,0.041]"))
   }
 
   // --- contamination canary ---
@@ -74,7 +123,7 @@ class BenchEmitSpec extends AnyFunSuite {
     val timings = suiteWith(
       "q02_filter_project" -> 0.17, "q16_string_funcs" -> 0.10,
       "q30_date_funcs" -> 0.09)
-    val flag = Bench.contaminationFlag(timings, "sf0.1")
+    val flag = Bench.contaminationFlag(timings, "sf0.1", Map.empty)
     assert(flag.contains(false))
     val line = Bench.metricLine(timings, "sf0.1", flag)
     assert(line.contains("\"contaminated\":false"))
@@ -85,21 +134,67 @@ class BenchEmitSpec extends AnyFunSuite {
     val timings = suiteWith(
       "q02_filter_project" -> 0.163 * 1.9, "q16_string_funcs" -> 0.099 * 1.9,
       "q30_date_funcs" -> 0.087 * 1.9)
-    val flag = Bench.contaminationFlag(timings, "sf0.1")
+    val flag = Bench.contaminationFlag(timings, "sf0.1", Map.empty)
     assert(flag.contains(true))
     assert(Bench.metricLine(timings, "sf0.1", flag)
       .contains("\"contaminated\":true"))
   }
 
-  test("one elevated canary alone does not flag (single-query noise is " +
-      "median-of-3's job, not the canary's)") {
+  test("THE R9 DRIVER SHAPE: one canary at 17x with the other two clean " +
+      "flags contaminated=true via canary_max") {
     val timings = suiteWith(
-      "q02_filter_project" -> 0.163 * 3.0, "q16_string_funcs" -> 0.10,
-      "q30_date_funcs" -> 0.09)
-    assert(Bench.contaminationFlag(timings, "sf0.1").contains(false))
+      "q02_filter_project" -> 0.163 * 1.04, "q16_string_funcs" -> 0.099 * 17.4,
+      "q30_date_funcs" -> 0.087 * 1.15)
+    assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(true),
+      "r9 recorded contaminated:false for exactly this shape")
+    val mx = Bench.canaryMax(timings, "sf0.1").get
+    assert(mx > 17.0 && mx < 18.0, s"canary_max $mx")
+    // the median still reads clean — which is WHY canary_max must exist
+    assert(Bench.canaryRatio(timings, "sf0.1").get < 1.2)
   }
 
-  test("flag is not evaluated off sf0.1 or when canaries are absent/failed") {
+  test("one mildly elevated canary (<=3x) alone does not flag (single-" +
+      "query noise is median-of-3's job)") {
+    val timings = suiteWith(
+      "q02_filter_project" -> 0.163 * 2.5, "q16_string_funcs" -> 0.10,
+      "q30_date_funcs" -> 0.09)
+    assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(false))
+  }
+
+  test("whole-suite total-canary: a burst that misses all three canaries " +
+      "but elevates the suite 1.6x flags contaminated=true") {
+    // Pins: the canaries at their real clean values, everything else 0.5 —
+    // so the scan-canary ratios stay realistic while the suite elevates.
+    val pins = names.map(n =>
+      n -> Bench.CanaryCleanSf01.getOrElse(n, 0.5)).toMap
+    def elevated(f: Double, canaryF: Double) = names.map { n =>
+      n -> pins(n) * (if (Bench.CanaryCleanSf01.contains(n)) canaryF else f)
+    }
+    val burst = elevated(1.6, 1.2)
+    assert(Bench.contaminationFlag(burst, "sf0.1", pins).contains(true),
+      "burst-pattern contention must be caught by the total even when " +
+        "canary placement misses it (the r9 failure class)")
+    val tr = Bench.totalRatio(burst, "sf0.1", pins).get
+    assert(tr > 1.5 && tr < 1.65, s"totalRatio $tr")
+    // mild steady-sharing (1.2x everywhere) stays below the threshold
+    assert(Bench.contaminationFlag(elevated(1.2, 1.2), "sf0.1", pins)
+      .contains(false))
+  }
+
+  test("total-canary is not evaluated when pins cover <80% of the suite " +
+      "or off sf0.1; failed queries are excluded from both sides") {
+    val pins = names.take(names.size / 2).map(_ -> 0.5).toMap
+    val timings = names.map(_ -> 5.0)
+    assert(Bench.totalRatio(timings, "sf0.1", pins).isEmpty)
+    val full = names.map(_ -> 0.5).toMap
+    assert(Bench.totalRatio(timings, "sf0.01", full).isEmpty)
+    val withFail = timings.updated(0, timings.head._1 -> -1.0)
+    val tr = Bench.totalRatio(withFail, "sf0.1", full).get
+    assert(tr > 9.9 && tr < 10.1, s"failed query leaked into the ratio: $tr")
+  }
+
+  test("flag is not evaluated off sf0.1 or when canaries are absent/failed " +
+      "and no total pins exist") {
     val timings = suiteWith(
       "q02_filter_project" -> 0.9, "q16_string_funcs" -> 0.9,
       "q30_date_funcs" -> 0.9)
@@ -107,34 +202,39 @@ class BenchEmitSpec extends AnyFunSuite {
     val failed = timings.map { case (n, v) =>
       n -> (if (Bench.CanaryCleanSf01.contains(n)) -1.0 else v)
     }
-    assert(Bench.contaminationFlag(failed, "sf0.1").isEmpty)
+    assert(Bench.contaminationFlag(failed, "sf0.1", Map.empty).isEmpty)
     // absent flag => no contaminated field at all (absence = "not
     // evaluated", never "clean")
     assert(!Bench.metricLine(timings, "sf0.01", None).contains("contaminated"))
   }
 
-  test("contaminated flag survives per-query map degradation") {
+  test("contaminated flag + graded context survive per-query map degradation") {
     val many = (1 to 500).map(i => f"q${i}%03d_very_long_query_name_padding" -> 12345.678)
-    val line = Bench.metricLine(many, "sf0.1", Some(true), Some(1.92), Some(0.31))
+    val line = Bench.metricLine(many, "sf0.1", contaminated = Some(true),
+      canaryX = Some(1.92), canaryMax = Some(17.4), cpuRef = Some(0.31))
     assert(line.contains("\"contaminated\":true"),
       "the one trust bit must never be degraded away")
     assert(line.contains("\"canary_x\":1.92") && line.contains("\"cpu_ref\":0.310"),
       "the graded context must never be degraded away either")
+    assert(line.contains("\"canary_max\":17.4"))
   }
 
   test("canary_x is the graded elevation even when the boolean stays false " +
       "(the CPU-contention gray zone)") {
-    // The shape observed this round: scan canaries ~1.4x (under the 1.75
-    // flag threshold) while compute-bound queries ran ~2x — the ratio must
-    // surface the elevation the boolean collapses to false.
+    // The r9 shape: scan canaries ~1.4x (under the 1.75 flag threshold)
+    // while compute-bound queries ran ~2x — the ratio must surface the
+    // elevation the boolean collapses to false.
     val timings = suiteWith(
       "q02_filter_project" -> 0.163 * 1.39, "q16_string_funcs" -> 0.099 * 1.32,
       "q30_date_funcs" -> 0.087 * 1.48)
-    assert(Bench.contaminationFlag(timings, "sf0.1").contains(false))
+    assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(false))
     val x = Bench.canaryRatio(timings, "sf0.1").get
     assert(x > 1.3 && x < 1.5, s"median ratio $x")
+    val mx = Bench.canaryMax(timings, "sf0.1").get
+    assert(mx > 1.4 && mx < 1.55, s"max ratio $mx")
     // not evaluated off sf0.1, same rule as the flag
     assert(Bench.canaryRatio(timings, "sf0.01").isEmpty)
+    assert(Bench.canaryMax(timings, "sf0.01").isEmpty)
   }
 
   test("cpu_ref is a positive sub-10s fixed workload") {
