@@ -57,8 +57,10 @@ object Bench {
   }
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
-    * (seconds), from judge-verified clean runs on this container (r6–r8:
-    * q02 0.163, q16 0.099, q30 0.087). Rationale: median-of-3 rejects a
+    * (seconds) — refreshed EVERY round from the min of that round's
+    * full-suite per-query medians (r10: q02 0.153, q16 0.130, q30 0.110;
+    * the r6–r8 pins 0.163/0.099/0.087 had drifted until q30 read 1.7× on
+    * a near-clean run). Rationale: median-of-3 rejects a
     * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
     * noisy neighbor) elevates all three runs of every query — r8's driver
     * artifact recorded 43.4 s against 27.4–30.6 s clean same-code runs and
@@ -69,9 +71,9 @@ object Bench {
     * SF the flag is omitted rather than guessed.
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02_filter_project" -> 0.163,
-    "q16_string_funcs"   -> 0.099,
-    "q30_date_funcs"     -> 0.087)
+    "q02_filter_project" -> 0.153,
+    "q16_string_funcs"   -> 0.130,
+    "q30_date_funcs"     -> 0.110)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
@@ -81,7 +83,80 @@ object Bench {
     * absorbs that. Refresh each round: the pins are container-epoch-
     * specific and drift erodes the threshold's meaning.
     */
-  val CleanMediansSf01: Map[String, Double] = Map.empty
+  val CleanMediansSf01: Map[String, Double] = Map(
+    "d01_exact_dedup" -> 0.376,
+    "d02_minhash_lsh" -> 3.081,
+    "d03_simhash" -> 0.190,
+    "d04_ngram_jaccard" -> 1.513,
+    "d05_embedding_dup" -> 0.589,
+    "d06_dedup_keep" -> 0.174,
+    "d07_dup_clusters" -> 0.934,
+    "d08_simhash_hamming" -> 0.685,
+    "m01_binary_meta" -> 0.109,
+    "m02_size_classes" -> 0.153,
+    "m03_codec_roundtrip" -> 0.933,
+    "p01_stack_stats" -> 0.591,
+    "p02_batch_propagate" -> 0.251,
+    "p03_thickness_math" -> 0.273,
+    "p04_energy_math" -> 0.202,
+    "p05_identifiers" -> 0.297,
+    "p06_required_counts" -> 0.502,
+    "p07_staleness_gate" -> 0.600,
+    "p08_stack_collect" -> 1.152,
+    "p09_quantity_units" -> 0.154,
+    "q01_pricing_summary" -> 0.273,
+    "q02_filter_project" -> 0.153,
+    "q03_shipping_priority" -> 0.579,
+    "q04_order_priority" -> 0.538,
+    "q05_region_revenue" -> 0.645,
+    "q06_forecast_revenue" -> 0.178,
+    "q07_customers_without_orders" -> 0.272,
+    "q08_window_topn" -> 0.396,
+    "q09_running_total" -> 0.198,
+    "q10_rollup" -> 0.321,
+    "q11_cube" -> 0.221,
+    "q12_grouping_sets" -> 0.967,
+    "q13_distinct_agg" -> 0.605,
+    "q14_conditional_pivot" -> 0.159,
+    "q15_monthly_orders" -> 0.179,
+    "q16_string_funcs" -> 0.130,
+    "q17_avg_subquery" -> 0.367,
+    "q18_big_orders" -> 0.519,
+    "q19_top_customer_per_nation" -> 0.222,
+    "q20_setops" -> 0.257,
+    "q21_asof_join" -> 0.435,
+    "q22_tumbling_window" -> 0.267,
+    "q23_sliding_window" -> 0.258,
+    "q24_session_window" -> 0.386,
+    "q25_percentile_exact" -> 1.415,
+    "q26_moment_stats" -> 0.385,
+    "q27_full_outer" -> 0.381,
+    "q28_posexplode" -> 0.208,
+    "q29_window_analytics" -> 0.250,
+    "q30_date_funcs" -> 0.110,
+    "q31_funnel" -> 0.439,
+    "q32_correlated_subquery" -> 0.888,
+    "q33_asof_bucketed" -> 0.945,
+    "q34_json_extract" -> 0.407,
+    "q35_trailing_window" -> 0.322,
+    "q36_skew_salted" -> 0.414,
+    "s01_cosine_topk" -> 0.392,
+    "s02_lsh_ann" -> 0.357,
+    "s03_ivf_ann" -> 0.603,
+    "s04_label_centroids" -> 0.444,
+    "t01_token_stats" -> 0.162,
+    "t02_quality_score" -> 0.338,
+    "t03_langid_markers" -> 0.233,
+    "t04_fingerprint" -> 0.353,
+    "t05_clean_normalize" -> 0.151,
+    "t06_edit_distance" -> 0.176,
+    "t07_token_chunks" -> 0.158,
+    "t08_ngram_repetition" -> 0.441,
+    "w01_hash_sample" -> 0.118,
+    "w02_mixture_sample" -> 0.142,
+    "w03_split_assign" -> 0.174,
+    "x01_approx_distinct" -> 0.358,
+    "x02_approx_quantiles" -> 0.550)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.

@@ -119,6 +119,15 @@ class BenchEmitSpec extends AnyFunSuite {
     names.map(n => n -> cs.getOrElse(n, 0.5))
   }
 
+  /** Canary timings as elevation FACTORS over their current pins, so the
+    * fixtures survive each round's pin refresh. */
+  private def suiteAtFactors(q02x: Double, q16x: Double,
+                             q30x: Double): Seq[(String, Double)] =
+    suiteWith(
+      "q02_filter_project" -> Bench.CanaryCleanSf01("q02_filter_project") * q02x,
+      "q16_string_funcs" -> Bench.CanaryCleanSf01("q16_string_funcs") * q16x,
+      "q30_date_funcs" -> Bench.CanaryCleanSf01("q30_date_funcs") * q30x)
+
   test("clean canary medians report contaminated=false on the metric line") {
     val timings = suiteWith(
       "q02_filter_project" -> 0.17, "q16_string_funcs" -> 0.10,
@@ -131,9 +140,7 @@ class BenchEmitSpec extends AnyFunSuite {
   }
 
   test("a session-wide 1.9x elevation (the r8 shape) flags contaminated=true") {
-    val timings = suiteWith(
-      "q02_filter_project" -> 0.163 * 1.9, "q16_string_funcs" -> 0.099 * 1.9,
-      "q30_date_funcs" -> 0.087 * 1.9)
+    val timings = suiteAtFactors(1.9, 1.9, 1.9)
     val flag = Bench.contaminationFlag(timings, "sf0.1", Map.empty)
     assert(flag.contains(true))
     assert(Bench.metricLine(timings, "sf0.1", flag)
@@ -142,9 +149,7 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("THE R9 DRIVER SHAPE: one canary at 17x with the other two clean " +
       "flags contaminated=true via canary_max") {
-    val timings = suiteWith(
-      "q02_filter_project" -> 0.163 * 1.04, "q16_string_funcs" -> 0.099 * 17.4,
-      "q30_date_funcs" -> 0.087 * 1.15)
+    val timings = suiteAtFactors(1.04, 17.4, 1.15)
     assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(true),
       "r9 recorded contaminated:false for exactly this shape")
     val mx = Bench.canaryMax(timings, "sf0.1").get
@@ -155,9 +160,7 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("one mildly elevated canary (<=3x) alone does not flag (single-" +
       "query noise is median-of-3's job)") {
-    val timings = suiteWith(
-      "q02_filter_project" -> 0.163 * 2.5, "q16_string_funcs" -> 0.10,
-      "q30_date_funcs" -> 0.09)
+    val timings = suiteAtFactors(2.5, 1.0, 1.0)
     assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(false))
   }
 
@@ -224,9 +227,7 @@ class BenchEmitSpec extends AnyFunSuite {
     // The r9 shape: scan canaries ~1.4x (under the 1.75 flag threshold)
     // while compute-bound queries ran ~2x — the ratio must surface the
     // elevation the boolean collapses to false.
-    val timings = suiteWith(
-      "q02_filter_project" -> 0.163 * 1.39, "q16_string_funcs" -> 0.099 * 1.32,
-      "q30_date_funcs" -> 0.087 * 1.48)
+    val timings = suiteAtFactors(1.39, 1.32, 1.48)
     assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(false))
     val x = Bench.canaryRatio(timings, "sf0.1").get
     assert(x > 1.3 && x < 1.5, s"median ratio $x")
