@@ -78,10 +78,18 @@ object DedupQueries {
     // the explode candidate-sized, so this wins in both regimes. Known
     // trade: a shingle shared by m candidate docs contributes ~m^2/2 join
     // rows (the d04 inverted-index hazard; the pair-expansion shape was
-    // immune to it but 3x slower overall) — AQE's skew split distributes
-    // a hot shingle's partition, and exact-Jaccard semantics need every
-    // shared shingle of a candidate pair, so a frequency cap would change
-    // results.
+    // immune to it but 3x slower overall). MEASURED (r10,
+    // graft.probe.D04SkewProbe, m=10k -> 50M pairs from one key): AQE's
+    // skew split never fires here — the hot key's INPUT partition is only
+    // m rows, far under the byte thresholds; the blowup is OUTPUT skew.
+    // But hot-key salting (a-side salted by doc_id, b-side replicated,
+    // q36 pattern) measured 1.3-2x SLOWER than the plain join at that
+    // scale across interleaved runs: the pair-count aggregation shuffle
+    // dominates and distributes in both shapes, while salting adds a
+    // per-shingle count, the hot/cold split joins, and the replicated
+    // sort. Exact-Jaccard semantics need every shared shingle, so a
+    // frequency cap would change results; the plain join stands until a
+    // corpus shows m well past 10k per shingle.
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shd = docs.join(candIds, Seq("doc_id"), "left_semi")
