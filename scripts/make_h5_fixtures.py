@@ -1889,6 +1889,10 @@ def make_regionref(path: Path):
         (0x01, space_simple([4, 6])),
         (0x03, dt_f64()),
         (0x08, layout_contiguous(t_raw, 24 * 8)),
+        # region-reference-typed ATTRIBUTE: opaque metadata, must be
+        # skipped (same policy as object-reference attrs), never abort
+        (0x0C, attr_v3('roi_ref', dt_objref(rtype=1, size=12),
+                       space_scalar(), struct.pack('<QI', 0, 0))),
     ])
     grp = group_v2(f, {'image': target})
 

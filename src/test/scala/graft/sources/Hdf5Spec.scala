@@ -671,8 +671,10 @@ class Hdf5Spec extends SparkSpec {
     val dang = at("/refs/dangling")
     assert(dang.scalarStr.isEmpty)
     assert(dang.attrs.contains("unresolved_region_ref"))
-    // the target dataset itself reads normally
+    // the target dataset itself reads normally, and its region-ref-typed
+    // ATTRIBUTE is skipped as opaque metadata (same policy as object refs)
     assert(at("/grp/image").f64Data.exists(_.length == 24))
+    assert(!at("/grp/image").attrs.contains("roi_ref"))
   }
 
   test("region references with corrupt heap objects and reference arrays " +
@@ -920,7 +922,7 @@ class Hdf5Spec extends SparkSpec {
     val fixtures = Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
       "extlink/vds_master.h5", "objref.h5", "mouse_bigendian.h5",
-      "swizzle.h5")
+      "swizzle.h5", "regionref.h5")
     val rnd = new scala.util.Random(42)
     for (name <- fixtures; full = fixture(name); _ <- 1 to 300) {
       val bytes = full.clone()
@@ -951,7 +953,7 @@ class Hdf5Spec extends SparkSpec {
     for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
       "extlink/vds_master.h5", "objref.h5", "mouse_bigendian.h5",
-      "swizzle.h5")) {
+      "swizzle.h5", "regionref.h5")) {
       val full = fixture(name)
       for (k <- 1 until 40) {
         val cut = java.util.Arrays.copyOf(full, math.max(9, full.length * k / 40))
