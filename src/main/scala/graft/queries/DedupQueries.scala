@@ -257,6 +257,30 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     },
 
+    // Benchmark decontamination: corpus documents sharing >= 2 distinct
+    // token 3-grams with any eval-set document (the doc_id % 97 == 0 slice
+    // stands in for the benchmark table). The canonical pre-training
+    // hygiene pass: evals leak into crawled corpora, and training on them
+    // invalidates the benchmark. Shape: the eval side of the shingle join
+    // is benchmark-sized — in a real deployment a separate, bounded table
+    // that merits an explicit broadcast(); here it is carved from the
+    // corpus itself and grows with it, so the plan is left to AQE (which
+    // broadcasts it at the driver SFs) rather than force-broadcasting a
+    // fact-derived frame. The overlap aggregation shuffles only MATCHING
+    // rows, so corpus-side cost is one scan + the shingle hash join.
+    "d09_decontaminate" -> { (s, dir) =>
+      val sh = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("s"))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, Seq("s"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+
     // Exact dedup with representative selection: keep the lowest doc_id per
     // content hash — the output a dedup pass actually ships. On unique-text
     // data this keeps everything; the mechanism (hash -> groupBy -> min_by
@@ -434,6 +458,15 @@ object DedupQueries {
          |JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
+
+    "d09_decontaminate" ->
+      s"""WITH ${shdSql()}
+         |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+         |       count(*)::BIGINT AS n_shared
+         |FROM shd c JOIN shd b ON c.s = b.s
+         |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
 
     "d06_dedup_keep" ->
       """SELECT min(doc_id)::BIGINT AS doc_id, count(1)::BIGINT AS n_copies
