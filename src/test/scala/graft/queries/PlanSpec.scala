@@ -114,6 +114,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d09: decontamination is an equi-join on the shingle, never a " +
+      "nested-loop product, with no forced broadcast") {
+    // the eval-side stand-in is carved from the corpus and grows with it:
+    // the plan must carry no broadcast hint (AQE may still choose
+    // broadcast when it measures small — assert hint absence, not join
+    // type), and the overlap must be a hash/merge equi-join on s
+    val df = SparkEntry.queries("d09_decontaminate")(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "d09 carries a join hint")
+    val p = plan("d09_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("w01: deterministic sample filter sits above the scan, no shuffle") {
     val p = plan("w01_hash_sample")
     assert(!p.contains("Exchange"), p.take(2000))
