@@ -281,6 +281,29 @@ object DedupQueries {
         .filter(col("n_shared") >= 2)
     },
 
+    // Sub-document exact dedup: non-overlapping 5-token windows repeated
+    // across documents (the boilerplate-span detection pass — headers,
+    // footers and license blocks recur verbatim across crawled pages while
+    // the documents differ as wholes). One scan, windows exploded
+    // (~n_tokens/5 rows), then the exact-dedup hash aggregation with
+    // map-side partial combine — document-count > 1 keeps only CROSS-doc
+    // repetition, so within-doc repeats don't masquerade as boilerplate.
+    "d10_window_dedup" -> { (s, dir) =>
+      val toks = TextFns.tokens(col("text"))
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("nw", floor(size(col("toks")) / 5).cast("int"))
+        // sequence(0, nw-1) would run DESCENDING for nw == 0 — guard first
+        .filter(col("nw") >= 1)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nw") - 1),
+            i => array_join(slice(col("toks"), i * 5 + 1, lit(5)), " "))).as("win"))
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+    },
+
     // Exact dedup with representative selection: keep the lowest doc_id per
     // content hash — the output a dedup pass actually ships. On unique-text
     // data this keeps everything; the mechanism (hash -> groupBy -> min_by
@@ -467,6 +490,17 @@ object DedupQueries {
          |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
+
+    "d10_window_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    array_to_string(toks[(u.i*5+1):(u.i*5+5)], ' ') AS win
+         |  FROM d, unnest(range(0, len(toks)//5)) AS u(i))
+         |SELECT win, count(*)::BIGINT AS n_occurrences,
+         |       count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM w GROUP BY win
+         |HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "d06_dedup_keep" ->
       """SELECT min(doc_id)::BIGINT AS doc_id, count(1)::BIGINT AS n_copies
