@@ -92,6 +92,8 @@ object Bench {
     "d06_dedup_keep" -> 0.174,
     "d07_dup_clusters" -> 0.934,
     "d08_simhash_hamming" -> 0.685,
+    "d09_decontaminate" -> 0.749,
+    "d10_window_dedup" -> 0.881,
     "m01_binary_meta" -> 0.109,
     "m02_size_classes" -> 0.153,
     "m03_codec_roundtrip" -> 0.933,
