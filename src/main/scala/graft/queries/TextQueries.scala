@@ -154,6 +154,28 @@ object TextQueries {
         .withColumn("rep_ratio",
           floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
             * 10000) / 10000)
+    },
+
+    // Corpus vocabulary statistics: per-token term frequency, document
+    // frequency, and smoothed IDF — the vocab/IDF-building pass behind
+    // quality filtering and tf-idf weighting. One explode + one hash
+    // aggregation (map-side partial combine keyed by token; the shuffle
+    // carries the DISTINCT vocabulary, which grows far slower than the
+    // corpus); the corpus doc count joins in as a broadcast scalar; the
+    // top-k cut is TakeOrderedAndProject, never a global sort.
+    "t09_vocab_stats" -> { (s, dir) =>
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("term_freq"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf", floor(
+          log(col("n_docs").cast("double") / col("doc_freq")) * 10000) / 10000)
+        .drop("n_docs")
+        .orderBy(col("term_freq").desc, col("tok").asc)
+        .limit(100)
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -262,5 +284,17 @@ object TextQueries {
          | count(DISTINCT s)::BIGINT AS n_distinct,
          | floor((1 - count(DISTINCT s)::DOUBLE / count(*)) * 10000) / 10000
          |   AS rep_ratio
-         |FROM sh GROUP BY doc_id""".stripMargin)
+         |FROM sh GROUP BY doc_id""".stripMargin,
+
+    "t09_vocab_stats" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |v AS (
+         |  SELECT tok, count(*)::BIGINT AS term_freq,
+         |         count(DISTINCT doc_id)::BIGINT AS doc_freq
+         |  FROM tk GROUP BY tok)
+         |SELECT tok, term_freq, doc_freq,
+         |  floor(ln((SELECT count(*) FROM documents)::DOUBLE / doc_freq)
+         |        * 10000) / 10000 AS idf
+         |FROM v ORDER BY term_freq DESC, tok ASC LIMIT 100""".stripMargin)
 }

@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("t09: vocab top-k is TakeOrderedAndProject over one hash agg — " +
+      "never a global sort") {
+    val p = plan("t09_vocab_stats")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Sort "), "vocab cut must not globally sort")
+  }
+
   test("w01: deterministic sample filter sits above the scan, no shuffle") {
     val p = plan("w01_hash_sample")
     assert(!p.contains("Exchange"), p.take(2000))
