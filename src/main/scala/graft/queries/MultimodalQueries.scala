@@ -73,6 +73,43 @@ object MultimodalQueries {
           }
         }
         .toDF("doc_id", "width", "height", "sum_px")
+    },
+
+    // Perceptual-hash image dedup: the canonical multimodal near-dup pass.
+    // Each document synthesizes a deterministic 8x8 grayscale image (one of
+    // 50 distinct "visuals" via doc_id % 50), round-trips it through the
+    // REAL PNG codec, computes an average-hash (threshold each decoded
+    // pixel at the image mean -> 64-bit signature, rendered as a bitstring
+    // to stay overflow-free in both engines), and exact-dedups on the hash
+    // — the groupBy clusters re-encoded/recompressed copies that byte-level
+    // m01 hashing cannot catch. The oracle recomputes the aHash
+    // arithmetically from the pattern definition, so a hash match
+    // certifies decode + threshold + packing end to end. One scan +
+    // mapPartitions codec stage + one hash aggregation: the 100 TB
+    // image-dedup shape (the shuffle carries one 64-char key per image).
+    "m04_phash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val seed = id % 50
+            val px = Array.tabulate(64)(k => ((seed * 31 + k.toLong * 7) % 256).toFloat)
+            val png = ImageCodec.encodePng(px, 8, 8)
+            val (_, _, dec) = ImageCodec.decode(png)
+            var sum = 0.0
+            var i = 0
+            while (i < 64) { sum += dec(i); i += 1 }
+            val mean = sum / 64.0
+            val sb = new java.lang.StringBuilder(64)
+            i = 0
+            while (i < 64) { sb.append(if (dec(i) >= mean) '1' else '0'); i += 1 }
+            (id, sb.toString)
+          }
+        }
+        .toDF("doc_id", "phash")
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_doc"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -103,5 +140,22 @@ object MultimodalQueries {
         |  FROM documents)
         |SELECT doc_id, width, height,
         |  sum((doc_id * 31 + k * 7) % 256)::BIGINT AS sum_px
-        |FROM px GROUP BY 1, 2, 3""".stripMargin)
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "m04_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, doc_id % 50 AS seed, unnest(range(0, 64)) AS k
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, k, ((seed * 31 + k * 7) % 256) AS v FROM px),
+        |m AS (
+        |  SELECT doc_id, sum(v)::DOUBLE / 64 AS mean FROM p GROUP BY doc_id),
+        |h AS (
+        |  SELECT p.doc_id,
+        |    string_agg(CASE WHEN v >= mean THEN '1' ELSE '0' END, ''
+        |               ORDER BY k) AS phash
+        |  FROM p JOIN m ON p.doc_id = m.doc_id GROUP BY p.doc_id)
+        |SELECT phash, count(*)::BIGINT AS n_images,
+        |       min(doc_id)::BIGINT AS rep_doc
+        |FROM h GROUP BY phash""".stripMargin)
 }
