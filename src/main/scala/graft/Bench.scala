@@ -97,6 +97,7 @@ object Bench {
     "m01_binary_meta" -> 0.109,
     "m02_size_classes" -> 0.153,
     "m03_codec_roundtrip" -> 0.933,
+    "m04_phash_dedup" -> 1.343,
     "p01_stack_stats" -> 0.591,
     "p02_batch_propagate" -> 0.251,
     "p03_thickness_math" -> 0.273,
@@ -154,6 +155,7 @@ object Bench {
     "t06_edit_distance" -> 0.176,
     "t07_token_chunks" -> 0.158,
     "t08_ngram_repetition" -> 0.441,
+    "t09_vocab_stats" -> 0.768,
     "w01_hash_sample" -> 0.118,
     "w02_mixture_sample" -> 0.142,
     "w03_split_assign" -> 0.174,
