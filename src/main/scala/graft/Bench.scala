@@ -98,6 +98,7 @@ object Bench {
     "m02_size_classes" -> 0.153,
     "m03_codec_roundtrip" -> 0.933,
     "m04_phash_dedup" -> 1.343,
+    "m05_frame_sample" -> 1.886,
     "p01_stack_stats" -> 0.591,
     "p02_batch_propagate" -> 0.251,
     "p03_thickness_math" -> 0.273,
@@ -147,6 +148,7 @@ object Bench {
     "s02_lsh_ann" -> 0.357,
     "s03_ivf_ann" -> 0.603,
     "s04_label_centroids" -> 0.444,
+    "s05_quantized_ann" -> 0.551,
     "t01_token_stats" -> 0.162,
     "t02_quality_score" -> 0.338,
     "t03_langid_markers" -> 0.233,
@@ -156,11 +158,13 @@ object Bench {
     "t07_token_chunks" -> 0.158,
     "t08_ngram_repetition" -> 0.441,
     "t09_vocab_stats" -> 0.768,
+    "t10_tfidf_topterms" -> 2.174,
     "w01_hash_sample" -> 0.118,
     "w02_mixture_sample" -> 0.142,
     "w03_split_assign" -> 0.174,
     "x01_approx_distinct" -> 0.358,
-    "x02_approx_quantiles" -> 0.550)
+    "x02_approx_quantiles" -> 0.550,
+    "x03_countmin_heavy" -> 1.041)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.

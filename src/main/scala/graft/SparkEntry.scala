@@ -25,5 +25,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ PipelineQueries.oracle ++
-      MultimodalQueries.oracle ++ SamplingQueries.oracle
+      MultimodalQueries.oracle ++ SamplingQueries.oracle ++ SketchQueries.oracle
 }

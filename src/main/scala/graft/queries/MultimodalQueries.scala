@@ -110,6 +110,48 @@ object MultimodalQueries {
         .toDF("doc_id", "phash")
         .groupBy(col("phash"))
         .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_doc"))
+    },
+
+    // Frame sampling + thumbnail pooling — the video half of the multimodal
+    // contract. Each document synthesizes a deterministic "video" of
+    // 4 + doc_id % 5 PNG frames; every SECOND frame is decoded through the
+    // real codec (stride-2 sampling — the untouched frames' decode cost is
+    // what sampling saves at 100 TB), then 2×2 sum-pooled to a 4×4
+    // thumbnail (the resize step, integer-exact by summing instead of
+    // averaging). Emitted per sampled frame: decoded dims, pixel sum, and a
+    // position-weighted pool checksum — the oracle recomputes both
+    // arithmetically, so a hash match certifies decode + sample + pool end
+    // to end. One scan + mapPartitions, output rows ≈ 3× input: the
+    // flatMap multiplies rows only by the sampled-frame count.
+    "m05_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val nFrames = 4 + (id % 5).toInt
+            (0 until nFrames by 2).map { f =>
+              val px = Array.tabulate(64)(k =>
+                ((id * 31 + f * 13 + k.toLong * 7) % 256).toFloat)
+              val png = ImageCodec.encodePng(px, 8, 8)
+              val (dw, dh, dec) = ImageCodec.decode(png)
+              var sum = 0L
+              var checksum = 0L
+              var i = 0
+              while (i < 16) {
+                val r = (i / 4) * 2
+                val c = (i % 4) * 2
+                val pooled = dec(r * 8 + c).toLong + dec(r * 8 + c + 1).toLong +
+                  dec((r + 1) * 8 + c).toLong + dec((r + 1) * 8 + c + 1).toLong
+                sum += pooled
+                checksum += pooled * (i + 1)
+                i += 1
+              }
+              (id, f, dw, dh, sum, checksum)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "sum_px", "pool_checksum")
     })
 
   val oracle: Map[String, String] = Map(
@@ -157,5 +199,25 @@ object MultimodalQueries {
         |  FROM p JOIN m ON p.doc_id = m.doc_id GROUP BY p.doc_id)
         |SELECT phash, count(*)::BIGINT AS n_images,
         |       min(doc_id)::BIGINT AS rep_doc
-        |FROM h GROUP BY phash""".stripMargin)
+        |FROM h GROUP BY phash""".stripMargin,
+
+    // pool weight w(k) = block index of pixel k (row-major 4×4 blocks of
+    // the 2×2 pooling) + 1 — so sum(v·w) equals the Spark side's
+    // Σ pooled(i)·(i+1) without materializing the pooled array.
+    "m05_frame_sample" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5, 2)) AS frame_idx
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, frame_idx, unnest(range(0, 64)) AS k FROM fr),
+        |v AS (
+        |  SELECT doc_id, frame_idx, k,
+        |    (doc_id * 31 + frame_idx * 13 + k * 7) % 256 AS v,
+        |    ((k // 16) * 4 + (k % 8) // 2 + 1) AS w
+        |  FROM px)
+        |SELECT doc_id, frame_idx::INT AS frame_idx,
+        |  8::INT AS width, 8::INT AS height,
+        |  sum(v)::BIGINT AS sum_px,
+        |  sum(v * w)::BIGINT AS pool_checksum
+        |FROM v GROUP BY 1, 2""".stripMargin)
 }

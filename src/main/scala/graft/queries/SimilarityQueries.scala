@@ -111,6 +111,36 @@ object SimilarityQueries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
         .agg(count(lit(1)).as("n"), (round(avg(col("x")), 4) + lit(0.0)).as("c"))
+    },
+
+    // Quantized ANN: symmetric per-vector int8 quantization (q_i =
+    // round(x_i * 127 / max|x|), the scale factor every production vector
+    // store ships) and top-3 by INTEGER dot product — 4× less memory
+    // traffic per vector and exact cross-engine parity, since the scoring
+    // math never leaves the integer domain (|dot| ≤ 64·127² ≪ 2⁶³). Same
+    // broadcast-the-tiny-query-set shape as s01: one corpus scan, no
+    // shuffle except the final per-query top-k. Half-way rounding is
+    // away-from-zero in BOTH engines (Spark HALF_UP, DuckDB std::round) —
+    // verified, not assumed.
+    "s05_quantized_ann" -> { (s, dir) =>
+      val e = emb(s, dir)
+      def maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val qvec = when(maxabs === 0d, transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") * 127 / maxabs).cast("long")))
+      val eq = e.select(col("vec_id"), qvec.as("qv"))
+      val q = eq.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+      eq.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("qdot", aggregate(
+          zip_with(col("qv"), col("q_qv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("qdot"), col("rank"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -183,5 +213,30 @@ object SimilarityQueries {
         |  FROM embeddings)
         |SELECT label, pos::INT AS pos, count(1)::BIGINT AS n,
         | round(avg(x), 4) + 0.0 AS c
-        |FROM x GROUP BY 1, 2""".stripMargin)
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // qv stays DOUBLE[] of integer-valued doubles so list_dot_product is
+    // usable; the dot is exact (|dot| ≤ 64·127² ≪ 2⁵³) and cast to BIGINT
+    // matches Spark's long accumulation bit-for-bit.
+    "s05_quantized_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> round(x * 127 / ma)) END AS qv
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q_id, qz.vec_id,
+        |    list_dot_product(qv, q_qv)::BIGINT AS qdot
+        |  FROM qz CROSS JOIN q WHERE qz.vec_id <> q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, qdot,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY qdot DESC, vec_id)::INT AS rank
+        |  FROM p)
+        |SELECT q_id, vec_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin)
 }

@@ -6,16 +6,35 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Approximate/sketch aggregates (SURVEY §2.5 note: "free from Spark", in
-  * scope for the generic surface). These intentionally carry NO DuckDB
+  * scope for the generic surface). x01/x02 intentionally carry NO DuckDB
   * oracle — different engines implement different sketches, so results are
   * approximate-by-contract and the driver applies its rows-only check. The
-  * exact counterparts are oracle-checked in q13_distinct_agg.
+  * exact counterparts are oracle-checked in q13_distinct_agg. x03 is the
+  * exception: its count-min sketch is built from the portable md5 hash
+  * family, so the sketch state itself is deterministic and the full
+  * estimate pipeline IS oracle-checked.
   *
   * Scale note: this is the 100 TB path for distinct counting — HLL sketches
   * merge map-side, so cardinality estimation costs one scan and a tiny
   * shuffle, where exact countDistinct re-shuffles the full key set.
   */
 object SketchQueries {
+
+  /** x03 count-min geometry: depth 4 hash rows × width 1024 buckets. The
+    * sketch table is ≤ 4096 rows REGARDLESS of corpus size — that bound is
+    * the whole point at 100 TB (the exact vocabulary aggregation's shuffle
+    * grows with the corpus; the sketch's does not). */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Portable per-row bucket: first 8 md5 hex chars of "j:tok" mod width —
+    * identical in DuckDB as ('0x'||substr(md5(j||':'||tok),1,8))::BIGINT %
+    * width. The hash input carries the row index so the CmsDepth hash
+    * functions are independent. */
+  private def cmsBucket(j: org.apache.spark.sql.Column,
+                        tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat_ws(":", j, tok)), 1, 8), 16, 10).cast("long"),
+      lit(CmsWidth.toLong))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -42,8 +61,66 @@ object SketchQueries {
             array(lit(0.5), lit(0.95)), lit(1000)), 2).as("p95_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
+    },
+
+    // Count-min-sketch heavy hitters over the document token stream, with
+    // the estimate error made visible: build the 4×1024 sketch in one
+    // explode + one hash aggregation, take the exact top-20 tokens
+    // (TakeOrderedAndProject — the exact side exists to measure the
+    // sketch, not to rank at scale), probe each token's 4 buckets and
+    // report min(bucket) alongside the exact count. overcount ≥ 0 always —
+    // CMS never undercounts — and the whole pipeline is deterministic
+    // because the hash family is the portable md5 construction, so unlike
+    // x01/x02 this sketch IS oracle-checked exactly. The probe joins
+    // against a ≤4096-row sketch and a 20-row top-k: both broadcast-sized
+    // at any corpus scale.
+    "x03_countmin_heavy" -> { (s, dir) =>
+      val toks = Tables.loadSpread(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+      val cms = toks
+        .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+        .groupBy(col("j"), cmsBucket(col("j"), col("tok")).as("bucket"))
+        .agg(count(lit(1)).as("bcount"))
+      val top20 = exact.orderBy(col("exact_count").desc, col("tok").asc).limit(20)
+      top20
+        .select(col("tok"), col("exact_count"),
+          explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+        .withColumn("bucket", cmsBucket(col("j"), col("tok")))
+        .join(cms, Seq("j", "bucket"))
+        .groupBy(col("tok"), col("exact_count"))
+        .agg(min(col("bcount")).as("cms_estimate"))
+        .withColumn("overcount", col("cms_estimate") - col("exact_count"))
     })
 
-  /** No oracle by design (approximate results); driver records rows-only. */
-  val oracle: Map[String, String] = Map.empty
+  /** x01/x02: no oracle by design (approximate results; driver records
+    * rows-only). x03's md5-keyed sketch is deterministic → full oracle. */
+  val oracle: Map[String, String] = Map(
+    "x03_countmin_heavy" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |exact AS (
+        |  SELECT tok, count(*)::BIGINT AS exact_count FROM tk GROUP BY tok),
+        |hashed AS (
+        |  SELECT tok, j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8))::BIGINT
+        |      % 1024 AS bucket
+        |  FROM tk CROSS JOIN (SELECT unnest(range(4)) AS j)),
+        |cms AS (
+        |  SELECT j, bucket, count(*)::BIGINT AS bcount
+        |  FROM hashed GROUP BY 1, 2),
+        |top20 AS (
+        |  SELECT tok, exact_count FROM exact
+        |  ORDER BY exact_count DESC, tok ASC LIMIT 20),
+        |probes AS (
+        |  SELECT t.tok, t.exact_count, j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || t.tok), 1, 8))::BIGINT
+        |      % 1024 AS bucket
+        |  FROM top20 t CROSS JOIN (SELECT unnest(range(4)) AS j))
+        |SELECT p.tok, p.exact_count,
+        |  min(c.bcount) AS cms_estimate,
+        |  min(c.bcount) - p.exact_count AS overcount
+        |FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+        |GROUP BY 1, 2""".stripMargin)
 }

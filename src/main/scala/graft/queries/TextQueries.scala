@@ -176,6 +176,36 @@ object TextQueries {
         .drop("n_docs")
         .orderBy(col("term_freq").desc, col("tok").asc)
         .limit(100)
+    },
+
+    // Per-document top-3 TF-IDF terms — the keyword-extraction pass that
+    // feeds topic routing / quality filters. Two hash aggregations (the
+    // (doc, tok) term frequencies, then the tok-keyed document frequencies
+    // derived FROM that tf set — the raw token stream is never re-scanned),
+    // a tok-keyed join that stays hint-free (the vocabulary side is
+    // distinct-token-sized; AQE broadcasts it whenever it measures small),
+    // and one doc-keyed window for the per-document cut. Ranking is on the
+    // floor-scaled score with a tok tie-break so ordering is
+    // engine-independent.
+    "t10_tfidf_topterms" -> { (s, dir) =>
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", floor(
+          col("tf") * log(col("n_docs").cast("double") / col("doc_freq"))
+            * 10000) / 10000)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("doc_freq"),
+          col("tfidf"), col("rank"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -296,5 +326,25 @@ object TextQueries {
          |SELECT tok, term_freq, doc_freq,
          |  floor(ln((SELECT count(*) FROM documents)::DOUBLE / doc_freq)
          |        * 10000) / 10000 AS idf
-         |FROM v ORDER BY term_freq DESC, tok ASC LIMIT 100""".stripMargin)
+         |FROM v ORDER BY term_freq DESC, tok ASC LIMIT 100""".stripMargin,
+
+    "t10_tfidf_topterms" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (
+         |  SELECT tok, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+         |x AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.doc_freq,
+         |    floor(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+         |          / dfq.doc_freq) * 10000) / 10000 AS tfidf
+         |  FROM tf JOIN dfq USING (tok)),
+         |r AS (
+         |  SELECT doc_id, tok, tf, doc_freq, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, tok ASC)::INT AS rank
+         |  FROM x)
+         |SELECT doc_id, tok, tf, doc_freq, tfidf, rank
+         |FROM r WHERE rank <= 3""".stripMargin)
 }

@@ -137,6 +137,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), "vocab cut must not globally sort")
   }
 
+  test("t10: tf-idf vocabulary join is hint-free; top-3 cut is one window " +
+      "pass over the doc key") {
+    // the doc-frequency side grows with the distinct vocabulary — a
+    // broadcast hint there would pin a driver-OOM plan at 100×; AQE must
+    // stay free to choose (and will broadcast while the vocab measures
+    // small). The ONE permitted hint is the n_docs corpus-count scalar —
+    // a single row at any scale.
+    val analyzed = SparkEntry.queries("t10_tfidf_topterms")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 1,
+      s"t10 must hint ONLY the one-row n_docs scalar:\n${analyzed.take(2000)}")
+    val p = plan("t10_tfidf_topterms")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("s05: quantized query set is broadcast against the one corpus scan") {
+    val p = plan("s05_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("x03: exact top-20 is TakeOrderedAndProject; sketch probes never " +
+      "degenerate to a product") {
+    val p = plan("x03_countmin_heavy")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("m05: frame sampling is map-side only — no shuffle around the codec") {
+    val p = plan("m05_frame_sample")
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("w01: deterministic sample filter sits above the scan, no shuffle") {
     val p = plan("w01_hash_sample")
     assert(!p.contains("Exchange"), p.take(2000))
