@@ -151,6 +151,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("t10_tfidf_topterms")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // "the token stream is scanned once": the df branch is built ON the tf
+    // aggregation, so its explode+partial-agg subtree is identical to the
+    // tf branch's and must collapse into one exchange. AQE defers reuse to
+    // runtime stage materialization — assert the static rule with AQE off,
+    // as the d08 pin does.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pNoAqe = plan("t10_tfidf_topterms")
+      assert(pNoAqe.contains("ReusedExchange"),
+        s"tf subtree computed twice:\n${pNoAqe.take(4000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("s05: quantized query set is broadcast against the one corpus scan") {
