@@ -47,13 +47,17 @@ object Bench {
     * window with the metric line.
     */
   def detailLine(timings: Seq[(String, Double)], runs: Seq[(String, Int)],
-                 sfName: String, cpuRefs: Seq[Double] = Nil): String = {
+                 sfName: String, cpuRefs: Seq[Double] = Nil,
+                 mtRefs: Seq[Double] = Nil): String = {
     val rs = runs.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val cpart =
       if (cpuRefs.isEmpty) ""
       else cpuRefs.map(fmt(_, 3)).mkString(""","cpu_refs":[""", ",", "]")
-    s"""{"bench_detail":{"queries":${queriesJson(timings, 3)},"runs":$rs$cpart},"sf":"$sfName"}"""
+    val mpart =
+      if (mtRefs.isEmpty) ""
+      else mtRefs.map(fmt(_, 3)).mkString(""","mt_refs":[""", ",", "]")
+    s"""{"bench_detail":{"queries":${queriesJson(timings, 3)},"runs":$rs$cpart$mpart},"sf":"$sfName"}"""
   }
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
@@ -285,6 +289,46 @@ object Bench {
     Seq(once(), once(), once()).sorted.apply(1)
   }
 
+  /** Parallel-capacity probe: wall seconds for 16 concurrent copies of the
+    * cpu_ref workload (median of 3 batches). On an uncontended 32-core box
+    * this is ≈ the single-thread time (all copies run in parallel); it
+    * rises when the MACHINE's cores are oversubscribed. Motivation
+    * (round-10 finding): an interleaved A/B on byte-identical d02 code
+    * measured 6–8 s against a 2.6 s earlier-epoch clean floor while
+    * single-thread `cpu_ref` read a clean 0.028–0.032 s — cache-hot
+    * single-thread work does not sample multi-core contention, which is
+    * exactly the regime that inflates 32-thread shuffle stages. The
+    * `mt_x` field (cpuRefMt / cpuRef) puts that regime on the record:
+    * ~1–2 clean, rising with core oversubscription.
+    */
+  val CpuRefMtThreads = 16
+
+  def cpuRefMtSec(): Double = {
+    def batch(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until CpuRefMtThreads).map { t =>
+        val th = new Thread(() => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var i = 0
+          var acc = 0L
+          while (i < 200000) {
+            val d = md.digest((s"cpu_ref_${t}_" + i)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            acc += d(0)
+            i += 1
+          }
+          if (acc == Long.MinValue) System.err.println(acc)
+        })
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(batch(), batch(), batch()).sorted.apply(1)
+  }
+
   /** The driver-facing metric line. Degradation ladder, first fit wins:
     * full names at 3→1 decimals, then — because 73 full names alone exceed
     * the post-epilogue budget at ANY precision — the per-query keys switch
@@ -292,20 +336,22 @@ object Bench {
     * marked `"keys":"code"` on the line) at 3→1 decimals, and only as a
     * last resort is the map dropped (it is always on the detail line).
     * The code steps are skipped entirely if codes ever collide.
-    * `contaminated` / `canary_x` / `canary_max` / `cpu_ref` (when
-    * evaluated) always survive degradation: they are the bits that tell
-    * the reader whether the total is trustworthy.
+    * `contaminated` / `canary_x` / `canary_max` / `cpu_ref` / `mt_x`
+    * (when evaluated) always survive degradation: they are the bits that
+    * tell the reader whether the total is trustworthy.
     */
   def metricLine(timings: Seq[(String, Double)], sfName: String,
                  contaminated: Option[Boolean] = None,
                  canaryX: Option[Double] = None,
                  canaryMax: Option[Double] = None,
-                 cpuRef: Option[Double] = None): String = {
+                 cpuRef: Option[Double] = None,
+                 mtX: Option[Double] = None): String = {
     val total = timings.map(_._2).filter(_ >= 0).sum
     val cpart = contaminated.map(c => s""","contaminated":$c""").getOrElse("") +
       canaryX.map(x => s""","canary_x":${fmt(x, 2)}""").getOrElse("") +
       canaryMax.map(x => s""","canary_max":${fmt(x, 1)}""").getOrElse("") +
-      cpuRef.map(x => s""","cpu_ref":${fmt(x, 3)}""").getOrElse("")
+      cpuRef.map(x => s""","cpu_ref":${fmt(x, 3)}""").getOrElse("") +
+      mtX.map(x => s""","mt_x":${fmt(x, 1)}""").getOrElse("")
     def line(qs: Option[String], codeKeys: Boolean): String = {
       val kpart = if (codeKeys) s""","keys":"code"""" else ""
       val qpart = qs.map(q => s""","queries":$q""").getOrElse("")
@@ -380,25 +426,34 @@ object Bench {
     // 2.9×-contaminated session. The individual samples ride the detail
     // line.
     val cpuSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val mtSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val midName = names.filter(_.startsWith("q")).lastOption
       .getOrElse(names.lift(names.size * 2 / 3).getOrElse(""))
-    cpuSamples += cpuRefSec()
+    def sampleRefs(): Unit = { cpuSamples += cpuRefSec(); mtSamples += cpuRefMtSec() }
+    sampleRefs()
     val results = names.map { n =>
       val rs = Seq(force(n), force(n), force(n))
-      if (n == midName) cpuSamples += cpuRefSec()
+      if (n == midName) sampleRefs()
       if (rs.exists(_ < 0)) n -> (-1.0, 3)
       else n -> (rs.sorted.apply(1), 3)
     }
-    cpuSamples += cpuRefSec()
+    sampleRefs()
     graft.queries.DedupQueries.releaseShared(spark)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val timings = results.map { case (k, (v, _)) => k -> v }
     val runs = results.map { case (k, (_, r)) => k -> r }
+    // mt_x: worst parallel-capacity loss observed across the three sample
+    // points — each mt sample against ITS OWN single-thread companion, so
+    // a burst that elevates both probes at once still reads as elevated
+    // parallel cost (the ratio uses the same window, not the best window).
+    val mtX = cpuSamples.zip(mtSamples).collect {
+      case (c, m) if c > 0 => m / c
+    }.maxOption
     // Detail first, metric line LAST — see TailCaptureBytes.
-    println(detailLine(timings, runs, sfName, cpuSamples.toSeq))
+    println(detailLine(timings, runs, sfName, cpuSamples.toSeq, mtSamples.toSeq))
     println(metricLine(timings, sfName, contaminationFlag(timings, sfName),
       canaryRatio(timings, sfName), canaryMax(timings, sfName),
-      Some(cpuSamples.max)))
+      Some(cpuSamples.max), mtX))
     spark.stop()
   }
 }

@@ -31,11 +31,12 @@ class BenchEmitSpec extends AnyFunSuite {
       "window and the captured line JSON-parses with a per-query map") {
     val timings = names.map(_ -> 0.987)
     val line = Bench.metricLine(timings, "sf0.1", contaminated = Some(false),
-      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152))
+      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152),
+      mtX = Some(12.3))
     // What the driver captures: last TailCaptureBytes of (…detail…, metric
     // line, epilogue). The metric line must survive in full.
     val stdout = Bench.detailLine(timings, names.map(_ -> 3), "sf0.1",
-      Seq(0.04, 0.05, 0.04)) + "\n" + line + epilogue
+      Seq(0.04, 0.05, 0.04), Seq(0.08, 0.09, 0.08)) + "\n" + line + epilogue
     val tail = stdout.takeRight(Bench.TailCaptureBytes)
     assert(tail.contains(line), "metric line truncated by the tail window")
     val node = parse(line)
@@ -46,6 +47,7 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(node.get("canary_x").asDouble == 1.38)
     assert(node.get("canary_max").asDouble == 1.5)
     assert(node.get("cpu_ref").asDouble == 0.152)
+    assert(node.get("mt_x").asDouble == 12.3)
     assert(!node.get("contaminated").asBoolean)
   }
 
@@ -53,7 +55,8 @@ class BenchEmitSpec extends AnyFunSuite {
       "budget (TailCaptureBytes - 80 hard pin) and keeps a per-query map") {
     val timings = names.map(_ -> 0.987)
     val line = Bench.metricLine(timings, "sf0.1", contaminated = Some(false),
-      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152))
+      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152),
+      mtX = Some(12.3))
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin,
       s"metric line is ${line.length} bytes for ${names.size} queries")
     assert(Bench.SafetyMargin >= 150, "r9: epilogue + headroom needs >=150")
@@ -107,9 +110,10 @@ class BenchEmitSpec extends AnyFunSuite {
   test("detail line carries full-precision timings, run counts, and the " +
       "individual cpu_ref samples") {
     val line = Bench.detailLine(Seq("a" -> 1.2345), Seq("a" -> 3), "sfX",
-      Seq(0.039, 0.172, 0.041))
+      Seq(0.039, 0.172, 0.041), Seq(0.08, 0.35, 0.09))
     assert(line.contains("\"a\":1.235") && line.contains("\"runs\":{\"a\":3}"))
     assert(line.contains("\"cpu_refs\":[0.039,0.172,0.041]"))
+    assert(line.contains("\"mt_refs\":[0.080,0.350,0.090]"))
   }
 
   // --- contamination canary ---
@@ -214,12 +218,16 @@ class BenchEmitSpec extends AnyFunSuite {
   test("contaminated flag + graded context survive per-query map degradation") {
     val many = (1 to 500).map(i => f"q${i}%03d_very_long_query_name_padding" -> 12345.678)
     val line = Bench.metricLine(many, "sf0.1", contaminated = Some(true),
-      canaryX = Some(1.92), canaryMax = Some(17.4), cpuRef = Some(0.31))
+      canaryX = Some(1.92), canaryMax = Some(17.4), cpuRef = Some(0.31),
+      mtX = Some(28.6))
     assert(line.contains("\"contaminated\":true"),
       "the one trust bit must never be degraded away")
     assert(line.contains("\"canary_x\":1.92") && line.contains("\"cpu_ref\":0.310"),
       "the graded context must never be degraded away either")
     assert(line.contains("\"canary_max\":17.4"))
+    assert(line.contains("\"mt_x\":28.6"),
+      "the parallel-capacity signal must never be degraded away (round-10 " +
+        "A/B: clean cpu_ref coexisted with 2.5x multi-core contention)")
   }
 
   test("canary_x is the graded elevation even when the boolean stays false " +
@@ -241,5 +249,15 @@ class BenchEmitSpec extends AnyFunSuite {
   test("cpu_ref is a positive sub-10s fixed workload") {
     val t = Bench.cpuRefSec()
     assert(t > 0.0 && t < 10.0, s"cpu_ref $t")
+  }
+
+  test("cpu_ref_mt runs 16 concurrent copies; on a non-pathological box the " +
+      "parallel batch costs less than 16x one copy") {
+    val st = Bench.cpuRefSec()
+    val mt = Bench.cpuRefMtSec()
+    assert(mt > 0.0 && mt < 60.0, s"cpu_ref_mt $mt")
+    // ratio ~1 idle, rises with core contention; 16x means full
+    // serialization, which even a loaded CI box should not reach
+    assert(mt / st < Bench.CpuRefMtThreads, s"mt/st ${mt / st}")
   }
 }
