@@ -66,6 +66,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(!emitted.contains((ts("2024-01-15 10:05:00"), "alpha")))
   }
 
+  test("streaming LSH candidates: a near-dup arriving in a LATER micro-" +
+      "batch pairs against the original; disjoint content emits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val distinct = "one two three four five six seven eight nine ten"
+    val input = MemoryStream[(Long, String)]
+    val cands = StreamDedup.lshCandidates(input.toDS().toDF("doc_id", "text"))
+    val q = cands.writeStream.format("memory").queryName("slsh_out")
+      .outputMode("append").start()
+    input.addData(Seq((1L, base), (2L, distinct)))
+    q.processAllAvailable()
+    // batch 2: doc 3 is byte-identical to doc 1 (all 6 bands collide) and
+    // doc 4 shares nothing — state from batch 1 must drive the pairing
+    input.addData(Seq((3L, base), (4L, "ABC DEF GHI JKL MNO PQR STU VWX")))
+    q.processAllAvailable()
+    val out = spark.table("slsh_out")
+      .as[StreamDedup.Candidate].collect().toSeq
+    q.stop()
+    assert(out.map(_.doc_id).toSet == Set(3L), s"unexpected candidates: $out")
+    assert(out.forall(_.dup_of == 1L), s"owner must be the first-seen doc: $out")
+    assert(out.size == 6, s"identical text must collide on all 6 bands: $out")
+  }
+
+  test("streaming LSH candidates: within-batch near-dups pair against the " +
+      "lowest doc_id; the same transform runs in batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again today"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.lshCandidates(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("slsh_wb_out")
+      .outputMode("append").start()
+    input.addData(Seq((7L, text), (5L, text), (9L, text)))
+    q.processAllAvailable()
+    val out = spark.table("slsh_wb_out")
+      .as[StreamDedup.Candidate].collect().toSeq
+    q.stop()
+    assert(out.nonEmpty && out.forall(_.dup_of == 5L), s"$out")
+    assert(out.map(_.doc_id).toSet == Set(7L, 9L), s"$out")
+    // batch execution of the same function: state starts empty per group,
+    // so within-batch pairing is the whole output — stream/batch parity
+    val batch = StreamDedup.lshCandidates(
+      Seq((7L, text), (5L, text), (9L, text)).toDF("doc_id", "text"))
+      .collect().toSeq
+    assert(batch.toSet == out.toSet,
+      s"batch run must match the single-micro-batch stream: $batch vs $out")
+    // a doc too short for a 3-shingle has no signature and never keys state
+    val empty = StreamDedup.lshCandidates(
+      Seq((1L, "ab cd"), (2L, "ab cd")).toDF("doc_id", "text")).collect()
+    assert(empty.isEmpty, s"short docs must drop out: ${empty.toSeq}")
+  }
+
   test("stream-stream interval join pairs purchases with recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]
