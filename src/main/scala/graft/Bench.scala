@@ -166,6 +166,7 @@ object Bench {
     "w01_hash_sample" -> 0.118,
     "w02_mixture_sample" -> 0.142,
     "w03_split_assign" -> 0.174,
+    "w04_sequence_pack" -> 0.333,
     "x01_approx_distinct" -> 0.358,
     "x02_approx_quantiles" -> 0.550,
     "x03_countmin_heavy" -> 1.041)

@@ -59,6 +59,33 @@ object SamplingQueries {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 4).as("avg_chars"))
+    },
+
+    // Sequence packing: place each document into the concatenated
+    // fixed-size context-window stream of its source shard (window budget
+    // 2048 tokens) — the step that turns a cleaned corpus into training
+    // rows, where padding waste and doc boundaries are decided. Per doc:
+    // its pack (context window) id and token offset inside that pack,
+    // from a running token total per source. Contiguous-fill semantics
+    // (documents straddle pack boundaries; the budget is a position
+    // grid, not a bin capacity) keep the math windowed and exact — the
+    // one shuffle is keyed by source, the real shard key, so shards pack
+    // in parallel and nothing ever sees a global order. Deterministic by
+    // (source, doc_id) ordering: re-runs place every document
+    // identically, the same resumability contract as the hash sampling
+    // above.
+    "w04_sequence_pack" -> { (s, dir) =>
+      val budget = 2048
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget))
+        .withColumn("pack_offset",
+          col("cum") - col("n_tokens") - col("pack_id") * budget)
+        .drop("cum")
     })
 
   private def bucketSql(seed: Int) =
@@ -84,5 +111,20 @@ object SamplingQueries {
          |       ELSE 'test' END AS split,
          |  count(1)::BIGINT AS n_docs,
          |  round(avg(n_chars), 4) AS avg_chars
-         |FROM documents GROUP BY 1, 2""".stripMargin)
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "w04_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  ((cum - n_tokens) // 2048)::BIGINT AS pack_id,
+        |  (cum - n_tokens - ((cum - n_tokens) // 2048) * 2048)::BIGINT
+        |    AS pack_offset
+        |FROM c""".stripMargin)
 }

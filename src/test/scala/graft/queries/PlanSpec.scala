@@ -183,6 +183,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("w04: sequence packing shuffles ONCE, keyed by the source shard — " +
+      "no global sort ever enters the plan") {
+    // packing must parallelize across shards; a global ORDER BY (one
+    // reducer holds the whole corpus) is the classic way to get this wrong
+    val p = plan("w04_sequence_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort detected — packing must stay shard-local")
+  }
+
   test("w01: deterministic sample filter sits above the scan, no shuffle") {
     val p = plan("w01_hash_sample")
     assert(!p.contains("Exchange"), p.take(2000))
