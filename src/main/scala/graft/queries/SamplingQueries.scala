@@ -82,7 +82,9 @@ object SamplingQueries {
         .select(col("doc_id"), col("source"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget))
+        // `div`, not floor(/): long division stays exact past 2^53 tokens
+        // per shard, and is the same operator as the oracle's `//`
+        .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
         .withColumn("pack_offset",
           col("cum") - col("n_tokens") - col("pack_id") * budget)
         .drop("cum")
