@@ -38,10 +38,16 @@ object VectorFns {
     * fully portable to the SQL oracle, and the bucketing pattern (hash ->
     * shuffle by bucket -> local exact search) is the real 100 TB ANN path.
     */
-  def signBucket(v: Column, nBits: Int): Column =
+  def signBucket(v: Column, nBits: Int): Column = signBucketSlice(v, 0, nBits)
+
+  /** [[signBucket]] over dims [start, start+nBits) — one LSH hash table per
+    * disjoint dim slice gives the OR-amplified multi-table construction
+    * (collide in ANY table → candidate), the embedding counterpart of
+    * d02's MinHash bands. */
+  def signBucketSlice(v: Column, start: Int, nBits: Int): Column =
     aggregate(
       zip_with(
-        slice(v, 1, nBits),
+        slice(v, start + 1, nBits),
         transform(sequence(lit(0), lit(nBits - 1)), i => pow(lit(2.0), i).cast("long")),
         (x, p) => when(x > 0f, p).otherwise(lit(0L))),
       lit(0L),

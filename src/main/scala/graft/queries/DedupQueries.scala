@@ -345,8 +345,9 @@ object DedupQueries {
         require(n <= maxRows,
           s"d05_embedding_dup is exact all-pairs (O(n^2)): $n embedding rows " +
             s"exceed the $maxRows-row guard (spark.graft.d05.maxRows). Use " +
-            "the sub-quadratic paths: d02_minhash_lsh (text), s02_lsh_ann / " +
-            "s03_ivf_ann (embeddings).")
+            "the sub-quadratic paths: d11_lsh_embedding_dup (embedding " +
+            "near-dup, multi-table sign-LSH), d02_minhash_lsh (text), " +
+            "s02_lsh_ann / s03_ivf_ann (ANN).")
       }
       val nBlocks = 8
       val e = base
@@ -362,6 +363,59 @@ object DedupQueries {
         .filter(col("cs") >= 0.4)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cs"), 4).as("cosine"))
+    },
+
+    // Embedding near-dup, SUB-QUADRATIC — the scale path that answers
+    // d05's by-contract O(n²): 4 sign-LSH hash tables over disjoint 8-dim
+    // slices (the OR-amplified multi-table construction, embedding
+    // counterpart of d02's MinHash bands — a pair is a candidate iff it
+    // collides in ANY table), distinct candidate ids, then the exact
+    // cosine ≥ 0.4 verify on an id-keyed re-join (the inverted-index
+    // lesson from d02: never carry payload arrays through the candidate
+    // join). Work is Σ per-bucket m²/2 over 4×256 buckets instead of
+    // n²/2 — recall is what the 4-table OR buys, and candidates this
+    // scheme misses are pairs whose signs differ in every table, which at
+    // cosine ≥ 0.4 is the accepted LSH trade. Skewed (popular) sign
+    // patterns concentrate candidates; AQE's skew-join split applies to
+    // the verify join, and the per-table bucket histogram is one cheap
+    // aggregation away when a real corpus needs monitoring.
+    //
+    // SCALE KNOB: per-bucket occupancy is n / 2^bits per table, and the
+    // candidate join does Σ m²/2 per bucket — so bits must grow with the
+    // corpus (occupancy-constant: bits ≈ log2(n / targetBucketRows)).
+    // The 8-bit default matches the pinned oracle at the test scales;
+    // at 200k vectors (the 100x probe) 8 bits means ~780 rows/bucket →
+    // ~300M candidate pairs, while 16 bits (4 tables x 16 = all 64 dims)
+    // keeps the join linear-ish. Wider buckets trade recall exactly as
+    // more MinHash rows-per-band do in d02 — that's the knob's contract,
+    // not a correctness knife-edge. spark.graft.d11.{tables,bits} conf,
+    // SPARK_GRAFT_D11_{TABLES,BITS} env fallback for bench probes.
+    "d11_lsh_embedding_dup" -> { (s, dir) =>
+      def knob(conf: String, env: String, dflt: Int): Int =
+        s.conf.getOption(conf).orElse(sys.env.get(env)).map(_.toInt).getOrElse(dflt)
+      val nTables = knob("spark.graft.d11.tables", "SPARK_GRAFT_D11_TABLES", 4)
+      val bits = knob("spark.graft.d11.bits", "SPARK_GRAFT_D11_BITS", 8)
+      require(nTables * bits <= 64,
+        s"d11 needs tables*bits <= embedding dim (64): got $nTables x $bits")
+      val e = Tables.loadSpread(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val tabbed = e.select(col("vec_id"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFns.signBucketSlice(col("embedding"), t * bits, bits).as("bkt"))
+        }: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      val cand = tabbed.as("a").join(tabbed.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+        .withColumn("cs", VectorFns.cosine(col("ea"), col("eb")))
+        .filter(col("cs") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cs"), 4).as("cosine"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -514,5 +568,29 @@ object DedupQueries {
         |    list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cs, 4) AS cosine FROM p WHERE cs >= 0.4""".stripMargin,
+
+    "d11_lsh_embedding_dup" ->
+      """WITH bk AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN embedding[t*8 + i + 1] > 0
+        |        THEN pow(2, i)::BIGINT ELSE 0 END)::BIGINT AS bkt
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(range(4)) AS t)
+        |  CROSS JOIN (SELECT unnest(range(8)) AS i)
+        |  GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a JOIN bk b
+        |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT vec_a, vec_b,
+        |    list_dot_product(ea.v, eb.v) /
+        |      (sqrt(list_dot_product(ea.v, ea.v)) *
+        |       sqrt(list_dot_product(eb.v, eb.v))) AS cs
+        |  FROM cand
+        |  JOIN e ea ON vec_a = ea.vec_id
+        |  JOIN e eb ON vec_b = eb.vec_id)
         |SELECT vec_a, vec_b, round(cs, 4) AS cosine FROM p WHERE cs >= 0.4""".stripMargin)
 }

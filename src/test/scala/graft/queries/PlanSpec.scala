@@ -252,6 +252,29 @@ class PlanSpec extends SparkSpec {
       "release must leave no cached RDDs behind")
   }
 
+  test("d11: multi-table LSH dedup is equi-join only — no product, no " +
+      "hint, and the candidate join carries ids, not embedding payloads") {
+    val df = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "d11 carries a join hint")
+    val p = plan("d11_lsh_embedding_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the (tbl, bkt) self-join must join projections WITHOUT the embedding
+    // column — carrying payload arrays through the candidate join is the
+    // d02 inverted-index mistake. The signature Generate BELOW the Project
+    // legitimately reads the embedding; what must not happen is the
+    // Project OUTPUTTING it into the join, so assert on the first Project
+    // line on each side of the join (its bracketed output list).
+    val afterJoin = p.linesIterator
+      .dropWhile(l => !(l.contains("Join") && l.contains("bkt"))).toSeq
+    assert(afterJoin.nonEmpty, p.take(3000))
+    val inputProjects = afterJoin.tail
+      .filter(_.contains("Project [")).take(2)
+    assert(inputProjects.size == 2 && inputProjects.forall(!_.contains("embedding")),
+      s"candidate join inputs carry embeddings:\n${inputProjects.mkString("\n")}")
+  }
+
   test("d05 exact all-pairs: tiled equi-join, no nested-loop operator") {
     // the quadratic work must distribute as B^2 block tiles through hash
     // joins — a BroadcastNestedLoopJoin would serialize the whole corpus
