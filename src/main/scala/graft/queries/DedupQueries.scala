@@ -416,6 +416,53 @@ object DedupQueries {
         .withColumn("cs", VectorFns.cosine(col("ea"), col("eb")))
         .filter(col("cs") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cs"), 4).as("cosine"))
+    },
+
+    // Bloom-prefiltered decontamination — d09's contract and EXACT output,
+    // but the corpus side never shuffles wholesale: a Bloom filter built
+    // over the eval-set shingles (k=3 portable md5 hashes into a 2^logBits
+    // position space — the same DuckDB-portable hash family as x03) is
+    // probed MAP-SIDE by three broadcast left-semi joins, so only
+    // bloom-hit shingles reach the exact confirm join. Blooms have no
+    // false negatives (every bench-shingle position is in the set), so
+    // the confirm join's output is bit-identical to d09's — false
+    // positives only cost discarded join work, priced by the FP rate
+    // ((k·|bench|/m)^k ≈ 1e-4 at defaults). At 100 TB this is the
+    // difference between shuffling every corpus shingle into the
+    // decontamination join and shuffling ~(true overlap + ε): eval sets
+    // are small by nature, the corpus is not.
+    //
+    // The bloom is kept as a distinct-position table (≤ min(k·|bench|,
+    // 2^logBits) longs) instead of a packed-word bitmap: the membership
+    // test stays a pure broadcast EQUI-join the optimizer fully
+    // understands, and the broadcast is hard-capped by construction at
+    // 2^logBits rows (2 MiB at the default 18) — which is also why the
+    // explicit broadcast() hint on a fact-derived frame is safe here
+    // when it isn't in d02. spark.graft.d12.logBits tunes capacity.
+    "d12_bloom_decontaminate" -> { (s, dir) =>
+      val logBits = s.conf.getOption("spark.graft.d12.logBits").map(_.toInt).getOrElse(18)
+      require(logBits >= 8 && logBits <= 30,
+        s"spark.graft.d12.logBits must be in [8, 30]: got $logBits")
+      val m = 1L << logBits
+      val nHash = 3
+      def pos(j: Int, shingle: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(conv(substring(md5(concat_ws(":", lit(j), shingle)), 1, 8), 16, 10)
+          .cast("long"), lit(m))
+      val sh = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("s"))
+      val bloom = bench
+        .select(explode(array((0 until nHash).map(j => pos(j, col("s"))): _*)).as("p"))
+        .distinct()
+      val survivors = (0 until nHash).foldLeft(sh.filter(col("doc_id") % 97 =!= 0)) {
+        (df, j) => df.join(broadcast(bloom), pos(j, col("s")) === col("p"), "left_semi")
+      }
+      survivors.join(bench, Seq("s"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -537,6 +584,18 @@ object DedupQueries {
          |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
 
     "d09_decontaminate" ->
+      s"""WITH ${shdSql()}
+         |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+         |       count(*)::BIGINT AS n_shared
+         |FROM shd c JOIN shd b ON c.s = b.s
+         |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
+
+    // identical to d09 on purpose: the bloom prefilter has no false
+    // negatives, so the exact confirm join yields d09's output bit-for-bit
+    // — the oracle doesn't need to model the bloom at all
+    "d12_bloom_decontaminate" ->
       s"""WITH ${shdSql()}
          |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
          |       count(*)::BIGINT AS n_shared

@@ -130,6 +130,23 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("d12: bloom prefilter is three broadcast left-semi probes ABOVE " +
+      "the corpus scan, and the confirm join is an equi-join") {
+    val p = plan("d12_bloom_decontaminate")
+    // the membership test must be map-side: broadcast hash left-semi on
+    // the position equi-key, one per hash function, never a product
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    val semis = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis == 3, s"expected 3 broadcast left-semi bloom probes, got $semis\n" +
+      p.take(3000))
+    // and the bloom build side stays hard-capped: the broadcast subtree
+    // aggregates positions (Distinct/HashAggregate), it never broadcasts
+    // raw shingles
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("t09: vocab top-k is TakeOrderedAndProject over one hash agg — " +
       "never a global sort") {
     val p = plan("t09_vocab_stats")
