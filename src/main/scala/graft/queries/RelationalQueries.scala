@@ -402,6 +402,22 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(col("l_extendedprice") * (lit(1) - col("avg_disc")) *
             (lit(1) + col("avg_tax")), 4).as("adj_price"))
+    },
+
+    // Native pivot (RelationalGroupedDataset.pivot) with an EXPLICIT value
+    // list — q14 builds the same table by hand with CASE aggregates; this
+    // is the operator form. The explicit values matter at 100 TB: omitting
+    // them makes Spark run an eager distinct-scan of the pivot column
+    // (collected to the driver!) before the real job, and makes the output
+    // schema data-dependent — both unacceptable in production. With
+    // literal values Catalyst rewrites the pivot into exactly q14's
+    // one-pass conditional aggregation: same plan, declared schema, no
+    // extra scan.
+    "q37_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 4))
     })
 
   val oracle: Map[String, String] = Map(
@@ -644,5 +660,12 @@ object RelationalQueries {
         |SELECT l_orderkey, l_linenumber, l_returnflag,
         |  round(l_extendedprice * (1 - avg_disc) * (1 + avg_tax), 4) AS adj_price
         |FROM lineitem JOIN dim USING (l_returnflag)
-        |WHERE l_quantity >= 45""".stripMargin)
+        |WHERE l_quantity >= 45""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 4) AS "F",
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 4) AS "O",
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 4) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }

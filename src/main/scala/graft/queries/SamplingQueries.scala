@@ -88,6 +88,28 @@ object SamplingQueries {
         .withColumn("pack_offset",
           col("cum") - col("n_tokens") - col("pack_id") * budget)
         .drop("cum")
+    },
+
+    // Shard-export audit: the writer side of the pipeline. A 100 TB export
+    // ends in `repartition(n, shard).write` — this is the balance check on
+    // the deterministic shard assignment that precedes it (skewed shards
+    // are write-time stragglers; a bad hash shows up here before it costs
+    // an overnight job). Shard is a pure function of the id (seed 4 —
+    // independent of the w01/w02/w03 families), so re-exports land every
+    // document in the same shard: incremental re-runs overwrite shards
+    // idempotently instead of reshuffling the corpus.
+    "w05_shard_export" -> { (s, dir) =>
+      val nShards = 64
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+          (TextFns.md5Hash32(col("doc_id").cast("string"), seed = 4) % nShards).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
     })
 
   private def bucketSql(seed: Int) =
@@ -128,5 +150,17 @@ object SamplingQueries {
         |  ((cum - n_tokens) // 2048)::BIGINT AS pack_id,
         |  (cum - n_tokens - ((cum - n_tokens) // 2048) * 2048)::BIGINT
         |    AS pack_offset
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    "w05_shard_export" ->
+      """SELECT
+        |  ('0x' || substr(md5('4:' || doc_id::VARCHAR), 1, 8))::BIGINT % 64
+        |    AS shard,
+        |  count(1)::BIGINT AS n_docs,
+        |  sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+        |    AS sum_tokens,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY 1""".stripMargin)
 }

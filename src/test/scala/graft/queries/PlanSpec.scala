@@ -147,6 +147,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("q37: explicit-value pivot rewrites to one-pass conditional " +
+      "aggregation — one scan, no eager distinct of the pivot column") {
+    val p = plan("q37_pivot")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans\n" + p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate") && !p.contains("Expand"), p.take(2000))
+  }
+
+  test("w05: shard-export audit is one partial-agg exchange, no sort") {
+    val p = plan("w05_shard_export")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" + p.take(2000))
+    assert(!p.contains("Sort "), p.take(2000))
+    // partial combine below the exchange: two HashAggregate levels
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p.take(2000))
+  }
+
   test("t09: vocab top-k is TakeOrderedAndProject over one hash agg — " +
       "never a global sort") {
     val p = plan("t09_vocab_stats")
