@@ -206,6 +206,31 @@ object TextQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("tok"), col("tf"), col("doc_freq"),
           col("tfidf"), col("rank"))
+    },
+
+    // Blocklist scrub: the redaction pass of a training pipeline (PII /
+    // banned-term removal) — global word-boundary regexp_replace chained
+    // over the blocklist, with per-term hit counts for the audit trail.
+    // The synthetic corpus carries no digits, so the machinery is
+    // exercised with terms it actually contains rather than vacuously-
+    // zero email/phone patterns. scrub_md5 pins REPLACEMENT parity with
+    // the oracle (byte-identical scrubbed text), not just the counts.
+    // At 100 TB the scrub is a pure codegen map over the scan — no
+    // shuffle, no UDF; replacement order is part of the contract (terms
+    // apply left-to-right; [REDACTED] contains no blocklisted substring,
+    // so the chain is confluent here anyway).
+    "t11_blocklist_scrub" -> { (s, dir) =>
+      val terms = Seq("spark", "hash", "merge")
+      val scrubbed = terms.foldLeft(col("text")) {
+        (c, t) => regexp_replace(c, s"\\b$t\\b", "[REDACTED]")
+      }
+      val counts = terms.map(t =>
+        size(regexp_extract_all(col("text"), lit(s"\\b$t\\b"), lit(0)))
+          .as(s"n_$t"))
+      docs(s, dir).select(
+        (col("doc_id") +: counts) :+
+          length(scrubbed).as("scrub_len") :+
+          md5(scrubbed).as("scrub_md5"): _*)
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -346,5 +371,18 @@ object TextQueries {
          |      ORDER BY tfidf DESC, tok ASC)::INT AS rank
          |  FROM x)
          |SELECT doc_id, tok, tf, doc_freq, tfidf, rank
-         |FROM r WHERE rank <= 3""".stripMargin)
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "t11_blocklist_scrub" -> {
+      val scrub = Seq("spark", "hash", "merge").foldLeft("text") {
+        (e, t) => s"regexp_replace($e, '\\b$t\\b', '[REDACTED]', 'g')"
+      }
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(text, '\\bspark\\b'))::INT AS n_spark,
+         | len(regexp_extract_all(text, '\\bhash\\b'))::INT AS n_hash,
+         | len(regexp_extract_all(text, '\\bmerge\\b'))::INT AS n_merge,
+         | length($scrub)::INT AS scrub_len,
+         | md5($scrub) AS scrub_md5
+         |FROM documents""".stripMargin
+    })
 }
