@@ -8,7 +8,15 @@ token COUNT and length statistics survive, but copies share no shingles
 with their originals, so the probe measures pipeline throughput (shingle →
 minhash → band → bucket join) at 10x the rows rather than an artificial
 45-pairs-per-doc near-dup explosion that no real corpus has. Embeddings
-drift by a small per-copy constant for the same reason.
+amplify by a per-copy affine PERMUTATION of the dims (a bijection:
+a_i*j + b_i mod 64 with a_i odd; copy 0 is the identity) — a permuted
+copy shares no direction with its original (cross-copy cosine ~ 0), but
+unlike the constant drift this used to apply, a permutation preserves
+the per-dim value distribution EXACTLY: sign balance, norms, and
+within-copy pair structure all survive, so sign-LSH bucket histograms
+at 100x look like the base corpus scaled, not like the degenerate
+one-bucket pile the +i*0.037 shift produced (98% of values positive by
+copy 50, 94% of the corpus in one d11 bucket).
 
 Fact tables amplify with per-copy KEY OFFSETS and unchanged payloads:
 orders/lineitem share one orderkey offset (join shape preserved, dims
@@ -80,7 +88,10 @@ COPY (
 con.execute(f"""
 COPY (
   SELECT vec_id + i * {nvecs} AS vec_id,
-         list_transform(embedding, x -> (x + i * 0.037)::FLOAT) AS embedding,
+         list_transform(range(len(embedding)),
+           j -> embedding[(((2 * ((i * 37) % 32) + 1) * j
+                            + (i * 11 + (i // 32) * 13) % 64)
+                           % len(embedding)) + 1]) AS embedding,
          label
   FROM '{src}/embeddings.parquet', generate_series(0, {n - 1}) t(i)
 ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
