@@ -420,10 +420,9 @@ object DedupQueries {
 
     // Bloom-prefiltered decontamination — d09's contract and EXACT output,
     // but the corpus side never shuffles wholesale: a Bloom filter built
-    // over the eval-set shingles (k=3 portable md5 hashes into a 2^logBits
-    // position space — the same DuckDB-portable hash family as x03) is
-    // probed MAP-SIDE by three broadcast left-semi joins, so only
-    // bloom-hit shingles reach the exact confirm join. Blooms have no
+    // over the eval-set shingles (k=3 hashes into a 2^logBits position
+    // space) is probed MAP-SIDE by three broadcast left-semi joins, so
+    // only bloom-hit shingles reach the exact confirm join. Blooms have no
     // false negatives (every bench-shingle position is in the set), so
     // the confirm join's output is bit-identical to d09's — false
     // positives only cost discarded join work, priced by the FP rate
@@ -431,6 +430,19 @@ object DedupQueries {
     // difference between shuffling every corpus shingle into the
     // decontamination join and shuffling ~(true overlap + ε): eval sets
     // are small by nature, the corpus is not.
+    //
+    // The position hash is Spark-native xxhash64, NOT the portable md5
+    // family: the bloom never influences the output (no false negatives +
+    // exact confirm), so the oracle doesn't model it and cross-engine
+    // hash parity buys nothing — while md5's string round-trip tripled
+    // the probe's CPU cost on a corpus where the scan is CPU-bound. The
+    // semi-join chain evaluates hash j only on survivors of hashes <j,
+    // so the common (miss) path pays ~1 hash. Win condition is honest:
+    // the prefilter trades per-row probe CPU for shuffle bytes, so it
+    // wins when the confirm shuffle is network-bound (any real cluster)
+    // or the eval set is selective; on this shared-vocabulary synthetic
+    // corpus at local[32] (8.9% true shingle overlap, zero network) it
+    // measures ~par with d09 — see BENCH_NOTES.
     //
     // The bloom is kept as a distinct-position table (≤ min(k·|bench|,
     // 2^logBits) longs) instead of a packed-word bitmap: the membership
@@ -446,8 +458,7 @@ object DedupQueries {
       val m = 1L << logBits
       val nHash = 3
       def pos(j: Int, shingle: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        pmod(conv(substring(md5(concat_ws(":", lit(j), shingle)), 1, 8), 16, 10)
-          .cast("long"), lit(m))
+        pmod(xxhash64(lit(j), shingle), lit(m))
       val sh = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
