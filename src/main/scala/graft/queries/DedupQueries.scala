@@ -474,6 +474,30 @@ object DedupQueries {
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
+    },
+
+    // Incremental dedup — the production shape for a continuously-
+    // ingested corpus: dedup the NEW batch against the kept history
+    // without re-aggregating history. Batch membership is deterministic
+    // (doc_id % 10 == 9 stands in for "today's crawl"); a new doc
+    // survives iff its content hash is absent from history (left-anti)
+    // AND it is first within its own batch (min doc_id per hash). The
+    // history side reduces to a single hash column before the join, and
+    // in production the kept corpus is STORED bucketed by content hash
+    // (operators/Bucketing), making the anti-join exchange-free on the
+    // big side — only the daily delta shuffles. Contrast d01/d06, which
+    // re-aggregate the whole corpus every run; at 100 TB that difference
+    // is the whole ingestion budget.
+    "d13_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val hist = docs.filter(col("doc_id") % 10 =!= 9).select(col("h"))
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+      batch.join(hist, Seq("h"), "left_anti")
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .select(col("doc_id"), col("h"), col("n_batch_copies"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -602,6 +626,14 @@ object DedupQueries {
          |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
+
+    "d13_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 10 = 9),
+        |f AS (SELECT * FROM b WHERE h NOT IN
+        |        (SELECT h FROM d WHERE doc_id % 10 <> 9))
+        |SELECT min(doc_id) AS doc_id, h, count(*)::BIGINT AS n_batch_copies
+        |FROM f GROUP BY h""".stripMargin,
 
     // identical to d09 on purpose: the bloom prefilter has no false
     // negatives, so the exact confirm join yields d09's output bit-for-bit

@@ -418,6 +418,28 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(round(sum(col("o_totalprice")), 4))
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: per-order top-2
+    // lineitems by price, driven by a filtered outer table. This is the
+    // operator form of top-k-per-group (q19 is the window form) — the
+    // SQL surface a reference user writes when the per-group query is
+    // richer than one ranking. Catalyst decorrelates the lateral into a
+    // ranked window + equi-join (no per-outer-row re-execution), so the
+    // plan scales like q19, not like a nested loop; the outer filter
+    // stays pushed to the orders scan.
+    "q38_lateral_topk" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM g_orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice
+                 FROM g_lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        WHERE o.o_totalprice > 480000
+      """)
     })
 
   val oracle: Map[String, String] = Map(
@@ -667,5 +689,14 @@ object RelationalQueries {
         | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 4) AS "F",
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 4) AS "O",
         | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 4) AS "P"
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q38_lateral_topk" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |WHERE o.o_totalprice > 480000""".stripMargin)
 }

@@ -147,6 +147,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("d13: incremental dedup anti-joins a hash-only history projection " +
+      "— never a product, and history carries no payload columns") {
+    val p = plan("d13_incremental_dedup")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the history-side projection feeding the anti-join must OUTPUT the
+    // hash alone — dragging doc_id (or raw text) through the join is the
+    // payload mistake. The md5 expression legitimately READS text below,
+    // so assert on the output list: a single md5 AS h, no doc_id output.
+    val anti = p.linesIterator.dropWhile(l => !l.contains("LeftAnti")).toSeq
+    val histProject = anti.tail.filter(_.contains("Project [")).take(2).lastOption
+    assert(histProject.exists(l =>
+      l.contains("Project [md5(") && l.contains("AS h#") && !l.contains("doc_id")),
+      anti.take(12).mkString("\n"))
+  }
+
+  test("q38: correlated lateral top-k decorrelates to a ranked window + " +
+      "equi-join — no per-row re-execution, outer filter pushed to scan") {
+    val p = plan("q38_lateral_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      p.take(3000))
+  }
+
   test("q37: explicit-value pivot rewrites to one-pass conditional " +
       "aggregation — one scan, no eager distinct of the pivot column") {
     val p = plan("q37_pivot")
