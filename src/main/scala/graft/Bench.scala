@@ -100,6 +100,7 @@ object Bench {
     "d10_window_dedup" -> 0.881,
     "d11_lsh_embedding_dup" -> 0.979,
     "d12_bloom_decontaminate" -> 1.530,
+    "d13_incremental_dedup" -> 0.545,
     "m01_binary_meta" -> 0.109,
     "m02_size_classes" -> 0.153,
     "m03_codec_roundtrip" -> 0.933,
@@ -151,6 +152,7 @@ object Bench {
     "q35_trailing_window" -> 0.322,
     "q36_skew_salted" -> 0.414,
     "q37_pivot" -> 0.257,
+    "q38_lateral_topk" -> 1.560,
     "s01_cosine_topk" -> 0.392,
     "s02_lsh_ann" -> 0.357,
     "s03_ivf_ann" -> 0.603,
