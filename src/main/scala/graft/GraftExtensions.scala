@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductF, MinHashSigF, SimHashF}
+
+/** SQL surface for the engine's native codegen expressions, injected via
+  * `SparkSessionExtensions` — set
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) and the hot-path
+  * expressions become callable from pure SQL:
+  *
+  *   - `dot_f(a, b)`        — float-array dot product ([[DotProductF]])
+  *   - `minhash_sig(text)`  — one-pass MinHash signature ([[MinHashSigF]])
+  *   - `simhash32(text)`    — one-pass 32-bit SimHash ([[SimHashF]])
+  *
+  * This is the integration path for `spark.sql(...)`-only users (BI tools,
+  * Thrift/Connect servers, notebook SQL cells) who never touch the Scala
+  * Column API: the same whole-stage-codegen expressions the DataFrame
+  * helpers in [[graft.functions.TextFns]]/[[graft.functions.VectorFns]]
+  * wrap, with no UDF/serialization penalty. Registration is per-session
+  * and idempotent (`injectFunction` replaces on re-apply), so pooled
+  * sessions re-applying extensions are safe.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", classOf[DotProductF]),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"dot_f takes 2 arguments, got ${args.size}")
+        DotProductF(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSigF]),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"minhash_sig takes 1 argument, got ${args.size}")
+        MinHashSigF(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      info("simhash32", classOf[SimHashF]),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"simhash32 takes 1 argument, got ${args.size}")
+        SimHashF(args.head)
+      }))
+  }
+}
