@@ -69,4 +69,30 @@ object StreamDedup {
           ds.iterator.filter(_ != owner).map(Candidate(_, key._1, owner))
         })
   }
+
+  /** Streaming decontamination — the continuous-ingest counterpart of
+    * batch d09/d12: flag stream documents sharing >= `minShared` distinct
+    * shingles with a STATIC eval set. Stream-static equi-join: the static
+    * side is (re)planned per micro-batch by Structured Streaming's
+    * contract, so it is explicitly broadcast — eval sets are small by
+    * nature (the premise of decontamination), and the broadcast keeps the
+    * per-batch work map-side + one update-mode aggregation. The overlap
+    * count is cumulative across batches (stateful agg keyed by
+    * (doc_id, bench_id)): a document whose shingles straddle micro-batch
+    * boundaries still reaches its true shared count. Runs unchanged in
+    * batch mode (where it reproduces the d09 shape against any eval
+    * frame).
+    *
+    * evalShingles: (bench_id: long, s: string) — pre-distinct per bench_id.
+    */
+  def decontaminate(docs: DataFrame, evalShingles: DataFrame,
+                    minShared: Int = 2): DataFrame = {
+    val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(array_distinct(
+        TextFns.shingles(col("text"), graft.functions.MinHashSigF.ShingleK))).as("s"))
+    sh.join(broadcast(evalShingles.select(col("bench_id"), col("s"))), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -146,4 +146,37 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
     assert(rows == Set((1L, ts("2024-01-15 10:20:00"), ts("2024-01-15 10:00:00"))))
   }
+
+  test("streaming decontamination: stream-static shingle join flags docs " +
+      "overlapping the eval set; same transform runs in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextFns
+    val evalShingles = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(lit(100L).as("bench_id"),
+        explode(array_distinct(TextFns.shingles(col("text"), 3))).as("s"))
+    val d1 = (1L, "alpha beta gamma delta xx yy")   // 2 shared shingles
+    val d2 = (2L, "one two three four five")        // 0 shared
+    val d3 = (3L, "beta gamma delta epsilon zeta qq") // 3 shared
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup
+      .decontaminate(input.toDS().toDF("doc_id", "text"), evalShingles)
+      .writeStream.format("memory").queryName("sdecon_out")
+      .outputMode("update").start()
+    input.addData(Seq(d1, d2))
+    q.processAllAvailable()
+    input.addData(Seq(d3))
+    q.processAllAvailable()
+    // update mode re-emits a key when its count grows; keep the final value
+    val streamed = spark.table("sdecon_out")
+      .groupBy("doc_id", "bench_id").agg(max("n_shared").as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == Set((1L, 100L, 2L), (3L, 100L, 3L)), s"got $streamed")
+
+    val batch = StreamDedup
+      .decontaminate(Seq(d1, d2, d3).toDF("doc_id", "text"), evalShingles)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == streamed, s"stream/batch divergence: $batch vs $streamed")
+  }
 }
