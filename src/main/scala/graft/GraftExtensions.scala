@@ -10,7 +10,15 @@ import graft.functions.{DotProductF, MinHashSigF, SimHashF}
   * `SparkSessionExtensions` — set
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) and the hot-path
-  * expressions become callable from pure SQL:
+  * expressions become callable from pure SQL.
+  *
+  * Caveat worth knowing: `spark.sql.extensions` is a STATIC conf — it
+  * only takes effect when the SparkContext itself is created with it
+  * (spark-submit `--conf`, or the first builder in the JVM). Attaching to
+  * an already-running context (shared notebook JVMs, test suites) must
+  * use the programmatic `withExtensions` form on a fresh session.
+  *
+  * Functions:
   *
   *   - `dot_f(a, b)`        — float-array dot product ([[DotProductF]])
   *   - `minhash_sig(text)`  — one-pass MinHash signature ([[MinHashSigF]])

@@ -393,12 +393,32 @@ object DedupQueries {
     "d11_lsh_embedding_dup" -> { (s, dir) =>
       def knob(conf: String, env: String, dflt: Int): Int =
         s.conf.getOption(conf).orElse(sys.env.get(env)).map(_.toInt).getOrElse(dflt)
+      val explicitBits =
+        s.conf.getOption("spark.graft.d11.bits").orElse(sys.env.get("SPARK_GRAFT_D11_BITS"))
       val nTables = knob("spark.graft.d11.tables", "SPARK_GRAFT_D11_TABLES", 4)
       val bits = knob("spark.graft.d11.bits", "SPARK_GRAFT_D11_BITS", 8)
       require(nTables * bits <= 64,
         s"d11 needs tables*bits <= embedding dim (64): got $nTables x $bits")
       val e = Tables.loadSpread(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
+      // the 8-bit default is a TEST-SCALE geometry: at 200k rows it means
+      // ~780 rows/bucket -> ~300M candidate pairs, whose distinct()
+      // shuffle ran a 77 GB disk out in the 100x probe. Refuse to run it
+      // on a big corpus rather than fail an hour in — same contract as
+      // d05's guard; the one column-less count is O(footers). An
+      // explicitly-set bits value expresses intent and skips the scan.
+      if (explicitBits.isEmpty) {
+        val maxDefaultRows = s.conf.getOption("spark.graft.d11.maxDefaultRows")
+          .map(_.toLong).getOrElse(100000L)
+        if (maxDefaultRows > 0) {
+          val n = e.count()
+          require(n <= maxDefaultRows,
+            s"d11_lsh_embedding_dup's default ${bits}-bit geometry is sized for " +
+              s"test corpora: $n embedding rows exceed the $maxDefaultRows-row " +
+              "guard (spark.graft.d11.maxDefaultRows). Set spark.graft.d11.bits " +
+              "~ log2(n / targetBucketRows) explicitly (e.g. 16 at 200k rows).")
+        }
+      }
       val tabbed = e.select(col("vec_id"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("tbl"),

@@ -14,14 +14,18 @@ import graft.functions.TextFns
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions registers dot_f / minhash_sig / simhash32 for SQL") {
-    // a FRESH session picks up spark.sql.extensions (the shared SparkSpec
-    // session was built without them); the underlying context is reused
+    // a FRESH session applies the extensions (the shared SparkSpec session
+    // was built without them); the underlying context is reused. The
+    // programmatic withExtensions path works with a pre-existing
+    // SparkContext — the spark.sql.extensions CONF string is static and
+    // only takes effect when the context itself is created with it, which
+    // in a suite-shared JVM it wasn't (the caveat GraftExtensions docs).
     val prior = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = GraftSession.builder("local[4]", 4)
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
       val d = s.sql("SELECT dot_f(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")

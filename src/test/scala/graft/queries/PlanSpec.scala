@@ -147,6 +147,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("d11 guard: the default geometry refuses a big corpus; explicit " +
+      "bits expresses intent and bypasses the prescan") {
+    spark.conf.set("spark.graft.d11.maxDefaultRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException](
+        SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf))
+      assert(e.getMessage.contains("test corpora") &&
+        e.getMessage.contains("spark.graft.d11.bits"), e.getMessage)
+      spark.conf.set("spark.graft.d11.bits", "16")
+      try {
+        val df = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+        assert(df.columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
+      } finally spark.conf.unset("spark.graft.d11.bits")
+    } finally spark.conf.unset("spark.graft.d11.maxDefaultRows")
+  }
+
   test("d13: incremental dedup anti-joins a hash-only history projection " +
       "— never a product, and history carries no payload columns") {
     val p = plan("d13_incremental_dedup")
