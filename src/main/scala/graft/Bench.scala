@@ -174,6 +174,7 @@ object Bench {
     "w03_split_assign" -> 0.174,
     "w04_sequence_pack" -> 0.333,
     "w05_shard_export" -> 0.253,
+    "w06_mixture_weights" -> 0.423,
     "x01_approx_distinct" -> 0.358,
     "x02_approx_quantiles" -> 0.550,
     "x03_countmin_heavy" -> 1.041)

@@ -110,6 +110,36 @@ object SamplingQueries {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
+    },
+
+    // Temperature-scaled mixture weights — the computation BEHIND w02's
+    // rate table: given per-source token counts, the alpha-temperature
+    // sampling weight w_s = tokens_s^alpha / Σ tokens^alpha (alpha < 1
+    // up-weights small sources, the standard multilingual/multi-corpus
+    // rebalancing) and each source's expected token draw from a fixed
+    // training budget. Two tiny aggregations (per-source, then a scalar
+    // total via a window over the 1-row-per-source frame) — the output
+    // IS the rate table a 100 TB mixing job broadcasts.
+    "w06_mixture_weights" -> { (s, dir) =>
+      val alpha = 0.7
+      val budget = 1000000L
+      val perSource = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      // unordered whole-frame window: fine here because the frame is
+      // 1-row-per-source (tiny) — the single-partition exchange it forces
+      // is over ~#sources rows, not the corpus
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      perSource
+        .withColumn("wraw", pow(col("sum_tokens").cast("double"), alpha))
+        .withColumn("weight",
+          round(col("wraw") / sum(col("wraw")).over(all), 6))
+        .withColumn("expected_tokens",
+          floor(col("wraw") / sum(col("wraw")).over(all) * budget).cast("long"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          col("weight"), col("expected_tokens"))
     })
 
   private def bucketSql(seed: Int) =
@@ -162,5 +192,18 @@ object SamplingQueries {
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_doc_id,
         |  max(doc_id) AS max_doc_id
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "w06_mixture_weights" ->
+      """WITH ps AS (
+        |  SELECT source, count(1)::BIGINT AS n_docs,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+        |      AS sum_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, sum_tokens,
+        |  round(pow(sum_tokens, 0.7) / sum(pow(sum_tokens, 0.7)) OVER (), 6)
+        |    AS weight,
+        |  floor(pow(sum_tokens, 0.7) / sum(pow(sum_tokens, 0.7)) OVER ()
+        |        * 1000000)::BIGINT AS expected_tokens
+        |FROM ps""".stripMargin)
 }
