@@ -98,7 +98,7 @@ object Bench {
     "d08_simhash_hamming" -> 0.685,
     "d09_decontaminate" -> 0.749,
     "d10_window_dedup" -> 0.881,
-    "d11_lsh_embedding_dup" -> 0.979,
+    "d11_lsh_embedding_dup" -> 1.241, // includes the default-geometry guard prescan
     "d12_bloom_decontaminate" -> 1.530,
     "d13_incremental_dedup" -> 0.545,
     "m01_binary_meta" -> 0.109,

@@ -391,14 +391,26 @@ object DedupQueries {
     // not a correctness knife-edge. spark.graft.d11.{tables,bits} conf,
     // SPARK_GRAFT_D11_{TABLES,BITS} env fallback for bench probes.
     "d11_lsh_embedding_dup" -> { (s, dir) =>
-      def knob(conf: String, env: String, dflt: Int): Int =
-        s.conf.getOption(conf).orElse(sys.env.get(env)).map(_.toInt).getOrElse(dflt)
+      def knob(conf: String, env: String, dflt: Int): Int = {
+        val raw = s.conf.getOption(conf).orElse(sys.env.get(env))
+        raw.map { v =>
+          try v.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$conf / $env must be an integer: got '$v'")
+          }
+        }.getOrElse(dflt)
+      }
       val explicitBits =
         s.conf.getOption("spark.graft.d11.bits").orElse(sys.env.get("SPARK_GRAFT_D11_BITS"))
       val nTables = knob("spark.graft.d11.tables", "SPARK_GRAFT_D11_TABLES", 4)
       val bits = knob("spark.graft.d11.bits", "SPARK_GRAFT_D11_BITS", 8)
-      require(nTables * bits <= 64,
-        s"d11 needs tables*bits <= embedding dim (64): got $nTables x $bits")
+      // zero/negative geometries fail silently-wrong, not loudly: tables=0
+      // returns an empty result ("no duplicates"), bits=0 puts every vector
+      // in one global bucket (the n^2/2 product this operator exists to
+      // avoid) — range-check both, like d12's logBits
+      require(nTables >= 1 && bits >= 1 && nTables * bits <= 64,
+        s"d11 needs 1 <= tables, 1 <= bits, tables*bits <= embedding dim (64): " +
+          s"got $nTables x $bits")
       val e = Tables.loadSpread(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       // the 8-bit default is a TEST-SCALE geometry: at 200k rows it means
@@ -411,7 +423,9 @@ object DedupQueries {
         val maxDefaultRows = s.conf.getOption("spark.graft.d11.maxDefaultRows")
           .map(_.toLong).getOrElse(100000L)
         if (maxDefaultRows > 0) {
-          val n = e.count()
+          // count the RAW load, not the loadSpread frame: counting after
+          // the spread repartition would pay its exchange just to count
+          val n = Tables.load(s, dir, "embeddings").count()
           require(n <= maxDefaultRows,
             s"d11_lsh_embedding_dup's default ${bits}-bit geometry is sized for " +
               s"test corpora: $n embedding rows exceed the $maxDefaultRows-row " +
@@ -647,11 +661,16 @@ object DedupQueries {
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: a null hash (null text) must match Spark's
+    // anti-join semantics — null keys never match, so null-hash batch rows
+    // are KEPT, and a null in history must not vacuously empty the result
+    // the way NOT IN's three-valued logic would
     "d13_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |b AS (SELECT * FROM d WHERE doc_id % 10 = 9),
-        |f AS (SELECT * FROM b WHERE h NOT IN
-        |        (SELECT h FROM d WHERE doc_id % 10 <> 9))
+        |f AS (SELECT * FROM b WHERE NOT EXISTS
+        |        (SELECT 1 FROM d hh
+        |         WHERE hh.doc_id % 10 <> 9 AND hh.h = b.h))
         |SELECT min(doc_id) AS doc_id, h, count(*)::BIGINT AS n_batch_copies
         |FROM f GROUP BY h""".stripMargin,
 

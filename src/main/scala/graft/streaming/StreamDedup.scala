@@ -83,6 +83,17 @@ object StreamDedup {
     * batch mode (where it reproduces the d09 shape against any eval
     * frame).
     *
+    * n_shared counts DISTINCT shared shingles, batch d09's semantics: a
+    * stateful dropDuplicates on (doc, bench, shingle) sits before the
+    * count, so at-least-once source replay and re-chunked documents
+    * (the same shingle arriving in two micro-batches) don't double-count
+    * — without it, one replayed shingle could push a clean document over
+    * `minShared`. State cost: one entry per distinct matched triple —
+    * bounded by (matched docs x eval shingles), i.e. by the contamination
+    * actually found, not the stream; bound it harder with a watermarked
+    * variant (`dropDuplicatesWithinWatermark`) when flags are only
+    * actioned within a window.
+    *
     * evalShingles: (bench_id: long, s: string) — pre-distinct per bench_id.
     */
   def decontaminate(docs: DataFrame, evalShingles: DataFrame,
@@ -91,6 +102,7 @@ object StreamDedup {
       explode(array_distinct(
         TextFns.shingles(col("text"), graft.functions.MinHashSigF.ShingleK))).as("s"))
     sh.join(broadcast(evalShingles.select(col("bench_id"), col("s"))), Seq("s"))
+      .dropDuplicates("doc_id", "bench_id", "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

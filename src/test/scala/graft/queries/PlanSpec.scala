@@ -208,6 +208,18 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p.take(2000))
   }
 
+  test("w06: the weight window's single-partition exchange sits ABOVE the " +
+      "per-source aggregate — the corpus never funnels to one partition") {
+    val p = plan("w06_mixture_weights")
+    assert(p.contains("Window"), p.take(2000))
+    val single = p.indexOf("Exchange SinglePartition")
+    assert(single >= 0, p.take(2000))
+    // printed plans list parents first: the per-source HashAggregate must
+    // appear BELOW (after) the single-partition exchange, proving the
+    // funnel carries one row per source, not the corpus
+    assert(p.indexOf("HashAggregate", single) > single, p.take(2000))
+  }
+
   test("t09: vocab top-k is TakeOrderedAndProject over one hash agg — " +
       "never a global sort") {
     val p = plan("t09_vocab_stats")

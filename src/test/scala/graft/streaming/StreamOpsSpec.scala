@@ -167,6 +167,11 @@ class StreamOpsSpec extends SparkSpec {
     q.processAllAvailable()
     input.addData(Seq(d3))
     q.processAllAvailable()
+    // at-least-once replay: re-delivered rows must NOT double the counts
+    // (the stateful triple-dedup before the aggregation absorbs them) —
+    // without it doc 2 stays clean but doc 1 would jump from 2 to 4
+    input.addData(Seq(d1, d3))
+    q.processAllAvailable()
     // update mode re-emits a key when its count grows; keep the final value
     val streamed = spark.table("sdecon_out")
       .groupBy("doc_id", "bench_id").agg(max("n_shared").as("n_shared"))
