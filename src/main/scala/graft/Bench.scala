@@ -88,6 +88,7 @@ object Bench {
     * specific and drift erodes the threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
+    "c01_corpus_gate" -> 2.034,
     "d01_exact_dedup" -> 0.376,
     "d02_minhash_lsh" -> 3.081,
     "d03_simhash" -> 0.190,

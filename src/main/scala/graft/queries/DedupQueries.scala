@@ -532,6 +532,48 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("doc_id"),
           count(lit(1)).as("n_batch_copies"))
         .select(col("doc_id"), col("h"), col("n_batch_copies"))
+    },
+
+    // The capstone composite: one corpus-cleaning pass emitting a verdict
+    // per document with the FIRST failing gate — the query a pipeline
+    // user actually ships, and the shape that matters at 100 TB: the
+    // row-local gates (length, language, quality) are free codegen
+    // predicates on the scan; only the corpus-level gates pay joins
+    // (keeper semi-structure on the content hash, decontamination overlap
+    // against the eval slice), and both join SMALL derived frames. Gate
+    // order is part of the contract (cheap and local before joined) and
+    // is encoded identically in the oracle's CASE chain.
+    "c01_corpus_gate" -> { (s, dir) =>
+      val base = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(TextFns.tokens(col("text"))).as("n_tokens"),
+          md5(col("text")).as("h"))
+      val alphaRatio =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z]", ""))).cast("double") /
+          length(col("text"))
+      val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      val sh = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+      val contam = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(sh.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), col("s")), Seq("s"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select(col("doc_id")).distinct()
+        .withColumn("contam", lit(1))
+      base.join(keep, Seq("h"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("n_tokens") < 5, "too_short")
+            .when(col("lang") =!= "en", "lang")
+            .when(alphaRatio < 0.7, "low_quality")
+            .when(col("doc_id") =!= col("keeper"), "duplicate")
+            .when(col("contam").isNotNull, "contaminated")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("verdict"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -660,6 +702,31 @@ object DedupQueries {
          |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
+
+    "c01_corpus_gate" ->
+      s"""WITH ${shdSql()},
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM shd c
+         |    JOIN shd b ON c.s = b.s
+         |    WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+         |    GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2)),
+         |d AS (
+         |  SELECT doc_id, lang, text,
+         |    len($toksSql)::INT AS n_tokens, md5(text) AS h
+         |  FROM documents),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h)
+         |SELECT d.doc_id,
+         |  CASE WHEN n_tokens < 5 THEN 'too_short'
+         |       WHEN lang <> 'en' THEN 'lang'
+         |       WHEN (length(text) -
+         |             length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE
+         |            / length(text) < 0.7 THEN 'low_quality'
+         |       WHEN d.doc_id <> k.keeper THEN 'duplicate'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM contam)
+         |         THEN 'contaminated'
+         |       ELSE 'kept' END AS verdict
+         |FROM d JOIN k USING (h)""".stripMargin,
 
     // NOT EXISTS, not NOT IN: a null hash (null text) must match Spark's
     // anti-join semantics — null keys never match, so null-hash batch rows

@@ -163,6 +163,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.d11.maxDefaultRows")
   }
 
+  test("c01: corpus gate joins only derived frames — equi-joins " +
+      "throughout, row-local gates stay unjoined predicates") {
+    val p = plan("c01_corpus_gate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the verdict CASE must sit in a Project above the joins, not force
+    // any extra exchange of the full corpus beyond the keeper hash agg
+    assert(p.contains("CASE WHEN"), p.take(2000))
+  }
+
   test("d13: incremental dedup anti-joins a hash-only history projection " +
       "— never a product, and history carries no payload columns") {
     val p = plan("d13_incremental_dedup")
