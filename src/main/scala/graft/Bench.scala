@@ -88,7 +88,7 @@ object Bench {
     * specific and drift erodes the threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01_corpus_gate" -> 2.034,
+    "c01_corpus_gate" -> 1.873,
     "d01_exact_dedup" -> 0.376,
     "d02_minhash_lsh" -> 3.081,
     "d03_simhash" -> 0.190,
@@ -99,9 +99,9 @@ object Bench {
     "d08_simhash_hamming" -> 0.685,
     "d09_decontaminate" -> 0.749,
     "d10_window_dedup" -> 0.881,
-    "d11_lsh_embedding_dup" -> 1.241, // includes the default-geometry guard prescan
-    "d12_bloom_decontaminate" -> 1.530,
-    "d13_incremental_dedup" -> 0.545,
+    "d11_lsh_embedding_dup" -> 1.013, // includes the default-geometry guard prescan
+    "d12_bloom_decontaminate" -> 1.390,
+    "d13_incremental_dedup" -> 0.262,
     "m01_binary_meta" -> 0.109,
     "m02_size_classes" -> 0.153,
     "m03_codec_roundtrip" -> 0.933,
@@ -152,8 +152,8 @@ object Bench {
     "q34_json_extract" -> 0.407,
     "q35_trailing_window" -> 0.322,
     "q36_skew_salted" -> 0.414,
-    "q37_pivot" -> 0.257,
-    "q38_lateral_topk" -> 1.560,
+    "q37_pivot" -> 0.187,
+    "q38_lateral_topk" -> 0.923,
     "s01_cosine_topk" -> 0.392,
     "s02_lsh_ann" -> 0.357,
     "s03_ivf_ann" -> 0.603,
@@ -169,13 +169,13 @@ object Bench {
     "t08_ngram_repetition" -> 0.441,
     "t09_vocab_stats" -> 0.768,
     "t10_tfidf_topterms" -> 2.174,
-    "t11_blocklist_scrub" -> 0.202,
+    "t11_blocklist_scrub" -> 0.192,
     "w01_hash_sample" -> 0.118,
     "w02_mixture_sample" -> 0.142,
     "w03_split_assign" -> 0.174,
     "w04_sequence_pack" -> 0.333,
-    "w05_shard_export" -> 0.253,
-    "w06_mixture_weights" -> 0.423,
+    "w05_shard_export" -> 0.193,
+    "w06_mixture_weights" -> 0.217,
     "x01_approx_distinct" -> 0.358,
     "x02_approx_quantiles" -> 0.550,
     "x03_countmin_heavy" -> 1.041)
