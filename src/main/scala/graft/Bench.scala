@@ -154,6 +154,7 @@ object Bench {
     "q36_skew_salted" -> 0.414,
     "q37_pivot" -> 0.187,
     "q38_lateral_topk" -> 0.923,
+    "q39_date_spine" -> 1.466,
     "s01_cosine_topk" -> 0.392,
     "s02_lsh_ann" -> 0.357,
     "s03_ivf_ann" -> 0.603,

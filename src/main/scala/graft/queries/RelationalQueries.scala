@@ -440,6 +440,38 @@ object RelationalQueries {
                  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
         WHERE o.o_totalprice > 480000
       """)
+    },
+
+    // Recursive CTE (Spark 4.x): the date-spine pattern — a gap-FILLED
+    // monthly series between the corpus's min and max order month, left-
+    // joined to the per-month counts so empty months surface as zero
+    // instead of silently vanishing (the classic time-series reporting
+    // bug q15 has). The recursion generates one row per month (~80
+    // levels here, bounded by the data's span, not its size) — the spine
+    // is driver-cheap and the real work stays one scan + one hash agg.
+    "q39_date_spine" -> { (s, dir) =>
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
+      // prefetch the two scalar bounds ONCE: a bounds CTE referenced from
+      // the recursive term is re-evaluated at every recursion level (80
+      // full orders scans — measured 15.8 s at sf0.1 vs 0.5 s inlined).
+      // A 1-row scalar fetch is a config read, not a driver collect loop.
+      val b = t(s, dir, "orders").agg(
+        date_trunc("MONTH", min(col("o_orderdate"))).as("lo"),
+        date_trunc("MONTH", max(col("o_orderdate"))).as("hi")).head
+      val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql(s"""
+        WITH RECURSIVE spine(m) AS (
+          SELECT TIMESTAMP '$lo'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM spine
+          WHERE m < TIMESTAMP '$hi')
+        SELECT spine.m AS month, count(o.o_orderkey) AS n_big_orders
+        FROM spine LEFT JOIN g_orders o
+          ON date_trunc('MONTH', o.o_orderdate) = spine.m
+         AND o.o_totalprice > 450000
+        GROUP BY spine.m
+      """)
     })
 
   val oracle: Map[String, String] = Map(
@@ -698,5 +730,21 @@ object RelationalQueries {
         |         FROM lineitem
         |         WHERE l_orderkey = o.o_orderkey
         |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
-        |WHERE o.o_totalprice > 480000""".stripMargin)
+        |WHERE o.o_totalprice > 480000""".stripMargin,
+
+    "q39_date_spine" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |spine(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH FROM spine, bounds WHERE m < hi)
+        |SELECT spine.m::TIMESTAMP AS month,
+        |       count(o.o_orderkey)::BIGINT AS n_big_orders
+        |FROM spine LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = spine.m
+        | AND o.o_totalprice > 450000
+        |GROUP BY spine.m""".stripMargin)
 }
