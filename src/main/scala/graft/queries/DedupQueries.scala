@@ -26,6 +26,25 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** (doc_id, bench_id, n_shared) for corpus docs sharing >= 2 distinct
+    * shingles with the eval slice (doc_id % 97 == 0) — d09's whole body,
+    * and c01's contamination gate. ONE definition so the overlap
+    * semantics (shingle K, the %97 carve-out, the >= 2 threshold) can
+    * never drift between the two oracle-gated call sites.
+    */
+  private def evalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   private val nBands = 6
   // d04 intersects TextFns.shingles(text, shingleK) against the distinct
   // counts MinHashSigF emits, and MinHashSigF compiles its shingle width
@@ -268,18 +287,7 @@ object DedupQueries {
     // broadcasts it at the driver SFs) rather than force-broadcasting a
     // fact-derived frame. The overlap aggregation shuffles only MATCHING
     // rows, so corpus-side cost is one scan + the shingle hash join.
-    "d09_decontaminate" -> { (s, dir) =>
-      val sh = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-      val bench = sh.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("bench_id"), col("s"))
-      sh.filter(col("doc_id") % 97 =!= 0)
-        .join(bench, Seq("s"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-    },
+    "d09_decontaminate" -> { (s, dir) => evalOverlap(s, dir) },
 
     // Sub-document exact dedup: non-overlapping 5-token windows repeated
     // across documents (the boilerplate-span detection pass — headers,
@@ -421,7 +429,12 @@ object DedupQueries {
       // explicitly-set bits value expresses intent and skips the scan.
       if (explicitBits.isEmpty) {
         val maxDefaultRows = s.conf.getOption("spark.graft.d11.maxDefaultRows")
-          .map(_.toLong).getOrElse(100000L)
+          .map { v =>
+            try v.trim.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"spark.graft.d11.maxDefaultRows must be an integer: got '$v'")
+            }
+          }.getOrElse(100000L)
         if (maxDefaultRows > 0) {
           // count the RAW load, not the loadSpread frame: counting after
           // the spread repartition would pay its exchange just to count
@@ -544,30 +557,28 @@ object DedupQueries {
     // order is part of the contract (cheap and local before joined) and
     // is encoded identically in the oracle's CASE chain.
     "c01_corpus_gate" -> { (s, dir) =>
+      // null text gets a coalesced hash sentinel + the 'empty' verdict:
+      // a null join key would silently drop the document from the output
+      // entirely (inner join on h), violating the one-verdict-per-doc
+      // contract — and both engines' oracles would agree on the omission,
+      // so the gate could never catch it
+      val h = coalesce(md5(col("text")), lit("<null>"))
       val base = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
-          size(TextFns.tokens(col("text"))).as("n_tokens"),
-          md5(col("text")).as("h"))
+          size(TextFns.tokens(col("text"))).as("n_tokens"), h.as("h"))
       val alphaRatio =
         (length(col("text")) -
           length(regexp_replace(col("text"), "[a-z]", ""))).cast("double") /
           length(col("text"))
       val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-      val sh = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-      val contam = sh.filter(col("doc_id") % 97 =!= 0)
-        .join(sh.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("bench_id"), col("s")), Seq("s"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
+      val contam = evalOverlap(s, dir)
         .select(col("doc_id")).distinct()
         .withColumn("contam", lit(1))
       base.join(keep, Seq("h"))
         .join(contam, Seq("doc_id"), "left")
         .withColumn("verdict",
-          when(col("n_tokens") < 5, "too_short")
+          when(col("text").isNull, "empty")
+            .when(col("n_tokens") < 5, "too_short")
             .when(col("lang") =!= "en", "lang")
             .when(alphaRatio < 0.7, "low_quality")
             .when(col("doc_id") =!= col("keeper"), "duplicate")
@@ -713,11 +724,13 @@ object DedupQueries {
          |    GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2)),
          |d AS (
          |  SELECT doc_id, lang, text,
-         |    len($toksSql)::INT AS n_tokens, md5(text) AS h
+         |    len($toksSql)::INT AS n_tokens,
+         |    coalesce(md5(text), '<null>') AS h
          |  FROM documents),
          |k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h)
          |SELECT d.doc_id,
-         |  CASE WHEN n_tokens < 5 THEN 'too_short'
+         |  CASE WHEN text IS NULL THEN 'empty'
+         |       WHEN n_tokens < 5 THEN 'too_short'
          |       WHEN lang <> 'en' THEN 'lang'
          |       WHEN (length(text) -
          |             length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE

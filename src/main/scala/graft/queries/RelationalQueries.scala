@@ -450,15 +450,27 @@ object RelationalQueries {
     // levels here, bounded by the data's span, not its size) — the spine
     // is driver-cheap and the real work stays one scan + one hash agg.
     "q39_date_spine" -> { (s, dir) =>
-      s.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
+      // session-level on purpose: the limit is enforced while the
+      // recursion EXECUTES, not at plan build, so a set/restore around
+      // sql() would re-impose the default before the query ever runs.
+      // 200 covers any realistic month span while still catching a
+      // runaway recursion 10x sooner than the 2000 first tried.
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "200")
       // prefetch the two scalar bounds ONCE: a bounds CTE referenced from
       // the recursive term is re-evaluated at every recursion level (80
       // full orders scans — measured 15.8 s at sf0.1 vs 0.5 s inlined).
       // A 1-row scalar fetch is a config read, not a driver collect loop.
+      // date_format renders in the SESSION timezone — Timestamp.toString
+      // would render in the JVM-default zone and shift every spine value
+      // on any host where the two differ.
       val b = t(s, dir, "orders").agg(
-        date_trunc("MONTH", min(col("o_orderdate"))).as("lo"),
-        date_trunc("MONTH", max(col("o_orderdate"))).as("hi")).head
-      val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+        date_format(date_trunc("MONTH", min(col("o_orderdate"))),
+          "yyyy-MM-dd HH:mm:ss").as("lo"),
+        date_format(date_trunc("MONTH", max(col("o_orderdate"))),
+          "yyyy-MM-dd HH:mm:ss").as("hi")).head
+      val (lo, hi) = (b.getString(0), b.getString(1))
+      require(lo != null && hi != null,
+        s"q39_date_spine: orders at $dir has no order dates to span")
       t(s, dir, "orders").createOrReplaceTempView("g_orders")
       s.sql(s"""
         WITH RECURSIVE spine(m) AS (

@@ -101,8 +101,14 @@ object StreamDedup {
     val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
       explode(array_distinct(
         TextFns.shingles(col("text"), graft.functions.MinHashSigF.ShingleK))).as("s"))
-    sh.join(broadcast(evalShingles.select(col("bench_id"), col("s"))), Seq("s"))
-      .dropDuplicates("doc_id", "bench_id", "s")
+    val hits =
+      sh.join(broadcast(evalShingles.select(col("bench_id"), col("s"))), Seq("s"))
+    // the stateful replay-dedup only exists for streams: in batch the
+    // triples are already distinct (array_distinct per doc x pre-distinct
+    // eval shingles) and the extra exchange would double the shuffles
+    val once = if (docs.isStreaming)
+      hits.dropDuplicates("doc_id", "bench_id", "s") else hits
+    once
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

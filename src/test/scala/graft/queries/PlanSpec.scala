@@ -168,9 +168,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("c01_corpus_gate")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
-    // the verdict CASE must sit in a Project above the joins, not force
-    // any extra exchange of the full corpus beyond the keeper hash agg
-    assert(p.contains("CASE WHEN"), p.take(2000))
+    // the verdict CASE must sit in a Project ABOVE the joins (printed
+    // plans list parents first), not force any extra exchange of the
+    // full corpus beyond the keeper hash agg
+    val caseAt = p.indexOf("CASE WHEN")
+    val joinAt = p.indexOf("Join")
+    assert(caseAt >= 0 && joinAt >= 0 && caseAt < joinAt,
+      s"verdict CASE (at $caseAt) must be computed above the first join " +
+        s"(at $joinAt)\n" + p.take(2000))
   }
 
   test("d13: incremental dedup anti-joins a hash-only history projection " +
