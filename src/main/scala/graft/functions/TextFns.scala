@@ -33,6 +33,12 @@ object TextFns {
   /** Portable 32-bit hash of a string: first 8 hex chars of md5 as a long.
     * Identical in DuckDB as ('0x' || substr(md5(s),1,8))::BIGINT (verified).
     * Seeded variant prefixes the seed so hash families are independent. */
+  /** [[md5Hash32]] with a COLUMN key (e.g. the CMS hash-row index): the
+    * same portable first-8-hex-chars construction over "<key>:<s>" —
+    * DuckDB: ('0x'||substr(md5(key||':'||s),1,8))::BIGINT. */
+  def md5Hash32Keyed(key: Column, s: Column): Column =
+    conv(substring(md5(concat_ws(":", key, s)), 1, 8), 16, 10).cast("long")
+
   def md5Hash32(s: Column, seed: Int = 0): Column = {
     val keyed = if (seed == 0) s else concat(lit(s"$seed:"), s)
     conv(substring(md5(keyed), 1, 8), 16, 10).cast("long")

@@ -124,11 +124,19 @@ object SimilarityQueries {
     // verified, not assumed.
     "s05_quantized_ann" -> { (s, dir) =>
       val e = emb(s, dir)
-      def maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      val qvec = when(maxabs === 0d, transform(col("embedding"), _ => lit(0L)))
+      // maxabs is materialized as its own column FIRST: embedding the
+      // array_max inside the quantize transform's lambda re-evaluates it
+      // per element (Spark does not hoist lambda-invariant subexpressions
+      // out of higher-order functions) — O(d^2) per row, ~64x extra work
+      // the DuckDB oracle's hoisted CTE never pays
+      val withMax = e.select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("maxabs"))
+      val qvec = when(col("maxabs") === 0d,
+          transform(col("embedding"), _ => lit(0L)))
         .otherwise(transform(col("embedding"),
-          x => round(x.cast("double") * 127 / maxabs).cast("long")))
-      val eq = e.select(col("vec_id"), qvec.as("qv"))
+          x => round(x.cast("double") * 127 / col("maxabs")).cast("long")))
+      val eq = withMax.select(col("vec_id"), qvec.as("qv"))
       val q = eq.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
       val w = Window.partitionBy(col("q_id"))

@@ -33,8 +33,7 @@ object SketchQueries {
     * functions are independent. */
   private def cmsBucket(j: org.apache.spark.sql.Column,
                         tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat_ws(":", j, tok)), 1, 8), 16, 10).cast("long"),
-      lit(CmsWidth.toLong))
+    pmod(graft.functions.TextFns.md5Hash32Keyed(j, tok), lit(CmsWidth.toLong))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -76,7 +75,7 @@ object SketchQueries {
     // at any corpus scale.
     "x03_countmin_heavy" -> { (s, dir) =>
       val toks = Tables.loadSpread(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
       val cms = toks
         .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))

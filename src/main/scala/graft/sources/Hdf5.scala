@@ -2687,6 +2687,14 @@ object Hdf5 {
     u8(bb) match {
       case 0 => // compact: u16 size + inline data (u16 bounds the read)
         val size = u16(bb)
+        // the u16 bounds the READ, but a corrupted dims field can still
+        // claim billions of elements: downstream decoders take an Int
+        // element count, so an unchecked claim would wrap through .toInt
+        // and silently yield a truncated (or empty) array — the partial
+        // read the caller cannot detect. Compact data must fit its own
+        // inline size.
+        require(claim <= size,
+          s"compact dataset claims $claim bytes (> inline size $size)")
         Some(take(bb, size))
       case 1 =>
         // Contiguous data physically exists in the file, so the file's own
@@ -2764,6 +2772,12 @@ object Hdf5 {
                 val ob = ByteBuffer.wrap(obj).order(ByteOrder.LITTLE_ENDIAN)
                 val objAddr = ob.getLong()
                 val sel = parseSelection(ob, s"region reference at $path")
+                // same loud-collision policy as the dangling branch: a
+                // legal user attribute literally named region_selection
+                // must not be silently overwritten by our rendering
+                require(!attrs.contains("region_selection"),
+                  s"user attribute 'region_selection' collides with " +
+                    s"the region-reference rendering at $path")
                 // target path resolves AFTER the walk, like object refs;
                 // the selection is rendered now, from this file's bytes
                 empty.copy(refAddr = Some(objAddr), attrs = attrs +
