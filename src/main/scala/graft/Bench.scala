@@ -341,15 +341,20 @@ object Bench {
   }
 
   /** The driver-facing metric line. Degradation ladder, first fit wins:
-    * full names at 3→1 decimals, then — because 73 full names alone exceed
-    * the post-epilogue budget at ANY precision — the per-query keys switch
-    * to each query's unique short code (`q02_filter_project` → `q02`,
-    * marked `"keys":"code"` on the line) at 3→1 decimals, and only as a
-    * last resort is the map dropped (it is always on the detail line).
-    * The code steps are skipped entirely if codes ever collide.
-    * `contaminated` / `canary_x` / `canary_max` / `cpu_ref` / `mt_x`
-    * (when evaluated) always survive degradation: they are the bits that
-    * tell the reader whether the total is trustworthy.
+    * full names at 3→1 decimals (these fit only for small SPARK_GRAFT_ONLY
+    * subsets), then the map is DROPPED and the line carries just the total
+    * plus the trust fields (~200 B) — per-query data always lives on the
+    * preceding detail line. History of this ladder: r2/r7/r9 breached the
+    * tail window; r10 emitted a complete, JSON-valid, in-window line whose
+    * per-query map used abbreviated `"keys":"code"` names, and the driver
+    * STILL recorded `parsed: null` — every round the driver ever parsed
+    * (r3/r4/r6/r8) used full query names, so abbreviated keys are outside
+    * the driver's parse contract and 92 full names can never fit the
+    * post-epilogue budget at any precision. The code-keyed steps are
+    * therefore deleted: for the full suite the driver-facing line is the
+    * map-less one. `contaminated` / `canary_x` / `canary_max` / `cpu_ref`
+    * / `mt_x` (when evaluated) always survive degradation: they are the
+    * bits that tell the reader whether the total is trustworthy.
     */
   def metricLine(timings: Seq[(String, Double)], sfName: String,
                  contaminated: Option[Boolean] = None,
@@ -363,20 +368,14 @@ object Bench {
       canaryMax.map(x => s""","canary_max":${fmt(x, 1)}""").getOrElse("") +
       cpuRef.map(x => s""","cpu_ref":${fmt(x, 3)}""").getOrElse("") +
       mtX.map(x => s""","mt_x":${fmt(x, 1)}""").getOrElse("")
-    def line(qs: Option[String], codeKeys: Boolean): String = {
-      val kpart = if (codeKeys) s""","keys":"code"""" else ""
+    def line(qs: Option[String]): String = {
       val qpart = qs.map(q => s""","queries":$q""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$kpart$qpart$cpart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$qpart$cpart,"sf":"$sfName"}"""
     }
-    val coded = timings.map { case (k, v) => k.split('_').head -> v }
-    val codesUnique = coded.map(_._1).distinct.size == coded.size
     val steps =
-      (3 to 1 by -1).iterator.map(s => line(Some(queriesJson(timings, s)), codeKeys = false)) ++
-      (if (codesUnique)
-        (3 to 1 by -1).iterator.map(s => line(Some(queriesJson(coded, s)), codeKeys = true))
-      else Iterator.empty)
+      (3 to 1 by -1).iterator.map(s => line(Some(queriesJson(timings, s))))
     steps.find(_.length <= TailCaptureBytes - SafetyMargin)
-      .getOrElse(line(None, codeKeys = false))
+      .getOrElse(line(None))
   }
 
   def main(args: Array[String]): Unit = {

@@ -35,9 +35,13 @@ object TextFns {
     * Seeded variant prefixes the seed so hash families are independent. */
   /** [[md5Hash32]] with a COLUMN key (e.g. the CMS hash-row index): the
     * same portable first-8-hex-chars construction over "<key>:<s>" —
-    * DuckDB: ('0x'||substr(md5(key||':'||s),1,8))::BIGINT. */
+    * DuckDB: ('0x'||substr(md5(key||':'||s),1,8))::BIGINT. Built with
+    * `concat` (NOT `concat_ws`, which silently SKIPS null arguments) so a
+    * null key or string propagates to a null hash, exactly like the DuckDB
+    * form and [[md5Hash32]]. */
   def md5Hash32Keyed(key: Column, s: Column): Column =
-    conv(substring(md5(concat_ws(":", key, s)), 1, 8), 16, 10).cast("long")
+    conv(substring(md5(concat(key.cast("string"), lit(":"), s)), 1, 8), 16, 10)
+      .cast("long")
 
   def md5Hash32(s: Column, seed: Int = 0): Column = {
     val keyed = if (seed == 0) s else concat(lit(s"$seed:"), s)

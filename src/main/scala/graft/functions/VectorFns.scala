@@ -48,7 +48,12 @@ object VectorFns {
     aggregate(
       zip_with(
         slice(v, start + 1, nBits),
-        transform(sequence(lit(0), lit(nBits - 1)), i => pow(lit(2.0), i).cast("long")),
+        // shiftleft, NOT pow(2.0, i).cast("long"): the double 2^63
+        // saturates the long cast to Long.MaxValue (= sum of bits 0..62),
+        // silently merging the bit-63-only bucket with the all-lower-bits
+        // one at a tables=1/bits=64 geometry.
+        transform(sequence(lit(0), lit(nBits - 1)),
+          i => call_function("shiftleft", lit(1L), i)),
         (x, p) => when(x > 0f, p).otherwise(lit(0L))),
       lit(0L),
       (acc, b) => acc + b)

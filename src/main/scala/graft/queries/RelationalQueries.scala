@@ -449,10 +449,14 @@ object RelationalQueries {
     // bug q15 has). The recursion generates one row per month (~80
     // levels here, bounded by the data's span, not its size) — the spine
     // is driver-cheap and the real work stays one scan + one hash agg.
-    "q39_date_spine" -> { (s, dir) =>
-      // session-level on purpose: the limit is enforced while the
-      // recursion EXECUTES, not at plan build, so a set/restore around
-      // sql() would re-impose the default before the query ever runs.
+    "q39_date_spine" -> { (outer, dir) =>
+      // Isolated child session (shares the SparkContext and cached data,
+      // clones the SQL conf + temp-view catalog): the recursion limit is
+      // enforced while the recursion EXECUTES, not at plan build, so a
+      // set/restore around sql() would re-impose the default before the
+      // query ever runs — and setting it on the caller's session would
+      // leak a 200-level cap into every later user recursive CTE.
+      val s = outer.newSession()
       // 200 covers any realistic month span while still catching a
       // runaway recursion 10x sooner than the 2000 first tried.
       s.conf.set("spark.sql.cteRecursionLevelLimit", "200")

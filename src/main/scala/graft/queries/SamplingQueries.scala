@@ -68,26 +68,67 @@ object SamplingQueries {
     // its pack (context window) id and token offset inside that pack,
     // from a running token total per source. Contiguous-fill semantics
     // (documents straddle pack boundaries; the budget is a position
-    // grid, not a bin capacity) keep the math windowed and exact — the
-    // one shuffle is keyed by source, the real shard key, so shards pack
-    // in parallel and nothing ever sees a global order. Deterministic by
-    // (source, doc_id) ordering: re-runs place every document
-    // identically, the same resumability contract as the hash sampling
-    // above.
+    // grid, not a bin capacity) keep the math windowed and exact.
+    // Deterministic by (source, doc_id) ordering: re-runs place every
+    // document identically, the same resumability contract as the hash
+    // sampling above.
+    //
+    // TWO-PHASE PREFIX SUM (the r10 scale fix): a single
+    // Window.partitionBy(source) caps parallelism at the number of
+    // sources — at 100 TB with a handful of corpora, ONE task would sort
+    // and prefix-sum terabytes. Instead, the running total is computed
+    // the way AsOfJoin.backwardBucketed bounds its windows: chunk each
+    // source by a coarse doc_id range (chunk = doc_id div span, monotone
+    // in doc_id so chunk order == doc order), (1) window WITHIN
+    // (source, chunk) for the local running total, (2) aggregate
+    // per-(source, chunk) token sums into a tiny spine and cumulate
+    // EXCLUSIVE chunk offsets over it, (3) join the offsets back on
+    // (source, chunk) — the same key the window already hash-partitioned
+    // by, and a frame small enough that AQE turns the join into a
+    // broadcast at runtime. cum = chunk_offset + local_cum is
+    // bit-identical to the single-window formulation (the oracle is
+    // unchanged), but the heavy window now runs with
+    // #sources × #chunks-way parallelism. The span auto-sizes from the
+    // doc_id range to target ~4 chunks per core (a 1-row min/max scalar
+    // prefetch off parquet stats — same justified pattern as q39's
+    // bounds); `spark.graft.w04.chunkSpan` overrides.
     "w04_sequence_pack" -> { (s, dir) =>
       val budget = 2048
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      Tables.load(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      val span = s.conf.getOption("spark.graft.w04.chunkSpan").map(_.toLong)
+        .getOrElse {
+          val r = Tables.load(s, dir, "documents")
+            .agg(min(col("doc_id")), max(col("doc_id"))).head
+          if (r.isNullAt(0)) 1L
+          else math.max(1L, (r.getLong(1) - r.getLong(0) + 1) /
+            (s.sparkContext.defaultParallelism.toLong * 4))
+        }
+      val chunked = base.withColumn("chunk", expr(s"doc_id div $span"))
+      val wLocal = Window.partitionBy(col("source"), col("chunk"))
+        .orderBy(col("doc_id"))
+      val local = chunked
+        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      // spine: one row per (source, chunk); EXCLUSIVE running offset so
+      // chunk 0 starts at 0
+      val wSpine = Window.partitionBy(col("source")).orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = chunked.groupBy(col("source"), col("chunk"))
+        .agg(sum(col("n_tokens")).as("chunk_tokens"))
+        .withColumn("chunk_offset",
+          coalesce(sum(col("chunk_tokens")).over(wSpine), lit(0L)))
+        .select(col("source"), col("chunk"), col("chunk_offset"))
+      local.join(offsets, Seq("source", "chunk"))
+        .withColumn("cum", col("chunk_offset") + col("local_cum"))
         // `div`, not floor(/): long division stays exact past 2^53 tokens
         // per shard, and is the same operator as the oracle's `//`
         .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
         .withColumn("pack_offset",
           col("cum") - col("n_tokens") - col("pack_id") * budget)
-        .drop("cum")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
     },
 
     // Shard-export audit: the writer side of the pipeline. A 100 TB export

@@ -80,4 +80,45 @@ class QueryEdgeSpec extends SparkSpec {
     assert(f00.getLong(5) == expectedCk,
       s"pool_checksum ${f00.getLong(5)} != $expectedCk")
   }
+
+  test("w04: the two-phase (source, chunk) prefix sum is bit-identical to " +
+      "the naive single-window formulation at a forced multi-chunk span") {
+    // span 7 over sf0.001's dense doc_ids forces many chunks per source,
+    // exercising the offset-repair join; the auto-span default run is the
+    // oracle-gated path. Output must match the naive Window.partitionBy
+    // (source) running total EXACTLY — packing placement is contractual.
+    val sf = "/root/testdata/sf0.001"
+    val naive = {
+      import graft.functions.TextFns
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      graft.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+        .withColumn("pack_offset",
+          col("cum") - col("n_tokens") - col("pack_id") * 2048)
+        .drop("cum")
+        .orderBy("doc_id").collect()
+    }
+    spark.conf.set("spark.graft.w04.chunkSpan", "7")
+    try {
+      val chunked = SparkEntry.queries("w04_sequence_pack")(spark, sf)
+        .orderBy("doc_id").collect()
+      assert(chunked.length == naive.length && chunked.length > 0)
+      chunked.zip(naive).foreach { case (c, n) =>
+        assert(c.getLong(0) == n.getLong(0) &&
+          c.getLong(3) == n.getLong(3) && c.getLong(4) == n.getLong(4),
+          s"placement diverged: two-phase $c vs naive $n")
+      }
+      // span 7 really did produce more window partitions than sources
+      val nChunkKeys = SparkEntry.queries("w04_sequence_pack")(spark, sf)
+        .select((col("doc_id") / 7).cast("long").as("chunk"), col("source"))
+        .distinct().count()
+      val nSources = naive.map(_.getString(1)).distinct.length
+      assert(nChunkKeys > nSources * 2,
+        s"only $nChunkKeys (source, chunk) keys for $nSources sources")
+    } finally spark.conf.unset("spark.graft.w04.chunkSpan")
+  }
 }
