@@ -26,6 +26,21 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Occupancy-constant d11 LSH geometry for a corpus past the default-
+    * geometry guard: bits ≈ log2(n / targetBucketRows) with a 4-row
+    * bucket target, never below the default, capped at 64/tables dims
+    * (the embedding is 64-dimensional and tables use disjoint slices).
+    * 200k rows with 4 tables → 16 bits (~3 rows/bucket); candidate-join
+    * work stays Σ m²/2 ≈ linear in n instead of the ~300M pairs the
+    * 8-bit default produced in the 100x probe.
+    */
+  def d11AutoBits(n: Long, nTables: Int, defaultBits: Int): Int = {
+    val targetBucketRows = 4L
+    math.min(64 / nTables, math.max(defaultBits,
+      math.ceil(math.log(n.toDouble / targetBucketRows) /
+        math.log(2.0)).toInt))
+  }
+
   /** (doc_id, bench_id, n_shared) for corpus docs sharing >= 2 distinct
     * shingles with the eval slice (doc_id % 97 == 0) — d09's whole body,
     * and c01's contamination gate. ONE definition so the overlap
@@ -411,41 +426,55 @@ object DedupQueries {
       val explicitBits =
         s.conf.getOption("spark.graft.d11.bits").orElse(sys.env.get("SPARK_GRAFT_D11_BITS"))
       val nTables = knob("spark.graft.d11.tables", "SPARK_GRAFT_D11_TABLES", 4)
-      val bits = knob("spark.graft.d11.bits", "SPARK_GRAFT_D11_BITS", 8)
+      val defaultBits = knob("spark.graft.d11.bits", "SPARK_GRAFT_D11_BITS", 8)
       // zero/negative geometries fail silently-wrong, not loudly: tables=0
       // returns an empty result ("no duplicates"), bits=0 puts every vector
       // in one global bucket (the n^2/2 product this operator exists to
       // avoid) — range-check both, like d12's logBits
-      require(nTables >= 1 && bits >= 1 && nTables * bits <= 64,
+      require(nTables >= 1 && defaultBits >= 1 && nTables * defaultBits <= 64,
         s"d11 needs 1 <= tables, 1 <= bits, tables*bits <= embedding dim (64): " +
-          s"got $nTables x $bits")
+          s"got $nTables x $defaultBits")
       val e = Tables.loadSpread(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       // the 8-bit default is a TEST-SCALE geometry: at 200k rows it means
       // ~780 rows/bucket -> ~300M candidate pairs, whose distinct()
-      // shuffle ran a 77 GB disk out in the 100x probe. Refuse to run it
-      // on a big corpus rather than fail an hour in — same contract as
-      // d05's guard; the one column-less count is O(footers). An
-      // explicitly-set bits value expresses intent and skips the scan.
-      if (explicitBits.isEmpty) {
-        val maxDefaultRows = s.conf.getOption("spark.graft.d11.maxDefaultRows")
-          .map { v =>
-            try v.trim.toLong catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"spark.graft.d11.maxDefaultRows must be an integer: got '$v'")
+      // shuffle ran a 77 GB disk out in the 100x probe. Past the
+      // maxDefaultRows threshold the geometry AUTO-SIZES instead of
+      // refusing (the r10 guard's production ergonomic): occupancy-
+      // constant bits = ceil(log2(n / targetBucketRows)) with
+      // targetBucketRows = 4, capped at 64/tables dims — at 200k rows
+      // that picks 16 bits per table. The same column-less O(footers)
+      // count the guard already paid funds the sizing. Below the
+      // threshold the default geometry is used VERBATIM (the pinned
+      // oracle's geometry at the test scales); an explicitly-set bits
+      // value expresses intent, skips the scan, and always wins.
+      val bits =
+        if (explicitBits.nonEmpty) defaultBits
+        else {
+          val maxDefaultRows = s.conf.getOption("spark.graft.d11.maxDefaultRows")
+            .map { v =>
+              try v.trim.toLong catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"spark.graft.d11.maxDefaultRows must be an integer: got '$v'")
+              }
+            }.getOrElse(100000L)
+          if (maxDefaultRows <= 0) defaultBits
+          else {
+            // count the RAW load, not the loadSpread frame: counting after
+            // the spread repartition would pay its exchange just to count
+            val n = Tables.load(s, dir, "embeddings").count()
+            if (n <= maxDefaultRows) defaultBits
+            else {
+              val auto = d11AutoBits(n, nTables, defaultBits)
+              System.err.println(
+                s"[d11] auto-sized LSH geometry: $n rows > $maxDefaultRows " +
+                  s"guard, using $nTables tables x $auto bits " +
+                  s"(~${n / (1L << auto)} rows/bucket; " +
+                  "override with spark.graft.d11.bits)")
+              auto
             }
-          }.getOrElse(100000L)
-        if (maxDefaultRows > 0) {
-          // count the RAW load, not the loadSpread frame: counting after
-          // the spread repartition would pay its exchange just to count
-          val n = Tables.load(s, dir, "embeddings").count()
-          require(n <= maxDefaultRows,
-            s"d11_lsh_embedding_dup's default ${bits}-bit geometry is sized for " +
-              s"test corpora: $n embedding rows exceed the $maxDefaultRows-row " +
-              "guard (spark.graft.d11.maxDefaultRows). Set spark.graft.d11.bits " +
-              "~ log2(n / targetBucketRows) explicitly (e.g. 16 at 200k rows).")
+          }
         }
-      }
       val tabbed = e.select(col("vec_id"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("tbl"),

@@ -46,4 +46,54 @@ class SinksSpec extends SparkSpec {
     // both the false AND the null-gated row land in the error path
     assert(spark.read.parquet(out).select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
   }
+
+  test("shard export writes ONE file per shard dir and re-exports a " +
+      "subset idempotently — untouched shards keep their files (w05)") {
+    import graft.functions.TextFns
+    val out = Files.createTempDirectory("shards").toString
+    val nShards = 8
+    val docs = (0L until 200L).map(i => (i, s"text_$i")).toDF("doc_id", "text")
+    def shardCol = TextFns.md5Hash32(col("doc_id").cast("string"), seed = 4)
+    Sinks.exportShards(docs, shardCol, out, nShards)
+    def shardFiles(): Map[Int, Seq[String]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+        .map { d =>
+          d.getName.stripPrefix("shard=").toInt ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq.sorted
+        }.toMap
+    val first = shardFiles()
+    assert(first.keySet == (0 until nShards).toSet, s"dirs: ${first.keySet}")
+    assert(first.values.forall(_.size == 1),
+      s"one file per shard expected: ${first.view.mapValues(_.size).toMap}")
+    // full corpus present, shard recomputable from the id (read-side check
+    // of the deterministic assignment)
+    val read = spark.read.parquet(out)
+    assert(read.count() == 200)
+    assert(read.filter(col("shard") =!=
+      pmod(TextFns.md5Hash32(col("doc_id").cast("string"), seed = 4),
+        lit(nShards.toLong))).count() == 0)
+    // subset re-export: only the subset's shard dirs change; the others
+    // keep their EXACT files (dynamic partition overwrite). The delta is
+    // carved BY shard (the incremental-repair shape: re-export shards 0
+    // and 1) so it provably misses the other six dirs.
+    val deltaShards = Set(0, 1)
+    val inDelta = pmod(TextFns.md5Hash32(col("doc_id").cast("string"), seed = 4),
+      lit(nShards.toLong)).isin(deltaShards.toSeq.map(_.toLong): _*)
+    // only the first half of each re-exported shard's docs, so the
+    // overwrite (not append) semantics are observable below
+    val delta = docs.filter(inDelta && col("doc_id") < 100L)
+    val nDelta = delta.count()
+    assert(nDelta > 0)
+    Sinks.exportShards(delta, shardCol, out, nShards)
+    val second = shardFiles()
+    assert(second.keySet == (0 until nShards).toSet,
+      "untouched shard dirs must survive a subset re-export")
+    for (sh <- 0 until nShards if !deltaShards.contains(sh))
+      assert(second(sh) == first(sh), s"shard $sh was rewritten by a delta " +
+        "that contains none of its documents")
+    // rows outside the delta in overwritten shards are gone (overwrite,
+    // not append): total = untouched shards' rows + delta rows
+    val untouchedRows = 200L - docs.filter(inDelta).count()
+    assert(spark.read.parquet(out).count() == untouchedRows + nDelta)
+  }
 }

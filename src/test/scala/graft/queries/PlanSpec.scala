@@ -147,14 +147,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
-  test("d11 guard: the default geometry refuses a big corpus; explicit " +
-      "bits expresses intent and bypasses the prescan") {
+  test("d11 guard: past maxDefaultRows the geometry AUTO-SIZES (occupancy-" +
+      "constant, capped at the dim budget); explicit bits always wins") {
+    import graft.queries.DedupQueries.d11AutoBits
+    // the sizing law itself: 4-row bucket target, floor at the default,
+    // cap at 64/tables — 200k rows with 4 tables is the probe-measured
+    // geometry that replaced the r10 refusal
+    assert(d11AutoBits(200000L, 4, 8) == 16)
+    assert(d11AutoBits(100001L, 4, 8) == 15)
+    assert(d11AutoBits(500L, 4, 8) == 8, "small n never shrinks the default")
+    assert(d11AutoBits(1000000000L, 4, 8) == 16, "dim budget caps the growth")
+    assert(d11AutoBits(1000000000L, 1, 8) == 28, "1 table may use all 64 dims")
+    // end-to-end: a forced-tiny threshold routes sf0.001's 500 rows through
+    // the auto path; at this n the law lands back on the default 8 bits,
+    // so the output must be IDENTICAL to the guard-free default run
+    val expected = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+      .orderBy("vec_a", "vec_b").collect()
     spark.conf.set("spark.graft.d11.maxDefaultRows", "10")
     try {
-      val e = intercept[IllegalArgumentException](
-        SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf))
-      assert(e.getMessage.contains("test corpora") &&
-        e.getMessage.contains("spark.graft.d11.bits"), e.getMessage)
+      val auto = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+        .orderBy("vec_a", "vec_b").collect()
+      assert(auto.toSeq == expected.toSeq,
+        "auto path at small n must reproduce the default geometry verbatim")
+      // explicit bits skips the prescan and overrides the auto law
       spark.conf.set("spark.graft.d11.bits", "16")
       try {
         val df = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
