@@ -1851,6 +1851,82 @@ def make_bad_refmarker(path: Path):
     finish_v2(f, group_v2(f, {'clash': ds}), path)
 
 
+def _ref2_elem(addr, idx, rtype=2, flags=0, blob_size=9):
+    """18-byte disk element of a revised (HDF5 1.12 H5T_STD_REF) reference:
+    2-byte encode header (ref type, flags) + 4-byte blob size + global-heap
+    blob ID (8-byte GCOL address + 4-byte index) — libhdf5
+    H5T__ref_disk_write's layout."""
+    return struct.pack('<BBIQI', rtype, flags, blob_size, addr, idx)
+
+
+def make_objref2(path: Path):
+    """Revised object references (rtype 2, the HDF5 1.12+ H5T_STD_REF
+    default): the heap blob is token size (1 byte, = 8 for the native
+    VOL) + the little-endian object-header address
+    (H5R__encode_obj_token). /refs/to_ds and /refs/to_grp resolve to the
+    referenced object's PATH like rtype 0; an all-zero element (zero ref
+    type byte — H5T__ref_disk_isnull's test) and a typed element with a
+    zero blob ID both read as '' (null reference); a dangling heap index
+    surfaces the unresolved_object_ref marker."""
+    f = FileBuf()
+    f.alloc(48)
+    t_raw = f.append(struct.pack('<d', 43.0))
+    target = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(t_raw, 8)),
+    ])
+    grp = group_v2(f, {'target': target})
+    gh = GlobalHeap(f)
+    i_ds = gh.add(bytes([8]) + struct.pack('<Q', target))
+    i_grp = gh.add(bytes([8]) + struct.pack('<Q', grp))
+    heap = gh.flush()
+
+    def ref_ds(elem):
+        raw = f.append(elem)
+        return object_header_v2(f, [
+            (0x01, space_scalar()),
+            (0x03, dt_objref(rtype=2, size=18)),
+            (0x08, layout_contiguous(raw, 18)),
+        ])
+
+    refs = group_v2(f, {
+        'to_ds': ref_ds(_ref2_elem(heap, i_ds)),
+        'to_grp': ref_ds(_ref2_elem(heap, i_grp)),
+        'to_null': ref_ds(b'\x00' * 18),
+        'to_null_blob': ref_ds(_ref2_elem(0, 0)),
+        'dangling': ref_ds(_ref2_elem(heap, 99)),
+    })
+    finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
+
+
+def make_bad_objref2(path: Path, kind):
+    """Loud-fail corners of the revised reference form: 'external' (flags
+    bit 0 — the blob embeds a foreign filename, unresolvable from this
+    file), 'token' (a non-8-byte token: not the native VOL address form),
+    'region' (rtype 3, H5R_DATASET_REGION2 — rejected at datatype parse)."""
+    f = FileBuf()
+    f.alloc(48)
+    if kind == 'region':
+        elem, dt = b'\x00' * 18, dt_objref(rtype=3, size=18)
+    else:
+        gh = GlobalHeap(f)
+        if kind == 'external':
+            idx = gh.add(bytes([8]) + struct.pack('<Q', 0x1234))
+            elem, dt = _ref2_elem(gh.flush(), idx, flags=1), \
+                dt_objref(rtype=2, size=18)
+        else:  # token
+            idx = gh.add(bytes([4]) + struct.pack('<I', 7))
+            elem, dt = _ref2_elem(gh.flush(), idx, blob_size=5), \
+                dt_objref(rtype=2, size=18)
+    ds = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt),
+        (0x08, layout_contiguous(f.append(elem), 18)),
+    ])
+    finish_v2(f, group_v2(f, {'r': ds}), path)
+
+
 def _sel_block_v1(rank, blocks):
     """Serialized hyperslab block-list selection, v1 encoding (u32 coords,
     INCLUSIVE end corners — libhdf5 H5S__hyper_serialize pre-1.12)."""
@@ -3086,6 +3162,10 @@ if __name__ == '__main__':
     make_bad_fletcher(out / 'bad_fletcher.h5')
     make_swizzle(out / 'swizzle.h5')
     make_objref(out / 'objref.h5')
+    make_objref2(out / 'objref2.h5')
+    make_bad_objref2(out / 'bad_objref2_ext.h5', 'external')
+    make_bad_objref2(out / 'bad_objref2_token.h5', 'token')
+    make_bad_objref2(out / 'bad_objref2_region.h5', 'region')
     make_regionref(out / 'regionref.h5')
     make_bad_regionref(out / 'bad_regionref.h5')
     make_bad_refarray(out / 'bad_refarray.h5')

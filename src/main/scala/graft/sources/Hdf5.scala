@@ -75,11 +75,14 @@ import scala.collection.mutable
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
   * non-standard float widths);
-  * the revised H5T_STD_REF token forms (rtype 2+, HDF5 1.12 — scalar
-  * OBJECT references (rtype 0) and ≤1.10-form REGION references
-  * (rtype 1) ARE supported, resolving to the referenced object's path,
-  * with null references reading as '' and dangling addresses/heap
-  * handles surfacing a marker attribute; reference ARRAYs fail loudly);
+  * the revised H5T_STD_REF REGION (rtype 3) and ATTRIBUTE (rtype 4)
+  * token forms, and EXTERNAL revised references (flags bit 0 — the blob
+  * embeds a foreign filename) — scalar OBJECT references (rtype 0 AND
+  * the HDF5 1.12 revised rtype 2 token form) and ≤1.10-form REGION
+  * references (rtype 1) ARE supported, resolving to the referenced
+  * object's path, with null references reading as '' and dangling
+  * addresses/heap handles surfacing a marker attribute; reference
+  * ARRAYs fail loudly);
   * enums over non-integer bases;
   * overlapping multi-block selection unions (malformed — libhdf5
   * normalizes unions to disjoint blocks before serializing);
@@ -166,6 +169,21 @@ object Hdf5 {
   /** Object reference (class 7, rtype 0): an 8-byte object-header address
     * into THIS file, resolved post-walk to the referenced object's path. */
   private case class ObjRef(size: Int) extends DType
+
+  /** Revised object reference (class 7, rtype 2, the HDF5 1.12+
+    * H5T_STD_REF default — what next-generation NeXus writers emit). The
+    * 18-byte disk element is a 2-byte encode header (ref-type byte,
+    * flags byte) + 4-byte blob size + 12-byte global-heap blob ID
+    * (libhdf5 H5T__ref_disk_write); the heap blob is the encoded
+    * reference minus its header: 1-byte token size + the token, which
+    * for files written by the native VOL connector is the 8-byte
+    * little-endian object-header address (H5R__encode_obj_token /
+    * H5VL_native_addr_to_token). Resolves post-walk to the referenced
+    * object's path, exactly like rtype 0; a zero ref-type byte is the
+    * null reference (H5T__ref_disk_isnull's test). External references
+    * (flags bit 0: the blob embeds a foreign filename) fail loudly —
+    * cross-file addresses are not resolvable from this file's bytes. */
+  private case class ObjRef2(size: Int) extends DType
   private case class Member(name: String, offset: Int, dt: DType)
   private case class Compound(size: Int, members: Seq[Member]) extends DType
 
@@ -313,11 +331,12 @@ object Hdf5 {
         ArrayT(base, adims)
       case 7 =>
         // reference: bits 0-3 = rtype. 0 (H5R_OBJECT, an 8-byte
-        // object-header address into this file) and 1 (H5R_DATASET_REGION,
+        // object-header address into this file), 1 (H5R_DATASET_REGION,
         // a 12-byte global-heap handle whose heap object carries the
-        // target address + a serialized selection) are supported; the
-        // revised H5T_STD_REF forms (2+, HDF5 1.12) are opaque tokens —
-        // those fail loudly rather than decode addresses as data
+        // target address + a serialized selection) and 2 (H5R_OBJECT2,
+        // the HDF5 1.12 revised H5T_STD_REF object form — see ObjRef2)
+        // are supported; the revised REGION (3) and ATTRIBUTE (4) forms
+        // fail loudly rather than decode addresses as data
         bits(0) & 0x0F match {
           case 0 =>
             require(size == 8, s"object reference size $size (8-byte offsets only)")
@@ -326,9 +345,18 @@ object Hdf5 {
             require(size == 12,
               s"region reference size $size (8-byte address + 4-byte index only)")
             RegionRef(size)
+          case 2 =>
+            require(size == 18,
+              s"revised object reference size $size (2-byte header + " +
+                "4-byte blob size + 12-byte heap ID only)")
+            ObjRef2(size)
+          case 3 => throw new UnsupportedOperationException(
+            "revised dataset-region reference (rtype 3, HDF5 1.12 " +
+              "H5R_DATASET_REGION2) not supported — its heap blob nests a " +
+              "token + serialized selection; use the <=1.10 region form")
           case rtype => throw new UnsupportedOperationException(
             s"reference datatype rtype $rtype not supported " +
-              "(object/region references only)")
+              "(object rtype 0/2 and <=1.10 region rtype 1 only)")
         }
       case other =>
         throw new UnsupportedOperationException(s"datatype class $other not supported")
@@ -2068,6 +2096,7 @@ object Hdf5 {
     def heapRefs(t: DType): Boolean = t match {
       case VlenStr => true
       case _: ObjRef => true // object-header addresses: equally file-local
+      case _: ObjRef2 => true // heap blob ID + address token: file-local
       case _: RegionRef => true // heap handle + target address: file-local
       case Compound(_, ms) => ms.exists(m => heapRefs(m.dt))
       case ArrayT(base, _) => heapRefs(base)
@@ -2389,7 +2418,8 @@ object Hdf5 {
       (dt.isInstanceOf[Fixed] || dt.isInstanceOf[Flt] ||
         dt.isInstanceOf[Str] || dt == VlenStr)
     if (isNull || dt.isInstanceOf[Compound] || dt.isInstanceOf[ArrayT] ||
-      dt.isInstanceOf[ObjRef] || dt.isInstanceOf[RegionRef] ||
+      dt.isInstanceOf[ObjRef] || dt.isInstanceOf[ObjRef2] ||
+      dt.isInstanceOf[RegionRef] ||
       (n != 1 && !smallArray)) return None
     // the value bytes live inside this message: a corrupted datatype
     // size must not drive the allocation past the message's remaining
@@ -2745,6 +2775,64 @@ object Hdf5 {
               empty.copy(scalarStr = Some("")) // null reference, h5py's None
             else // resolved to a path AFTER the walk (forward refs are legal)
               empty.copy(refAddr = Some(addr))
+          case ObjRef2(_) =>
+            // scalar only, same policy as rtype-0 object references
+            if (elems > 1) throw new UnsupportedOperationException(
+              s"object-reference ARRAY dataset ($elems elements) not supported at $path")
+            val eb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+            val refType = u8(eb)
+            val refFlags = u8(eb)
+            val blobSize = u32(eb)
+            val collectionAddr = u64(eb)
+            val index = u32(eb).toInt
+            if (refType == 0)
+              // H5T__ref_disk_isnull: a zero ref-type byte is the null
+              // (never-written) reference — h5py's None, like rtype 0's
+              // zero address
+              empty.copy(scalarStr = Some(""))
+            else {
+              require(refType == 2,
+                s"revised reference element type byte $refType at $path does " +
+                  "not match its rtype-2 (H5R_OBJECT2) dataset datatype")
+              if ((refFlags & 0x1) != 0) throw new UnsupportedOperationException(
+                s"external revised reference at $path (flags bit 0): the blob " +
+                  "embeds a foreign filename; cross-file addresses are not " +
+                  "resolvable from this file's bytes")
+              require(refFlags == 0,
+                s"revised reference flags $refFlags at $path (only the " +
+                  "external bit is defined; others indicate a misread)")
+              if (collectionAddr == 0L || collectionAddr == UNDEF || index == 0)
+                empty.copy(scalarStr = Some("")) // null blob ID
+              else gcolObject(bytes, collectionAddr, index) match {
+                case None =>
+                  // dangling heap handle: same inspectable-marker policy
+                  // as rtype 1, under the object-reference marker name
+                  require(!attrs.contains("unresolved_object_ref"),
+                    s"user attribute 'unresolved_object_ref' collides with " +
+                      s"the dangling-reference marker at $path")
+                  empty.copy(attrs = attrs + ("unresolved_object_ref" ->
+                    s"$collectionAddr/$index"))
+                case Some(obj) =>
+                  // blob = token size (1 byte) + token; blobSize counts
+                  // exactly these bytes (H5T__ref_disk_write encodes the
+                  // post-header remainder). Any disagreement means the
+                  // layout is not what we think — loud, never a misread.
+                  require(obj.length.toLong == blobSize,
+                    s"revised reference blob ${obj.length} bytes at $path, " +
+                      s"element header claims $blobSize")
+                  val tokenSize = obj(0) & 0xFF
+                  require(tokenSize == 8 && obj.length == 9,
+                    s"revised reference token size $tokenSize in a " +
+                      s"${obj.length}-byte blob at $path (8-byte native-VOL " +
+                      "address tokens only)")
+                  val tb = ByteBuffer.wrap(obj, 1, 8).order(ByteOrder.LITTLE_ENDIAN)
+                  val addr = tb.getLong
+                  if (addr == 0L || addr == UNDEF)
+                    empty.copy(scalarStr = Some(""))
+                  else // resolved to a path AFTER the walk, like rtype 0
+                    empty.copy(refAddr = Some(addr))
+              }
+            }
           case RegionRef(_) =>
             // scalar only, same policy as object references
             if (elems > 1) throw new UnsupportedOperationException(

@@ -647,6 +647,39 @@ class Hdf5Spec extends SparkSpec {
     assert(decoy.attrs.contains("object_ref_addr"))
   }
 
+  test("revised object references (rtype 2, HDF5 1.12 token form) resolve " +
+      "to the referenced object's path; loud-fail corners stay loud") {
+    val nodes = Hdf5.read(fixture("objref2.h5"))
+    def at(p: String) = nodes.find(_.path == p).get
+    assert(at("/refs/to_ds").scalarStr.contains("/grp/target"))
+    assert(at("/refs/to_grp").scalarStr.contains("/grp"))
+    assert(at("/grp/target").scalarF64.contains(43.0))
+    // an all-zero element (zero ref-type byte, H5T__ref_disk_isnull's
+    // test) and a typed element with a zero blob ID are both null -> ''
+    assert(at("/refs/to_null").scalarStr.contains(""))
+    assert(at("/refs/to_null_blob").scalarStr.contains(""))
+    // heap index absent from the collection: marker, never silent
+    val dang = at("/refs/dangling")
+    assert(dang.scalarStr.isEmpty)
+    assert(dang.attrs.contains("unresolved_object_ref"))
+    // external reference (flags bit 0): cross-file, fail loudly
+    val e1 = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("bad_objref2_ext.h5"))
+    }
+    assert(e1.getMessage.contains("external revised reference"))
+    // non-8-byte token: not the native-VOL address form we decode
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_objref2_token.h5"))
+    }
+    assert(e2.getMessage.contains("token size"))
+    // the revised REGION token form (rtype 3) is rejected at datatype
+    // parse with a pinned message — addresses must never decode as data
+    val e3 = intercept[UnsupportedOperationException] {
+      Hdf5.read(fixture("bad_objref2_region.h5"))
+    }
+    assert(e3.getMessage.contains("rtype 3"), e3.getMessage)
+  }
+
   test("region references (rtype 1) resolve to the target path with the " +
       "selection rendered into region_selection") {
     val nodes = Hdf5.read(fixture("regionref.h5"))
@@ -922,7 +955,7 @@ class Hdf5Spec extends SparkSpec {
     val fixtures = Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
       "extlink/vds_master.h5", "objref.h5", "mouse_bigendian.h5",
-      "swizzle.h5", "regionref.h5")
+      "swizzle.h5", "regionref.h5", "objref2.h5")
     val rnd = new scala.util.Random(42)
     for (name <- fixtures; full = fixture(name); _ <- 1 to 300) {
       val bytes = full.clone()
@@ -953,7 +986,7 @@ class Hdf5Spec extends SparkSpec {
     for (name <- Seq("mouse_v0.h5", "mouse_v2.h5", "mouse_v4.h5",
       "mouse_unlim.h5", "mouse_dense.h5", "extlink/master.h5",
       "extlink/vds_master.h5", "objref.h5", "mouse_bigendian.h5",
-      "swizzle.h5", "regionref.h5")) {
+      "swizzle.h5", "regionref.h5", "objref2.h5")) {
       val full = fixture(name)
       for (k <- 1 until 40) {
         val cut = java.util.Arrays.copyOf(full, math.max(9, full.length * k / 40))
