@@ -153,6 +153,54 @@ object SamplingQueries {
           max(col("doc_id")).as("max_doc_id"))
     },
 
+    // Token-budget sampling: greedily fill a fixed per-source token
+    // budget in deterministic hash order — the "give me ~N tokens per
+    // corpus" step of mixture assembly, where w06's weights become an
+    // actual document selection. Hash order (seed 7, independent of the
+    // w01/w02/w03/w05 families) makes the selection a pure function of
+    // the corpus: re-runs, retries and cluster layouts all pick the same
+    // documents, and growing the corpus only ever APPENDS candidates
+    // after the existing selection's hash positions.
+    //
+    // Scale shape: same two-phase prefix sum as w04 (the running total
+    // windows within (source, chunk), exclusive chunk offsets cumulate
+    // over the tiny spine) — but here the chunk key is a RANGE OF THE
+    // HASH (h div 2^26, monotone in the hash order, 64 chunks), so the
+    // span is a compile-time constant: the hash domain is [0, 2^32)
+    // regardless of corpus size, no doc_id-range prescan needed. And
+    // because the budget bounds the useful prefix, chunks whose
+    // EXCLUSIVE offset already exceeds the budget are pruned BEFORE the
+    // heavy sort+window — at 100 TB the expensive stage touches only the
+    // head chunks (budget-bounded work), while the unavoidable full-scan
+    // part is one map-side partial agg per (source, chunk).
+    "w07_budget_sample" -> { (s, dir) =>
+      val budget = 500L
+      import org.apache.spark.sql.expressions.Window
+      val chunked = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextFns.md5Hash32(col("doc_id").cast("string"), seed = 7).as("h"))
+        .withColumn("chunk", expr(s"h div ${1L << 26}"))
+      val wSpine = Window.partitionBy(col("source")).orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = chunked.groupBy(col("source"), col("chunk"))
+        .agg(sum(col("n_tokens")).as("chunk_tokens"))
+        .withColumn("chunk_offset",
+          coalesce(sum(col("chunk_tokens")).over(wSpine), lit(0L)))
+        .select(col("source"), col("chunk"), col("chunk_offset"))
+      val wLocal = Window.partitionBy(col("source"), col("chunk"))
+        .orderBy(col("h"), col("doc_id"))
+      chunked.join(offsets, Seq("source", "chunk"))
+        // budget prune BEFORE the window: a chunk starting past the
+        // budget cannot contribute a selected row
+        .filter(col("chunk_offset") <= budget)
+        .withColumn("cum_tokens",
+          col("chunk_offset") + sum(col("n_tokens")).over(wLocal))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+    },
+
     // Temperature-scaled mixture weights — the computation BEHIND w02's
     // rate table: given per-source token counts, the alpha-temperature
     // sampling weight w_s = tokens_s^alpha / Σ tokens^alpha (alpha < 1
@@ -234,6 +282,20 @@ object SamplingQueries {
         |  min(doc_id) AS min_doc_id,
         |  max(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "w07_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 500""".stripMargin,
 
     "w06_mixture_weights" ->
       """WITH ps AS (

@@ -319,6 +319,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("w07: budget sampling windows within (source, hash-chunk) and " +
+      "prunes past-budget chunks BEFORE the heavy sort") {
+    val p = plan("w07_budget_sample")
+    // the heavy running total is keyed by (source, chunk) and ordered by
+    // the hash — never a per-source (or global) sort of the corpus
+    assert("windowspecdefinition\\(source#\\d+, chunk#\\d+L, h#".r
+      .findFirstIn(p).isDefined,
+      s"selection window must partition by (source, chunk):\n${p.take(3000)}")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the budget prune on the chunk offset sits below the selection
+    // window: the plan filters chunk_offset before the (source, chunk)
+    // window computes cum_tokens
+    val wIdx = p.indexOf("windowspecdefinition(source#")
+    val fIdx = p.indexOf("chunk_offset#")
+    assert(fIdx >= 0, "chunk_offset prune missing from the plan")
+    assert(p.substring(p.indexOf("+- ", wIdx)).contains("chunk_offset"),
+      "budget prune must execute beneath the selection window")
+  }
+
   test("w01: deterministic sample filter sits above the scan, no shuffle") {
     val p = plan("w01_hash_sample")
     assert(!p.contains("Exchange"), p.take(2000))
