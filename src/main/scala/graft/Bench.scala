@@ -25,11 +25,10 @@ object Bench {
     * epilogue (~74 bytes) shared the 2,000-byte window and the line lost its
     * first 6 bytes → `parsed: null` for the round of record (the third
     * emission failure after r2/r7). 150 reserves the epilogue plus 2×
-    * headroom for its variable-width time/date text. At 73 queries the full-
-    * name per-query map cannot fit 1,850 bytes at ANY precision (the names
-    * alone are 1,222 bytes; fixed floor ≈1,732), so the degradation ladder
-    * now includes abbreviated-key steps (see metricLine) before dropping the
-    * map — BenchEmitSpec models the epilogue end-to-end.
+    * headroom for its variable-width time/date text. The full-suite
+    * per-query map cannot fit the remaining budget at any precision, so
+    * for full runs the ladder lands on the map-less line (see
+    * metricLine) — BenchEmitSpec models the epilogue end-to-end.
     */
   val SafetyMargin = 150
 
@@ -62,7 +61,7 @@ object Bench {
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
     * (seconds) — refreshed EVERY round from the min of that round's
-    * full-suite per-query medians (r10: q02 0.153, q16 0.130, q30 0.110;
+    * full-suite per-query medians (r11: q02 0.145, q16 0.101, q30 0.112;
     * the r6–r8 pins 0.163/0.099/0.087 had drifted until q30 read 1.7× on
     * a near-clean run). Rationale: median-of-3 rejects a
     * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
@@ -75,111 +74,117 @@ object Bench {
     * SF the flag is omitted rather than guessed.
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02_filter_project" -> 0.153,
-    "q16_string_funcs"   -> 0.130,
-    "q30_date_funcs"     -> 0.110)
+    "q02_filter_project" -> 0.145,
+    "q16_string_funcs"   -> 0.101,
+    "q30_date_funcs"     -> 0.112)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 10; derivation in BENCH_NOTES.md). Min-of-runs
-    * is the least-contaminated estimate of the clean floor, which biases
-    * totalRatio slightly ≥1 on a genuinely clean run — the 1.5× threshold
-    * absorbs that. Refresh each round: the pins are container-epoch-
-    * specific and drift erodes the threshold's meaning.
+    * this container (round 11, two runs; derivation in BENCH_NOTES.md).
+    * The derivation runs' own environment probes ride beside the pins so
+    * later drift is attributable (verdict r10 #5): run A cpu_refs
+    * 0.054/0.027/0.027, mt_refs 0.144/0.040/0.041 (totals 43.59 s);
+    * run B cpu_refs 0.044/0.029/0.034, mt_refs 0.066/0.045/0.042
+    * (50.30 s). Min-of-runs is the least-contaminated estimate of the
+    * clean floor, which biases totalRatio slightly ≥1 on a genuinely
+    * clean run — the 1.5× threshold absorbs that. Refresh each round:
+    * the pins are container-epoch-specific and drift erodes the
+    * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01_corpus_gate" -> 1.873,
-    "d01_exact_dedup" -> 0.376,
-    "d02_minhash_lsh" -> 3.081,
-    "d03_simhash" -> 0.190,
-    "d04_ngram_jaccard" -> 1.513,
-    "d05_embedding_dup" -> 0.589,
-    "d06_dedup_keep" -> 0.174,
-    "d07_dup_clusters" -> 0.934,
-    "d08_simhash_hamming" -> 0.685,
-    "d09_decontaminate" -> 0.749,
-    "d10_window_dedup" -> 0.881,
-    "d11_lsh_embedding_dup" -> 1.013, // includes the default-geometry guard prescan
-    "d12_bloom_decontaminate" -> 1.390,
-    "d13_incremental_dedup" -> 0.262,
-    "m01_binary_meta" -> 0.109,
-    "m02_size_classes" -> 0.153,
-    "m03_codec_roundtrip" -> 0.933,
-    "m04_phash_dedup" -> 1.343,
-    "m05_frame_sample" -> 1.886,
-    "p01_stack_stats" -> 0.591,
-    "p02_batch_propagate" -> 0.251,
-    "p03_thickness_math" -> 0.273,
-    "p04_energy_math" -> 0.202,
-    "p05_identifiers" -> 0.297,
-    "p06_required_counts" -> 0.502,
-    "p07_staleness_gate" -> 0.600,
-    "p08_stack_collect" -> 1.152,
-    "p09_quantity_units" -> 0.154,
-    "q01_pricing_summary" -> 0.273,
-    "q02_filter_project" -> 0.153,
-    "q03_shipping_priority" -> 0.579,
-    "q04_order_priority" -> 0.538,
-    "q05_region_revenue" -> 0.645,
-    "q06_forecast_revenue" -> 0.178,
-    "q07_customers_without_orders" -> 0.272,
-    "q08_window_topn" -> 0.396,
-    "q09_running_total" -> 0.198,
-    "q10_rollup" -> 0.321,
-    "q11_cube" -> 0.221,
-    "q12_grouping_sets" -> 0.967,
-    "q13_distinct_agg" -> 0.605,
-    "q14_conditional_pivot" -> 0.159,
-    "q15_monthly_orders" -> 0.179,
-    "q16_string_funcs" -> 0.130,
-    "q17_avg_subquery" -> 0.367,
-    "q18_big_orders" -> 0.519,
-    "q19_top_customer_per_nation" -> 0.222,
-    "q20_setops" -> 0.257,
-    "q21_asof_join" -> 0.435,
-    "q22_tumbling_window" -> 0.267,
-    "q23_sliding_window" -> 0.258,
-    "q24_session_window" -> 0.386,
-    "q25_percentile_exact" -> 1.415,
-    "q26_moment_stats" -> 0.385,
-    "q27_full_outer" -> 0.381,
-    "q28_posexplode" -> 0.208,
-    "q29_window_analytics" -> 0.250,
-    "q30_date_funcs" -> 0.110,
-    "q31_funnel" -> 0.439,
-    "q32_correlated_subquery" -> 0.888,
-    "q33_asof_bucketed" -> 0.945,
-    "q34_json_extract" -> 0.407,
-    "q35_trailing_window" -> 0.322,
-    "q36_skew_salted" -> 0.414,
-    "q37_pivot" -> 0.187,
-    "q38_lateral_topk" -> 0.923,
-    "q39_date_spine" -> 1.466,
-    "s01_cosine_topk" -> 0.392,
-    "s02_lsh_ann" -> 0.357,
-    "s03_ivf_ann" -> 0.603,
-    "s04_label_centroids" -> 0.444,
-    "s05_quantized_ann" -> 0.551,
-    "t01_token_stats" -> 0.162,
-    "t02_quality_score" -> 0.338,
-    "t03_langid_markers" -> 0.233,
-    "t04_fingerprint" -> 0.353,
-    "t05_clean_normalize" -> 0.151,
-    "t06_edit_distance" -> 0.176,
-    "t07_token_chunks" -> 0.158,
-    "t08_ngram_repetition" -> 0.441,
-    "t09_vocab_stats" -> 0.768,
-    "t10_tfidf_topterms" -> 2.174,
-    "t11_blocklist_scrub" -> 0.192,
-    "w01_hash_sample" -> 0.118,
-    "w02_mixture_sample" -> 0.142,
-    "w03_split_assign" -> 0.174,
-    "w04_sequence_pack" -> 0.333,
-    "w05_shard_export" -> 0.193,
-    "w06_mixture_weights" -> 0.217,
-    "x01_approx_distinct" -> 0.358,
-    "x02_approx_quantiles" -> 0.550,
-    "x03_countmin_heavy" -> 1.041)
+    "c01_corpus_gate" -> 1.644,
+    "d01_exact_dedup" -> 0.314,
+    "d02_minhash_lsh" -> 2.780,
+    "d03_simhash" -> 0.153,
+    "d04_ngram_jaccard" -> 1.399,
+    "d05_embedding_dup" -> 0.510,
+    "d06_dedup_keep" -> 0.167,
+    "d07_dup_clusters" -> 1.049,
+    "d08_simhash_hamming" -> 0.765,
+    "d09_decontaminate" -> 0.683,
+    "d10_window_dedup" -> 0.793,
+    "d11_lsh_embedding_dup" -> 0.812,
+    "d12_bloom_decontaminate" -> 1.276,
+    "d13_incremental_dedup" -> 0.220,
+    "m01_binary_meta" -> 0.104,
+    "m02_size_classes" -> 0.140,
+    "m03_codec_roundtrip" -> 0.698,
+    "m04_phash_dedup" -> 0.644,
+    "m05_frame_sample" -> 1.687,
+    "p01_stack_stats" -> 0.519,
+    "p02_batch_propagate" -> 0.217,
+    "p03_thickness_math" -> 0.209,
+    "p04_energy_math" -> 0.148,
+    "p05_identifiers" -> 0.224,
+    "p06_required_counts" -> 0.407,
+    "p07_staleness_gate" -> 0.450,
+    "p08_stack_collect" -> 0.853,
+    "p09_quantity_units" -> 0.130,
+    "q01_pricing_summary" -> 0.231,
+    "q02_filter_project" -> 0.145,
+    "q03_shipping_priority" -> 0.456,
+    "q04_order_priority" -> 0.478,
+    "q05_region_revenue" -> 0.709,
+    "q06_forecast_revenue" -> 0.166,
+    "q07_customers_without_orders" -> 0.300,
+    "q08_window_topn" -> 0.333,
+    "q09_running_total" -> 0.180,
+    "q10_rollup" -> 0.291,
+    "q11_cube" -> 0.184,
+    "q12_grouping_sets" -> 0.799,
+    "q13_distinct_agg" -> 0.507,
+    "q14_conditional_pivot" -> 0.167,
+    "q15_monthly_orders" -> 0.166,
+    "q16_string_funcs" -> 0.101,
+    "q17_avg_subquery" -> 0.288,
+    "q18_big_orders" -> 0.427,
+    "q19_top_customer_per_nation" -> 0.202,
+    "q20_setops" -> 0.229,
+    "q21_asof_join" -> 0.339,
+    "q22_tumbling_window" -> 0.211,
+    "q23_sliding_window" -> 0.228,
+    "q24_session_window" -> 0.323,
+    "q25_percentile_exact" -> 1.305,
+    "q26_moment_stats" -> 0.325,
+    "q27_full_outer" -> 0.295,
+    "q28_posexplode" -> 0.179,
+    "q29_window_analytics" -> 0.189,
+    "q30_date_funcs" -> 0.112,
+    "q31_funnel" -> 0.340,
+    "q32_correlated_subquery" -> 0.711,
+    "q33_asof_bucketed" -> 0.786,
+    "q34_json_extract" -> 0.323,
+    "q35_trailing_window" -> 0.285,
+    "q36_skew_salted" -> 0.343,
+    "q37_pivot" -> 0.185,
+    "q38_lateral_topk" -> 0.910,
+    "q39_date_spine" -> 0.926,
+    "s01_cosine_topk" -> 0.304,
+    "s02_lsh_ann" -> 0.303,
+    "s03_ivf_ann" -> 0.720,
+    "s04_label_centroids" -> 0.597,
+    "s05_quantized_ann" -> 0.282,
+    "t01_token_stats" -> 0.159,
+    "t02_quality_score" -> 0.346,
+    "t03_langid_markers" -> 0.220,
+    "t04_fingerprint" -> 0.354,
+    "t05_clean_normalize" -> 0.172,
+    "t06_edit_distance" -> 0.200,
+    "t07_token_chunks" -> 0.170,
+    "t08_ngram_repetition" -> 0.338,
+    "t09_vocab_stats" -> 0.764,
+    "t10_tfidf_topterms" -> 1.395,
+    "t11_blocklist_scrub" -> 0.140,
+    "w01_hash_sample" -> 0.087,
+    "w02_mixture_sample" -> 0.145,
+    "w03_split_assign" -> 0.133,
+    "w04_sequence_pack" -> 0.386,
+    "w05_shard_export" -> 0.194,
+    "w06_mixture_weights" -> 0.196,
+    "w07_budget_sample" -> 0.469,
+    "x01_approx_distinct" -> 0.272,
+    "x02_approx_quantiles" -> 0.411,
+    "x03_countmin_heavy" -> 0.890)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
