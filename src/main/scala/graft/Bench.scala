@@ -184,7 +184,8 @@ object Bench {
     "w07_budget_sample" -> 0.469,
     "x01_approx_distinct" -> 0.272,
     "x02_approx_quantiles" -> 0.411,
-    "x03_countmin_heavy" -> 0.890)
+    "x03_countmin_heavy" -> 0.890,
+    "x04_kmv_distinct" -> 0.672)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.

@@ -9,10 +9,10 @@ import graft.Tables
   * scope for the generic surface). x01/x02 intentionally carry NO DuckDB
   * oracle — different engines implement different sketches, so results are
   * approximate-by-contract and the driver applies its rows-only check. The
-  * exact counterparts are oracle-checked in q13_distinct_agg. x03 is the
-  * exception: its count-min sketch is built from the portable md5 hash
-  * family, so the sketch state itself is deterministic and the full
-  * estimate pipeline IS oracle-checked.
+  * exact counterparts are oracle-checked in q13_distinct_agg. x03 and x04
+  * are the exceptions: their sketches (count-min; k-minimum-values) are
+  * built from the portable md5 hash family, so the sketch state itself is
+  * deterministic and the full estimate pipelines ARE oracle-checked.
   *
   * Scale note: this is the 100 TB path for distinct counting — HLL sketches
   * merge map-side, so cardinality estimation costs one scan and a tiny
@@ -90,6 +90,36 @@ object SketchQueries {
         .groupBy(col("tok"), col("exact_count"))
         .agg(min(col("bcount")).as("cms_estimate"))
         .withColumn("overcount", col("cms_estimate") - col("exact_count"))
+    },
+
+    // KMV (k-minimum-values) distinct-count sketch over the token
+    // vocabulary — the same portability trick as x03: the md5 hash family
+    // makes the sketch STATE deterministic, so unlike x01's
+    // engine-specific HLL (rows-only by contract) the whole estimate
+    // pipeline is oracle-checked exactly. Sketch = the k smallest
+    // DISTINCT 32-bit hashes; estimator (k-1) * 2^32 div h_k (integer
+    // floor division, bit-identical cross-engine), exact when the
+    // vocabulary has fewer than k members. 100 TB shape: the distinct
+    // shuffle carries hash values only (vocabulary-bounded, like t09)
+    // and the k-cut is a TakeOrderedAndProject — k rows out regardless
+    // of corpus size. n_exact (the true distinct-hash count) rides along
+    // as the reference column, same pattern as x03's exact_count.
+    "x04_kmv_distinct" -> { (s, dir) =>
+      val k = 64
+      val hashes = Tables.loadSpread(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+        .select(graft.functions.TextFns.md5Hash32(col("tok")).as("h"))
+        .distinct()
+      val sk = hashes.orderBy(col("h")).limit(k)
+        .agg(count(lit(1)).as("k_obs"), max(col("h")).as("h_k"))
+      val ex = hashes.agg(count(lit(1)).as("n_exact"))
+      // 1-row x 1-row cross join (both aggregates), broadcast by AQE —
+      // never a corpus-sized product
+      sk.crossJoin(ex).select(
+        col("k_obs"), col("h_k"),
+        expr(s"case when k_obs < $k then k_obs " +
+          s"else ${k - 1}L * 4294967296L div h_k end").as("est_distinct"),
+        col("n_exact"))
     })
 
   /** x01/x02: no oracle by design (approximate results; driver records
@@ -121,5 +151,21 @@ object SketchQueries {
         |  min(c.bcount) AS cms_estimate,
         |  min(c.bcount) - p.exact_count AS overcount
         |FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x04_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |          AS tok FROM documents)),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |sk AS (SELECT count(1)::BIGINT AS k_obs, max(h) AS h_k FROM k),
+        |ex AS (SELECT count(1)::BIGINT AS n_exact FROM h)
+        |SELECT k_obs, h_k,
+        |  (CASE WHEN k_obs < 64 THEN k_obs
+        |        ELSE (63::BIGINT * 4294967296) // h_k END)::BIGINT
+        |    AS est_distinct,
+        |  n_exact
+        |FROM sk, ex""".stripMargin)
 }

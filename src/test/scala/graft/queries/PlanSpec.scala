@@ -298,6 +298,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("x04: KMV k-cut is TakeOrderedAndProject over the distinct-hash " +
+      "shuffle; the two 1-row aggregates never form a corpus product") {
+    val p = plan("x04_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("m05: frame sampling is map-side only — no shuffle around the codec") {
     val p = plan("m05_frame_sample")
     assert(!p.contains("Exchange"), p.take(2000))
