@@ -184,4 +184,47 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch == streamed, s"stream/batch divergence: $batch vs $streamed")
   }
+
+  test("streaming sequence packing continues each source's token total " +
+      "across micro-batches; batch mode reproduces the w04 placement") {
+    implicit val sqlCtx = spark.sqlContext
+    // budget 10: doc 1 (4 tokens) fills 0..3 of pack 0; doc 2 (3) takes
+    // 4..6; the NEXT BATCH's doc 3 (5 tokens) must start at offset 7 and
+    // straddle into pack 1 — state carries the running total. srcB packs
+    // independently.
+    val rows1 = Seq(
+      (1L, "srcA", "a b c d"), (2L, "srcA", "e f g"),
+      (10L, "srcB", "x y z"))
+    val rows2 = Seq((3L, "srcA", "h i j k l"), (11L, "srcB", "w v"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamPack.packStream(
+      input.toDS().toDF("doc_id", "source", "text"), budget = 10L)
+      .writeStream.format("memory").queryName("spack_out")
+      .outputMode("append").start()
+    input.addData(rows1)
+    q.processAllAvailable()
+    input.addData(rows2)
+    q.processAllAvailable()
+    val out = spark.table("spack_out").as[StreamPack.Packed]
+      .collect().map(p => p.doc_id -> (p.pack_id, p.pack_offset)).toMap
+    q.stop()
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 4L), s"$out")
+    assert(out(3L) == (0L, 7L),
+      s"batch-2 doc must continue from the stored total: $out")
+    assert(out(10L) == (0L, 0L) && out(11L) == (0L, 3L), s"$out")
+    // batch mode on the full set = the batch w04 formulation (single
+    // window per source over doc_id order) at the same budget
+    val all = (rows1 ++ rows2).toDF("doc_id", "source", "text")
+    val batch = StreamPack.packStream(all, budget = 10L)
+      .collect().map(p => p.doc_id -> (p.pack_id, p.pack_offset)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val naive = all.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("doc_id"), ((col("cum") - col("n")) / 10).cast("long").as("p"),
+        (col("cum") - col("n")) % 10).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(batch == naive, s"stream-fn batch run vs w04 window: $batch vs $naive")
+  }
 }
