@@ -111,6 +111,7 @@ object Bench {
     "m03_codec_roundtrip" -> 0.698,
     "m04_phash_dedup" -> 0.644,
     "m05_frame_sample" -> 1.687,
+    "m06_audio_energy" -> 0.461,
     "p01_stack_stats" -> 0.519,
     "p02_batch_propagate" -> 0.217,
     "p03_thickness_math" -> 0.209,

@@ -152,6 +152,42 @@ object MultimodalQueries {
           }
         }
         .toDF("doc_id", "frame_idx", "width", "height", "sum_px", "pool_checksum")
+    },
+
+    // Audio feature extraction — framing, per-frame energy, silence
+    // detection — over a DETERMINISTIC FAKE PCM decode (the container has
+    // no audio codec; the brief's stub contract: fake the decode, make
+    // the Spark-side shape real). Each "clip" is 5–9 frames of 160
+    // samples; sample g of doc d is ((d*7919 + g*31) % 256) - 128, with
+    // every frame where (frame + d) % 7 == 0 silent (all-zero) so the
+    // silence path is non-trivial. Unlike m03/m05 (real image codec →
+    // mapPartitions), the fake decode is pure arithmetic, so the whole
+    // operator stays in column HOFs: map-side, whole-stage codegen, no
+    // UDF, no shuffle — swapping in a real codec later only replaces the
+    // sample lambda. All-integer math → the oracle recomputes every
+    // energy exactly.
+    "m06_audio_energy" -> { (s, dir) =>
+      val frameLen = 160
+      val nFrames = (lit(5) + pmod(col("doc_id"), lit(5L)).cast("int")).cast("int")
+      val frames = transform(sequence(lit(0), nFrames - 1), f => {
+        val silent = pmod(f.cast("long") + col("doc_id"), lit(7L)) === 0L
+        val energy = aggregate(
+          sequence(lit(0), lit(frameLen - 1)),
+          lit(0L),
+          (acc, i) => {
+            val g = f.cast("long") * frameLen + i.cast("long")
+            val v = pmod(col("doc_id") * 7919L + g * 31L, lit(256L)) - 128L
+            acc + v * v
+          })
+        when(silent, lit(0L)).otherwise(energy)
+      })
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), frames.as("fe"))
+        .select(col("doc_id"),
+          size(col("fe")).as("n_frames"),
+          aggregate(col("fe"), lit(0L), (a, e) => a + e).as("total_energy"),
+          size(filter(col("fe"), e => e === 0L)).as("n_silent"),
+          array_max(col("fe")).as("peak_energy"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -219,5 +255,22 @@ object MultimodalQueries {
         |  8::INT AS width, 8::INT AS height,
         |  sum(v)::BIGINT AS sum_px,
         |  sum(v * w)::BIGINT AS pool_checksum
-        |FROM v GROUP BY 1, 2""".stripMargin)
+        |FROM v GROUP BY 1, 2""".stripMargin,
+
+    "m06_audio_energy" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(5 + doc_id % 5), f ->
+        |      CASE WHEN (f + doc_id) % 7 = 0 THEN 0
+        |           ELSE list_sum(list_transform(range(160), i ->
+        |             ((doc_id * 7919 + (f * 160 + i) * 31) % 256 - 128)
+        |             * ((doc_id * 7919 + (f * 160 + i) * 31) % 256 - 128)))
+        |      END) AS fe
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(fe)::INT AS n_frames,
+        |  list_sum(fe)::BIGINT AS total_energy,
+        |  len(list_filter(fe, e -> e = 0))::INT AS n_silent,
+        |  list_max(fe)::BIGINT AS peak_energy
+        |FROM f""".stripMargin)
 }

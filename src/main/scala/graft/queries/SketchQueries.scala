@@ -115,9 +115,12 @@ object SketchQueries {
       val ex = hashes.agg(count(lit(1)).as("n_exact"))
       // 1-row x 1-row cross join (both aggregates), broadcast by AQE —
       // never a corpus-sized product
+      // h_k = 0 (token hashing to exactly 0 among the k minima) must not
+      // divide: Spark's div would yield null while DuckDB's // ERRORS —
+      // both engines take the guarded CASE arm instead
       sk.crossJoin(ex).select(
         col("k_obs"), col("h_k"),
-        expr(s"case when k_obs < $k then k_obs " +
+        expr(s"case when k_obs < $k then k_obs when h_k = 0 then null " +
           s"else ${k - 1}L * 4294967296L div h_k end").as("est_distinct"),
         col("n_exact"))
     })
@@ -164,6 +167,7 @@ object SketchQueries {
         |ex AS (SELECT count(1)::BIGINT AS n_exact FROM h)
         |SELECT k_obs, h_k,
         |  (CASE WHEN k_obs < 64 THEN k_obs
+        |        WHEN h_k = 0 THEN NULL
         |        ELSE (63::BIGINT * 4294967296) // h_k END)::BIGINT
         |    AS est_distinct,
         |  n_exact

@@ -310,6 +310,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("m06: audio framing/energy is map-side column HOFs — no key " +
+      "shuffle, no UDF (loadSpread's round-robin compute-spread is the " +
+      "only exchange)") {
+    val p = plan("m06_audio_energy")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2000))
+  }
+
   test("w04: the heavy running-total window is keyed by (source, chunk), " +
       "not source alone — parallelism is not capped at the source count") {
     // packing must parallelize WITHIN a source: Window.partitionBy(source)
