@@ -102,16 +102,23 @@ class QueryEdgeSpec extends SparkSpec {
         .drop("cum")
         .orderBy("doc_id").collect()
     }
+    // span 7 = many chunks; 1 = every doc its own chunk (offset repair
+    // does ALL the work); 10^9 = one chunk (window does all the work)
+    for (span <- Seq("7", "1", "1000000000")) {
+      spark.conf.set("spark.graft.w04.chunkSpan", span)
+      try {
+        val chunked = SparkEntry.queries("w04_sequence_pack")(spark, sf)
+          .orderBy("doc_id").collect()
+        assert(chunked.length == naive.length && chunked.length > 0)
+        chunked.zip(naive).foreach { case (c, n) =>
+          assert(c.getLong(0) == n.getLong(0) &&
+            c.getLong(3) == n.getLong(3) && c.getLong(4) == n.getLong(4),
+            s"span $span placement diverged: two-phase $c vs naive $n")
+        }
+      } finally spark.conf.unset("spark.graft.w04.chunkSpan")
+    }
     spark.conf.set("spark.graft.w04.chunkSpan", "7")
     try {
-      val chunked = SparkEntry.queries("w04_sequence_pack")(spark, sf)
-        .orderBy("doc_id").collect()
-      assert(chunked.length == naive.length && chunked.length > 0)
-      chunked.zip(naive).foreach { case (c, n) =>
-        assert(c.getLong(0) == n.getLong(0) &&
-          c.getLong(3) == n.getLong(3) && c.getLong(4) == n.getLong(4),
-          s"placement diverged: two-phase $c vs naive $n")
-      }
       // span 7 really did produce more window partitions than sources
       val nChunkKeys = SparkEntry.queries("w04_sequence_pack")(spark, sf)
         .select((col("doc_id") / 7).cast("long").as("chunk"), col("source"))
