@@ -98,7 +98,18 @@ object SamplingQueries {
       val base = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      val span = s.conf.getOption("spark.graft.w04.chunkSpan").map(_.toLong)
+      val span = s.conf.getOption("spark.graft.w04.chunkSpan")
+        .map { v =>
+          val n = try v.trim.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"spark.graft.w04.chunkSpan must be an integer: got '$v'")
+          }
+          // span 0 would make `doc_id div span` NULL (rows silently vanish
+          // through the equi-join); a negative span reverses chunk
+          // monotonicity (silently wrong placement) — loud beats either
+          require(n >= 1, s"spark.graft.w04.chunkSpan must be >= 1: got $n")
+          n
+        }
         .getOrElse {
           val r = Tables.load(s, dir, "documents")
             .agg(min(col("doc_id")), max(col("doc_id"))).head

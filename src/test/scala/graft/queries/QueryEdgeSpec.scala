@@ -117,6 +117,14 @@ class QueryEdgeSpec extends SparkSpec {
         }
       } finally spark.conf.unset("spark.graft.w04.chunkSpan")
     }
+    // span 0 would NULL every chunk (rows vanish through the equi-join),
+    // negative spans reverse chunk monotonicity — both must be loud
+    for (bad <- Seq("0", "-4", "abc")) {
+      spark.conf.set("spark.graft.w04.chunkSpan", bad)
+      try intercept[IllegalArgumentException](
+        SparkEntry.queries("w04_sequence_pack")(spark, sf))
+      finally spark.conf.unset("spark.graft.w04.chunkSpan")
+    }
     spark.conf.set("spark.graft.w04.chunkSpan", "7")
     try {
       // span 7 really did produce more window partitions than sources
