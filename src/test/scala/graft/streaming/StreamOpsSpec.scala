@@ -227,4 +227,35 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(batch == naive, s"stream-fn batch run vs w04 window: $batch vs $naive")
   }
+
+  test("streaming sequence packing: the running total survives a QUERY " +
+      "RESTART via the checkpoint (the production recovery contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val packed = StreamPack.packStream(
+      input.toDS().toDF("doc_id", "source", "text"), budget = 10L)
+    val ckpt = java.nio.file.Files.createTempDirectory("spack_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("spack_out").toString
+    def drain(): Unit = {
+      val q = packed.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(20000)
+      q.stop()
+    }
+    input.addData(Seq((1L, "srcA", "a b c d"), (2L, "srcA", "e f g")))
+    drain() // 7 tokens consumed, query STOPS
+    input.addData(Seq((3L, "srcA", "h i j k l")))
+    drain() // a NEW query instance must resume cum=7 from the checkpoint
+    val out = spark.read.schema(
+      org.apache.spark.sql.Encoders.product[StreamPack.Packed].schema)
+      .parquet(outDir).as[StreamPack.Packed]
+      .collect().map(p => p.doc_id -> (p.pack_id, p.pack_offset)).toMap
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 4L), s"$out")
+    assert(out(3L) == (0L, 7L),
+      s"restarted query lost the running total: $out")
+  }
 }
