@@ -123,7 +123,19 @@ object SamplingQueries {
       val local = chunked
         .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
       // spine: one row per (source, chunk); EXCLUSIVE running offset so
-      // chunk 0 starts at 0
+      // chunk 0 starts at 0. The spine aggregates `chunked` directly, so
+      // the corpus is scanned+tokenized TWICE (once per branch) — a
+      // measured, accepted trade: the spine's partial agg collapses
+      // map-side to <= #(source, chunk) rows per task (a near-free
+      // shuffle), and the attempted single-tokenize alternative (derive
+      // chunk totals as max(local_cum) from the windowed frame so both
+      // branches share one Exchange(source, chunk)) does NOT get
+      // exchange/stage reuse in practice — the inner join pushes
+      // asymmetric isnotnull constraints into the two subtrees, their
+      // canonical forms diverge, AQE materialized both stages separately
+      // (probe-verified: reusedExchange=0 on the final adaptive plan) —
+      // leaving that shape strictly worse: still two scans PLUS a second
+      // full corpus sort+window.
       val wSpine = Window.partitionBy(col("source")).orderBy(col("chunk"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = chunked.groupBy(col("source"), col("chunk"))
