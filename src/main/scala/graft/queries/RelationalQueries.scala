@@ -471,7 +471,7 @@ object RelationalQueries {
         date_format(date_trunc("MONTH", min(col("o_orderdate"))),
           "yyyy-MM-dd HH:mm:ss").as("lo"),
         date_format(date_trunc("MONTH", max(col("o_orderdate"))),
-          "yyyy-MM-dd HH:mm:ss").as("hi")).head
+          "yyyy-MM-dd HH:mm:ss").as("hi")).head()
       val (lo, hi) = (b.getString(0), b.getString(1))
       require(lo != null && hi != null,
         s"q39_date_spine: orders at $dir has no order dates to span")

@@ -112,7 +112,7 @@ object SamplingQueries {
         }
         .getOrElse {
           val r = Tables.load(s, dir, "documents")
-            .agg(min(col("doc_id")), max(col("doc_id"))).head
+            .agg(min(col("doc_id")), max(col("doc_id"))).head()
           if (r.isNullAt(0)) 1L
           else math.max(1L, (r.getLong(1) - r.getLong(0) + 1) /
             (s.sparkContext.defaultParallelism.toLong * 4))

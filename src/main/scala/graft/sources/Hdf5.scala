@@ -1750,7 +1750,7 @@ object Hdf5 {
       }
     }
     def spans(dims: Seq[Long]): Iterator[(Long, Long)] = {
-      type Stream = BufferedIterator[(Long, Long)]
+      type Stream = scala.collection.BufferedIterator[(Long, Long)]
       val pq = mutable.PriorityQueue.empty[Stream](
         Ordering.by[Stream, Long](_.head._1).reverse)
       blocks.foreach { b =>
