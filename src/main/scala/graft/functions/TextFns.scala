@@ -40,12 +40,19 @@ object TextFns {
     * null key or string propagates to a null hash, exactly like the DuckDB
     * form and [[md5Hash32]]. */
   def md5Hash32Keyed(key: Column, s: Column): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(":"), s)), 1, 8), 16, 10)
-      .cast("long")
+    hash32(concat(key.cast("string"), lit(":"), s))
 
-  def md5Hash32(s: Column, seed: Int = 0): Column = {
-    val keyed = if (seed == 0) s else concat(lit(s"$seed:"), s)
-    conv(substring(md5(keyed), 1, 8), 16, 10).cast("long")
+  def md5Hash32(s: Column, seed: Int = 0): Column =
+    hash32(if (seed == 0) s else concat(lit(s"$seed:"), s))
+
+  /** The hash kernel behind both forms: the native codegen [[Md5Hash32F]]
+    * expression (digest bytes 0–3 big-endian, no 32-char hex
+    * materialization + re-parse per call — the composed
+    * `conv(substring(md5(s),1,8),16,10)` chain it replaces, value-
+    * identical by construction and property-tested against it). */
+  private def hash32(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(Md5Hash32F(expression(s)))
   }
 
   /** MinHash signature value for one hash family: min over shingles of the
