@@ -61,7 +61,7 @@ object Bench {
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
     * (seconds) — refreshed EVERY round from the min of that round's
-    * full-suite per-query medians (r11: q02 0.145, q16 0.101, q30 0.105;
+    * full-suite per-query medians (r11 final: q02 0.152, q16 0.102, q30 0.100;
     * the r6–r8 pins 0.163/0.099/0.087 had drifted until q30 read 1.7× on
     * a near-clean run). Rationale: median-of-3 rejects a
     * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
@@ -74,20 +74,19 @@ object Bench {
     * SF the flag is omitted rather than guessed.
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02_filter_project" -> 0.145,
-    "q16_string_funcs"   -> 0.101,
-    "q30_date_funcs"     -> 0.105)
+    "q02_filter_project" -> 0.152,
+    "q16_string_funcs"   -> 0.102,
+    "q30_date_funcs"     -> 0.100)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 11, FOUR runs — two at the pin refresh, two at
-    * round close so the three operators added in between are pinned from
-    * full-suite context; derivation in BENCH_NOTES.md). The derivation
-    * runs' own environment probes ride beside the pins so later drift is
-    * attributable (verdict r10 #5): run A cpu_refs 0.054/0.027/0.027,
-    * mt_refs 0.144/0.040/0.041 (total 43.59 s); run B 0.044/0.029/0.034,
-    * 0.066/0.045/0.042 (50.30 s); close A 0.044 max, mt_x 1.7 (45.95 s);
-    * close B 0.044 max, mt_x 2.9 (49.34 s).
+    * this container (round 11 FINAL binary: two quiet full-suite runs
+    * AFTER the native md5_32 hash landed — earlier same-round runs timed
+    * a slower hash kernel and would pin hash-dense queries too high;
+    * derivation in BENCH_NOTES.md). The derivation runs' own environment
+    * probes ride beside the pins so later drift is attributable (verdict
+    * r10 #5): final A cpu_ref 0.051 max, mt_x 2.4 (total 44.86 s);
+    * final B cpu_ref 0.048 max, mt_x 2.5 (45.64 s).
     * Min-of-runs is the least-contaminated estimate of the
     * clean floor, which biases totalRatio slightly ≥1 on a genuinely
     * clean run — the 1.5× threshold absorbs that. Refresh each round:
@@ -95,101 +94,101 @@ object Bench {
     * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01_corpus_gate" -> 1.564,
-    "d01_exact_dedup" -> 0.255,
-    "d02_minhash_lsh" -> 2.700,
-    "d03_simhash" -> 0.153,
-    "d04_ngram_jaccard" -> 1.399,
-    "d05_embedding_dup" -> 0.510,
-    "d06_dedup_keep" -> 0.167,
-    "d07_dup_clusters" -> 1.049,
-    "d08_simhash_hamming" -> 0.765,
-    "d09_decontaminate" -> 0.683,
-    "d10_window_dedup" -> 0.793,
-    "d11_lsh_embedding_dup" -> 0.812,
-    "d12_bloom_decontaminate" -> 1.276,
-    "d13_incremental_dedup" -> 0.220,
-    "m01_binary_meta" -> 0.104,
-    "m02_size_classes" -> 0.140,
-    "m03_codec_roundtrip" -> 0.698,
-    "m04_phash_dedup" -> 0.644,
-    "m05_frame_sample" -> 1.687,
-    "m06_audio_energy" -> 0.247,
-    "p01_stack_stats" -> 0.519,
-    "p02_batch_propagate" -> 0.207,
-    "p03_thickness_math" -> 0.209,
-    "p04_energy_math" -> 0.134,
-    "p05_identifiers" -> 0.224,
-    "p06_required_counts" -> 0.407,
-    "p07_staleness_gate" -> 0.450,
-    "p08_stack_collect" -> 0.853,
-    "p09_quantity_units" -> 0.130,
-    "q01_pricing_summary" -> 0.231,
-    "q02_filter_project" -> 0.145,
-    "q03_shipping_priority" -> 0.451,
-    "q04_order_priority" -> 0.478,
-    "q05_region_revenue" -> 0.591,
-    "q06_forecast_revenue" -> 0.147,
-    "q07_customers_without_orders" -> 0.237,
-    "q08_window_topn" -> 0.333,
-    "q09_running_total" -> 0.174,
-    "q10_rollup" -> 0.276,
-    "q11_cube" -> 0.184,
-    "q12_grouping_sets" -> 0.799,
-    "q13_distinct_agg" -> 0.507,
-    "q14_conditional_pivot" -> 0.149,
-    "q15_monthly_orders" -> 0.163,
-    "q16_string_funcs" -> 0.101,
-    "q17_avg_subquery" -> 0.288,
-    "q18_big_orders" -> 0.411,
-    "q19_top_customer_per_nation" -> 0.202,
-    "q20_setops" -> 0.229,
-    "q21_asof_join" -> 0.339,
-    "q22_tumbling_window" -> 0.211,
-    "q23_sliding_window" -> 0.223,
-    "q24_session_window" -> 0.323,
-    "q25_percentile_exact" -> 1.153,
-    "q26_moment_stats" -> 0.288,
-    "q27_full_outer" -> 0.295,
-    "q28_posexplode" -> 0.179,
-    "q29_window_analytics" -> 0.189,
-    "q30_date_funcs" -> 0.105,
-    "q31_funnel" -> 0.340,
-    "q32_correlated_subquery" -> 0.686,
-    "q33_asof_bucketed" -> 0.786,
-    "q34_json_extract" -> 0.323,
-    "q35_trailing_window" -> 0.285,
-    "q36_skew_salted" -> 0.331,
-    "q37_pivot" -> 0.185,
-    "q38_lateral_topk" -> 0.910,
-    "q39_date_spine" -> 0.812,
-    "s01_cosine_topk" -> 0.304,
-    "s02_lsh_ann" -> 0.290,
-    "s03_ivf_ann" -> 0.664,
-    "s04_label_centroids" -> 0.588,
-    "s05_quantized_ann" -> 0.282,
-    "t01_token_stats" -> 0.159,
-    "t02_quality_score" -> 0.336,
-    "t03_langid_markers" -> 0.192,
-    "t04_fingerprint" -> 0.345,
-    "t05_clean_normalize" -> 0.170,
-    "t06_edit_distance" -> 0.170,
-    "t07_token_chunks" -> 0.159,
-    "t08_ngram_repetition" -> 0.338,
-    "t09_vocab_stats" -> 0.764,
-    "t10_tfidf_topterms" -> 1.395,
-    "t11_blocklist_scrub" -> 0.140,
-    "w01_hash_sample" -> 0.087,
-    "w02_mixture_sample" -> 0.145,
-    "w03_split_assign" -> 0.133,
-    "w04_sequence_pack" -> 0.386,
-    "w05_shard_export" -> 0.194,
+    "c01_corpus_gate" -> 1.425,
+    "d01_exact_dedup" -> 0.229,
+    "d02_minhash_lsh" -> 2.485,
+    "d03_simhash" -> 0.157,
+    "d04_ngram_jaccard" -> 1.417,
+    "d05_embedding_dup" -> 0.516,
+    "d06_dedup_keep" -> 0.171,
+    "d07_dup_clusters" -> 1.072,
+    "d08_simhash_hamming" -> 0.696,
+    "d09_decontaminate" -> 0.709,
+    "d10_window_dedup" -> 0.823,
+    "d11_lsh_embedding_dup" -> 0.923,
+    "d12_bloom_decontaminate" -> 1.254,
+    "d13_incremental_dedup" -> 0.233,
+    "m01_binary_meta" -> 0.096,
+    "m02_size_classes" -> 0.136,
+    "m03_codec_roundtrip" -> 0.699,
+    "m04_phash_dedup" -> 0.635,
+    "m05_frame_sample" -> 1.633,
+    "m06_audio_energy" -> 0.261,
+    "p01_stack_stats" -> 0.490,
+    "p02_batch_propagate" -> 0.209,
+    "p03_thickness_math" -> 0.221,
+    "p04_energy_math" -> 0.145,
+    "p05_identifiers" -> 0.243,
+    "p06_required_counts" -> 0.381,
+    "p07_staleness_gate" -> 0.469,
+    "p08_stack_collect" -> 0.856,
+    "p09_quantity_units" -> 0.131,
+    "q01_pricing_summary" -> 0.246,
+    "q02_filter_project" -> 0.152,
+    "q03_shipping_priority" -> 0.500,
+    "q04_order_priority" -> 0.483,
+    "q05_region_revenue" -> 0.703,
+    "q06_forecast_revenue" -> 0.144,
+    "q07_customers_without_orders" -> 0.242,
+    "q08_window_topn" -> 0.329,
+    "q09_running_total" -> 0.178,
+    "q10_rollup" -> 0.269,
+    "q11_cube" -> 0.177,
+    "q12_grouping_sets" -> 0.788,
+    "q13_distinct_agg" -> 0.645,
+    "q14_conditional_pivot" -> 0.148,
+    "q15_monthly_orders" -> 0.162,
+    "q16_string_funcs" -> 0.102,
+    "q17_avg_subquery" -> 0.309,
+    "q18_big_orders" -> 0.420,
+    "q19_top_customer_per_nation" -> 0.246,
+    "q20_setops" -> 0.252,
+    "q21_asof_join" -> 0.336,
+    "q22_tumbling_window" -> 0.209,
+    "q23_sliding_window" -> 0.216,
+    "q24_session_window" -> 0.316,
+    "q25_percentile_exact" -> 1.097,
+    "q26_moment_stats" -> 0.277,
+    "q27_full_outer" -> 0.326,
+    "q28_posexplode" -> 0.172,
+    "q29_window_analytics" -> 0.197,
+    "q30_date_funcs" -> 0.100,
+    "q31_funnel" -> 0.369,
+    "q32_correlated_subquery" -> 0.697,
+    "q33_asof_bucketed" -> 0.877,
+    "q34_json_extract" -> 0.344,
+    "q35_trailing_window" -> 0.293,
+    "q36_skew_salted" -> 0.397,
+    "q37_pivot" -> 0.178,
+    "q38_lateral_topk" -> 0.947,
+    "q39_date_spine" -> 0.789,
+    "s01_cosine_topk" -> 0.422,
+    "s02_lsh_ann" -> 0.306,
+    "s03_ivf_ann" -> 0.737,
+    "s04_label_centroids" -> 0.523,
+    "s05_quantized_ann" -> 0.323,
+    "t01_token_stats" -> 0.152,
+    "t02_quality_score" -> 0.337,
+    "t03_langid_markers" -> 0.200,
+    "t04_fingerprint" -> 0.303,
+    "t05_clean_normalize" -> 0.149,
+    "t06_edit_distance" -> 0.178,
+    "t07_token_chunks" -> 0.148,
+    "t08_ngram_repetition" -> 0.337,
+    "t09_vocab_stats" -> 0.747,
+    "t10_tfidf_topterms" -> 1.386,
+    "t11_blocklist_scrub" -> 0.154,
+    "w01_hash_sample" -> 0.083,
+    "w02_mixture_sample" -> 0.127,
+    "w03_split_assign" -> 0.136,
+    "w04_sequence_pack" -> 0.367,
+    "w05_shard_export" -> 0.170,
     "w06_mixture_weights" -> 0.196,
-    "w07_budget_sample" -> 0.398,
-    "x01_approx_distinct" -> 0.272,
-    "x02_approx_quantiles" -> 0.411,
-    "x03_countmin_heavy" -> 0.890,
-    "x04_kmv_distinct" -> 0.522)
+    "w07_budget_sample" -> 0.363,
+    "x01_approx_distinct" -> 0.266,
+    "x02_approx_quantiles" -> 0.407,
+    "x03_countmin_heavy" -> 0.927,
+    "x04_kmv_distinct" -> 0.500)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
