@@ -18,6 +18,16 @@ object TextFns {
     * regexp_split_to_array(trim(text), '\s+'). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** `size(tokens(text))` without the regex or the token array — the
+    * native [[TokenCountF]] expression, for counting-ONLY call sites
+    * (packing/shard/budget/mixture token sums). Value-identical to the
+    * composed form by the property-tested parity contract on
+    * TokenCountF. Returns int, like `size`. */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(TokenCountF(expression(text)))
+  }
+
   /** Word k-shingles as space-joined strings: one per window of k
     * consecutive tokens. Empty when the document has fewer than k tokens. */
   def shingles(text: Column, k: Int): Column = {

@@ -97,7 +97,7 @@ object SamplingQueries {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       val span = s.conf.getOption("spark.graft.w04.chunkSpan")
         .map { v =>
           val n = try v.trim.toLong catch {
@@ -166,7 +166,7 @@ object SamplingQueries {
       val nShards = 64
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
-          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
           (TextFns.md5Hash32(col("doc_id").cast("string"), seed = 4) % nShards).as("shard"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
@@ -201,7 +201,7 @@ object SamplingQueries {
       import org.apache.spark.sql.expressions.Window
       val chunked = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextFns.md5Hash32(col("doc_id").cast("string"), seed = 7).as("h"))
         .withColumn("chunk", expr(s"h div ${1L << 26}"))
       val wSpine = Window.partitionBy(col("source")).orderBy(col("chunk"))
@@ -237,7 +237,7 @@ object SamplingQueries {
       val budget = 1000000L
       val perSource = Tables.load(s, dir, "documents")
         .select(col("source"),
-          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       // unordered whole-frame window: fine here because the frame is

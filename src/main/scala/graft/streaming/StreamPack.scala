@@ -52,7 +52,7 @@ object StreamPack {
     import spark.implicits._
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       .as[DocTokens]
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
