@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHashF}
+import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHashF, TokenCountF}
 
 /** SQL surface for the engine's native codegen expressions, injected via
   * `SparkSessionExtensions` — set
@@ -24,6 +24,7 @@ import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHashF}
   *   - `minhash_sig(text)`  — one-pass MinHash signature ([[MinHashSigF]])
   *   - `simhash32(text)`    — one-pass 32-bit SimHash ([[SimHashF]])
   *   - `md5_32(s)`          — portable 32-bit md5-prefix hash ([[Md5Hash32F]])
+  *   - `token_count(text)`  — zero-allocation whitespace token count ([[TokenCountF]])
   *
   * This is the integration path for `spark.sql(...)`-only users (BI tools,
   * Thrift/Connect servers, notebook SQL cells) who never touch the Scala
@@ -56,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, s"md5_32 takes 1 argument, got ${args.size}")
         Md5Hash32F(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("token_count"),
+      info("token_count", classOf[TokenCountF]),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"token_count takes 1 argument, got ${args.size}")
+        TokenCountF(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32", classOf[SimHashF]),
