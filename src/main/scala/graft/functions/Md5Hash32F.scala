@@ -43,12 +43,12 @@ case class Md5Hash32F(child: Expression) extends UnaryExpression {
   override def prettyName: String = "md5_32"
 
   override def nullSafeEval(input: Any): Any =
-    TextHash.md5_32(input.asInstanceOf[UTF8String].toString)
+    TextHash.md5_32(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = TextHash.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = $cls.md5_32($t.toString());")
+      s"${ev.value} = $cls.md5_32($t);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash32F =

@@ -28,8 +28,18 @@ private[functions] object TextHash {
   /** First 8 hex chars of md5(s) as an unsigned 32-bit value in a Long —
     * [[TextFns.md5Hash32]]'s column formulation, byte-exact. `digest()`
     * leaves the instance reset for the next call. */
-  def md5_32(s: String): Long = {
-    val d = digest.get().digest(s.getBytes(StandardCharsets.UTF_8))
+  def md5_32(s: String): Long =
+    md5_32bytes(s.getBytes(StandardCharsets.UTF_8))
+
+  /** [[md5_32]] over a UTF8String WITHOUT the String round-trip: a
+    * UTF8String already IS the UTF-8 bytes md5 consumes, so decoding to
+    * a Java String and re-encoding is two allocations of pure waste on
+    * the scan hot path ([[Md5Hash32F]]'s per-call input). Byte-identical
+    * to the String form by construction. */
+  def md5_32(u: UTF8String): Long = md5_32bytes(u.getBytes)
+
+  private def md5_32bytes(bytes: Array[Byte]): Long = {
+    val d = digest.get().digest(bytes)
     ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
       ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
   }
