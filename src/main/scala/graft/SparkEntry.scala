@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    RelationalQueries.queries("q01")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
@@ -26,4 +26,59 @@ object SparkEntry {
     RelationalQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ PipelineQueries.oracle ++
       MultimodalQueries.oracle ++ SamplingQueries.oracle ++ SketchQueries.oracle
+
+  /** Human-readable name per registry code. The registry keys are the short
+    * codes themselves (the driver's bench tail window caps the metric line
+    * at ~2,000 bytes, and 95 descriptive names can never fit a per-query
+    * timing map inside it — see Bench.TailCaptureBytes); the descriptive
+    * half of each name lives here and in COVERAGE.md.
+    */
+  val descriptions: Map[String, String] = Map(
+    "c01" -> "corpus_gate",
+    "d01" -> "exact_dedup", "d02" -> "minhash_lsh", "d03" -> "simhash",
+    "d04" -> "ngram_jaccard", "d05" -> "embedding_dup", "d06" -> "dedup_keep",
+    "d07" -> "dup_clusters", "d08" -> "simhash_hamming",
+    "d09" -> "decontaminate", "d10" -> "window_dedup",
+    "d11" -> "lsh_embedding_dup", "d12" -> "bloom_decontaminate",
+    "d13" -> "incremental_dedup",
+    "m01" -> "binary_meta", "m02" -> "size_classes",
+    "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
+    "m05" -> "frame_sample", "m06" -> "audio_energy",
+    "p01" -> "stack_stats", "p02" -> "batch_propagate",
+    "p03" -> "thickness_math", "p04" -> "energy_math",
+    "p05" -> "identifiers", "p06" -> "required_counts",
+    "p07" -> "staleness_gate", "p08" -> "stack_collect",
+    "p09" -> "quantity_units",
+    "q01" -> "pricing_summary", "q02" -> "filter_project",
+    "q03" -> "shipping_priority", "q04" -> "order_priority",
+    "q05" -> "region_revenue", "q06" -> "forecast_revenue",
+    "q07" -> "customers_without_orders", "q08" -> "window_topn",
+    "q09" -> "running_total", "q10" -> "rollup", "q11" -> "cube",
+    "q12" -> "grouping_sets", "q13" -> "distinct_agg",
+    "q14" -> "conditional_pivot", "q15" -> "monthly_orders",
+    "q16" -> "string_funcs", "q17" -> "avg_subquery",
+    "q18" -> "big_orders", "q19" -> "top_customer_per_nation",
+    "q20" -> "setops", "q21" -> "asof_join", "q22" -> "tumbling_window",
+    "q23" -> "sliding_window", "q24" -> "session_window",
+    "q25" -> "percentile_exact", "q26" -> "moment_stats",
+    "q27" -> "full_outer", "q28" -> "posexplode",
+    "q29" -> "window_analytics", "q30" -> "date_funcs", "q31" -> "funnel",
+    "q32" -> "correlated_subquery", "q33" -> "asof_bucketed",
+    "q34" -> "json_extract", "q35" -> "trailing_window",
+    "q36" -> "skew_salted", "q37" -> "pivot", "q38" -> "lateral_topk",
+    "q39" -> "date_spine",
+    "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
+    "s04" -> "label_centroids", "s05" -> "quantized_ann",
+    "t01" -> "token_stats", "t02" -> "quality_score",
+    "t03" -> "langid_markers", "t04" -> "fingerprint",
+    "t05" -> "clean_normalize", "t06" -> "edit_distance",
+    "t07" -> "token_chunks", "t08" -> "ngram_repetition",
+    "t09" -> "vocab_stats", "t10" -> "tfidf_topterms",
+    "t11" -> "blocklist_scrub",
+    "w01" -> "hash_sample", "w02" -> "mixture_sample",
+    "w03" -> "split_assign", "w04" -> "sequence_pack",
+    "w05" -> "shard_export", "w06" -> "mixture_weights",
+    "w07" -> "budget_sample",
+    "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
+    "x03" -> "countmin_heavy", "x04" -> "kmv_distinct")
 }

@@ -211,7 +211,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup metrics per source: hash-groupBy on md5(text).
-    "d01_exact_dedup" -> { (s, dir) =>
+    "d01" -> { (s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -221,7 +221,7 @@ object DedupQueries {
 
     // MinHash + LSH near-dup pairs: 6 bands x 1 row; candidates share any
     // band minhash, then verified with true shingle-set Jaccard >= 0.5.
-    "d02_minhash_lsh" -> { (s, dir) =>
+    "d02" -> { (s, dir) =>
       verifiedPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     },
@@ -232,7 +232,7 @@ object DedupQueries {
     // propagation — O(log diameter) shuffle rounds, never the quadratic
     // transitive closure (that's the DuckDB oracle's recursive CTE at test
     // scale).
-    "d07_dup_clusters" -> { (s, dir) =>
+    "d07" -> { (s, dir) =>
       graft.operators.ConnectedComponents
         .resolve(verifiedPairs(s, dir), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
@@ -240,7 +240,7 @@ object DedupQueries {
     },
 
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
-    "d03_simhash" -> { (s, dir) => simhashes(s, dir) },
+    "d03" -> { (s, dir) => simhashes(s, dir) },
 
     // SimHash near-dup MATCHING: banded Hamming search over the d03
     // signatures. Pigeonhole: 32 bits split into 4 byte-bands — any pair
@@ -248,7 +248,7 @@ object DedupQueries {
     // equi-join on (band, byte) finds every such pair without an all-pairs
     // product; bit_count(xor) then verifies exactly. All codegen'd integer
     // ops; the band join is the same shuffle shape as d02's LSH buckets.
-    "d08_simhash_hamming" -> { (s, dir) =>
+    "d08" -> { (s, dir) =>
       val sims = simhashes(s, dir)
       val banded = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
@@ -268,7 +268,7 @@ object DedupQueries {
     // Full-corpus all-pairs token-3-gram Jaccard via inverted shingle index
     // (pairs must share >= 1 shingle, so the index join is lossless for
     // jaccard > 0 — no candidate is dropped, unlike the banded LSH path).
-    "d04_ngram_jaccard" -> { (s, dir) =>
+    "d04" -> { (s, dir) =>
       val sh = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
@@ -302,7 +302,7 @@ object DedupQueries {
     // broadcasts it at the driver SFs) rather than force-broadcasting a
     // fact-derived frame. The overlap aggregation shuffles only MATCHING
     // rows, so corpus-side cost is one scan + the shingle hash join.
-    "d09_decontaminate" -> { (s, dir) => evalOverlap(s, dir) },
+    "d09" -> { (s, dir) => evalOverlap(s, dir) },
 
     // Sub-document exact dedup: non-overlapping 5-token windows repeated
     // across documents (the boilerplate-span detection pass — headers,
@@ -311,7 +311,7 @@ object DedupQueries {
     // (~n_tokens/5 rows), then the exact-dedup hash aggregation with
     // map-side partial combine — document-count > 1 keeps only CROSS-doc
     // repetition, so within-doc repeats don't masquerade as boilerplate.
-    "d10_window_dedup" -> { (s, dir) =>
+    "d10" -> { (s, dir) =>
       val toks = TextFns.tokens(col("text"))
       Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
@@ -331,7 +331,7 @@ object DedupQueries {
     // content hash — the output a dedup pass actually ships. On unique-text
     // data this keeps everything; the mechanism (hash -> groupBy -> min_by
     // -> semi-join back) is the 100 TB exact-dedup shape.
-    "d06_dedup_keep" -> { (s, dir) =>
+    "d06" -> { (s, dir) =>
       val hashed = t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
       val keep = hashed.groupBy(col("h"))
@@ -350,7 +350,7 @@ object DedupQueries {
     // of tiles meets in exactly one task, no BroadcastNestedLoopJoin, no
     // driver bottleneck, no row cap. Approximate sub-quadratic variants
     // live in s02 (LSH) / s03 (IVF); d02 is the lossy-threshold text path.
-    "d05_embedding_dup" -> { (s, dir) =>
+    "d05" -> { (s, dir) =>
       import s.implicits._
       // Scale guard: exact all-pairs is O(n^2) BY CONTRACT. Refuse to
       // launch past a configurable corpus size so nobody aims a
@@ -366,11 +366,11 @@ object DedupQueries {
       if (maxRows > 0) {
         val n = base.count()
         require(n <= maxRows,
-          s"d05_embedding_dup is exact all-pairs (O(n^2)): $n embedding rows " +
+          s"d05 is exact all-pairs (O(n^2)): $n embedding rows " +
             s"exceed the $maxRows-row guard (spark.graft.d05.maxRows). Use " +
-            "the sub-quadratic paths: d11_lsh_embedding_dup (embedding " +
-            "near-dup, multi-table sign-LSH), d02_minhash_lsh (text), " +
-            "s02_lsh_ann / s03_ivf_ann (ANN).")
+            "the sub-quadratic paths: d11 (embedding " +
+            "near-dup, multi-table sign-LSH), d02 (text), " +
+            "s02 / s03 (ANN).")
       }
       val nBlocks = 8
       val e = base
@@ -413,7 +413,7 @@ object DedupQueries {
     // more MinHash rows-per-band do in d02 — that's the knob's contract,
     // not a correctness knife-edge. spark.graft.d11.{tables,bits} conf,
     // SPARK_GRAFT_D11_{TABLES,BITS} env fallback for bench probes.
-    "d11_lsh_embedding_dup" -> { (s, dir) =>
+    "d11" -> { (s, dir) =>
       def knob(conf: String, env: String, dflt: Int): Int = {
         val raw = s.conf.getOption(conf).orElse(sys.env.get(env))
         raw.map { v =>
@@ -527,7 +527,7 @@ object DedupQueries {
     // 2^logBits rows (2 MiB at the default 18) — which is also why the
     // explicit broadcast() hint on a fact-derived frame is safe here
     // when it isn't in d02. spark.graft.d12.logBits tunes capacity.
-    "d12_bloom_decontaminate" -> { (s, dir) =>
+    "d12" -> { (s, dir) =>
       val logBits = s.conf.getOption("spark.graft.d12.logBits").map(_.toInt).getOrElse(18)
       require(logBits >= 8 && logBits <= 30,
         s"spark.graft.d12.logBits must be in [8, 30]: got $logBits")
@@ -564,7 +564,7 @@ object DedupQueries {
     // big side — only the daily delta shuffles. Contrast d01/d06, which
     // re-aggregate the whole corpus every run; at 100 TB that difference
     // is the whole ingestion budget.
-    "d13_incremental_dedup" -> { (s, dir) =>
+    "d13" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("h"))
       val hist = docs.filter(col("doc_id") % 10 =!= 9).select(col("h"))
@@ -585,7 +585,7 @@ object DedupQueries {
     // against the eval slice), and both join SMALL derived frames. Gate
     // order is part of the contract (cheap and local before joined) and
     // is encoded identically in the oracle's CASE chain.
-    "c01_corpus_gate" -> { (s, dir) =>
+    "c01" -> { (s, dir) =>
       // null text gets a coalesced hash sentinel + the 'empty' verdict:
       // a null join key would silently drop the document from the output
       // entirely (inner join on h), violating the one-verdict-per-doc
@@ -678,18 +678,18 @@ object DedupQueries {
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "d01_exact_dedup" ->
+    "d01" ->
       """SELECT source, count(1)::BIGINT AS n_docs,
         | count(DISTINCT md5(text))::BIGINT AS n_distinct,
         | min(doc_id)::BIGINT AS min_doc_id
         |FROM documents GROUP BY source""".stripMargin,
 
-    "d02_minhash_lsh" ->
+    "d02" ->
       s"""WITH $pairsSqlCtes
          |SELECT doc_a, doc_b, floor(j * 10000) / 10000 AS jaccard
          |FROM pairs""".stripMargin,
 
-    "d07_dup_clusters" ->
+    "d07" ->
       s"""WITH RECURSIVE $pairsSqlCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -703,11 +703,11 @@ object DedupQueries {
          |  n = min(m) AS is_representative
          |FROM reach GROUP BY n""".stripMargin,
 
-    "d03_simhash" ->
+    "d03" ->
       s"""WITH $simhashSqlCtes
          |SELECT doc_id, simhash FROM sims""".stripMargin,
 
-    "d08_simhash_hamming" ->
+    "d08" ->
       s"""WITH $simhashSqlCtes,
          |bands AS (
          |  SELECT doc_id, simhash, b, (simhash >> (8*b::INT)) % 256 AS bv
@@ -720,7 +720,7 @@ object DedupQueries {
          |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
 
-    "d04_ngram_jaccard" ->
+    "d04" ->
       s"""WITH ${shdSql()},
          |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
          |inter AS (
@@ -734,7 +734,7 @@ object DedupQueries {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5""".stripMargin,
 
-    "d09_decontaminate" ->
+    "d09" ->
       s"""WITH ${shdSql()}
          |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
          |       count(*)::BIGINT AS n_shared
@@ -743,7 +743,7 @@ object DedupQueries {
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
 
-    "c01_corpus_gate" ->
+    "c01" ->
       s"""WITH ${shdSql()},
          |contam AS (
          |  SELECT DISTINCT doc_id FROM (
@@ -774,7 +774,7 @@ object DedupQueries {
     // anti-join semantics — null keys never match, so null-hash batch rows
     // are KEPT, and a null in history must not vacuously empty the result
     // the way NOT IN's three-valued logic would
-    "d13_incremental_dedup" ->
+    "d13" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |b AS (SELECT * FROM d WHERE doc_id % 10 = 9),
         |f AS (SELECT * FROM b WHERE NOT EXISTS
@@ -786,7 +786,7 @@ object DedupQueries {
     // identical to d09 on purpose: the bloom prefilter has no false
     // negatives, so the exact confirm join yields d09's output bit-for-bit
     // — the oracle doesn't need to model the bloom at all
-    "d12_bloom_decontaminate" ->
+    "d12" ->
       s"""WITH ${shdSql()}
          |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
          |       count(*)::BIGINT AS n_shared
@@ -795,7 +795,7 @@ object DedupQueries {
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
 
-    "d10_window_dedup" ->
+    "d10" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |w AS (
          |  SELECT doc_id,
@@ -806,11 +806,11 @@ object DedupQueries {
          |FROM w GROUP BY win
          |HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
-    "d06_dedup_keep" ->
+    "d06" ->
       """SELECT min(doc_id)::BIGINT AS doc_id, count(1)::BIGINT AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
-    "d05_embedding_dup" ->
+    "d05" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (
@@ -820,7 +820,7 @@ object DedupQueries {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cs, 4) AS cosine FROM p WHERE cs >= 0.4""".stripMargin,
 
-    "d11_lsh_embedding_dup" ->
+    "d11" ->
       """WITH bk AS (
         |  SELECT vec_id, t,
         |    sum(CASE WHEN embedding[t*8 + i + 1] > 0

@@ -19,7 +19,7 @@ object EventQueries {
 
     // Backward as-of join: each purchase gets the user's latest click at or
     // before it. Single-shuffle union-window implementation (AsOfJoin).
-    "q21_asof_join" -> { (s, dir) =>
+    "q21" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -40,7 +40,7 @@ object EventQueries {
     // partitions are (user_id, hour-bucket) instead of user_id alone, the
     // shape that keeps partitions bounded when the equi-key is low-
     // cardinality. Oracle: identical DuckDB ASOF JOIN as q21.
-    "q33_asof_bucketed" -> { (s, dir) =>
+    "q33" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -58,7 +58,7 @@ object EventQueries {
 
     // Funnel conversion: per day, how many purchases had a click at most
     // one hour before (as-of left join -> conditional aggregation).
-    "q31_funnel" -> { (s, dir) =>
+    "q31" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -80,7 +80,7 @@ object EventQueries {
 
     // Tumbling window aggregation (10-minute buckets, epoch-aligned — same
     // alignment as DuckDB time_bucket).
-    "q22_tumbling_window" -> { (s, dir) =>
+    "q22" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -89,7 +89,7 @@ object EventQueries {
 
     // Sliding window: 20-minute windows every 10 minutes — each event lands
     // in exactly two windows.
-    "q23_sliding_window" -> { (s, dir) =>
+    "q23" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -98,7 +98,7 @@ object EventQueries {
 
     // Session windows with a 30-minute gap per user. Spark's session_window
     // end = last event + gap; the oracle reproduces it with gaps-and-islands.
-    "q24_session_window" -> { (s, dir) =>
+    "q24" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
@@ -113,7 +113,7 @@ object EventQueries {
     // schema. get_json_object is a codegen'd path expression (one parse per
     // row, no UDF); at 100 TB prefer from_json with an explicit schema when
     // the payload shape is known, so the parse happens once for all fields.
-    "q34_json_extract" -> { (s, dir) =>
+    "q34" -> { (s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -125,7 +125,7 @@ object EventQueries {
     })
 
   val oracle: Map[String, String] = Map(
-    "q21_asof_join" ->
+    "q21" ->
       """WITH clicks AS (
         |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
@@ -134,7 +134,7 @@ object EventQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts::TIMESTAMP >= c.click_ts""".stripMargin,
 
-    "q33_asof_bucketed" ->
+    "q33" ->
       """WITH clicks AS (
         |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
@@ -143,7 +143,7 @@ object EventQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts::TIMESTAMP >= c.click_ts""".stripMargin,
 
-    "q31_funnel" ->
+    "q31" ->
       """WITH clicks AS (
         |  SELECT user_id, ts::TIMESTAMP AS click_ts, max(event_id)::BIGINT AS click_event_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
@@ -159,12 +159,12 @@ object EventQueries {
         |       / count(1) * 10000) / 10000 AS conversion_rate
         |FROM conv GROUP BY 1""".stripMargin,
 
-    "q22_tumbling_window" ->
+    "q22" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS w_start, event_type,
         | count(1)::BIGINT AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "q23_sliding_window" ->
+    "q23" ->
       """SELECT w_start, event_type, count(1)::BIGINT AS n, round(sum(value),4) AS sum_value
         |FROM (
         |  SELECT unnest([time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP),
@@ -173,7 +173,7 @@ object EventQueries {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
 
-    "q24_session_window" ->
+    "q24" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, value,
         |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
@@ -190,7 +190,7 @@ object EventQueries {
         |       user_id, count(1)::BIGINT AS n_events, round(sum(value),4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
-    "q34_json_extract" ->
+    "q34" ->
       """WITH e AS (
         |  SELECT event_type, json_extract_string(props, '$.k')::INT AS k
         |  FROM events)

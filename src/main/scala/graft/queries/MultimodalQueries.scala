@@ -21,7 +21,7 @@ object MultimodalQueries {
     // Binary-column metadata: content addressing (md5), byte sizing, head
     // slice via hex transport encoding — the dedup/partition keys of a
     // binary media lake, computed without decoding payloads.
-    "m01_binary_meta" -> { (s, dir) =>
+    "m01" -> { (s, dir) =>
       val bin = col("text").cast("binary")
       Tables.load(s, dir, "documents")
         .select(
@@ -36,7 +36,7 @@ object MultimodalQueries {
     // exact integer math, no float log2). The per-class histogram is what
     // sizes row groups / picks small-file compaction targets before a
     // 100 TB media ingest; one scan, one tiny aggregate.
-    "m02_size_classes" -> { (s, dir) =>
+    "m02" -> { (s, dir) =>
       val payload = col("text").cast("binary")
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), length(payload).as("n_bytes"))
@@ -55,7 +55,7 @@ object MultimodalQueries {
     // reproduce the sums, so a hash match certifies the PNG round trip is
     // bit-exact. Distributed via mapPartitions; integer outputs avoid any
     // float-rounding parity concerns.
-    "m03_codec_roundtrip" -> { (s, dir) =>
+    "m03" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id")).as[Long]
@@ -87,7 +87,7 @@ object MultimodalQueries {
     // certifies decode + threshold + packing end to end. One scan +
     // mapPartitions codec stage + one hash aggregation: the 100 TB
     // image-dedup shape (the shuffle carries one 64-char key per image).
-    "m04_phash_dedup" -> { (s, dir) =>
+    "m04" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id")).as[Long]
@@ -123,7 +123,7 @@ object MultimodalQueries {
     // arithmetically, so a hash match certifies decode + sample + pool end
     // to end. One scan + mapPartitions, output rows ≈ 3× input: the
     // flatMap multiplies rows only by the sampled-frame count.
-    "m05_frame_sample" -> { (s, dir) =>
+    "m05" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id")).as[Long]
@@ -166,7 +166,7 @@ object MultimodalQueries {
     // UDF, no shuffle — swapping in a real codec later only replaces the
     // sample lambda. All-integer math → the oracle recomputes every
     // energy exactly.
-    "m06_audio_energy" -> { (s, dir) =>
+    "m06" -> { (s, dir) =>
       val frameLen = 160
       val nFrames = (lit(5) + pmod(col("doc_id"), lit(5L)).cast("int")).cast("int")
       val frames = transform(sequence(lit(0), nFrames - 1), f => {
@@ -191,14 +191,14 @@ object MultimodalQueries {
     })
 
   val oracle: Map[String, String] = Map(
-    "m01_binary_meta" ->
+    "m01" ->
       """SELECT doc_id,
         | md5(text) AS content_md5,
         | octet_length(encode(text))::INT AS n_bytes,
         | substring(hex(encode(text)), 1, 24) AS head_hex
         |FROM documents""".stripMargin,
 
-    "m02_size_classes" ->
+    "m02" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text))::INT AS n_bytes
         |  FROM documents)
@@ -209,7 +209,7 @@ object MultimodalQueries {
         | max(n_bytes) AS max_bytes
         |FROM b GROUP BY 1""".stripMargin,
 
-    "m03_codec_roundtrip" ->
+    "m03" ->
       """WITH px AS (
         |  SELECT doc_id,
         |    (8 + doc_id % 5)::INT AS width,
@@ -220,7 +220,7 @@ object MultimodalQueries {
         |  sum((doc_id * 31 + k * 7) % 256)::BIGINT AS sum_px
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
-    "m04_phash_dedup" ->
+    "m04" ->
       """WITH px AS (
         |  SELECT doc_id, doc_id % 50 AS seed, unnest(range(0, 64)) AS k
         |  FROM documents),
@@ -240,7 +240,7 @@ object MultimodalQueries {
     // pool weight w(k) = block index of pixel k (row-major 4×4 blocks of
     // the 2×2 pooling) + 1 — so sum(v·w) equals the Spark side's
     // Σ pooled(i)·(i+1) without materializing the pooled array.
-    "m05_frame_sample" ->
+    "m05" ->
       """WITH fr AS (
         |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5, 2)) AS frame_idx
         |  FROM documents),
@@ -257,7 +257,7 @@ object MultimodalQueries {
         |  sum(v * w)::BIGINT AS pool_checksum
         |FROM v GROUP BY 1, 2""".stripMargin,
 
-    "m06_audio_energy" ->
+    "m06" ->
       """WITH f AS (
         |  SELECT doc_id,
         |    list_transform(range(5 + doc_id % 5), f ->

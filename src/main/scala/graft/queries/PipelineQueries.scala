@@ -31,7 +31,7 @@ object PipelineQueries {
     // A1/A3: per-"batch" summary statistics exactly as the stacker computes
     // them (ddof=1 stddev, sem = std/sqrt(n)); groups with n >= 2 so
     // stddev_samp is defined, like stacking >= 2 repetitions.
-    "p01_stack_stats" -> { (s, dir) =>
+    "p01" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
@@ -46,7 +46,7 @@ object PipelineQueries {
 
     // A7/A8/F4: propagate the batch max to every row of the batch and flag
     // the lowest "repetition" — pure window functions, no re-grouping.
-    "p02_batch_propagate" -> { (s, dir) =>
+    "p02" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_orderkey"))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
@@ -61,7 +61,7 @@ object PipelineQueries {
     // negative a in (-1, 0) gives a small NEGATIVE thickness), and the
     // "logbook wins if >= 0" choice. l_discount is non-negative in this
     // data, so the negative branch is exercised by PipelineSpec instead.
-    "p03_thickness_math" -> { (s, dir) =>
+    "p03" -> { (s, dir) =>
       val a = col("l_discount")
       val mu = col("l_tax") + lit(0.01)
       val derived = -signum(a) * log(lit(1.0) - abs(a)) / mu
@@ -77,7 +77,7 @@ object PipelineQueries {
 
     // K11: E[keV] = hc/lambda with non-positive guard (null, like the
     // reference's warn-and-skip).
-    "p04_energy_math" -> { (s, dir) =>
+    "p04" -> { (s, dir) =>
       val lam = col("l_quantity") / 10.0
       t(s, dir, "lineitem")
         .filter(col("l_linenumber") === 2 && col("l_orderkey") % 7 === 0)
@@ -88,7 +88,7 @@ object PipelineQueries {
     },
 
     // K17/K18: identifier strings (ymd_batch style) + day arithmetic.
-    "p05_identifiers" -> { (s, dir) =>
+    "p05" -> { (s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"),
@@ -101,7 +101,7 @@ object PipelineQueries {
 
     // S2/F1/A5: per-group conditional counts + the all-conditions-met gate
     // (the 4-file readiness predicate of checkers.py).
-    "p06_required_counts" -> { (s, dir) =>
+    "p06" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
@@ -115,7 +115,7 @@ object PipelineQueries {
     // F5/A6: staleness — emit groups whose newest input is newer than the
     // snapshot timestamp (orderdate + 100 days stands in for the stacked
     // file's mtime).
-    "p07_staleness_gate" -> { (s, dir) =>
+    "p07" -> { (s, dir) =>
       val newest = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(max(col("l_shipdate")).as("newest_input"))
@@ -127,7 +127,7 @@ object PipelineQueries {
 
     // A2/A4: ordered stack (collect_list sorted by repetition) and
     // first-as-template (min_by).
-    "p08_stack_collect" -> { (s, dir) =>
+    "p08" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
@@ -145,7 +145,7 @@ object PipelineQueries {
 
     // §1.2: physical-quantity-with-units struct + the fixed conversions the
     // reference does with pint (mm -> m, px -> m via pixel pitch).
-    "p09_quantity_units" -> { (s, dir) =>
+    "p09" -> { (s, dir) =>
       // The quantity-with-units pair is carried as (value, units) scalar
       // column pairs — flattened struct fields — so the driver's comparator
       // can hash them; graft.pipeline keeps the struct form internally.
@@ -161,7 +161,7 @@ object PipelineQueries {
     })
 
   val oracle: Map[String, String] = Map(
-    "p01_stack_stats" ->
+    "p01" ->
       """SELECT l_orderkey, count(1)::BIGINT AS n,
         | round(avg(l_quantity),4) AS mean_qty,
         | round(stddev_samp(l_quantity),4) AS std_qty,
@@ -169,14 +169,14 @@ object PipelineQueries {
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1 HAVING count(1) >= 2""".stripMargin,
 
-    "p02_batch_propagate" ->
+    "p02" ->
       """SELECT l_orderkey, l_linenumber, l_discount,
         | round(max(l_discount) OVER (PARTITION BY l_orderkey),4) AS largest_discount,
         | l_linenumber = min(l_linenumber) OVER (PARTITION BY l_orderkey) AS is_lowest_rep
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
 
-    "p03_thickness_math" ->
+    "p03" ->
       """SELECT l_orderkey,
         | round(l_discount,4) AS absorption,
         | round(CASE WHEN abs(l_discount) = 0 OR abs(l_discount) > 1 THEN -1.0
@@ -186,14 +186,14 @@ object PipelineQueries {
         |            ELSE -sign(l_discount)*ln(1-abs(l_discount))/(l_tax+0.01) END, 6) AS thickness
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
 
-    "p04_energy_math" ->
+    "p04" ->
       """SELECT l_orderkey,
         | round(l_quantity/10.0,4) AS wavelength_angstrom,
         | round(CASE WHEN l_quantity/10.0 <= 0 THEN NULL
         |            ELSE 12.398419843320026/(l_quantity/10.0) END, 6) AS energy_kev
         |FROM lineitem WHERE l_linenumber = 2 AND l_orderkey % 7 = 0""".stripMargin,
 
-    "p05_identifiers" ->
+    "p05" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate, '%Y%m%d') AS ymd,
         | strftime(o_orderdate, '%Y%m%d') || '_' || (o_custkey % 100)::VARCHAR AS collection_identifier,
@@ -201,7 +201,7 @@ object PipelineQueries {
         | date_diff('day', DATE '1995-01-01', o_orderdate)::INT AS days_since_epoch
         |FROM orders""".stripMargin,
 
-    "p06_required_counts" ->
+    "p06" ->
       """SELECT l_orderkey,
         | count(CASE WHEN l_returnflag='R' THEN 1 END)::BIGINT AS n_r,
         | count(CASE WHEN l_returnflag='A' THEN 1 END)::BIGINT AS n_a,
@@ -211,21 +211,21 @@ object PipelineQueries {
         |HAVING count(CASE WHEN l_returnflag='R' THEN 1 END) >= 1
         |   AND count(CASE WHEN l_returnflag='N' THEN 1 END) >= 2""".stripMargin,
 
-    "p07_staleness_gate" ->
+    "p07" ->
       """SELECT o_orderkey, o_orderdate, newest_input
         |FROM orders
         |JOIN (SELECT l_orderkey, max(l_shipdate) AS newest_input
         |      FROM lineitem GROUP BY 1) ON o_orderkey = l_orderkey
         |WHERE newest_input > o_orderdate + INTERVAL '100 days'""".stripMargin,
 
-    "p08_stack_collect" ->
+    "p08" ->
       """SELECT l_orderkey,
         | string_agg(printf('%.2f', l_quantity), ',' ORDER BY l_linenumber, l_quantity) AS qty_series,
         | arg_min(l_extendedprice, l_linenumber * 1e9 + l_extendedprice) AS first_price,
         | count(1)::BIGINT AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
 
-    "p09_quantity_units" ->
+    "p09" ->
       """SELECT l_orderkey, l_linenumber,
         | l_quantity AS q_mm_value,
         | 'mm' AS q_mm_units,

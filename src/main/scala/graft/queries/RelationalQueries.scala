@@ -26,7 +26,7 @@ object RelationalQueries {
     // Q1-style pricing summary: scan-side filter pushdown + 8-way aggregate
     // with map-side partial agg; groups are tiny (6) so the shuffle is trivial
     // at any scale.
-    "q01_pricing_summary" -> { (s, dir) =>
+    "q01" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -43,7 +43,7 @@ object RelationalQueries {
 
     // Pure filter+project: no shuffle at all; the predicate and the 3-column
     // ReadSchema both reach the parquet scan.
-    "q02_filter_project" -> { (s, dir) =>
+    "q02" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1998-02-01")) &&
@@ -54,7 +54,7 @@ object RelationalQueries {
     // Q3-style shipping priority: two joins + agg + global top-10. Orders and
     // customer filters push down; Spark plans TakeOrderedAndProject for the
     // limit (no full sort at scale).
-    "q03_shipping_priority" -> { (s, dir) =>
+    "q03" -> { (s, dir) =>
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
@@ -67,7 +67,7 @@ object RelationalQueries {
     },
 
     // Q4-style: left-semi join (EXISTS) then count per priority.
-    "q04_order_priority" -> { (s, dir) =>
+    "q04" -> { (s, dir) =>
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1996-04-01")))
@@ -80,7 +80,7 @@ object RelationalQueries {
 
     // Q5-style: 6-way join through region; dimensions broadcast, lineitem is
     // the only big side so exactly one shuffle (the final groupBy).
-    "q05_region_revenue" -> { (s, dir) =>
+    "q05" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders").filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1998-01-01")))
@@ -99,7 +99,7 @@ object RelationalQueries {
     },
 
     // Q6-style: single filtered sum — everything pushes to the scan.
-    "q06_forecast_revenue" -> { (s, dir) =>
+    "q06" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
@@ -110,7 +110,7 @@ object RelationalQueries {
     },
 
     // Anti join: customers with no order in 1995 H1 (SURVEY F3 semantics).
-    "q07_customers_without_orders" -> { (s, dir) =>
+    "q07" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") < to_timestamp(lit("1995-07-01")))
@@ -123,7 +123,7 @@ object RelationalQueries {
 
     // Ranking window: top-3 orders per customer (SURVEY §2.6 row_number).
     // Rank on rounded value + unique key so ordering is engine-independent.
-    "q08_window_topn" -> { (s, dir) =>
+    "q08" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(round(col("o_totalprice"), 4).desc, col("o_orderkey"))
       t(s, dir, "orders")
@@ -135,7 +135,7 @@ object RelationalQueries {
 
     // Running-total window (frame rowsBetween unboundedPreceding..current):
     // sequential adds in identical order on both engines.
-    "q09_running_total" -> { (s, dir) =>
+    "q09" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -147,21 +147,21 @@ object RelationalQueries {
     },
 
     // ROLLUP (SURVEY §2.5 note: free generalization of the reference's aggs).
-    "q10_rollup" -> { (s, dir) =>
+    "q10" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
     },
 
     // CUBE over orders dims.
-    "q11_cube" -> { (s, dir) =>
+    "q11" -> { (s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
     },
 
     // GROUPING SETS through the SQL layer (also exercises view registration).
-    "q12_grouping_sets" -> { (s, dir) =>
+    "q12" -> { (s, dir) =>
       Tables.registerViews(s, dir)
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(1) AS n,
@@ -171,7 +171,7 @@ object RelationalQueries {
     },
 
     // Distinct aggregates (§2.5 "free from Spark" family).
-    "q13_distinct_agg" -> { (s, dir) =>
+    "q13" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
@@ -180,7 +180,7 @@ object RelationalQueries {
     },
 
     // Conditional aggregation / manual pivot (K-family when/otherwise math).
-    "q14_conditional_pivot" -> { (s, dir) =>
+    "q14" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -191,7 +191,7 @@ object RelationalQueries {
     },
 
     // Monthly time-series rollup: date_trunc month (K18 date functions).
-    "q15_monthly_orders" -> { (s, dir) =>
+    "q15" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
@@ -199,7 +199,7 @@ object RelationalQueries {
     },
 
     // String functions (K17 identifier assembly analog).
-    "q16_string_funcs" -> { (s, dir) =>
+    "q16" -> { (s, dir) =>
       t(s, dir, "part")
         .select(
           col("p_partkey"),
@@ -215,7 +215,7 @@ object RelationalQueries {
     // their own average. No broadcast hint: partAvg has one row per distinct
     // partkey (unbounded — grows with the fact table), so AQE must be free
     // to pick sort-merge at scale and broadcast only when it measures small.
-    "q17_avg_subquery" -> { (s, dir) =>
+    "q17" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val partAvg = li.groupBy(col("l_partkey").as("pk"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
@@ -226,7 +226,7 @@ object RelationalQueries {
     },
 
     // Q18-style: HAVING on a big-group aggregate, join back to dims.
-    "q18_big_orders" -> { (s, dir) =>
+    "q18" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val big = li.groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
@@ -236,7 +236,7 @@ object RelationalQueries {
     },
 
     // Deterministic top-1 per group (max_by/A4 first-as-template semantics).
-    "q19_top_customer_per_nation" -> { (s, dir) =>
+    "q19" -> { (s, dir) =>
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(round(col("c_acctbal"), 4).desc, col("c_custkey"))
       t(s, dir, "customer")
@@ -248,7 +248,7 @@ object RelationalQueries {
 
     // Remaining analytic window functions: lag/lead, first/last in frame,
     // ntile, percent_rank — per-supplier shipment timeline.
-    "q29_window_analytics" -> { (s, dir) =>
+    "q29" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -268,7 +268,7 @@ object RelationalQueries {
     // price percentiles come from ONE array-percentile aggregate — each
     // separate percentile() keeps its own per-group value-count map, so
     // folding them halves the aggregation state for the same answer.
-    "q25_percentile_exact" -> { (s, dir) =>
+    "q25" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -281,7 +281,7 @@ object RelationalQueries {
     },
 
     // Moment statistics: correlation / covariance / skewness / kurtosis.
-    "q26_moment_stats" -> { (s, dir) =>
+    "q26" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -296,7 +296,7 @@ object RelationalQueries {
 
     // Full outer join with coalesced keys: per-month order counts vs
     // shipment counts, months present on either side.
-    "q27_full_outer" -> { (s, dir) =>
+    "q27" -> { (s, dir) =>
       val om = t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("m1"))
         .agg(count(lit(1)).as("n_orders"))
@@ -310,7 +310,7 @@ object RelationalQueries {
     },
 
     // Generator / lateral unnest with ordinality (posexplode).
-    "q28_posexplode" -> { (s, dir) =>
+    "q28" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 1000 === 0)
         .groupBy(col("l_orderkey"))
@@ -322,7 +322,7 @@ object RelationalQueries {
 
     // Correlated subqueries through the SQL layer (Catalyst decorrelates
     // both the scalar subquery and the correlated EXISTS into joins).
-    "q32_correlated_subquery" -> { (s, dir) =>
+    "q32" -> { (s, dir) =>
       Tables.registerViews(s, dir)
       s.sql(
         """SELECT c_custkey, c_mktsegment,
@@ -339,7 +339,7 @@ object RelationalQueries {
     // — every row of a tied day shares the frame. The day offset is
     // computed once (datediff to a fixed epoch) so the frame bound is a
     // plain integer range; one shuffle on the partition key.
-    "q35_trailing_window" -> { (s, dir) =>
+    "q35" -> { (s, dir) =>
       val d = datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
       val w = Window.partitionBy(col("o_custkey")).orderBy(d)
         .rangeBetween(-7, Window.currentRow)
@@ -351,7 +351,7 @@ object RelationalQueries {
 
     // Date/time function battery: extraction, month arithmetic, month-end,
     // quarter bucketing.
-    "q30_date_funcs" -> { (s, dir) =>
+    "q30" -> { (s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 500 === 0)
         .select(
@@ -367,7 +367,7 @@ object RelationalQueries {
 
     // Set operations: customers active in both Jan-1996 and Jan-1997
     // (INTERSECT) and in Jan-1996 only (EXCEPT), tagged and unioned.
-    "q20_setops" -> { (s, dir) =>
+    "q20" -> { (s, dir) =>
       val ord = t(s, dir, "orders")
       def active(from: String, until: String) = ord
         .filter(col("o_orderdate") >= to_timestamp(lit(from)) &&
@@ -386,7 +386,7 @@ object RelationalQueries {
     // must be idempotent), the 3-row dim replicates once per salt, and the
     // (key, salt) join spreads each hot key over 16 reducers. Semantically
     // identical to the plain join the oracle runs.
-    "q36_skew_salted" -> { (s, dir) =>
+    "q36" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val dim = li.groupBy(col("l_returnflag"))
         .agg(round(avg(col("l_tax")), 6).as("avg_tax"),
@@ -413,7 +413,7 @@ object RelationalQueries {
     // literal values Catalyst rewrites the pivot into exactly q14's
     // one-pass conditional aggregation: same plan, declared schema, no
     // extra scan.
-    "q37_pivot" -> { (s, dir) =>
+    "q37" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -428,7 +428,7 @@ object RelationalQueries {
     // ranked window + equi-join (no per-outer-row re-execution), so the
     // plan scales like q19, not like a nested loop; the outer filter
     // stays pushed to the orders scan.
-    "q38_lateral_topk" -> { (s, dir) =>
+    "q38" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("g_orders")
       t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
       s.sql("""
@@ -449,7 +449,7 @@ object RelationalQueries {
     // bug q15 has). The recursion generates one row per month (~80
     // levels here, bounded by the data's span, not its size) — the spine
     // is driver-cheap and the real work stays one scan + one hash agg.
-    "q39_date_spine" -> { (outer, dir) =>
+    "q39" -> { (outer, dir) =>
       // Isolated child session (shares the SparkContext and cached data,
       // clones the SQL conf + temp-view catalog): the recursion limit is
       // enforced while the recursion EXECUTES, not at plan build, so a
@@ -474,7 +474,7 @@ object RelationalQueries {
           "yyyy-MM-dd HH:mm:ss").as("hi")).head()
       val (lo, hi) = (b.getString(0), b.getString(1))
       require(lo != null && hi != null,
-        s"q39_date_spine: orders at $dir has no order dates to span")
+        s"q39: orders at $dir has no order dates to span")
       t(s, dir, "orders").createOrReplaceTempView("g_orders")
       s.sql(s"""
         WITH RECURSIVE spine(m) AS (
@@ -491,7 +491,7 @@ object RelationalQueries {
     })
 
   val oracle: Map[String, String] = Map(
-    "q01_pricing_summary" ->
+    "q01" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,
         | round(sum(l_extendedprice),4) AS sum_base_price,
@@ -504,13 +504,13 @@ object RelationalQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q02_filter_project" ->
+    "q02" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
         |  AND l_extendedprice > 4000.0""".stripMargin,
 
-    "q03_shipping_priority" ->
+    "q03" ->
       """SELECT l_orderkey, o_orderdate,
         | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
         |FROM lineitem
@@ -523,14 +523,14 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
-    "q04_order_priority" ->
+    "q04" ->
       """SELECT o_orderpriority, count(1)::BIGINT AS order_count
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority""".stripMargin,
 
-    "q05_region_revenue" ->
+    "q05" ->
       """SELECT n_name,
         | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
         |FROM lineitem
@@ -543,13 +543,13 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
 
-    "q06_forecast_revenue" ->
+    "q06" ->
       """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(1)::BIGINT AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
 
-    "q07_customers_without_orders" ->
+    "q07" ->
       """SELECT c_mktsegment, count(1)::BIGINT AS n_customers,
         | round(sum(c_acctbal),4) AS sum_acctbal
         |FROM customer
@@ -557,14 +557,14 @@ object RelationalQueries {
         |                  AND o_orderdate < TIMESTAMP '1995-07-01')
         |GROUP BY c_mktsegment""".stripMargin,
 
-    "q08_window_topn" ->
+    "q08" ->
       """SELECT o_custkey, o_orderkey, totalprice, rk FROM (
         | SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS totalprice,
         |  row_number() OVER (PARTITION BY o_custkey
         |                     ORDER BY round(o_totalprice,4) DESC, o_orderkey)::INT AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,
 
-    "q09_running_total" ->
+    "q09" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
@@ -572,30 +572,30 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
-    "q10_rollup" ->
+    "q10" ->
       """SELECT l_returnflag, l_linestatus, count(1)::BIGINT AS n,
         | round(sum(l_quantity),4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
-    "q11_cube" ->
+    "q11" ->
       """SELECT o_orderstatus, o_orderpriority, count(1)::BIGINT AS n,
         | round(sum(o_totalprice),4) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
-    "q12_grouping_sets" ->
+    "q12" ->
       """SELECT l_returnflag, l_linestatus, count(1)::BIGINT AS n,
         | round(sum(l_extendedprice),4) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
-    "q13_distinct_agg" ->
+    "q13" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_suppkey)::BIGINT AS n_supp,
         | count(DISTINCT l_partkey)::BIGINT AS n_part,
         | count(1)::BIGINT AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    "q14_conditional_pivot" ->
+    "q14" ->
       """SELECT o_orderpriority,
         | count(CASE WHEN o_orderstatus='F' THEN 1 END)::BIGINT AS n_f,
         | count(CASE WHEN o_orderstatus='O' THEN 1 END)::BIGINT AS n_o,
@@ -603,12 +603,12 @@ object RelationalQueries {
         | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0.0 END),4) AS f_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
-    "q15_monthly_orders" ->
+    "q15" ->
       """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
         | count(1)::BIGINT AS n_orders, round(sum(o_totalprice),4) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
 
-    "q16_string_funcs" ->
+    "q16" ->
       """SELECT p_partkey,
         | upper(p_brand) AS brand_uc,
         | substr(p_type, 1, 6) AS type_prefix,
@@ -618,20 +618,20 @@ object RelationalQueries {
         | lpad(p_partkey::VARCHAR, 10, '0') AS padded_key
         |FROM part""".stripMargin,
 
-    "q17_avg_subquery" ->
+    "q17" ->
       """SELECT round(sum(l_extendedprice),4) AS small_lot_revenue, count(1)::BIGINT AS n
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
         |      FROM lineitem GROUP BY 1) p ON l.l_partkey = p.pk
         |WHERE l.l_quantity < 0.5 * p.avg_qty""".stripMargin,
 
-    "q18_big_orders" ->
+    "q18" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, total_qty
         |FROM (SELECT l_orderkey, round(sum(l_quantity),4) AS total_qty
         |      FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),4) > 150) b
         |JOIN orders ON b.l_orderkey = o_orderkey""".stripMargin,
 
-    "q19_top_customer_per_nation" ->
+    "q19" ->
       """SELECT n_name, c_custkey, acctbal FROM (
         | SELECT c_nationkey, c_custkey, round(c_acctbal,4) AS acctbal,
         |  row_number() OVER (PARTITION BY c_nationkey
@@ -640,7 +640,7 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk = 1""".stripMargin,
 
-    "q29_window_analytics" ->
+    "q29" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | lag(l_quantity, 1) OVER w AS prev_qty,
         | lead(l_quantity, 1) OVER w AS next_qty,
@@ -651,14 +651,14 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
 
-    "q25_percentile_exact" ->
+    "q25" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5),4) AS p50_price,
         | round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price,
         | round(quantile_cont(l_quantity, 0.25),4) AS p25_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    "q26_moment_stats" ->
+    "q26" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice),4) + 0.0 AS corr_qty_price,
         | round(covar_samp(l_quantity, l_extendedprice),4) + 0.0 AS covar_qty_price,
@@ -667,7 +667,7 @@ object RelationalQueries {
         | round(kurtosis(l_quantity),4) + 0.0 AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    "q27_full_outer" ->
+    "q27" ->
       """SELECT coalesce(m1, m2) AS month,
         | coalesce(n_orders, 0)::BIGINT AS n_orders,
         | coalesce(n_ships, 0)::BIGINT AS n_ships
@@ -676,7 +676,7 @@ object RelationalQueries {
         |FULL OUTER JOIN (SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS m2, count(1) AS n_ships
         |      FROM lineitem GROUP BY 1) s ON m1 = m2""".stripMargin,
 
-    "q28_posexplode" ->
+    "q28" ->
       """WITH g AS (
         | SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_series
         | FROM lineitem WHERE l_orderkey % 1000 = 0 GROUP BY 1)
@@ -684,7 +684,7 @@ object RelationalQueries {
         |       unnest(qty_series) AS qty
         |FROM g""".stripMargin,
 
-    "q32_correlated_subquery" ->
+    "q32" ->
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT max(o_orderdate) FROM orders WHERE o_custkey = c_custkey) AS last_order,
         |  (SELECT count(1) FROM orders WHERE o_custkey = c_custkey
@@ -693,7 +693,7 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |              AND o_orderstatus = 'O')""".stripMargin,
 
-    "q35_trailing_window" ->
+    "q35" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         | round(sum(o_totalprice) OVER w, 4) AS rev_7d,
         | count(1) OVER w AS n_7d
@@ -702,7 +702,7 @@ object RelationalQueries {
         |  ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
         |  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    "q30_date_funcs" ->
+    "q30" ->
       """SELECT o_orderkey,
         | year(o_orderdate)::INT AS y,
         | month(o_orderdate)::INT AS m,
@@ -713,7 +713,7 @@ object RelationalQueries {
         | o_orderdate::DATE AS as_date
         |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
 
-    "q20_setops" ->
+    "q20" ->
       """WITH a AS (SELECT o_custkey FROM orders
         |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'),
         |     b AS (SELECT o_custkey FROM orders
@@ -722,7 +722,7 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_custkey, 'first_only' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)""".stripMargin,
 
-    "q36_skew_salted" ->
+    "q36" ->
       """WITH dim AS (
         |  SELECT l_returnflag, round(avg(l_tax), 6) AS avg_tax,
         |         round(avg(l_discount), 6) AS avg_disc
@@ -732,14 +732,14 @@ object RelationalQueries {
         |FROM lineitem JOIN dim USING (l_returnflag)
         |WHERE l_quantity >= 45""".stripMargin,
 
-    "q37_pivot" ->
+    "q37" ->
       """SELECT o_orderpriority,
         | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 4) AS "F",
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 4) AS "O",
         | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 4) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
-    "q38_lateral_topk" ->
+    "q38" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM orders o,
         |LATERAL (SELECT l_linenumber, l_extendedprice
@@ -748,7 +748,7 @@ object RelationalQueries {
         |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
         |WHERE o.o_totalprice > 480000""".stripMargin,
 
-    "q39_date_spine" ->
+    "q39" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
         |         date_trunc('month', max(o_orderdate)) AS hi

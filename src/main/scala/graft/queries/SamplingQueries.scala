@@ -27,7 +27,7 @@ object SamplingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Flat 5% deterministic sample by id hash.
-    "w01_hash_sample" -> { (s, dir) =>
+    "w01" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .withColumn("bucket", pct(col("doc_id"), seed = 0))
         .filter(col("bucket") < 5)
@@ -38,7 +38,7 @@ object SamplingQueries {
     // fraction (the "data mixing" step of a pretraining pipeline). The rate
     // table is a literal CASE here; in production it is a tiny broadcast
     // dim joined on source.
-    "w02_mixture_sample" -> { (s, dir) =>
+    "w02" -> { (s, dir) =>
       val rate = when(col("source") === "src0", 60)
         .when(col("source") === "src1", 30)
         .otherwise(10)
@@ -51,7 +51,7 @@ object SamplingQueries {
     // Train/val/test split assignment (90/5/5) with per-source accounting —
     // the split is a function of the id, so re-running never migrates a
     // document between splits.
-    "w03_split_assign" -> { (s, dir) =>
+    "w03" -> { (s, dir) =>
       val b = pct(col("doc_id"), seed = 2)
       Tables.load(s, dir, "documents")
         .withColumn("split",
@@ -92,7 +92,7 @@ object SamplingQueries {
     // doc_id range to target ~4 chunks per core (a 1-row min/max scalar
     // prefetch off parquet stats — same justified pattern as q39's
     // bounds); `spark.graft.w04.chunkSpan` overrides.
-    "w04_sequence_pack" -> { (s, dir) =>
+    "w04" -> { (s, dir) =>
       val budget = 2048
       import org.apache.spark.sql.expressions.Window
       val base = Tables.load(s, dir, "documents")
@@ -162,7 +162,7 @@ object SamplingQueries {
     // independent of the w01/w02/w03 families), so re-exports land every
     // document in the same shard: incremental re-runs overwrite shards
     // idempotently instead of reshuffling the corpus.
-    "w05_shard_export" -> { (s, dir) =>
+    "w05" -> { (s, dir) =>
       val nShards = 64
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
@@ -196,7 +196,7 @@ object SamplingQueries {
     // heavy sort+window — at 100 TB the expensive stage touches only the
     // head chunks (budget-bounded work), while the unavoidable full-scan
     // part is one map-side partial agg per (source, chunk).
-    "w07_budget_sample" -> { (s, dir) =>
+    "w07" -> { (s, dir) =>
       val budget = 500L
       import org.apache.spark.sql.expressions.Window
       val chunked = Tables.load(s, dir, "documents")
@@ -232,7 +232,7 @@ object SamplingQueries {
     // training budget. Two tiny aggregations (per-source, then a scalar
     // total via a window over the 1-row-per-source frame) — the output
     // IS the rate table a 100 TB mixing job broadcasts.
-    "w06_mixture_weights" -> { (s, dir) =>
+    "w06" -> { (s, dir) =>
       val alpha = 0.7
       val budget = 1000000L
       val perSource = Tables.load(s, dir, "documents")
@@ -259,18 +259,18 @@ object SamplingQueries {
     else s"('0x' || substr(md5('$seed:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100"
 
   val oracle: Map[String, String] = Map(
-    "w01_hash_sample" ->
+    "w01" ->
       s"""SELECT doc_id, source, ${bucketSql(0)} AS bucket
          |FROM documents WHERE ${bucketSql(0)} < 5""".stripMargin,
 
-    "w02_mixture_sample" ->
+    "w02" ->
       s"""SELECT source, count(1)::BIGINT AS n_kept, min(doc_id) AS min_doc_id
          |FROM documents
          |WHERE ${bucketSql(1)} <
          |  CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 30 ELSE 10 END
          |GROUP BY source""".stripMargin,
 
-    "w03_split_assign" ->
+    "w03" ->
       s"""SELECT source,
          |  CASE WHEN ${bucketSql(2)} < 90 THEN 'train'
          |       WHEN ${bucketSql(2)} < 95 THEN 'val'
@@ -279,7 +279,7 @@ object SamplingQueries {
          |  round(avg(n_chars), 4) AS avg_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
 
-    "w04_sequence_pack" ->
+    "w04" ->
       """WITH t AS (
         |  SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
@@ -294,7 +294,7 @@ object SamplingQueries {
         |    AS pack_offset
         |FROM c""".stripMargin,
 
-    "w05_shard_export" ->
+    "w05" ->
       """SELECT
         |  ('0x' || substr(md5('4:' || doc_id::VARCHAR), 1, 8))::BIGINT % 64
         |    AS shard,
@@ -306,7 +306,13 @@ object SamplingQueries {
         |  max(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "w07_budget_sample" ->
+    // DuckDB sum(BIGINT) — windowed or grouped — returns HUGEINT, which
+    // crosses Arrow as decimal128(38,0) where Spark writes int64; the
+    // driver's hash compare is serialization-sensitive, so every aggregate
+    // in OUTPUT position must carry an explicit ::BIGINT (r11's only red
+    // row was this cast missing here). selfcheck.py now fails on arrow
+    // type mismatches too, so a future omission is caught locally.
+    "w07" ->
       """WITH t AS (
         |  SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
@@ -314,13 +320,13 @@ object SamplingQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
-        |      AS cum_tokens
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      )::BIGINT AS cum_tokens
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 500""".stripMargin,
 
-    "w06_mixture_weights" ->
+    "w06" ->
       """WITH ps AS (
         |  SELECT source, count(1)::BIGINT AS n_docs,
         |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT

@@ -31,7 +31,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact cosine top-5 for each query vector (vec_id < 5).
-    "s01_cosine_topk" -> { (s, dir) =>
+    "s01" -> { (s, dir) =>
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -51,7 +51,7 @@ object SimilarityQueries {
     // centroids, queries probe only their own cell's inverted list. This is
     // the real 100 TB layout: partition/bucket the corpus by cell id and a
     // query touches one partition instead of the full scan.
-    "s03_ivf_ann" -> { (s, dir) =>
+    "s03" -> { (s, dir) =>
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
@@ -82,7 +82,7 @@ object SimilarityQueries {
 
     // LSH-bucketed ANN: candidates restricted to the query's sign bucket,
     // exact top-3 within the bucket.
-    "s02_lsh_ann" -> { (s, dir) =>
+    "s02" -> { (s, dir) =>
       val e = emb(s, dir)
         .withColumn("bucket", VectorFns.signBucket(col("embedding"), lshBits))
       val q = e.filter(col("vec_id") < nQueries)
@@ -102,7 +102,7 @@ object SimilarityQueries {
     // shape (one shuffle keyed by (label, pos)) beats array-wise aggregation
     // at scale: partial averages combine map-side, no single task ever
     // holds a whole label's vectors.
-    "s04_label_centroids" -> { (s, dir) =>
+    "s04" -> { (s, dir) =>
       // + 0.0 normalizes IEEE negative zero: a centroid coordinate whose
       // true mean is ~±1e-18 rounds to -0.0 or 0.0 depending on each
       // engine's summation order — equal as doubles, but the harness
@@ -122,7 +122,7 @@ object SimilarityQueries {
     // shuffle except the final per-query top-k. Half-way rounding is
     // away-from-zero in BOTH engines (Spark HALF_UP, DuckDB std::round) —
     // verified, not assumed.
-    "s05_quantized_ann" -> { (s, dir) =>
+    "s05" -> { (s, dir) =>
       val e = emb(s, dir)
       // maxabs is materialized as its own column FIRST: embedding the
       // array_max inside the quantize transform's lambda re-evaluates it
@@ -152,7 +152,7 @@ object SimilarityQueries {
     })
 
   val oracle: Map[String, String] = Map(
-    "s01_cosine_topk" ->
+    "s01" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
         |p AS (
@@ -166,7 +166,7 @@ object SimilarityQueries {
         |  FROM p)
         |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
-    "s03_ivf_ann" ->
+    "s03" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
         |ac AS (
@@ -193,7 +193,7 @@ object SimilarityQueries {
         |  FROM p)
         |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 3""".stripMargin,
 
-    "s02_lsh_ann" ->
+    "s02" ->
       """WITH bk AS (
         |  SELECT vec_id,
         |    sum(CASE WHEN embedding[i + 1] > 0 THEN pow(2, i)::BIGINT ELSE 0 END)::BIGINT AS bucket
@@ -214,7 +214,7 @@ object SimilarityQueries {
         |  FROM p)
         |SELECT q_id, vec_id, round(cs, 4) AS cosine, rank FROM r WHERE rank <= 3""".stripMargin,
 
-    "s04_label_centroids" ->
+    "s04" ->
       """WITH x AS (
         |  SELECT label, unnest(embedding::DOUBLE[]) AS x,
         |    generate_subscripts(embedding, 1) - 1 AS pos
@@ -226,7 +226,7 @@ object SimilarityQueries {
     // qv stays DOUBLE[] of integer-valued doubles so list_dot_product is
     // usable; the dot is exact (|dot| ≤ 64·127² ≪ 2⁵³) and cast to BIGINT
     // matches Spark's long accumulation bit-for-bit.
-    "s05_quantized_ann" ->
+    "s05" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma

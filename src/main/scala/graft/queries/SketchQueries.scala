@@ -9,7 +9,7 @@ import graft.Tables
   * scope for the generic surface). x01/x02 intentionally carry NO DuckDB
   * oracle — different engines implement different sketches, so results are
   * approximate-by-contract and the driver applies its rows-only check. The
-  * exact counterparts are oracle-checked in q13_distinct_agg. x03 and x04
+  * exact counterparts are oracle-checked in q13. x03 and x04
   * are the exceptions: their sketches (count-min; k-minimum-values) are
   * built from the portable md5 hash family, so the sketch state itself is
   * deterministic and the full estimate pipelines ARE oracle-checked.
@@ -37,7 +37,7 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "x01_approx_distinct" -> { (s, dir) =>
+    "x01" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -48,7 +48,7 @@ object SketchQueries {
           count(lit(1)).as("n_rows"))
     },
 
-    "x02_approx_quantiles" -> { (s, dir) =>
+    "x02" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -73,7 +73,7 @@ object SketchQueries {
     // x01/x02 this sketch IS oracle-checked exactly. The probe joins
     // against a ≤4096-row sketch and a 20-row top-k: both broadcast-sized
     // at any corpus scale.
-    "x03_countmin_heavy" -> { (s, dir) =>
+    "x03" -> { (s, dir) =>
       val toks = Tables.loadSpread(s, dir, "documents")
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
@@ -104,7 +104,7 @@ object SketchQueries {
     // and the k-cut is a TakeOrderedAndProject — k rows out regardless
     // of corpus size. n_exact (the true distinct-hash count) rides along
     // as the reference column, same pattern as x03's exact_count.
-    "x04_kmv_distinct" -> { (s, dir) =>
+    "x04" -> { (s, dir) =>
       val k = 64
       val hashes = Tables.loadSpread(s, dir, "documents")
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
@@ -128,7 +128,7 @@ object SketchQueries {
   /** x01/x02: no oracle by design (approximate results; driver records
     * rows-only). x03's md5-keyed sketch is deterministic → full oracle. */
   val oracle: Map[String, String] = Map(
-    "x03_countmin_heavy" ->
+    "x03" ->
       """WITH tk AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents),
@@ -156,7 +156,7 @@ object SketchQueries {
         |FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
         |GROUP BY 1, 2""".stripMargin,
 
-    "x04_kmv_distinct" ->
+    "x04" ->
       """WITH h AS (
         |  SELECT DISTINCT
         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h

@@ -30,7 +30,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token statistics: count / distinct count / average token length.
-    "t01_token_stats" -> { (s, dir) =>
+    "t01" -> { (s, dir) =>
       val toks = TextFns.tokens(col("text"))
       docs(s, dir).select(
         col("doc_id"),
@@ -46,7 +46,7 @@ object TextQueries {
     // floor-scaling instead of round(): these are ratios of small integers,
     // which land exactly on .5 decimal ties where Spark (HALF_UP) and DuckDB
     // disagree; floor is tie-free since both engines hold identical doubles.
-    "t02_quality_score" -> { (s, dir) =>
+    "t02" -> { (s, dir) =>
       def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
       val toks = TextFns.tokens(col("text"))
       val alphaRatio = TextFns.charClassRatio(col("text"), "[a-z]")
@@ -64,7 +64,7 @@ object TextQueries {
 
     // Marker-vocabulary language ID (n-gram-heuristic family): score each
     // language by marker-token hits, argmax with a fixed tie-break chain.
-    "t03_langid_markers" -> { (s, dir) =>
+    "t03" -> { (s, dir) =>
       val toks = TextFns.tokens(col("text"))
       val scored = docs(s, dir).select(
         (col("doc_id") +: col("lang").as("actual_lang") +:
@@ -82,7 +82,7 @@ object TextQueries {
     // Cleaning/normalization transform: lowercase, strip non-alpha chars,
     // collapse whitespace, drop stopwords — the canonical pre-tokenization
     // scrub of a training-data pipeline, pure codegen'd column ops.
-    "t05_clean_normalize" -> { (s, dir) =>
+    "t05" -> { (s, dir) =>
       val collapsed = regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " ")
       val cleanToks = filter(split(trim(collapsed), " "),
@@ -95,7 +95,7 @@ object TextQueries {
 
     // Edit-distance near-dup on text prefixes (bounded all-pairs; the
     // fuzzy-matching counterpart of the hash-based dedup family).
-    "t06_edit_distance" -> { (s, dir) =>
+    "t06" -> { (s, dir) =>
       val d = docs(s, dir).filter(col("doc_id") < 40)
         .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
       d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -106,7 +106,7 @@ object TextQueries {
 
     // Content fingerprints: full-text md5 prefix, portable 32-bit hash, and
     // a min-shingle-hash (winnowing-style document fingerprint).
-    "t04_fingerprint" -> { (s, dir) =>
+    "t04" -> { (s, dir) =>
       val sh = TextFns.shingles(col("text"), 5)
       docs(s, dir).select(
         col("doc_id"),
@@ -121,7 +121,7 @@ object TextQueries {
     // so the gate hashes a scalar, not a string blob. All codegen'd; the
     // explode multiplies rows ~len/stride, which is the intended output
     // size, not an intermediate.
-    "t07_token_chunks" -> { (s, dir) =>
+    "t07" -> { (s, dir) =>
       val chunkSize = 32
       val stride = 24
       docs(s, dir)
@@ -143,7 +143,7 @@ object TextQueries {
     // The shingle HOF is evaluated ONCE per row (no CSE for lambda
     // expressions — size(sh) and size(array_distinct(sh)) would double the
     // work); the total count is the cheap token arithmetic n_tokens - 2.
-    "t08_ngram_repetition" -> { (s, dir) =>
+    "t08" -> { (s, dir) =>
       val nToks = size(TextFns.tokens(col("text")))
       docs(s, dir)
         .select(col("doc_id"),
@@ -163,7 +163,7 @@ object TextQueries {
     // carries the DISTINCT vocabulary, which grows far slower than the
     // corpus); the corpus doc count joins in as a broadcast scalar; the
     // top-k cut is TakeOrderedAndProject, never a global sort.
-    "t09_vocab_stats" -> { (s, dir) =>
+    "t09" -> { (s, dir) =>
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       docs(s, dir)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
@@ -187,7 +187,7 @@ object TextQueries {
     // and one doc-keyed window for the per-document cut. Ranking is on the
     // floor-scaled score with a tok tie-break so ordering is
     // engine-independent.
-    "t10_tfidf_topterms" -> { (s, dir) =>
+    "t10" -> { (s, dir) =>
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
@@ -219,7 +219,7 @@ object TextQueries {
     // shuffle, no UDF; replacement order is part of the contract (terms
     // apply left-to-right; [REDACTED] contains no blocklisted substring,
     // so the chain is confluent here anyway).
-    "t11_blocklist_scrub" -> { (s, dir) =>
+    "t11" -> { (s, dir) =>
       val terms = Seq("spark", "hash", "merge")
       val scrubbed = terms.foldLeft(col("text")) {
         (c, t) => regexp_replace(c, s"\\b$t\\b", "[REDACTED]")
@@ -241,7 +241,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
-    "t01_token_stats" ->
+    "t01" ->
       s"""SELECT doc_id,
          | len($toksSql)::INT AS n_tokens,
          | len(list_distinct($toksSql))::INT AS n_distinct,
@@ -249,7 +249,7 @@ object TextQueries {
          |       / len($toksSql) * 10000) / 10000 AS avg_token_len
          |FROM documents""".stripMargin,
 
-    "t02_quality_score" ->
+    "t02" ->
       s"""SELECT doc_id,
          | floor((length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE / length(text) * 10000) / 10000 AS alpha_ratio,
          | floor((length(text) - length(regexp_replace(text, '[ ]', '', 'g')))::DOUBLE / length(text) * 10000) / 10000 AS space_ratio,
@@ -260,7 +260,7 @@ object TextQueries {
          |   + len(list_distinct($toksSql))::DOUBLE / len($toksSql) * 0.4) * 10000) / 10000 AS quality
          |FROM documents""".stripMargin,
 
-    "t03_langid_markers" ->
+    "t03" ->
       s"""SELECT doc_id, lang AS actual_lang,
          | ${markerScoreSql(Seq("the", "a", "fast", "slow"))} AS score_en,
          | ${markerScoreSql(Seq("key", "value", "data"))} AS score_es,
@@ -273,7 +273,7 @@ object TextQueries {
          |  ELSE 'de' END AS pred_lang
          |FROM documents""".stripMargin,
 
-    "t05_clean_normalize" ->
+    "t05" ->
       """SELECT doc_id,
         | array_to_string(list_filter(
         |   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
@@ -283,14 +283,14 @@ object TextQueries {
         |   t -> t NOT IN ('the', 'a') AND t <> ''))::INT AS n_clean_tokens
         |FROM documents""".stripMargin,
 
-    "t06_edit_distance" ->
+    "t06" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents WHERE doc_id < 40)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | levenshtein(a.prefix, b.prefix)::INT AS edit_dist
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 20""".stripMargin,
 
-    "t04_fingerprint" ->
+    "t04" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest($toksSql) AS tok,
          |         generate_subscripts($toksSql, 1) AS pos
@@ -313,7 +313,7 @@ object TextQueries {
     // range(0, n, stride) (stop-exclusive) == Spark sequence(0, n-1, stride)
     // (stop-inclusive); list[a:b] is 1-based inclusive and clamps like
     // Spark's slice.
-    "t07_token_chunks" ->
+    "t07" ->
       s"""WITH tk AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),
          |pos AS (
@@ -325,7 +325,7 @@ object TextQueries {
          | md5(array_to_string(toks[chunk_pos + 1 : chunk_pos + 32], ' ')) AS chunk_md5
          |FROM pos""".stripMargin,
 
-    "t08_ngram_repetition" ->
+    "t08" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest($toksSql) AS tok,
          |         generate_subscripts($toksSql, 1) AS pos
@@ -341,7 +341,7 @@ object TextQueries {
          |   AS rep_ratio
          |FROM sh GROUP BY doc_id""".stripMargin,
 
-    "t09_vocab_stats" ->
+    "t09" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |v AS (
@@ -353,7 +353,7 @@ object TextQueries {
          |        * 10000) / 10000 AS idf
          |FROM v ORDER BY term_freq DESC, tok ASC LIMIT 100""".stripMargin,
 
-    "t10_tfidf_topterms" ->
+    "t10" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (
@@ -373,7 +373,7 @@ object TextQueries {
          |SELECT doc_id, tok, tf, doc_freq, tfidf, rank
          |FROM r WHERE rank <= 3""".stripMargin,
 
-    "t11_blocklist_scrub" -> {
+    "t11" -> {
       val scrub = Seq("spark", "hash", "merge").foldLeft("text") {
         (e, t) => s"regexp_replace($e, '\\b$t\\b', '[REDACTED]', 'g')"
       }

@@ -26,7 +26,7 @@ import graft.functions.TextFns
   * Parallelism note: per micro-batch the work is grouped by source, so a
   * batch's packing parallelism is its source count — fine for arrival-
   * bounded micro-batches. Bulk BACKFILL should use the batch
-  * w04_sequence_pack query instead, whose two-phase (source, chunk)
+  * w04 query instead, whose two-phase (source, chunk)
   * prefix sum is corpus-scale parallel; this function also runs in batch
   * mode unchanged (state starts empty per group) and then reproduces
   * w04's placement exactly, which is the stream/batch parity contract

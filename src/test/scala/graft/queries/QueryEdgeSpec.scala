@@ -38,7 +38,7 @@ class QueryEdgeSpec extends SparkSpec {
       Row(7L, Array.fill(4)(0f).toSeq, 0),
       Row(8L, Seq(2f, 2f, -1f, 0.5f), 0))
     val dir = miniDir("embeddings", rows, schema)
-    val out = SparkEntry.queries("s05_quantized_ann")(spark, dir)
+    val out = SparkEntry.queries("s05")(spark, dir)
       .orderBy(col("q_id"), col("rank")).collect()
     // no NaN/null anywhere; the zero query's dots are all 0
     assert(out.nonEmpty)
@@ -61,7 +61,7 @@ class QueryEdgeSpec extends SparkSpec {
     // ids 0..4 cover nFrames = 4..8 (4 + id % 5)
     val rows = (0L to 4L).map(id => Row(id, "x", "en", "s", 1L))
     val dir = miniDir("documents", rows, schema)
-    val out = SparkEntry.queries("m05_frame_sample")(spark, dir).collect()
+    val out = SparkEntry.queries("m05")(spark, dir).collect()
     val byDoc = out.groupBy(_.getLong(0))
     for (id <- 0L to 4L) {
       val nFrames = 4 + (id % 5).toInt
@@ -107,7 +107,7 @@ class QueryEdgeSpec extends SparkSpec {
     for (span <- Seq("7", "1", "1000000000")) {
       spark.conf.set("spark.graft.w04.chunkSpan", span)
       try {
-        val chunked = SparkEntry.queries("w04_sequence_pack")(spark, sf)
+        val chunked = SparkEntry.queries("w04")(spark, sf)
           .orderBy("doc_id").collect()
         assert(chunked.length == naive.length && chunked.length > 0)
         chunked.zip(naive).foreach { case (c, n) =>
@@ -122,13 +122,13 @@ class QueryEdgeSpec extends SparkSpec {
     for (bad <- Seq("0", "-4", "abc")) {
       spark.conf.set("spark.graft.w04.chunkSpan", bad)
       try intercept[IllegalArgumentException](
-        SparkEntry.queries("w04_sequence_pack")(spark, sf))
+        SparkEntry.queries("w04")(spark, sf))
       finally spark.conf.unset("spark.graft.w04.chunkSpan")
     }
     spark.conf.set("spark.graft.w04.chunkSpan", "7")
     try {
       // span 7 really did produce more window partitions than sources
-      val nChunkKeys = SparkEntry.queries("w04_sequence_pack")(spark, sf)
+      val nChunkKeys = SparkEntry.queries("w04")(spark, sf)
         .select((col("doc_id") / 7).cast("long").as("chunk"), col("source"))
         .distinct().count()
       val nSources = naive.map(_.getString(1)).distinct.length
