@@ -5,9 +5,20 @@ Usage: python3 scripts/selfcheck.py <outDir> [sfDir]
 
 Reads <outDir>/<query>/ parquet dumps written by graft.Verify plus
 <outDir>/oracle_sql.json, runs each oracle SQL in DuckDB against the sfDir
-parquet tables, and compares: schema (column names, sorted), row count, and
-values (rows sorted by all columns; floats compared exactly AND with 1e-9
-tolerance so we can see how close "exact" is).
+parquet tables, and compares: schema (column names, sorted), ARROW TYPES
+(normalized — see type_key), row count, and values (rows sorted by all
+columns; floats compared exactly AND with 1e-9 tolerance so we can see how
+close "exact" is).
+
+The type compare exists because the driver's hash is value-serialization
+-sensitive: r11's only red row was w07, where an uncast DuckDB window
+`sum(BIGINT)` returned HUGEINT (arrow decimal128(38,0)) against Spark's
+int64 — 167/167 values identical, hash mismatch. The pylist compare below
+masks that class (Decimal(500) == 500 in Python), so types are compared
+FIRST. Normalization is the empirically-driver-tolerated set only:
+timestamp unit/tz (Spark dumps ns, DuckDB µs — green in every parsed
+round) and string/binary width variants. int vs decimal, int vs float,
+or width differences FAIL.
 """
 import json, math, sys
 from pathlib import Path
@@ -17,6 +28,23 @@ import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def type_key(t):
+    """Canonical comparison key for an arrow type. Collapses only the
+    variants the driver's hash demonstrably tolerates; everything else
+    (decimal vs int, int32 vs int64, float vs double, ...) stays distinct.
+    """
+    import pyarrow as pa
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", type_key(t.value_type))
+    return str(t)
 
 
 def canon(rows):
@@ -84,6 +112,16 @@ def main():
         duck_cols = sorted(duck_cols_raw)
         if duck_cols != spark_cols:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            n_fail += 1
+            continue
+        spark_types = {f.name: f.type for f in tbl.schema}
+        duck_types = {f.name: f.type for f in duck_tbl.schema}
+        bad_types = {c: (str(spark_types[c]), str(duck_types[c]))
+                     for c in spark_cols
+                     if type_key(spark_types[c]) != type_key(duck_types[c])}
+        if bad_types:
+            print(f"FAIL {name}: TYPE-MISMATCH (driver hash is "
+                  f"serialization-sensitive; cast the oracle) {bad_types}")
             n_fail += 1
             continue
         duck_rows = canon([tuple(r[c] for c in duck_cols)
