@@ -448,6 +448,12 @@ object DedupQueries {
       // threshold the default geometry is used VERBATIM (the pinned
       // oracle's geometry at the test scales); an explicitly-set bits
       // value expresses intent, skips the scan, and always wins.
+      // CAVEAT the auto-size makes duplicate-pair RECALL discontinuous in
+      // corpus size: crossing maxDefaultRows changes bits and therefore
+      // which near-pairs collide, between two otherwise-identical runs.
+      // Pipelines that pin results set spark.graft.d11.strict=true to get
+      // the r10 refusal back (loud error instead of a silent re-geometry),
+      // or pin spark.graft.d11.bits explicitly.
       val bits =
         if (explicitBits.nonEmpty) defaultBits
         else {
@@ -464,13 +470,26 @@ object DedupQueries {
             // the spread repartition would pay its exchange just to count
             val n = Tables.load(s, dir, "embeddings").count()
             if (n <= maxDefaultRows) defaultBits
-            else {
+            else if (s.conf.getOption("spark.graft.d11.strict")
+                .orElse(sys.env.get("SPARK_GRAFT_D11_STRICT"))
+                .exists(_.trim.equalsIgnoreCase("true"))) {
+              throw new IllegalArgumentException(
+                s"d11: $n embedding rows exceed the $maxDefaultRows guard " +
+                  s"and strict mode is on — the default $defaultBits-bit " +
+                  "geometry would be re-sized, changing candidate recall. " +
+                  "Pin spark.graft.d11.bits explicitly (auto would pick " +
+                  s"${d11AutoBits(n, nTables, defaultBits)}) or unset " +
+                  "spark.graft.d11.strict to accept auto-sizing.")
+            } else {
               val auto = d11AutoBits(n, nTables, defaultBits)
-              System.err.println(
-                s"[d11] auto-sized LSH geometry: $n rows > $maxDefaultRows " +
+              // through the logger, not stderr: production log pipelines
+              // index logger events; a bare println is invisible there
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"d11 auto-sized LSH geometry: $n rows > $maxDefaultRows " +
                   s"guard, using $nTables tables x $auto bits " +
                   s"(~${n / (1L << auto)} rows/bucket; " +
-                  "override with spark.graft.d11.bits)")
+                  "override with spark.graft.d11.bits, or " +
+                  "spark.graft.d11.strict=true to refuse instead)")
               auto
             }
           }

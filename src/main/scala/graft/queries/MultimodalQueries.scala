@@ -168,15 +168,22 @@ object MultimodalQueries {
     // energy exactly.
     "m06" -> { (s, dir) =>
       val frameLen = 160
-      val nFrames = (lit(5) + pmod(col("doc_id"), lit(5L)).cast("int")).cast("int")
+      // % (sign-of-dividend), NOT pmod: DuckDB's % is sign-of-dividend,
+      // so the oracle and the engine diverge on negative doc_id under
+      // pmod (pmod >= 0 always) — both in the fake-sample values AND in
+      // the frame count 5 + doc_id % 5. All test doc_ids are >= 0, where
+      // the two agree; % keeps the parity for any future signed ids. The
+      // silent gate is mod-convention-independent (x % 7 == 0 iff
+      // pmod(x, 7) == 0), and 5 + doc_id % 5 stays >= 1 for any sign.
+      val nFrames = (lit(5) + (col("doc_id") % 5L).cast("int")).cast("int")
       val frames = transform(sequence(lit(0), nFrames - 1), f => {
-        val silent = pmod(f.cast("long") + col("doc_id"), lit(7L)) === 0L
+        val silent = (f.cast("long") + col("doc_id")) % 7L === 0L
         val energy = aggregate(
           sequence(lit(0), lit(frameLen - 1)),
           lit(0L),
           (acc, i) => {
             val g = f.cast("long") * frameLen + i.cast("long")
-            val v = pmod(col("doc_id") * 7919L + g * 31L, lit(256L)) - 128L
+            val v = (col("doc_id") * 7919L + g * 31L) % 256L - 128L
             acc + v * v
           })
         when(silent, lit(0L)).otherwise(energy)

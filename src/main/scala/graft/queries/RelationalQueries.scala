@@ -450,13 +450,22 @@ object RelationalQueries {
     // levels here, bounded by the data's span, not its size) — the spine
     // is driver-cheap and the real work stays one scan + one hash agg.
     "q39" -> { (outer, dir) =>
-      // Isolated child session (shares the SparkContext and cached data,
-      // clones the SQL conf + temp-view catalog): the recursion limit is
-      // enforced while the recursion EXECUTES, not at plan build, so a
-      // set/restore around sql() would re-impose the default before the
-      // query ever runs — and setting it on the caller's session would
-      // leak a 200-level cap into every later user recursive CTE.
+      // Isolated child session (shares the SparkContext and cached data):
+      // the recursion limit is enforced while the recursion EXECUTES, not
+      // at plan build, so a set/restore around sql() would re-impose the
+      // default before the query ever runs — and setting it on the
+      // caller's session would leak a 200-level cap into every later user
+      // recursive CTE. NOTE newSession() starts from the ORIGINAL
+      // SparkConf with EMPTY session state — it does not clone runtime
+      // conf.set()s or temp views — so the confs this query's semantics
+      // depend on are copied explicitly: the session timezone drives
+      // date_format below AND the parse of the TIMESTAMP literals built
+      // from it; inheriting the JVM-default zone instead would shift every
+      // spine bound by the host offset on any driver session that set UTC
+      // at runtime rather than via --conf.
       val s = outer.newSession()
+      s.conf.set("spark.sql.session.timeZone",
+        outer.conf.get("spark.sql.session.timeZone"))
       // 200 covers any realistic month span while still catching a
       // runaway recursion 10x sooner than the 2000 first tried.
       s.conf.set("spark.sql.cteRecursionLevelLimit", "200")

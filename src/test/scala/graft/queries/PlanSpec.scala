@@ -175,6 +175,21 @@ class PlanSpec extends SparkSpec {
         val df = SparkEntry.queries("d11")(spark, sf)
         assert(df.columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
       } finally spark.conf.unset("spark.graft.d11.bits")
+      // strict mode restores the r10 refusal: pipelines that pin results
+      // get a loud error instead of a silent recall-changing re-geometry
+      spark.conf.set("spark.graft.d11.strict", "true")
+      try {
+        val e = intercept[IllegalArgumentException](
+          SparkEntry.queries("d11")(spark, sf))
+        assert(e.getMessage.contains("strict"), e.getMessage)
+        // explicit bits expresses intent and bypasses strict entirely
+        spark.conf.set("spark.graft.d11.bits", "8")
+        try {
+          val pinned = SparkEntry.queries("d11")(spark, sf)
+            .orderBy("vec_a", "vec_b").collect()
+          assert(pinned.toSeq == expected.toSeq)
+        } finally spark.conf.unset("spark.graft.d11.bits")
+      } finally spark.conf.unset("spark.graft.d11.strict")
     } finally spark.conf.unset("spark.graft.d11.maxDefaultRows")
   }
 

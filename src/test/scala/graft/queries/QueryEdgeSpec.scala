@@ -136,4 +136,66 @@ class QueryEdgeSpec extends SparkSpec {
         s"only $nChunkKeys (source, chunk) keys for $nSources sources")
     } finally spark.conf.unset("spark.graft.w04.chunkSpan")
   }
+
+  test("m06: negative doc_id keeps sign-of-dividend modulo — the DuckDB " +
+      "oracle's % semantics — not pmod") {
+    // The engine and the oracle must share one modulo convention for ALL
+    // inputs, not just the non-negative test corpus: pmod on the Spark
+    // side silently diverged from DuckDB's % for doc_id < 0. JVM % is
+    // sign-of-dividend like DuckDB's, so this recomputation is the
+    // oracle-side value.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val ids = Seq(-3L, -14L, 6L)
+    val dir = miniDir("documents", ids.map(Row(_, "x", "en", "web", 1L)), schema)
+    val out = SparkEntry.queries("m06")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    for (id <- ids) {
+      val nFrames = (5 + id % 5).toInt
+      val frames = (0 until nFrames).map { f =>
+        if ((f + id) % 7 == 0) 0L
+        else (0 until 160).map { i =>
+          val g = f.toLong * 160 + i
+          val v = (id * 7919 + g * 31) % 256 - 128
+          v * v
+        }.sum
+      }
+      val expect = (nFrames, frames.sum, frames.count(_ == 0L), frames.max)
+      assert(out(id) == expect, s"doc_id=$id: got ${out(id)}, want $expect")
+    }
+    assert(out(-3L)._1 == 2 && out(-14L)._1 == 1,
+      "negative ids must SHRINK the frame count (sign-of-dividend), " +
+        "matching DuckDB range(5 + doc_id % 5)")
+  }
+
+  test("q39: the child session inherits a RUNTIME-set session timezone " +
+      "(newSession starts from the original SparkConf, not runtime confs)") {
+    // Driver sessions set UTC via conf.set() at runtime, not --conf; the
+    // sbt test JVM masks that (build.sbt passes the -D into SparkConf), so
+    // simulate it with a zone nobody's host uses: +08:45. If the child
+    // session fell back to the JVM-default zone, the spine bounds and the
+    // TIMESTAMP literals parsed from them would shift by the offset and
+    // the months would not land on Eucla midnights.
+    val zone = "Australia/Eucla"
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", zone)
+    try {
+      val months = SparkEntry.queries("q39")(spark, "/root/testdata/sf0.001")
+        .select(col("month")).collect().map(_.getTimestamp(0))
+      assert(months.nonEmpty)
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("dd HH:mm:ss")
+        .withZone(java.time.ZoneId.of(zone))
+      for (m <- months) {
+        val rendered = fmt.format(m.toInstant)
+        assert(rendered == "01 00:00:00",
+          s"month $m renders as $rendered in $zone — child session lost " +
+            "the runtime timezone")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -649,6 +649,15 @@ class Hdf5Spec extends SparkSpec {
 
   test("revised object references (rtype 2, HDF5 1.12 token form) resolve " +
       "to the referenced object's path; loud-fail corners stay loud") {
+    // EPISTEMIC CAVEAT: these fixtures come from make_h5_fixtures.py,
+    // written from the SAME layout assumptions as the decoder (2-byte
+    // header + 4-byte blob size + 12-byte heap ID; blob = 1-byte token
+    // size + 8-byte LE address) — this container has no h5py/libhdf5 to
+    // produce an independent byte stream, so the parity here is circular
+    // and a shared misassumption would surface only via the decoder's
+    // loud require()s on real files. When an HDF5-capable environment
+    // appears, add a fixture written by h5py >= 3 / libhdf5 >= 1.12 and
+    // assert the resolved paths match (tracked in COVERAGE.md).
     val nodes = Hdf5.read(fixture("objref2.h5"))
     def at(p: String) = nodes.find(_.path == p).get
     assert(at("/refs/to_ds").scalarStr.contains("/grp/target"))
