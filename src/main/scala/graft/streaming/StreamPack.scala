@@ -71,4 +71,18 @@ object StreamPack {
           out.iterator
         })
   }
+
+  /** The replay-safe composition, one call: a stateful exact dedup on
+    * doc_id ahead of the packer, so an at-least-once source that
+    * re-delivers a document cannot double-count its tokens and shift
+    * every later offset (the caveat on [[packStream]]). Semantics: the
+    * FIRST delivery of a doc_id is placed; replays are dropped before
+    * they reach the token accumulator. The dedup state grows with the
+    * number of distinct documents — for unbounded streams with an event
+    * time, prefer `withWatermark(...).dropDuplicatesWithinWatermark`
+    * upstream of [[packStream]] directly, which bounds that state the
+    * way [[EventStream]]'s watermarked dedup does.
+    */
+  def packStreamExactlyOnce(docs: DataFrame, budget: Long = 2048L): Dataset[Packed] =
+    packStream(docs.dropDuplicates("doc_id"), budget)
 }

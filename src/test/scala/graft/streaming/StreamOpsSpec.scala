@@ -258,4 +258,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(3L) == (0L, 7L),
       s"restarted query lost the running total: $out")
   }
+
+  test("packStreamExactlyOnce: a re-delivered document (at-least-once " +
+      "replay) is dropped before the accumulator — later offsets unshifted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamPack.packStreamExactlyOnce(
+      input.toDS().toDF("doc_id", "source", "text"), budget = 10L)
+      .writeStream.format("memory").queryName("spack_eo_out")
+      .outputMode("append").start()
+    input.addData(Seq((1L, "srcA", "a b c d"), (2L, "srcA", "e f g")))
+    q.processAllAvailable()
+    // the source replays doc 2 alongside the genuinely-new doc 3: raw
+    // packStream would re-place doc 2 (cum 7 -> 10) and shift doc 3 to
+    // offset 0 of pack 1; the dedup must keep doc 3 at offset 7
+    input.addData(Seq((2L, "srcA", "e f g"), (3L, "srcA", "h i j k l")))
+    q.processAllAvailable()
+    val rows = spark.table("spack_eo_out").as[StreamPack.Packed].collect()
+    q.stop()
+    assert(rows.count(_.doc_id == 2L) == 1,
+      s"replayed doc placed twice: ${rows.mkString(", ")}")
+    val out = rows.map(p => p.doc_id -> (p.pack_id, p.pack_offset)).toMap
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 4L), s"$out")
+    assert(out(3L) == (0L, 7L),
+      s"replay shifted the later document's offset: $out")
+  }
 }
