@@ -1904,11 +1904,12 @@ def make_bad_objref2(path: Path, kind):
     """Loud-fail corners of the revised reference form: 'external' (flags
     bit 0 — the blob embeds a foreign filename, unresolvable from this
     file), 'token' (a non-8-byte token: not the native VOL address form),
-    'region' (rtype 3, H5R_DATASET_REGION2 — rejected at datatype parse)."""
+    'attr' (rtype 4, H5R_ATTR — rejected at datatype parse: its blob
+    appends an attribute name after the token)."""
     f = FileBuf()
     f.alloc(48)
-    if kind == 'region':
-        elem, dt = b'\x00' * 18, dt_objref(rtype=3, size=18)
+    if kind == 'attr':
+        elem, dt = b'\x00' * 18, dt_objref(rtype=4, size=18)
     else:
         gh = GlobalHeap(f)
         if kind == 'external':
@@ -1925,6 +1926,79 @@ def make_bad_objref2(path: Path, kind):
         (0x08, layout_contiguous(f.append(elem), 18)),
     ])
     finish_v2(f, group_v2(f, {'r': ds}), path)
+
+
+def _ref2_region_blob(addr, sel):
+    """Heap blob of a REVISED dataset-region reference (rtype 3,
+    H5R_DATASET_REGION2): the encoded reference minus its 2-byte header —
+    token part (1-byte size + 8-byte LE object-header address,
+    H5R__encode_obj_token) then region part (H5R__encode_region): 4-byte
+    LE serialized-selection size + 4-byte LE extent rank + the standard
+    H5S selection serialization (the same bytes the ≤1.10 rtype-1 heap
+    object carries after its address)."""
+    rank = 2
+    return (bytes([8]) + struct.pack('<Q', addr) +
+            struct.pack('<II', len(sel), rank) + sel)
+
+
+def make_regionref2(path: Path):
+    """Revised dataset-region references (rtype 3, HDF5 1.12
+    H5R_DATASET_REGION2): same 18-byte disk element as rtype 2; the heap
+    blob nests the token then the serialized selection. Reads like
+    rtype 1: target PATH + `region_selection` rendering; null element /
+    null blob ID read as ''; a dangling heap index surfaces the
+    unresolved_region_ref marker."""
+    f = FileBuf()
+    f.alloc(48)
+    t_raw = f.append(struct.pack('<24d', *range(24)))
+    target = object_header_v2(f, [
+        (0x01, space_simple([4, 6])),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(t_raw, 24 * 8)),
+    ])
+    grp = group_v2(f, {'image': target})
+
+    gh = GlobalHeap(f)
+    # rows 1:3, cols 2:5 (inclusive ends 2, 4 on disk) — the same
+    # selection the rtype-1 fixture pins, so the two forms must render
+    # the identical region_selection string
+    i_block = gh.add(_ref2_region_blob(
+        target, _sel_block_v1(2, [((1, 2), (2, 4))])))
+    i_union = gh.add(_ref2_region_blob(
+        target, _sel_block_v1(2, [((0, 0), (0, 1)), ((3, 4), (3, 5))])))
+    i_points = gh.add(_ref2_region_blob(
+        target, _sel_points_v1(2, [(0, 0), (1, 3), (3, 5)])))
+    i_all = gh.add(_ref2_region_blob(target, _sel_all()))
+    heap = gh.flush()
+    blob_sizes = {
+        i_block: 9 + 8 + len(_sel_block_v1(2, [((1, 2), (2, 4))])),
+        i_union: 9 + 8 + len(_sel_block_v1(2, [((0, 0), (0, 1)),
+                                               ((3, 4), (3, 5))])),
+        i_points: 9 + 8 + len(_sel_points_v1(2, [(0, 0), (1, 3), (3, 5)])),
+        i_all: 9 + 8 + len(_sel_all()),
+    }
+
+    def ref_ds(elem):
+        raw = f.append(elem)
+        return object_header_v2(f, [
+            (0x01, space_scalar()),
+            (0x03, dt_objref(rtype=3, size=18)),
+            (0x08, layout_contiguous(raw, 18)),
+        ])
+
+    def elem(idx):
+        return _ref2_elem(heap, idx, rtype=3, blob_size=blob_sizes[idx])
+
+    refs = group_v2(f, {
+        'to_block': ref_ds(elem(i_block)),
+        'to_union': ref_ds(elem(i_union)),
+        'to_points': ref_ds(elem(i_points)),
+        'to_all': ref_ds(elem(i_all)),
+        'to_null': ref_ds(b'\x00' * 18),
+        'to_null_blob': ref_ds(_ref2_elem(0, 0, rtype=3)),
+        'dangling': ref_ds(_ref2_elem(heap, 99, rtype=3, blob_size=1)),
+    })
+    finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
 
 
 def _sel_block_v1(rank, blocks):
@@ -3165,8 +3239,9 @@ if __name__ == '__main__':
     make_objref2(out / 'objref2.h5')
     make_bad_objref2(out / 'bad_objref2_ext.h5', 'external')
     make_bad_objref2(out / 'bad_objref2_token.h5', 'token')
-    make_bad_objref2(out / 'bad_objref2_region.h5', 'region')
+    make_bad_objref2(out / 'bad_objref2_attr.h5', 'attr')
     make_regionref(out / 'regionref.h5')
+    make_regionref2(out / 'regionref2.h5')
     make_bad_regionref(out / 'bad_regionref.h5')
     make_bad_refarray(out / 'bad_refarray.h5')
     make_bad_refcompound(out / 'bad_refcompound.h5')

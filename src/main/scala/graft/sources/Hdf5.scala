@@ -75,14 +75,15 @@ import scala.collection.mutable
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
   * non-standard float widths);
-  * the revised H5T_STD_REF REGION (rtype 3) and ATTRIBUTE (rtype 4)
-  * token forms, and EXTERNAL revised references (flags bit 0 — the blob
-  * embeds a foreign filename) — scalar OBJECT references (rtype 0 AND
-  * the HDF5 1.12 revised rtype 2 token form) and ≤1.10-form REGION
-  * references (rtype 1) ARE supported, resolving to the referenced
-  * object's path, with null references reading as '' and dangling
-  * addresses/heap handles surfacing a marker attribute; reference
-  * ARRAYs fail loudly);
+  * the revised H5T_STD_REF ATTRIBUTE (rtype 4) token form, and
+  * EXTERNAL revised references (flags bit 0 — the blob embeds a
+  * foreign filename) — scalar OBJECT references (rtype 0 AND the HDF5
+  * 1.12 revised rtype 2 token form) and REGION references (the ≤1.10
+  * rtype 1 heap form AND the revised rtype 3 token form) ARE
+  * supported, resolving to the referenced object's path (region forms
+  * also render the `region_selection` attribute), with null references
+  * reading as '' and dangling addresses/heap handles surfacing a
+  * marker attribute; reference ARRAYs fail loudly);
   * enums over non-integer bases;
   * overlapping multi-block selection unions (malformed — libhdf5
   * normalizes unions to disjoint blocks before serializing);
@@ -184,6 +185,20 @@ object Hdf5 {
     * (flags bit 0: the blob embeds a foreign filename) fail loudly —
     * cross-file addresses are not resolvable from this file's bytes. */
   private case class ObjRef2(size: Int) extends DType
+
+  /** Revised dataset-region reference (class 7, rtype 3, the HDF5 1.12+
+    * H5R_DATASET_REGION2 form). Same 18-byte disk element as rtype 2
+    * (H5T__ref_disk_write is reference-type-agnostic); the heap blob is
+    * the encoded reference minus its 2-byte header, which for region
+    * references is the token part (1-byte size + 8-byte LE address,
+    * H5R__encode_obj_token) followed by the region part
+    * (H5R__encode_region): 4-byte LE serialized-selection size + 4-byte
+    * LE extent rank + the standard H5S selection serialization — the
+    * SAME serialization the ≤1.10 rtype-1 heap object carries, so
+    * parseSelection is shared. Decodes like rtype 1: target PATH plus
+    * the `region_selection` rendering. Null/dangling/external handling
+    * mirrors rtype 2. */
+  private case class RegionRef2(size: Int) extends DType
   private case class Member(name: String, offset: Int, dt: DType)
   private case class Compound(size: Int, members: Seq[Member]) extends DType
 
@@ -333,10 +348,11 @@ object Hdf5 {
         // reference: bits 0-3 = rtype. 0 (H5R_OBJECT, an 8-byte
         // object-header address into this file), 1 (H5R_DATASET_REGION,
         // a 12-byte global-heap handle whose heap object carries the
-        // target address + a serialized selection) and 2 (H5R_OBJECT2,
-        // the HDF5 1.12 revised H5T_STD_REF object form — see ObjRef2)
-        // are supported; the revised REGION (3) and ATTRIBUTE (4) forms
-        // fail loudly rather than decode addresses as data
+        // target address + a serialized selection), 2 (H5R_OBJECT2, the
+        // HDF5 1.12 revised H5T_STD_REF object form — see ObjRef2) and
+        // 3 (H5R_DATASET_REGION2, the revised region form — see
+        // RegionRef2) are supported; the revised ATTRIBUTE form (4)
+        // fails loudly rather than decode addresses as data
         bits(0) & 0x0F match {
           case 0 =>
             require(size == 8, s"object reference size $size (8-byte offsets only)")
@@ -350,13 +366,19 @@ object Hdf5 {
               s"revised object reference size $size (2-byte header + " +
                 "4-byte blob size + 12-byte heap ID only)")
             ObjRef2(size)
-          case 3 => throw new UnsupportedOperationException(
-            "revised dataset-region reference (rtype 3, HDF5 1.12 " +
-              "H5R_DATASET_REGION2) not supported — its heap blob nests a " +
-              "token + serialized selection; use the <=1.10 region form")
+          case 3 =>
+            require(size == 18,
+              s"revised region reference size $size (2-byte header + " +
+                "4-byte blob size + 12-byte heap ID only)")
+            RegionRef2(size)
+          case 4 => throw new UnsupportedOperationException(
+            "revised attribute reference (rtype 4, HDF5 1.12 H5R_ATTR) " +
+              "not supported — its blob appends an attribute NAME after " +
+              "the token; attribute values already read through the " +
+              "object walk")
           case rtype => throw new UnsupportedOperationException(
             s"reference datatype rtype $rtype not supported " +
-              "(object rtype 0/2 and <=1.10 region rtype 1 only)")
+              "(object rtype 0/2/3 and <=1.10 region rtype 1 only)")
         }
       case other =>
         throw new UnsupportedOperationException(s"datatype class $other not supported")
@@ -2779,59 +2801,65 @@ object Hdf5 {
             // scalar only, same policy as rtype-0 object references
             if (elems > 1) throw new UnsupportedOperationException(
               s"object-reference ARRAY dataset ($elems elements) not supported at $path")
-            val eb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-            val refType = u8(eb)
-            val refFlags = u8(eb)
-            val blobSize = u32(eb)
-            val collectionAddr = u64(eb)
-            val index = u32(eb).toInt
-            if (refType == 0)
-              // H5T__ref_disk_isnull: a zero ref-type byte is the null
-              // (never-written) reference — h5py's None, like rtype 0's
-              // zero address
-              empty.copy(scalarStr = Some(""))
-            else {
-              require(refType == 2,
-                s"revised reference element type byte $refType at $path does " +
-                  "not match its rtype-2 (H5R_OBJECT2) dataset datatype")
-              if ((refFlags & 0x1) != 0) throw new UnsupportedOperationException(
-                s"external revised reference at $path (flags bit 0): the blob " +
-                  "embeds a foreign filename; cross-file addresses are not " +
-                  "resolvable from this file's bytes")
-              require(refFlags == 0,
-                s"revised reference flags $refFlags at $path (only the " +
-                  "external bit is defined; others indicate a misread)")
-              if (collectionAddr == 0L || collectionAddr == UNDEF || index == 0)
-                empty.copy(scalarStr = Some("")) // null blob ID
-              else gcolObject(bytes, collectionAddr, index) match {
-                case None =>
-                  // dangling heap handle: same inspectable-marker policy
-                  // as rtype 1, under the object-reference marker name
-                  require(!attrs.contains("unresolved_object_ref"),
-                    s"user attribute 'unresolved_object_ref' collides with " +
-                      s"the dangling-reference marker at $path")
-                  empty.copy(attrs = attrs + ("unresolved_object_ref" ->
-                    s"$collectionAddr/$index"))
-                case Some(obj) =>
-                  // blob = token size (1 byte) + token; blobSize counts
-                  // exactly these bytes (H5T__ref_disk_write encodes the
-                  // post-header remainder). Any disagreement means the
-                  // layout is not what we think — loud, never a misread.
-                  require(obj.length.toLong == blobSize,
-                    s"revised reference blob ${obj.length} bytes at $path, " +
-                      s"element header claims $blobSize")
-                  val tokenSize = obj(0) & 0xFF
-                  require(tokenSize == 8 && obj.length == 9,
-                    s"revised reference token size $tokenSize in a " +
-                      s"${obj.length}-byte blob at $path (8-byte native-VOL " +
-                      "address tokens only)")
-                  val tb = ByteBuffer.wrap(obj, 1, 8).order(ByteOrder.LITTLE_ENDIAN)
-                  val addr = tb.getLong
-                  if (addr == 0L || addr == UNDEF)
-                    empty.copy(scalarStr = Some(""))
-                  else // resolved to a path AFTER the walk, like rtype 0
-                    empty.copy(refAddr = Some(addr))
-              }
+            ref2Blob(bytes, data, path, expectType = 2) match {
+              case Ref2Null => empty.copy(scalarStr = Some(""))
+              case Ref2Dangling(id) =>
+                // dangling heap handle: same inspectable-marker policy
+                // as rtype 1, under the object-reference marker name
+                require(!attrs.contains("unresolved_object_ref"),
+                  s"user attribute 'unresolved_object_ref' collides with " +
+                    s"the dangling-reference marker at $path")
+                empty.copy(attrs = attrs + ("unresolved_object_ref" -> id))
+              case Ref2Blob(obj) =>
+                // object blob = token part ONLY: 1-byte size + the token
+                val (addr, consumed) = ref2Token(obj, path)
+                require(consumed == obj.length,
+                  s"revised object reference blob has ${obj.length - consumed} " +
+                    s"trailing bytes at $path (token-only blobs expected)")
+                if (addr == 0L || addr == UNDEF)
+                  empty.copy(scalarStr = Some(""))
+                else // resolved to a path AFTER the walk, like rtype 0
+                  empty.copy(refAddr = Some(addr))
+            }
+          case RegionRef2(_) =>
+            // scalar only, same policy as the other reference forms
+            if (elems > 1) throw new UnsupportedOperationException(
+              s"region-reference ARRAY dataset ($elems elements) not supported at $path")
+            ref2Blob(bytes, data, path, expectType = 3) match {
+              case Ref2Null => empty.copy(scalarStr = Some(""))
+              case Ref2Dangling(id) =>
+                require(!attrs.contains("unresolved_region_ref"),
+                  s"user attribute 'unresolved_region_ref' collides with " +
+                    s"the dangling-region-reference marker at $path")
+                empty.copy(attrs = attrs + ("unresolved_region_ref" -> id))
+              case Ref2Blob(obj) =>
+                // region blob = token part + region part. Region part
+                // (H5R__encode_region): 4-byte LE serialized-selection
+                // size (a safety check libhdf5 writes but never reads —
+                // WE check it), 4-byte LE extent rank, then the standard
+                // H5S selection serialization shared with rtype 1.
+                val (addr, consumed) = ref2Token(obj, path)
+                require(obj.length >= consumed + 8,
+                  s"revised region reference blob ${obj.length} bytes at " +
+                    s"$path: no room for the region header after the token")
+                val rb = ByteBuffer.wrap(obj, consumed, obj.length - consumed)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                val selSize = u32(rb)
+                val rank = u32(rb)
+                require(rank >= 1 && rank <= 32,
+                  s"revised region reference extent rank $rank at $path")
+                require(rb.remaining().toLong == selSize,
+                  s"revised region reference selection claims $selSize bytes " +
+                    s"but ${rb.remaining()} follow the region header at $path")
+                val sel = parseSelection(rb, s"revised region reference at $path")
+                require(!attrs.contains("region_selection"),
+                  s"user attribute 'region_selection' collides with " +
+                    s"the region-reference rendering at $path")
+                if (addr == 0L || addr == UNDEF)
+                  empty.copy(scalarStr = Some(""))
+                else // target path resolves AFTER the walk, like rtype 1
+                  empty.copy(refAddr = Some(addr), attrs = attrs +
+                    ("region_selection" -> selSummary(sel)))
             }
           case RegionRef(_) =>
             // scalar only, same policy as object references
@@ -2886,6 +2914,74 @@ object Hdf5 {
             empty.copy(f64Data = Some(decodeArrayF64(data, dt, elems.toInt)))
         }
     }
+  }
+
+  /** Outcome of reading a revised (HDF5 1.12 H5T_STD_REF) reference's
+    * 18-byte disk element: the null reference, a dangling global-heap
+    * handle (rendered as an inspectable `addr/index` marker), or the
+    * resolved heap blob (the encoded reference minus its 2-byte header —
+    * token part, plus the region part for rtype 3). */
+  private sealed trait Ref2Elem
+  private case object Ref2Null extends Ref2Elem
+  private case class Ref2Dangling(id: String) extends Ref2Elem
+  private case class Ref2Blob(blob: Array[Byte]) extends Ref2Elem
+
+  /** Shared element decode for the revised reference forms (rtype 2 and
+    * 3 — H5T__ref_disk_write's layout is reference-type-agnostic):
+    * 1-byte ref type + 1-byte flags + 4-byte blob size + 12-byte
+    * global-heap blob ID. A zero ref-type byte is the null (never-
+    * written) reference (H5T__ref_disk_isnull's test); external
+    * references (flags bit 0: the blob embeds a foreign filename) fail
+    * loudly — cross-file addresses are not resolvable from this file's
+    * bytes. The blob size cross-checks the heap object length: any
+    * disagreement means the layout is not what we think — loud, never a
+    * misread. */
+  private def ref2Blob(bytes: Array[Byte], data: Array[Byte], path: String,
+      expectType: Int): Ref2Elem = {
+    val eb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val refType = u8(eb)
+    val refFlags = u8(eb)
+    val blobSize = u32(eb)
+    val collectionAddr = u64(eb)
+    val index = u32(eb).toInt
+    if (refType == 0) Ref2Null
+    else {
+      require(refType == expectType,
+        s"revised reference element type byte $refType at $path does " +
+          s"not match its rtype-$expectType dataset datatype")
+      if ((refFlags & 0x1) != 0) throw new UnsupportedOperationException(
+        s"external revised reference at $path (flags bit 0): the blob " +
+          "embeds a foreign filename; cross-file addresses are not " +
+          "resolvable from this file's bytes")
+      require(refFlags == 0,
+        s"revised reference flags $refFlags at $path (only the " +
+          "external bit is defined; others indicate a misread)")
+      if (collectionAddr == 0L || collectionAddr == UNDEF || index == 0)
+        Ref2Null // null blob ID
+      else gcolObject(bytes, collectionAddr, index) match {
+        case None => Ref2Dangling(s"$collectionAddr/$index")
+        case Some(obj) =>
+          require(obj.length.toLong == blobSize,
+            s"revised reference blob ${obj.length} bytes at $path, " +
+              s"element header claims $blobSize")
+          Ref2Blob(obj)
+      }
+    }
+  }
+
+  /** Token part of a revised reference blob (H5R__encode_obj_token):
+    * 1-byte token size + the token, which for files written by the
+    * native VOL connector is the 8-byte little-endian object-header
+    * address (H5VL_native_addr_to_token). Returns (address, bytes
+    * consumed). */
+  private def ref2Token(obj: Array[Byte], path: String): (Long, Int) = {
+    require(obj.length >= 1, s"empty revised reference blob at $path")
+    val tokenSize = obj(0) & 0xFF
+    require(tokenSize == 8 && obj.length >= 9,
+      s"revised reference token size $tokenSize in a " +
+        s"${obj.length}-byte blob at $path (8-byte native-VOL " +
+        "address tokens only)")
+    (ByteBuffer.wrap(obj, 1, 8).order(ByteOrder.LITTLE_ENDIAN).getLong, 9)
   }
 
   /** Deterministic, inspectable rendering of a region reference's

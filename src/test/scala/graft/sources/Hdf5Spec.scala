@@ -681,12 +681,42 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.read(fixture("bad_objref2_token.h5"))
     }
     assert(e2.getMessage.contains("token size"))
-    // the revised REGION token form (rtype 3) is rejected at datatype
+    // the revised ATTRIBUTE token form (rtype 4) is rejected at datatype
     // parse with a pinned message — addresses must never decode as data
     val e3 = intercept[UnsupportedOperationException] {
-      Hdf5.read(fixture("bad_objref2_region.h5"))
+      Hdf5.read(fixture("bad_objref2_attr.h5"))
     }
-    assert(e3.getMessage.contains("rtype 3"), e3.getMessage)
+    assert(e3.getMessage.contains("rtype 4"), e3.getMessage)
+  }
+
+  test("revised dataset-region references (rtype 3, HDF5 1.12 " +
+      "H5R_DATASET_REGION2) resolve like rtype 1: target path + rendered " +
+      "selection; null/dangling corners mirror rtype 2") {
+    // Same epistemic caveat as the rtype-2 test above: self-written
+    // fixtures from the documented libhdf5 layout (token part + 4-byte
+    // selection size + 4-byte rank + H5S serialization), pending an
+    // independent libhdf5 byte stream.
+    val nodes = Hdf5.read(fixture("regionref2.h5"))
+    def at(p: String) = nodes.find(_.path == p).get
+    // the fixture pins the SAME selections as the rtype-1 fixture, so the
+    // two forms must render identical region_selection strings
+    val blk = at("/refs/to_block")
+    assert(blk.scalarStr.contains("/grp/image"))
+    assert(blk.attrs.get("region_selection").contains("1:3,2:5"))
+    val un = at("/refs/to_union")
+    assert(un.scalarStr.contains("/grp/image"))
+    assert(un.attrs.get("region_selection").contains("0:1,0:2;3:4,4:6"))
+    assert(at("/refs/to_points").attrs.get("region_selection").contains("points:3"))
+    assert(at("/refs/to_all").attrs.get("region_selection").contains("all"))
+    // zero ref-type byte and zero blob ID are both the null reference
+    assert(at("/refs/to_null").scalarStr.contains(""))
+    assert(!at("/refs/to_null").attrs.contains("region_selection"))
+    assert(at("/refs/to_null_blob").scalarStr.contains(""))
+    // dangling heap index: inspectable marker, never a silent hole
+    val dang = at("/refs/dangling")
+    assert(dang.scalarStr.isEmpty)
+    assert(dang.attrs.contains("unresolved_region_ref"))
+    assert(at("/grp/image").f64Data.exists(_.length == 24))
   }
 
   test("region references (rtype 1) resolve to the target path with the " +
