@@ -40,10 +40,11 @@ object SparkEntry {
     "d07" -> "dup_clusters", "d08" -> "simhash_hamming",
     "d09" -> "decontaminate", "d10" -> "window_dedup",
     "d11" -> "lsh_embedding_dup", "d12" -> "bloom_decontaminate",
-    "d13" -> "incremental_dedup",
+    "d13" -> "incremental_dedup", "d14" -> "prefix_dedup",
     "m01" -> "binary_meta", "m02" -> "size_classes",
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",
+    "m07" -> "scene_change",
     "p01" -> "stack_stats", "p02" -> "batch_propagate",
     "p03" -> "thickness_math", "p04" -> "energy_math",
     "p05" -> "identifiers", "p06" -> "required_counts",
@@ -78,7 +79,7 @@ object SparkEntry {
     "w01" -> "hash_sample", "w02" -> "mixture_sample",
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",
-    "w07" -> "budget_sample",
+    "w07" -> "budget_sample", "w08" -> "bottomk_sample",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct")
 }

@@ -595,6 +595,28 @@ object DedupQueries {
         .select(col("doc_id"), col("h"), col("n_batch_copies"))
     },
 
+    // Prefix-hash dedup: cluster documents sharing their first 16 tokens —
+    // the cheap catch for boilerplate-prefixed scrapes and truncation
+    // duplicates (same article, different tail) that whole-document
+    // hashing (d01) treats as distinct and that MinHash (d02) only finds
+    // when the shared prefix dominates the shingle set. Same scale class
+    // as d01: one map-side prefix hash (the native md5_32 kernel over a
+    // bounded 16-token slice — cost independent of document length) into
+    // a hash-groupBy; the output is cluster-sized, never corpus-sized.
+    "d14" -> { (s, dir) =>
+      val nPrefix = 16
+      val prefix = array_join(
+        slice(TextFns.tokens(col("text")), 1, nPrefix), " ")
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.md5Hash32(prefix, seed = 14).as("prefix_h"))
+        .groupBy(col("prefix_h"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keep_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .filter(col("n_docs") > 1)
+    },
+
     // The capstone composite: one corpus-cleaning pass emitting a verdict
     // per document with the FIRST failing gate — the query a pipeline
     // user actually ships, and the shape that matters at 100 TB: the
@@ -801,6 +823,20 @@ object DedupQueries {
         |         WHERE hh.doc_id % 10 <> 9 AND hh.h = b.h))
         |SELECT min(doc_id) AS doc_id, h, count(*)::BIGINT AS n_batch_copies
         |FROM f GROUP BY h""".stripMargin,
+
+    // DuckDB list slicing l[1:16] is 1-based with INCLUSIVE ends (16
+    // elements, shorter lists pass through whole) — the same window
+    // Spark's slice(arr, 1, 16) takes
+    "d14" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('14:' || array_to_string(
+        |       regexp_split_to_array(trim(text), '\s+')[1:16], ' ')),
+        |     1, 8))::BIGINT AS prefix_h
+        |  FROM documents)
+        |SELECT prefix_h, count(1)::BIGINT AS n_docs,
+        |  min(doc_id) AS keep_doc_id, max(doc_id) AS max_doc_id
+        |FROM p GROUP BY 1 HAVING count(1) > 1""".stripMargin,
 
     // identical to d09 on purpose: the bloom prefilter has no false
     // negatives, so the exact confirm join yields d09's output bit-for-bit

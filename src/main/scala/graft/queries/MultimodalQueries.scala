@@ -195,6 +195,44 @@ object MultimodalQueries {
           aggregate(col("fe"), lit(0L), (a, e) => a + e).as("total_energy"),
           size(filter(col("fe"), e => e === 0L)).as("n_silent"),
           array_max(col("fe")).as("peak_energy"))
+    },
+
+    // Scene-change detection over a synthetic video: per-frame luma
+    // energy from a deterministic integer hash (the codec STUB — a real
+    // decoder replaces only the energy lambda, exactly m06's contract),
+    // a scene cut wherever the frame-to-frame energy delta exceeds the
+    // threshold. Same scale posture as m05/m06: pure integer column
+    // HOFs, map-side, zero shuffle, no UDF — the CPU-floor class that a
+    // 1000-executor cluster parallelizes away. Sign-of-dividend % on
+    // both sides (the m06 lesson); the nFrames=1 guard matters because
+    // Spark's sequence(1, 0) yields a DESCENDING [1, 0], not the empty
+    // list DuckDB's range(1, 1) gives.
+    "m07" -> { (s, dir) =>
+      val threshold = 400L
+      val nFrames = (lit(8) + (col("doc_id") % 8L).cast("int")).cast("int")
+      // the f*f term de-linearizes the fake signal: a linear ramp makes
+      // every frame delta one of two constants (the mod-wraparound pair),
+      // which would leave the threshold untested across its range
+      def energy(f: org.apache.spark.sql.Column) = {
+        val fl = f.cast("long")
+        (col("doc_id") * 131L + fl * fl * 7919L + fl * 31L) % 1000L
+      }
+      val frameIdx = when(nFrames > 1, sequence(lit(1), nFrames - 1))
+        .otherwise(array().cast("array<int>"))
+      val deltas = transform(frameIdx, f => abs(energy(f) - energy(f - 1)))
+      val changes = filter(frameIdx,
+        f => abs(energy(f) - energy(f - 1)) > threshold)
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), nFrames.as("n_frames"),
+          deltas.as("deltas"), changes.as("changes"))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("changes")).as("n_scene_changes"),
+          // try_element_at, not element_at: ANSI mode (Spark 4 default)
+          // makes element_at THROW on the empty no-changes array
+          coalesce(try_element_at(col("changes"), lit(1)), lit(-1))
+            .as("first_change"),
+          aggregate(col("deltas"), lit(0L), (a, d) => a + d).as("total_delta"),
+          coalesce(array_max(col("deltas")), lit(0L)).as("max_delta"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -279,5 +317,27 @@ object MultimodalQueries {
         |  list_sum(fe)::BIGINT AS total_energy,
         |  len(list_filter(fe, e -> e = 0))::INT AS n_silent,
         |  list_max(fe)::BIGINT AS peak_energy
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    // DuckDB range(1, n) is EXCLUSIVE-end (empty when n <= 1), matching
+    // the Spark side's guarded sequence; range elements are BIGINT, so
+    // first_change casts ::INT to Spark's int frame indices
+    "m07" ->
+      """WITH d AS (
+        |  SELECT doc_id, (8 + doc_id % 8)::INT AS n_frames,
+        |    list_transform(range(1, 8 + doc_id % 8), f ->
+        |      abs((doc_id * 131 + f * f * 7919 + f * 31) % 1000
+        |          - (doc_id * 131 + (f-1) * (f-1) * 7919 + (f-1) * 31)
+        |            % 1000)) AS deltas,
+        |    list_filter(range(1, 8 + doc_id % 8), f ->
+        |      abs((doc_id * 131 + f * f * 7919 + f * 31) % 1000
+        |          - (doc_id * 131 + (f-1) * (f-1) * 7919 + (f-1) * 31)
+        |            % 1000) > 400) AS changes
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |  len(changes)::INT AS n_scene_changes,
+        |  coalesce(changes[1], -1)::INT AS first_change,
+        |  coalesce(list_sum(deltas), 0)::BIGINT AS total_delta,
+        |  coalesce(list_max(deltas), 0)::BIGINT AS max_delta
+        |FROM d""".stripMargin)
 }

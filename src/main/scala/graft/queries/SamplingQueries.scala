@@ -252,6 +252,40 @@ object SamplingQueries {
           floor(col("wraw") / sum(col("wraw")).over(all) * budget).cast("long"))
         .select(col("source"), col("n_docs"), col("sum_tokens"),
           col("weight"), col("expected_tokens"))
+    },
+
+    // Per-source EXACT-k uniform sample by smallest id-hash — the
+    // deterministic, mergeable equivalent of per-stratum reservoir
+    // sampling (the hash is the reservoir's uniform tag, so the k
+    // smallest tags are a uniform k-subset, stable across runs and
+    // layouts like everything in this family). Bottom-k is a SKETCH:
+    // bottom-k of unioned per-part bottom-k's is the global bottom-k,
+    // which is what phase 1 exploits — a per-(source, hash-chunk)
+    // partial top-k (parallelism = sources x 64 chunks, same two-phase
+    // pattern as w04/w07) before the per-source window ranks only the
+    // <= 64k survivors per source, never the corpus. Bit-identical to
+    // the single-window formulation the oracle uses.
+    "w08" -> { (s, dir) =>
+      // k=10 so the cut FIRES at the driver's sf0.01 gate (20 sources x
+      // <=25 docs each there; k=40 would pass the whole corpus through)
+      val k = 10
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.md5Hash32(col("doc_id").cast("string"), seed = 8).as("h"))
+        .withColumn("chunk", expr(s"h div ${1L << 26}"))
+      val wChunk = Window.partitionBy(col("source"), col("chunk"))
+        .orderBy(col("h"), col("doc_id"))
+      val survivors = hashed
+        .withColumn("crn", row_number().over(wChunk))
+        .filter(col("crn") <= k)
+        .drop("crn", "chunk")
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      survivors
+        .withColumn("rank", row_number().over(wSrc))
+        .filter(col("rank") <= k)
+        .select(col("doc_id"), col("source"), col("h"), col("rank"))
     })
 
   private def bucketSql(seed: Int) =
@@ -325,6 +359,18 @@ object SamplingQueries {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 500""".stripMargin,
+
+    "w08" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('8:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::INT
+        |      AS rank
+        |  FROM h)
+        |SELECT doc_id, source, h, rank FROM r WHERE rank <= 10""".stripMargin,
 
     "w06" ->
       """WITH ps AS (

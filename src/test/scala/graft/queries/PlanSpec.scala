@@ -482,6 +482,56 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.d05.maxRows")
   }
 
+  test("d14: prefix dedup hashes a BOUNDED token slice map-side into one " +
+      "hash agg — no explode, no join, no text payload through the shuffle") {
+    val p = plan("d14")
+    assert(!p.contains("Generate explode"), "prefix hash must not explode tokens")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // the shuffle carries (prefix_h, partial agg) only — never the text
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exch.contains("prefix_h") && !exch.contains("text#"), exch)
+  }
+
+  test("w08: bottom-k sample ranks within (source, hash-chunk) before the " +
+      "per-source window sees only survivors — parallelism is not capped " +
+      "at the source count") {
+    val p = plan("w08")
+    assert("windowspecdefinition\\(source#\\d+, chunk#\\d+L, h#".r
+      .findFirstIn(p).isDefined,
+      s"phase-1 window must partition by (source, chunk):\n${p.take(3000)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort detected — bottom-k must stay stratum-local")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("w08: two-phase bottom-k is bit-identical to the single-window " +
+      "formulation (bottom-k of per-chunk bottom-k's IS the bottom-k)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val twoPhase = SparkEntry.queries("w08")(spark, sf)
+      .orderBy("source", "rank").collect().toSeq
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val naive = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.md5Hash32(col("doc_id").cast("string"), seed = 8).as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("doc_id"), col("source"), col("h"), col("rank"))
+      .orderBy("source", "rank").collect().toSeq
+    assert(twoPhase == naive)
+  }
+
+  test("m07: scene-change detection is map-side column HOFs — no key " +
+      "shuffle, no UDF (the m05/m06 CPU-floor class)") {
+    val p = plan("m07")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which

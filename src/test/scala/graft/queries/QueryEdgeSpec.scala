@@ -173,6 +173,36 @@ class QueryEdgeSpec extends SparkSpec {
         "matching DuckDB range(5 + doc_id % 5)")
   }
 
+  test("m07: negative doc_id — sign-of-dividend modulo AND the one-frame " +
+      "guard (Spark sequence(1,0) is DESCENDING [1,0], not empty)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    // -7 % 8 = -7 -> nFrames = 1: the empty-deltas path the guard exists
+    // for; -3 and 5 exercise signed vs unsigned energies
+    val ids = Seq(-7L, -3L, 5L)
+    val dir = miniDir("documents", ids.map(Row(_, "x", "en", "web", 1L)), schema)
+    val out = SparkEntry.queries("m07")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    for (id <- ids) {
+      val nFrames = (8 + id % 8).toInt
+      def e(f: Long) = (id * 131 + f * f * 7919 + f * 31) % 1000
+      val deltas = (1 until nFrames).map(f => math.abs(e(f) - e(f - 1)))
+      val changes = (1 until nFrames).filter(f => math.abs(e(f) - e(f - 1)) > 400)
+      val expect = (nFrames, changes.size, changes.headOption.getOrElse(-1),
+        deltas.sum.toLong, if (deltas.isEmpty) 0L else deltas.max.toLong)
+      assert(out(id) == expect, s"doc_id=$id: got ${out(id)}, want $expect")
+    }
+    assert(out(-7L)._1 == 1 && out(-7L)._2 == 0 && out(-7L)._3 == -1,
+      "one-frame doc must yield NO deltas — an unguarded sequence(1,0) " +
+        "would fabricate frames [1,0]")
+  }
+
   test("q39: the child session inherits a RUNTIME-set session timezone " +
       "(newSession starts from the original SparkConf, not runtime confs)") {
     // Driver sessions set UTC via conf.set() at runtime, not --conf; the
