@@ -283,4 +283,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(3L) == (0L, 7L),
       s"replay shifted the later document's offset: $out")
   }
+
+  test("streaming bottom-k sample: across micro-batches (with a replay) " +
+      "the final membership equals batch w08 over the union — eviction, " +
+      "idempotence, and stream/batch parity in one run") {
+    implicit val sqlCtx = spark.sqlContext
+    // two sources, ids split across batches; batch 2 REPLAYS id 11 and
+    // delivers enough new ids that some batch-1 members must be evicted
+    val b1 = (1L to 15L).map((_, "srcA")) ++ Seq((100L, "srcB"), (101L, "srcB"))
+    val b2 = (16L to 30L).map((_, "srcA")) ++
+      Seq((11L, "srcA"), (102L, "srcB"), (103L, "srcB"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamSample.sampleStream(
+      input.toDS().toDF("doc_id", "source"), k = 5)
+      .writeStream.format("memory").queryName("ssample_out")
+      .outputMode("update").start()
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    val rows = spark.table("ssample_out").as[StreamSample.Sample].collect()
+    q.stop()
+    // the latest emission per source carries the max deliveries counter
+    val latest = rows.groupBy(_.source).map { case (s, rs) =>
+      s -> rs.maxBy(_.n_delivered)
+    }
+    // replay accounting: srcA delivered 15 + 16 rows (one a replay)
+    assert(latest("srcA").n_delivered == 31, latest("srcA").toString)
+    // oracle: the batch single-window bottom-k over the DISTINCT union —
+    // the same construction the w08 query ranks with (hashes computed
+    // through the same public column API)
+    val all = (b1 ++ b2).map(_._1).distinct
+    val hashOf = all.toDF("doc_id")
+      .select(col("doc_id"), graft.functions.TextFns
+        .md5Hash32(col("doc_id").cast("string"), seed = 8).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expect(src: String, ids: Seq[Long]) = {
+      val tagged = ids.map(id => (hashOf(id), id)).sorted.take(5)
+      val got = latest(src)
+      assert(got.doc_ids == tagged.map(_._2) && got.hashes == tagged.map(_._1),
+        s"$src: got $got, want $tagged")
+    }
+    expect("srcA", all.filter(_ < 100L))
+    expect("srcB", all.filter(_ >= 100L))
+    // batch mode on the union reproduces the same membership (state
+    // starts empty per group — the stream/batch parity contract)
+    val batchRows = StreamSample.sampleStream(
+      (b1 ++ b2).toDF("doc_id", "source"), k = 5)
+      .collect().map(s => s.source -> s).toMap
+    assert(batchRows("srcA").doc_ids == latest("srcA").doc_ids)
+    assert(batchRows("srcB").doc_ids == latest("srcB").doc_ids)
+  }
 }
