@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -333,5 +334,43 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(s => s.source -> s).toMap
     assert(batchRows("srcA").doc_ids == latest("srcA").doc_ids)
     assert(batchRows("srcB").doc_ids == latest("srcB").doc_ids)
+  }
+
+  test("streaming bottom-k sample: the sketch state survives a QUERY " +
+      "RESTART via the checkpoint (the production recovery contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sampled = StreamSample.sampleStream(
+      input.toDS().toDF("doc_id", "source"), k = 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("ssample_ckpt").toString
+    // mapGroupsWithState forces Update mode, which file sinks reject —
+    // collect the per-batch revision rows through foreachBatch instead
+    val emitted = new scala.collection.mutable.ArrayBuffer[StreamSample.Sample]
+    def drain(): Unit = {
+      val q = sampled.writeStream
+        .foreachBatch { (batch: Dataset[StreamSample.Sample], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(20000)
+      q.stop()
+    }
+    input.addData((1L to 8L).map((_, "srcA")))
+    drain() // 8 delivered, query STOPS
+    input.addData((9L to 16L).map((_, "srcA")))
+    drain() // a NEW query instance must resume the k-set from the checkpoint
+    val last = emitted.maxBy(_.n_delivered)
+    assert(last.n_delivered == 16,
+      s"restarted query lost the deliveries counter: $emitted")
+    val hashOf16 = (1L to 16L).toDF("doc_id")
+      .select(col("doc_id"), graft.functions.TextFns
+        .md5Hash32(col("doc_id").cast("string"), seed = 8).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(3)
+    assert(last.doc_ids == hashOf16.map(_._2).toSeq,
+      s"restarted query lost the bottom-k membership: $last vs $hashOf16")
   }
 }
