@@ -109,12 +109,14 @@ object Bench {
     "d11" -> 0.923,
     "d12" -> 1.254,
     "d13" -> 0.233,
+    "d14" -> 0.533,
     "m01" -> 0.096,
     "m02" -> 0.136,
     "m03" -> 0.699,
     "m04" -> 0.635,
     "m05" -> 1.633,
     "m06" -> 0.261,
+    "m07" -> 0.325,
     "p01" -> 0.490,
     "p02" -> 0.209,
     "p03" -> 0.221,
@@ -163,6 +165,7 @@ object Bench {
     "q37" -> 0.178,
     "q38" -> 0.947,
     "q39" -> 0.789,
+    "q40" -> 1.290,
     "s01" -> 0.422,
     "s02" -> 0.306,
     "s03" -> 0.737,
@@ -186,10 +189,13 @@ object Bench {
     "w05" -> 0.170,
     "w06" -> 0.196,
     "w07" -> 0.363,
+    "w08" -> 0.371,
+    "w09" -> 0.808,
     "x01" -> 0.266,
     "x02" -> 0.407,
     "x03" -> 0.927,
-    "x04" -> 0.500)
+    "x04" -> 0.500,
+    "x05" -> 1.733)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.

@@ -67,7 +67,7 @@ object SparkEntry {
     "q32" -> "correlated_subquery", "q33" -> "asof_bucketed",
     "q34" -> "json_extract", "q35" -> "trailing_window",
     "q36" -> "skew_salted", "q37" -> "pivot", "q38" -> "lateral_topk",
-    "q39" -> "date_spine",
+    "q39" -> "date_spine", "q40" -> "distributed_ntile",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "t01" -> "token_stats", "t02" -> "quality_score",
@@ -80,6 +80,8 @@ object SparkEntry {
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",
     "w07" -> "budget_sample", "w08" -> "bottomk_sample",
+    "w09" -> "stratified_sample",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
-    "x03" -> "countmin_heavy", "x04" -> "kmv_distinct")
+    "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
+    "x05" -> "kmv_setops")
 }

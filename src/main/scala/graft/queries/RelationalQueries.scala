@@ -508,6 +508,51 @@ object RelationalQueries {
          AND o.o_totalprice > 450000
         GROUP BY spine.m
       """)
+    },
+
+    // Global ntile(10) WITHOUT the global sort: Window.orderBy with no
+    // partition key funnels the whole table through ONE task — fine for a
+    // report, fatal at 100 TB. Instead the global rank is assembled
+    // two-phase (the w04/w09 pattern, here over a VALUE histogram): any
+    // monotone bucketing of the sort key (cents here) splits the rank
+    // into a per-bucket row_number — #buckets-way parallel, each bucket
+    // ordered by the FULL sort key so bucket-boundary/FP alignment never
+    // matters — plus an exclusive bucket offset cumulated over a spine
+    // that is bounded by the VALUE DOMAIN (<= ~1.1M cent values), not the
+    // row count. ntile's remainder rule (first N mod n tiles get the
+    // extra row) is then a closed-form expression of (rank, N) — checked
+    // against Spark's own ntile in QueryEdgeSpec and against DuckDB's in
+    // the oracle.
+    "q40" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("bucket", floor(col("c_acctbal") * 100).cast("long"))
+      val spine = cust.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("bucket_offset",
+          coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("bucket_offset"))
+      val total = cust.agg(count(lit(1)).as("n_total"))
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      // else-arm `div (n_total div 10)` cannot divide by zero: with
+      // n_total < 10 every rank satisfies r <= cut (cut = n_total) and
+      // the case never reaches the else arm
+      val decile = expr(
+        """case when r <= (n_total % 10) * (n_total div 10 + 1)
+          |  then (r - 1) div (n_total div 10 + 1) + 1
+          |  else (n_total % 10) +
+          |    (r - (n_total % 10) * (n_total div 10 + 1) - 1)
+          |      div (n_total div 10) + 1 end""".stripMargin)
+      cust.join(broadcast(spine), Seq("bucket"))
+        .withColumn("r", col("bucket_offset") + row_number().over(wIn))
+        .crossJoin(total)
+        .withColumn("decile", decile.cast("int"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(min(col("c_acctbal")), 4).as("min_bal"),
+          round(max(col("c_acctbal")), 4).as("max_bal"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -782,5 +827,16 @@ object RelationalQueries {
         |FROM spine LEFT JOIN orders o
         |  ON date_trunc('month', o.o_orderdate) = spine.m
         | AND o.o_totalprice > 450000
-        |GROUP BY spine.m""".stripMargin)
+        |GROUP BY spine.m""".stripMargin,
+
+    "q40" ->
+      """WITH r AS (
+        |  SELECT c_acctbal,
+        |    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        |  FROM customer)
+        |SELECT decile::INT AS decile, count(1)::BIGINT AS n_cust,
+        |  round(min(c_acctbal), 4) AS min_bal,
+        |  round(max(c_acctbal), 4) AS max_bal,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM r GROUP BY decile""".stripMargin)
 }

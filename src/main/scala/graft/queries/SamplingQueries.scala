@@ -286,6 +286,61 @@ object SamplingQueries {
         .withColumn("rank", row_number().over(wSrc))
         .filter(col("rank") <= k)
         .select(col("doc_id"), col("source"), col("h"), col("rank"))
+    },
+
+    // Stratified PROPORTIONAL sample with an exact per-stratum quota
+    // (k_s = max(1, n_s div 10)) — the "keep exactly 10% of every corpus"
+    // step, where w01's hash-percent gate only holds the fraction in
+    // expectation (its kept count is binomial per source; a 1000-doc
+    // stratum keeps 100 ± 9). Exact-k selection needs the k_s-th smallest
+    // hash per stratum, and w08's constant-k chunk prune does NOT scale
+    // here (k_s grows with n_s, so per-chunk top-k_s would pass ~64 x 10%
+    // of the corpus through). Instead this is a distributed SELECTION
+    //: (1) histogram the top 8 hash bits per source —
+    // <= #sources x 256 rows, map-side-combined to nothing; (2) cumulate
+    // the tiny spine to find each stratum's cut bucket (first bucket
+    // where cum >= k_s) and each bucket's EXCLUSIVE rank offset; (3) only
+    // rows at or below their stratum's cut bucket survive (~k_s + n_s/256
+    // rows), and the final rank = bucket_offset + rank WITHIN
+    // (source, bucket) — the bucket is the hash's high bits, so bucket
+    // order is h order and the two-phase rank is bit-identical to the
+    // oracle's single per-source window, with #sources x 256-way
+    // parallelism instead of one task per stratum. The straggler w04
+    // fixed for running totals, fixed for exact sampling.
+    "w09" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.md5Hash32(col("doc_id").cast("string"), seed = 9).as("h"))
+        .withColumn("bucket", expr(s"h div ${1L << 24}"))
+      // quotas: one row per source (tiny; derived from the same scan —
+      // AQE broadcasts everything downstream of it)
+      val quota = Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(greatest(lit(1L), expr("count(1) div 10")).as("k_quota"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      val spine = hashed.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wB))
+        .withColumn("bucket_offset", col("cum") - col("n"))
+        .join(quota, Seq("source"))
+      // cut bucket per source: first bucket whose cumulative count
+      // reaches the quota (cum is total n_s at the last bucket and
+      // k_quota <= n_s, so a cut always exists)
+      val cuts = spine.filter(col("cum") >= col("k_quota"))
+        .groupBy(col("source")).agg(min(col("bucket")).as("cut"))
+      val offsets = spine.join(broadcast(cuts), Seq("source"))
+        .filter(col("bucket") <= col("cut"))
+        .select(col("source"), col("bucket"), col("bucket_offset"),
+          col("k_quota"))
+      val wIn = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      hashed.join(broadcast(offsets), Seq("source", "bucket"))
+        .withColumn("rank",
+          (col("bucket_offset") + row_number().over(wIn)).cast("int"))
+        .filter(col("rank") <= col("k_quota"))
+        .select(col("doc_id"), col("source"), col("h"), col("rank"),
+          col("k_quota"))
     })
 
   private def bucketSql(seed: Int) =
@@ -371,6 +426,22 @@ object SamplingQueries {
         |      AS rank
         |  FROM h)
         |SELECT doc_id, source, h, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "w09" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('9:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, greatest(1, count(1) // 10)::BIGINT AS k_quota
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::INT
+        |      AS rank
+        |  FROM h)
+        |SELECT r.doc_id, r.source, r.h, r.rank, k.k_quota
+        |FROM r JOIN k USING (source) WHERE r.rank <= k.k_quota""".stripMargin,
 
     "w06" ->
       """WITH ps AS (

@@ -123,6 +123,57 @@ object SketchQueries {
         expr(s"case when k_obs < $k then k_obs when h_k = 0 then null " +
           s"else ${k - 1}L * 4294967296L div h_k end").as("est_distinct"),
         col("n_exact"))
+    },
+
+    // KMV SET OPERATIONS: union cardinality + Jaccard similarity between
+    // two corpora's token vocabularies from their bottom-k sketches alone
+    // (Beyer et al., "On synopses for distinct-value estimation under
+    // multiset operations", SIGMOD'07). MinK(A u B) = bottom-k of
+    // MinK(A) u MinK(B) — union sketches merge from the k-row summaries
+    // without revisiting the corpora — and Jaccard is estimated by the
+    // fraction of the union sketch's minima present in BOTH input
+    // sketches (membership in MinK(X) below X's k-th minimum IS
+    // membership in X). 100 TB shape: one scan builds both per-source
+    // sketches (vocabulary-bounded distinct + TakeOrderedAndProject
+    // k-cut, the x04 path); everything downstream operates on <= 2k rows.
+    // The exact intersection/union counts ride along as reference
+    // columns, same pattern as x03/x04 — at true corpus scale one drops
+    // the exact branch and keeps the sketch estimates.
+    "x05" -> { (s, dir) =>
+      val k = 64
+      val hashes = Tables.loadSpread(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          graft.functions.TextFns.md5Hash32(col("tok")).as("h"))
+        .distinct()
+      def mink(src: String) = hashes.filter(col("source") === src)
+        .select(col("h")).orderBy(col("h")).limit(k)
+      val ka = mink("src0")
+      val kb = mink("src1")
+      val ku = ka.union(kb).distinct().orderBy(col("h")).limit(k)
+      // <= 64-row frames: the semi-joins and cross joins below are all
+      // broadcast by AQE, never a shuffle
+      val inter = ku.join(ka, Seq("h"), "left_semi")
+        .join(kb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("n_inter"))
+      val sk = ku.agg(count(lit(1)).as("k_obs"), max(col("h")).as("h_k"))
+      val exact = hashes.groupBy(col("h"))
+        .agg(max(when(col("source") === "src0", 1).otherwise(0)).as("in_a"),
+          max(when(col("source") === "src1", 1).otherwise(0)).as("in_b"))
+        .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_inter_exact"),
+          count(lit(1)).as("n_union_exact"))
+      sk.crossJoin(inter).crossJoin(exact).select(
+        col("k_obs"), col("h_k"),
+        expr(s"case when k_obs < $k then k_obs when h_k = 0 then null " +
+          s"else ${k - 1}L * 4294967296L div h_k end").as("est_union"),
+        col("n_inter"),
+        round(col("n_inter") / col("k_obs"), 6).as("jaccard_est"),
+        col("n_inter_exact"), col("n_union_exact"),
+        round(col("n_inter_exact") / col("n_union_exact"), 6)
+          .as("jaccard_exact"))
     })
 
   /** x01/x02: no oracle by design (approximate results; driver records
@@ -171,5 +222,44 @@ object SketchQueries {
         |        ELSE (63::BIGINT * 4294967296) // h_k END)::BIGINT
         |    AS est_distinct,
         |  n_exact
-        |FROM sk, ex""".stripMargin)
+        |FROM sk, ex""".stripMargin,
+
+    "x05" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM tk),
+        |ka AS (SELECT h FROM h WHERE source = 'src0' ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM h WHERE source = 'src1' ORDER BY h LIMIT 64),
+        |ku AS (
+        |  SELECT DISTINCT h
+        |  FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |  ORDER BY h LIMIT 64),
+        |inter AS (
+        |  SELECT count(1)::BIGINT AS n_inter FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |sk AS (SELECT count(1)::BIGINT AS k_obs, max(h) AS h_k FROM ku),
+        |flags AS (
+        |  SELECT h, max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+        |  FROM h GROUP BY h),
+        |exact AS (
+        |  SELECT sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS n_inter_exact,
+        |    count(1)::BIGINT AS n_union_exact
+        |  FROM flags)
+        |SELECT k_obs, h_k,
+        |  (CASE WHEN k_obs < 64 THEN k_obs
+        |        WHEN h_k = 0 THEN NULL
+        |        ELSE (63::BIGINT * 4294967296) // h_k END)::BIGINT
+        |    AS est_union,
+        |  n_inter,
+        |  round(n_inter / k_obs, 6) AS jaccard_est,
+        |  n_inter_exact, n_union_exact,
+        |  round(n_inter_exact / n_union_exact, 6) AS jaccard_exact
+        |FROM sk, inter, exact""".stripMargin)
 }

@@ -523,6 +523,64 @@ class PlanSpec extends SparkSpec {
     assert(twoPhase == naive)
   }
 
+  test("w09: stratified exact-k selection ranks within (source, bucket) — " +
+      "never one window task per stratum — and the corpus-side joins are " +
+      "broadcast") {
+    val p = plan("w09")
+    assert("windowspecdefinition\\(source#\\d+, bucket#\\d+L, h#".r
+      .findFirstIn(p).isDefined,
+      s"phase-2 rank must partition by (source, bucket):\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort detected — selection must stay histogram-pruned")
+  }
+
+  test("w09: two-phase histogram selection is bit-identical to the " +
+      "single-window rank <= quota formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val twoPhase = SparkEntry.queries("w09")(spark, sf)
+      .orderBy("source", "rank").collect().toSeq
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val quota = docs.groupBy(col("source"))
+      .agg(greatest(lit(1L), expr("count(1) div 10")).as("k_quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.md5Hash32(col("doc_id").cast("string"), seed = 9).as("h"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .join(quota, Seq("source"))
+      .filter(col("rank") <= col("k_quota"))
+      .select(col("doc_id"), col("source"), col("h"), col("rank"), col("k_quota"))
+      .orderBy("source", "rank").collect().toSeq
+    assert(twoPhase == naive)
+  }
+
+  test("x05: KMV set-op estimates agree with the exact reference columns " +
+      "within sketch tolerance, and the union sketch is exact when the " +
+      "union fills it") {
+    val r = SparkEntry.queries("x05")(spark, sf).head()
+    val (kObs, nInter) = (r.getLong(0), r.getLong(3))
+    val est = r.getLong(2)
+    val (jEst, jExact) = (r.getDouble(4), r.getDouble(7))
+    val nUnion = r.getLong(6)
+    assert(kObs <= 64 && nInter <= kObs)
+    if (kObs < 64) assert(est == nUnion, "sub-filled sketch must be exact")
+    else assert(math.abs(est - nUnion).toDouble / nUnion < 0.5,
+      s"est_union $est vs exact $nUnion")
+    assert(math.abs(jEst - jExact) < 0.3, s"jaccard $jEst vs $jExact")
+  }
+
+  test("q40: distributed ntile has no row-count-sized global sort — the " +
+      "only unpartitioned window runs on the value-domain spine") {
+    val p = plan("q40")
+    // the corpus-side window must be keyed by bucket
+    assert("windowspecdefinition\\(bucket#\\d+L, c_acctbal#".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    // spine + offset join broadcast back to the fact side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("m07: scene-change detection is map-side column HOFs — no key " +
       "shuffle, no UDF (the m05/m06 CPU-floor class)") {
     val p = plan("m07")

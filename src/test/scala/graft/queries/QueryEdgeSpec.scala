@@ -228,4 +228,58 @@ class QueryEdgeSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("q40: the closed-form decile formula matches Spark's own ntile(10) " +
+      "on every awkward size (N<10, N%10!=0, ties in the sort key)") {
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_acctbal", DoubleType, nullable = false)))
+    // sizes straddling every remainder case; balances collide (i/7) so
+    // the within-bucket tiebreak (c_custkey) is load-bearing
+    for (n <- Seq(1, 3, 9, 10, 11, 64, 100, 103)) {
+      val rows = (1 to n).map(i => Row(i.toLong, (i / 7).toDouble))
+      val dir = miniDir("customer", rows, schema)
+      val got = SparkEntry.queries("q40")(spark, dir)
+        .orderBy("decile").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val want = spark.read.parquet(s"$dir/customer.parquet")
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+        .groupBy("decile").agg(count(lit(1)).as("n"))
+        .orderBy("decile").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(got == want, s"n=$n: got $got, want $want")
+    }
+  }
+
+  test("w09: exact per-stratum quota — max(1, n/10) rows survive per " +
+      "source, they are the hash-smallest, and a 1-doc stratum keeps its " +
+      "one document (the greatest(1, ...) floor)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    // strata of size 1 (quota floor), 9 (div rounds to 0 -> floor), 25, 40
+    val rows =
+      Seq(Row(1000L, "one")) ++
+        (1 to 9).map(i => Row(2000L + i, "nine")) ++
+        (1 to 25).map(i => Row(3000L + i, "mid")) ++
+        (1 to 40).map(i => Row(4000L + i, "big"))
+    val dir = miniDir("documents", rows, schema)
+    val out = SparkEntry.queries("w09")(spark, dir).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    assert(bySrc("one").length == 1 && bySrc("nine").length == 1 &&
+      bySrc("mid").length == 2 && bySrc("big").length == 4,
+      bySrc.view.mapValues(_.length).toMap.toString)
+    // survivors are exactly the quota smallest hashes of each stratum
+    for ((src, kept) <- bySrc) {
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === src)
+        .select(graft.functions.TextFns.md5Hash32(
+          col("doc_id").cast("string"), seed = 9).as("h"))
+        .orderBy("h").collect().map(_.getLong(0)).toSeq
+      val want = all.take(kept.length)
+      assert(kept.map(_.getLong(2)).sorted.toSeq == want, src)
+    }
+  }
 }
