@@ -26,9 +26,10 @@ object Bench {
     * first 6 bytes → `parsed: null` for the round of record (the third
     * emission failure after r2/r7). 150 reserves the epilogue plus 2×
     * headroom for its variable-width time/date text. As of round 12 the
-    * registry keys ARE the short codes (c01…x04, ≤4 chars), so the
-    * full-suite per-query map at 3 decimals is ~1,350 bytes and fits the
-    * remaining budget with ~400 B margin — the ladder's first step lands
+    * registry keys ARE the short codes (c01…x05, ≤4 chars), so the
+    * full-suite per-query map at 3 decimals is 1,365 measured bytes (101
+    * queries) and fits the remaining budget with ~400 B margin — the
+    * ladder's first step lands
     * (see metricLine) — BenchEmitSpec models the epilogue end-to-end.
     */
   val SafetyMargin = 150
@@ -62,9 +63,9 @@ object Bench {
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
     * (seconds) — refreshed EVERY round from the min of that round's
-    * full-suite per-query medians (r11 final: q02 0.152, q16 0.102, q30 0.100;
-    * the r6–r8 pins 0.163/0.099/0.087 had drifted until q30 read 1.7× on
-    * a near-clean run). Rationale: median-of-3 rejects a
+    * full-suite per-query medians (r12 close: q02 0.139, q16 0.110,
+    * q30 0.106 from the four quiet close runs; r6–r8 pins had drifted
+    * until q30 read 1.7× on a near-clean run). Rationale: median-of-3 rejects a
     * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
     * noisy neighbor) elevates all three runs of every query — r8's driver
     * artifact recorded 43.4 s against 27.4–30.6 s clean same-code runs and
@@ -75,19 +76,18 @@ object Bench {
     * SF the flag is omitted rather than guessed.
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.152,
-    "q16"   -> 0.102,
-    "q30"     -> 0.100)
+    "q02" -> 0.139,
+    "q16"   -> 0.110,
+    "q30"     -> 0.106)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 11 FINAL binary: two quiet full-suite runs
-    * AFTER the native md5_32 hash landed — earlier same-round runs timed
-    * a slower hash kernel and would pin hash-dense queries too high;
-    * derivation in BENCH_NOTES.md). The derivation runs' own environment
-    * probes ride beside the pins so later drift is attributable (verdict
-    * r10 #5): final A cpu_ref 0.051 max, mt_x 2.4 (total 44.86 s);
-    * final B cpu_ref 0.048 max, mt_x 2.5 (45.64 s).
+    * this container (round 12 FINAL binary: four quiet full-suite runs
+    * A–D on the closing code, all contaminated:false by their own
+    * canaries; derivation in BENCH_NOTES.md). The derivation runs' own
+    * environment probes ride beside the pins so later drift is
+    * attributable (verdict r10 #5): totals 50.40/51.21/49.28/50.03 s,
+    * cpu_ref 0.045/0.046/0.047/0.033, mt_x 2.9/2.7/2.0/3.6.
     * Min-of-runs is the least-contaminated estimate of the
     * clean floor, which biases totalRatio slightly ≥1 on a genuinely
     * clean run — the 1.5× threshold absorbs that. Refresh each round:
@@ -95,107 +95,107 @@ object Bench {
     * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.425,
-    "d01" -> 0.229,
-    "d02" -> 2.485,
-    "d03" -> 0.157,
-    "d04" -> 1.417,
-    "d05" -> 0.516,
+    "c01" -> 1.597,
+    "d01" -> 0.253,
+    "d02" -> 2.840,
+    "d03" -> 0.164,
+    "d04" -> 1.396,
+    "d05" -> 0.545,
     "d06" -> 0.171,
-    "d07" -> 1.072,
-    "d08" -> 0.696,
-    "d09" -> 0.709,
-    "d10" -> 0.823,
-    "d11" -> 0.923,
-    "d12" -> 1.254,
+    "d07" -> 1.095,
+    "d08" -> 0.749,
+    "d09" -> 0.810,
+    "d10" -> 0.822,
+    "d11" -> 0.910,
+    "d12" -> 1.097,
     "d13" -> 0.233,
-    "d14" -> 0.533,
-    "m01" -> 0.096,
-    "m02" -> 0.136,
-    "m03" -> 0.699,
-    "m04" -> 0.635,
-    "m05" -> 1.633,
-    "m06" -> 0.261,
-    "m07" -> 0.325,
-    "p01" -> 0.490,
+    "d14" -> 0.571,
+    "m01" -> 0.102,
+    "m02" -> 0.141,
+    "m03" -> 0.724,
+    "m04" -> 0.685,
+    "m05" -> 1.799,
+    "m06" -> 0.279,
+    "m07" -> 0.175,
+    "p01" -> 0.525,
     "p02" -> 0.209,
-    "p03" -> 0.221,
-    "p04" -> 0.145,
-    "p05" -> 0.243,
-    "p06" -> 0.381,
-    "p07" -> 0.469,
-    "p08" -> 0.856,
-    "p09" -> 0.131,
-    "q01" -> 0.246,
-    "q02" -> 0.152,
-    "q03" -> 0.500,
-    "q04" -> 0.483,
-    "q05" -> 0.703,
-    "q06" -> 0.144,
-    "q07" -> 0.242,
-    "q08" -> 0.329,
-    "q09" -> 0.178,
-    "q10" -> 0.269,
-    "q11" -> 0.177,
-    "q12" -> 0.788,
-    "q13" -> 0.645,
-    "q14" -> 0.148,
-    "q15" -> 0.162,
-    "q16" -> 0.102,
-    "q17" -> 0.309,
-    "q18" -> 0.420,
-    "q19" -> 0.246,
-    "q20" -> 0.252,
-    "q21" -> 0.336,
-    "q22" -> 0.209,
-    "q23" -> 0.216,
-    "q24" -> 0.316,
-    "q25" -> 1.097,
-    "q26" -> 0.277,
-    "q27" -> 0.326,
-    "q28" -> 0.172,
-    "q29" -> 0.197,
-    "q30" -> 0.100,
-    "q31" -> 0.369,
-    "q32" -> 0.697,
-    "q33" -> 0.877,
-    "q34" -> 0.344,
-    "q35" -> 0.293,
-    "q36" -> 0.397,
-    "q37" -> 0.178,
-    "q38" -> 0.947,
-    "q39" -> 0.789,
-    "q40" -> 1.290,
-    "s01" -> 0.422,
-    "s02" -> 0.306,
-    "s03" -> 0.737,
-    "s04" -> 0.523,
-    "s05" -> 0.323,
-    "t01" -> 0.152,
-    "t02" -> 0.337,
-    "t03" -> 0.200,
-    "t04" -> 0.303,
-    "t05" -> 0.149,
-    "t06" -> 0.178,
-    "t07" -> 0.148,
-    "t08" -> 0.337,
-    "t09" -> 0.747,
-    "t10" -> 1.386,
-    "t11" -> 0.154,
-    "w01" -> 0.083,
-    "w02" -> 0.127,
-    "w03" -> 0.136,
-    "w04" -> 0.367,
-    "w05" -> 0.170,
-    "w06" -> 0.196,
-    "w07" -> 0.363,
-    "w08" -> 0.371,
-    "w09" -> 0.808,
-    "x01" -> 0.266,
-    "x02" -> 0.407,
-    "x03" -> 0.927,
-    "x04" -> 0.500,
-    "x05" -> 1.733)
+    "p03" -> 0.216,
+    "p04" -> 0.138,
+    "p05" -> 0.226,
+    "p06" -> 0.412,
+    "p07" -> 0.476,
+    "p08" -> 0.874,
+    "p09" -> 0.129,
+    "q01" -> 0.239,
+    "q02" -> 0.139,
+    "q03" -> 0.494,
+    "q04" -> 0.476,
+    "q05" -> 0.633,
+    "q06" -> 0.152,
+    "q07" -> 0.236,
+    "q08" -> 0.343,
+    "q09" -> 0.180,
+    "q10" -> 0.272,
+    "q11" -> 0.186,
+    "q12" -> 0.816,
+    "q13" -> 0.664,
+    "q14" -> 0.149,
+    "q15" -> 0.166,
+    "q16" -> 0.110,
+    "q17" -> 0.299,
+    "q18" -> 0.447,
+    "q19" -> 0.214,
+    "q20" -> 0.261,
+    "q21" -> 0.369,
+    "q22" -> 0.222,
+    "q23" -> 0.242,
+    "q24" -> 0.334,
+    "q25" -> 1.150,
+    "q26" -> 0.289,
+    "q27" -> 0.335,
+    "q28" -> 0.174,
+    "q29" -> 0.203,
+    "q30" -> 0.106,
+    "q31" -> 0.341,
+    "q32" -> 0.744,
+    "q33" -> 0.854,
+    "q34" -> 0.340,
+    "q35" -> 0.282,
+    "q36" -> 0.340,
+    "q37" -> 0.169,
+    "q38" -> 0.925,
+    "q39" -> 0.792,
+    "q40" -> 0.413,
+    "s01" -> 0.281,
+    "s02" -> 0.286,
+    "s03" -> 0.716,
+    "s04" -> 0.536,
+    "s05" -> 0.339,
+    "t01" -> 0.129,
+    "t02" -> 0.302,
+    "t03" -> 0.163,
+    "t04" -> 0.284,
+    "t05" -> 0.142,
+    "t06" -> 0.155,
+    "t07" -> 0.143,
+    "t08" -> 0.347,
+    "t09" -> 0.739,
+    "t10" -> 1.178,
+    "t11" -> 0.140,
+    "w01" -> 0.081,
+    "w02" -> 0.122,
+    "w03" -> 0.134,
+    "w04" -> 0.325,
+    "w05" -> 0.134,
+    "w06" -> 0.156,
+    "w07" -> 0.290,
+    "w08" -> 0.186,
+    "w09" -> 0.456,
+    "x01" -> 0.267,
+    "x02" -> 0.440,
+    "x03" -> 0.778,
+    "x04" -> 0.340,
+    "x05" -> 1.128)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
