@@ -414,7 +414,8 @@ object Bench {
     // number the true one-shared-materialization cost, while d07's number
     // shows the designed reuse win.
     val resetBefore: Map[String, () => Unit] = Map(
-      "d02" -> (() => graft.queries.DedupQueries.releaseShared(spark)))
+      "d02" -> (() => graft.queries.DedupQueries.releaseShared(spark, "minhash")),
+      "d15" -> (() => graft.queries.DedupQueries.releaseShared(spark, "d15")))
 
     def force(name: String): Double = {
       resetBefore.get(name).foreach(_.apply())

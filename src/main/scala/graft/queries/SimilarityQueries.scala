@@ -149,6 +149,51 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"), col("qdot"), col("rank"))
+    },
+
+    // One exact k-means (Lloyd) iteration — the "semantic dedup /
+    // clustering" training step over the embedding corpus, and the
+    // refinement loop s03's coarse quantizer feeds from. Deterministic
+    // seeding (centroids = vectors 0..k-1) keeps the oracle exact; the
+    // squared-L2 assignment distance is computed as
+    // dot(x,x) - 2·dot(x,c) + dot(c,c) with the SAME three double dots
+    // and operation order on both engines, so the argmin is
+    // engine-independent bit-for-bit (belt-and-braces: ranked on
+    // round(d2, 6) with cid tie-break, house style). Shape at 100 TB:
+    // one scan against k broadcast centroids with the codegen'd distance
+    // dots map-side, argmin via the s03 assignment shape (per-vector
+    // rank over k candidate rows), then the s04 explode-keyed partial
+    // average for the update — no task ever holds a cluster's vectors,
+    // and iterating = repeating this one step. Output: new centroid
+    // coordinates,
+    // cluster sizes, and per-coordinate movement (the convergence
+    // signal a pipeline loops on).
+    "s06" -> { (s, dir) =>
+      val k = 8
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val d2 = VectorFns.dot(col("embedding"), col("embedding")) -
+        lit(2) * VectorFns.dot(col("embedding"), col("cv")) +
+        VectorFns.dot(col("cv"), col("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("d2"), 6), col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val newc = assign
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (round(avg(col("x")), 4) + lit(0.0)).as("c"))
+      newc.join(broadcast(cents), Seq("cid"))
+        .select(col("cid").cast("int").as("cid"), col("pos"), col("n"),
+          col("c"),
+          (round(col("c") -
+            element_at(col("cv"), col("pos") + 1).cast("double"), 4) +
+            lit(0.0)).as("delta"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -246,5 +291,31 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY qdot DESC, vec_id)::INT AS rank
         |  FROM p)
-        |SELECT q_id, vec_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin)
+        |SELECT q_id, vec_id, qdot, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "s06" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, e.v,
+        |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT vec_id, cid, v,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(d2, 6), cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |x AS (
+        |  SELECT cid, unnest(v) AS x,
+        |    generate_subscripts(v, 1) - 1 AS pos
+        |  FROM assign),
+        |newc AS (
+        |  SELECT cid, pos::INT AS pos, count(1)::BIGINT AS n,
+        |    round(avg(x), 4) + 0.0 AS c
+        |  FROM x GROUP BY 1, 2)
+        |SELECT newc.cid::INT AS cid, newc.pos, newc.n, newc.c,
+        |  round(newc.c - cv[newc.pos + 1], 4) + 0.0 AS delta
+        |FROM newc JOIN c ON newc.cid = c.cid""".stripMargin)
 }

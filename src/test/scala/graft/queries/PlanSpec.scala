@@ -581,6 +581,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("d15: duplicated-span shuffles carry hashed longs only — the gram " +
+      "text never leaves the map side, and nothing sorts") {
+    val p = plan("d15")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exch.nonEmpty && !exch.contains("gram#") && !exch.contains("text#"),
+      exch)
+    assert(!p.contains("Exchange rangepartitioning"), "no sort expected")
+  }
+
+  test("s06: Lloyd-step centroids broadcast to the scan; the update is a " +
+      "partial (map-side-combined) hash aggregate") {
+    val p = plan("s06")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert("HashAggregate.*partial_count".r.findFirstIn(p).isDefined ||
+      p.contains("partial_count") || p.contains("partial_avg"), p.take(3000))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid cross join must be broadcast, not a partitioned cartesian")
+  }
+
   test("m07: scene-change detection is map-side column HOFs — no key " +
       "shuffle, no UDF (the m05/m06 CPU-floor class)") {
     val p = plan("m07")

@@ -253,6 +253,67 @@ class QueryEdgeSpec extends SparkSpec {
     }
   }
 
+  test("d15: a shared 8-gram is flagged across documents, a within-doc " +
+      "repeat alone is not, and short docs get 0/0/0.0 (the descending-" +
+      "sequence guard)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val span = "a b c d e f g h"                 // the shared 8 tokens
+    val rows = Seq(
+      Row(1L, "s", s"$span x y z"),              // span at pos 1 → flagged
+      Row(2L, "s", s"p q r $span"),              // span at pos 4 → flagged
+      Row(3L, "s", s"$span $span"),              // internal repeat + shared
+      Row(4L, "s", "u v w m n o k1 k2 k3 u v w m n o k1 k2 k3"), // repeat ONLY within itself
+      Row(5L, "s", "too short"))                 // 2 tokens → no grams
+    val dir = miniDir("documents", rows, schema)
+    val out = SparkEntry.queries("d15")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(5L) == (0L, 0L), "short doc must yield 0 grams, not a crash")
+    assert(out(1L)._2 >= 1 && out(2L)._2 >= 1,
+      s"the shared span must flag in both docs: $out")
+    // doc 3 shares grams with 1 and 2 (the span occurs twice) — every
+    // occurrence counts
+    assert(out(3L)._2 >= 2, out(3L).toString)
+    // doc 4's repeated trigram block collides with NO other document, and
+    // distinct-(gh, doc) counting means self-repeats alone never flag
+    assert(out(4L)._2 == 0L,
+      s"within-doc repetition alone must not count as duplication: ${out(4L)}")
+  }
+
+  test("s06: a duplicate seed vector empties one cluster (tie-break to the " +
+      "lower cid) and the empty cluster is absent from the output") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // seeds 0..7; seed 7 duplicates seed 0 exactly, so every vector near
+    // that point assigns to cid 0 and cluster 7 ends empty
+    val seeds = (0 until 8).map { i =>
+      val base = if (i == 7) 0 else i
+      Row(i.toLong, v(base.toDouble, base * 2.0, 1.0), i)
+    }
+    val extra = (8 until 20).map { i =>
+      Row(i.toLong, v((i % 7).toDouble + 0.1, (i % 7) * 2.0, 1.0), 0)
+    }
+    val dir = miniDir("embeddings", seeds ++ extra, schema)
+    val out = SparkEntry.queries("s06")(spark, dir).collect()
+    val cids = out.map(_.getInt(0)).toSet
+    assert(!cids.contains(7), s"cluster 7 must be empty (dup of seed 0): $cids")
+    assert(cids.contains(0))
+    // cluster sizes: n is constant across a cid's coordinates and sums to
+    // the corpus size over distinct cids
+    val sizes = out.groupBy(_.getInt(0)).map { case (cid, rs) =>
+      val ns = rs.map(_.getLong(2)).toSet
+      assert(ns.size == 1, s"cid $cid has inconsistent n: $ns")
+      ns.head
+    }
+    assert(sizes.sum == 20L, sizes.toString)
+  }
+
   test("w09: exact per-stratum quota — max(1, n/10) rows survive per " +
       "source, they are the hash-smallest, and a 1-doc stratum keeps its " +
       "one document (the greatest(1, ...) floor)") {
