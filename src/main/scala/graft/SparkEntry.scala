@@ -41,7 +41,7 @@ object SparkEntry {
     "d09" -> "decontaminate", "d10" -> "window_dedup",
     "d11" -> "lsh_embedding_dup", "d12" -> "bloom_decontaminate",
     "d13" -> "incremental_dedup", "d14" -> "prefix_dedup",
-    "d15" -> "dup_spans",
+    "d15" -> "dup_spans", "d16" -> "semantic_dedup",
     "m01" -> "binary_meta", "m02" -> "size_classes",
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",
@@ -71,7 +71,7 @@ object SparkEntry {
     "q39" -> "date_spine", "q40" -> "distributed_ntile",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
-    "s06" -> "kmeans_step",
+    "s06" -> "kmeans_step", "s07" -> "ann_recall",
     "t01" -> "token_stats", "t02" -> "quality_score",
     "t03" -> "langid_markers", "t04" -> "fingerprint",
     "t05" -> "clean_normalize", "t06" -> "edit_distance",

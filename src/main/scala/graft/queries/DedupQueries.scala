@@ -701,6 +701,77 @@ object DedupQueries {
               col("n_grams")), 6).as("dup_frac"))
     },
 
+    // Semantic dedup (SemDeDup, Abbas et al., arXiv:2303.09540): cluster
+    // the embedding corpus, then look for near-duplicate pairs ONLY
+    // inside a cluster — the production answer to d05's by-contract
+    // O(n²) when the near-dup signal is semantic (paraphrases,
+    // re-encodes) rather than the bit-locality d11's sign-LSH exploits.
+    // Total work = n·k (assignment cosines) + n²/k (within-cluster
+    // pairs), minimized at k = √n → 2·n^1.5 — so k auto-sizes to
+    // floor(√n), NOT a fixed per-cluster occupancy (n/256 would make
+    // the assignment itself O(n²/256), the exact quadratic this query
+    // exists to avoid). Both engines floor an IEEE sqrt of the same
+    // exact count, so the oracle sizes identically. Parallelism GROWS
+    // with the corpus on both phases (assignment is map-side; the
+    // pair-join key is the cluster id, √n keys of √n rows each).
+    // Deterministic seeding (centroids = vectors 0..k-1, one assignment
+    // pass — s06 is the Lloyd step that refines them) keeps the oracle
+    // exact. Keep-rule: a vector is dropped iff a LOWER-id vector sits
+    // within τ in its cluster — deterministic and order-free, SemDeDup's
+    // keep-one-per-similarity-group intent without iterative peeling.
+    //
+    // Assignment shape at scale: the naive form (cross join k broadcast
+    // centroids, window-rank per vec_id — s03/s06's shape, fine at their
+    // FIXED k=8) would shuffle n×k rows carrying the 64-float payload
+    // once k auto-sizes (156 M wide rows at the 100× probe). Instead the
+    // argmin is a map-side min over (distance, cid) PACKED INTO ONE LONG
+    // (micro-distance << 42 | cid) — min_by/min over a struct ordering
+    // key plans as a SortAggregate (struct buffers aren't mutable in
+    // UnsafeRow), which would SORT the n×k exploded stream; a long min
+    // is a codegen HashAggregate, so the ×k explosion never leaves its
+    // codegen stage, partial agg combines map-side, and the shuffle
+    // carries ONE (vec_id, packed) row per vector — with the embedding
+    // payload re-joined by id afterwards (d11's payload-re-join lesson).
+    // The distance key is 1 − round(cos, 6), not −round(cos, 6):
+    // cosines hit exactly 1.0 and negating 0.0 would order −0.0 vs 0.0
+    // — 1−x stays in [0, 2], so micro-distance ∈ [0, 2e6] (21 bits) and
+    // the packed ordering is exactly (dist asc, cid asc) lexicographic.
+    "d16" -> { (s, dir) =>
+      val tau = 0.4 // synthetic-corpus scale; real embedding stacks ~0.95
+      val e = Tables.loadSpread(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // same column-less O(footers) count d05's guard and d11's
+      // auto-size pay; an explicit k expresses intent and skips the scan
+      val k = s.conf.getOption("spark.graft.d16.k").map(_.toLong)
+        .getOrElse(math.max(8L, math.sqrt(e.count().toDouble).toLong))
+      require(k >= 1 && k < (1L << 42), s"d16 needs 1 <= k < 2^42: got $k")
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val microDist = round((lit(1d) -
+        round(VectorFns.cosine(col("embedding"), col("cv")), 6)) * 1e6)
+        .cast("long")
+      val assignedIds = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (shiftleft(microDist, 42) + col("cid")).as("packed"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("packed")).as("packed"))
+        .select(col("vec_id"),
+          col("packed").bitwiseAND(lit((1L << 42) - 1)).as("cid"))
+      val assigned = assignedIds.join(e, Seq("vec_id"))
+      // both directions in one self-join (x.vec_id =!= y.vec_id) so the
+      // per-vector verdict needs no union re-running the pipeline; each
+      // unordered pair costs two cosines, but assigned's cid exchange is
+      // reused across the two sides instead of recomputing the assignment
+      val pairs = assigned.as("x").join(assigned.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+        .filter(VectorFns.cosine(col("x.embedding"), col("y.embedding")) >= tau)
+        .select(col("x.cid").as("cid"), col("x.vec_id").as("vec_id"),
+          col("y.vec_id").as("partner"))
+      pairs.groupBy(col("cid"), col("vec_id"))
+        .agg(count(lit(1)).as("n_partners"),
+          (min(col("partner")) > col("vec_id")).as("keep"))
+    },
+
     // The capstone composite: one corpus-cleaning pass emitting a verdict
     // per document with the FIRST failing gate — the query a pipeline
     // user actually ships, and the shape that matters at 100 TB: the
@@ -954,6 +1025,32 @@ object DedupQueries {
         |    AS dup_frac
         |FROM d LEFT JOIN tot USING (doc_id)
         |       LEFT JOIN dup USING (doc_id)""".stripMargin,
+
+    // the row_number formulation here is the min_by-over-(dist, cid)
+    // struct's semantics spelled relationally: rank 1 of (round(cs,6)
+    // DESC, cid ASC) == argmin of (1 - round(cs,6), cid)
+    "d16" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |kk AS (SELECT greatest(8, floor(sqrt(count(1)))::BIGINT) AS k FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id < (SELECT k FROM kk)),
+        |a AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT e.vec_id, c.cid, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |p AS (
+        |  SELECT x.cid, x.vec_id, y.vec_id AS partner
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) *
+        |     sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        |SELECT cid, vec_id, count(1)::BIGINT AS n_partners,
+        |  (min(partner) > vec_id) AS keep
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // identical to d09 on purpose: the bloom prefilter has no false
     // negatives, so the exact confirm join yields d09's output bit-for-bit

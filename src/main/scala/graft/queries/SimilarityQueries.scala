@@ -194,6 +194,47 @@ object SimilarityQueries {
           (round(col("c") -
             element_at(col("cv"), col("pos") + 1).cast("double"), 4) +
             lit(0.0)).as("delta"))
+    },
+
+    // ANN quality evaluation: recall@3 of the LSH-bucketed search (s02's
+    // candidate rule) against the exact top-3 (s01's rule at k=3) — the
+    // measurement loop every ANN deployment runs before trading recall
+    // for speed, as a query instead of a notebook. Both arms are the
+    // broadcast-tiny-query-set shapes they grade (one corpus scan each,
+    // no shuffle besides the final per-query top-k), the hit-join is on
+    // (q_id, vec_id) between two ≤ k·|Q| frames, and missing queries
+    // (empty LSH bucket) surface as recall 0, not absent rows. Ordering
+    // ties are impossible to grade differently across engines: both arms
+    // rank on (round(cs, 6) DESC, vec_id), the house rule.
+    "s07" -> { (s, dir) =>
+      val k = 3
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("cs"), 6).desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cs", VectorFns.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"))
+      val eb = e.withColumn("bucket", VectorFns.signBucket(col("embedding"), lshBits))
+      val qb = eb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val approx = eb.join(broadcast(qb),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cs", VectorFns.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+          round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 4)
+            .as("recall"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -317,5 +358,38 @@ object SimilarityQueries {
         |  FROM x GROUP BY 1, 2)
         |SELECT newc.cid::INT AS cid, newc.pos, newc.n, newc.c,
         |  round(newc.c - cv[newc.pos + 1], 4) + 0.0 AS delta
-        |FROM newc JOIN c ON newc.cid = c.cid""".stripMargin)
+        |FROM newc JOIN c ON newc.cid = c.cid""".stripMargin,
+
+    "s07" ->
+      """WITH bk AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN embedding[i + 1] > 0 THEN pow(2, i)::BIGINT ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS i)
+        |  GROUP BY vec_id),
+        |e AS (
+        |  SELECT e0.vec_id, embedding::DOUBLE[] AS v, bucket
+        |  FROM embeddings e0 JOIN bk USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 5),
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY
+        |        round(list_dot_product(qv, v) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+        |        DESC, e.vec_id) AS rn
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q_id) WHERE rn <= 3),
+        |ap AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY
+        |        round(list_dot_product(qv, v) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+        |        DESC, e.vec_id) AS rn
+        |    FROM e JOIN q ON e.bucket = qb AND e.vec_id <> q_id) WHERE rn <= 3)
+        |SELECT ex.q_id, count(1)::BIGINT AS k_exact,
+        |  sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS hits,
+        |  round(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)
+        |        / count(1), 4) AS recall
+        |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+        |GROUP BY 1""".stripMargin)
 }

@@ -601,6 +601,33 @@ class PlanSpec extends SparkSpec {
       "centroid cross join must be broadcast, not a partitioned cartesian")
   }
 
+  test("d16: semantic-dedup assignment argmin is a codegen HashAggregate " +
+      "over the packed long — never a struct-min_by SortAggregate sorting " +
+      "the n×k explosion — and the assignment subplan is computed once") {
+    // exchange reuse is an AQE runtime decision — execute for the final plan
+    val df = SparkEntry.queries("d16")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate.*partial_min\\(packed".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("SortAggregate") && !p.contains("min_by"), p.take(3000))
+    // centroids broadcast into the scan-side cross join
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p.take(3000))
+    // the pair self-join reuses the cid-partitioned assignment exchange
+    // instead of re-running assignment for the y side
+    assert("ReusedExchange.*hashpartitioning\\(cid".r.findFirstIn(p).isDefined
+      || "ReusedExchange".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("s07: both recall arms prune to top-k via WindowGroupLimit and the " +
+      "query set broadcasts — no global sort anywhere") {
+    val p = plan("s07")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort expected")
+  }
+
   test("m07: scene-change detection is map-side column HOFs — no key " +
       "shuffle, no UDF (the m05/m06 CPU-floor class)") {
     val p = plan("m07")

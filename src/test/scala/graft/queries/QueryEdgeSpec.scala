@@ -343,4 +343,56 @@ class QueryEdgeSpec extends SparkSpec {
       assert(kept.map(_.getLong(2)).sorted.toSeq == want, src)
     }
   }
+
+  test("d16: with an explicit k=1 (single cluster) the output is the exact " +
+      "brute-force pair semantics — partner counts and the lower-id keep " +
+      "rule — and partner-free vectors are absent (implicitly kept)") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType, nullable = false)))
+    // two similarity pairs (0,1) and (2,3) above tau=0.4, one isolate (4)
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f, 0f, 0f), 0),
+      Row(1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      Row(2L, Seq(0f, 1f, 0f, 0f), 0),
+      Row(3L, Seq(0f, 0.9f, 0.2f, 0f), 0),
+      Row(4L, Seq(0f, 0f, 1f, 0f), 0))
+    val dir = miniDir("embeddings", rows, schema)
+    spark.conf.set("spark.graft.d16.k", "1")
+    try {
+      val out = SparkEntry.queries("d16")(spark, dir)
+        .orderBy("vec_id").collect()
+      // (vec_id, n_partners, keep); cid is 0 for every row at k=1
+      assert(out.map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq == Seq((0L, 1L, true), (1L, 1L, false),
+          (2L, 1L, true), (3L, 1L, false)),
+        out.mkString("\n"))
+      assert(out.forall(_.getLong(0) == 0L), "single cluster expected")
+    } finally spark.conf.unset("spark.graft.d16.k")
+  }
+
+  test("s07: a query alone in its LSH bucket scores recall 0 (not an " +
+      "absent row) while bucket-mates with full candidate sets score 1") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType, nullable = false)))
+    // 8 dims = the full signBucket window. vec 0 is all-negative (bucket
+    // 0, alone); vecs 1..7 all-positive variants (bucket 255 together).
+    val rows = Row(0L, Seq.fill(8)(-1f), 0) +: (1L to 7L).map { i =>
+      Row(i, (0 until 8).map(d => 1f + 0.01f * (i * 8 + d).toFloat), 0)
+    }
+    val dir = miniDir("embeddings", rows, schema)
+    val out = SparkEntry.queries("s07")(spark, dir)
+      .orderBy("q_id").collect()
+    assert(out.length == 5, out.mkString("\n"))
+    val recall = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(recall(0L) == 0.0, s"lone-bucket query: $recall")
+    // every other query's bucket holds all its true neighbors: vec 0
+    // ranks last in the exact arm (negative cosine), so exact top-3 ⊆
+    // bucket 255 and recall is exactly 1
+    assert((1L to 4L).forall(recall(_) == 1.0), recall.toString)
+    assert(out.forall(_.getLong(1) == 3L), "k_exact must be 3 for all")
+  }
 }
