@@ -110,6 +110,11 @@ object Bench {
     "d12" -> 1.097,
     "d13" -> 0.233,
     "d14" -> 0.571,
+    // d15/d16/s06/s07 joined after the r12-close derivation; solo-run
+    // medians stand in until the next full-suite re-pin (solo > in-suite
+    // by the first-touch footer costs, so these bias totalRatio ≤ 1)
+    "d15" -> 1.723,
+    "d16" -> 1.256,
     "m01" -> 0.102,
     "m02" -> 0.141,
     "m03" -> 0.724,
@@ -167,6 +172,8 @@ object Bench {
     "q39" -> 0.792,
     "q40" -> 0.413,
     "s01" -> 0.281,
+    "s06" -> 0.984,
+    "s07" -> 0.786,
     "s02" -> 0.286,
     "s03" -> 0.716,
     "s04" -> 0.536,
