@@ -42,10 +42,11 @@ object SparkEntry {
     "d11" -> "lsh_embedding_dup", "d12" -> "bloom_decontaminate",
     "d13" -> "incremental_dedup", "d14" -> "prefix_dedup",
     "d15" -> "dup_spans", "d16" -> "semantic_dedup",
+    "d17" -> "leakage_guarded_split",
     "m01" -> "binary_meta", "m02" -> "size_classes",
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",
-    "m07" -> "scene_change",
+    "m07" -> "scene_change", "m08" -> "phash_neardup",
     "p01" -> "stack_stats", "p02" -> "batch_propagate",
     "p03" -> "thickness_math", "p04" -> "energy_math",
     "p05" -> "identifiers", "p06" -> "required_counts",
@@ -77,12 +78,13 @@ object SparkEntry {
     "t05" -> "clean_normalize", "t06" -> "edit_distance",
     "t07" -> "token_chunks", "t08" -> "ngram_repetition",
     "t09" -> "vocab_stats", "t10" -> "tfidf_topterms",
-    "t11" -> "blocklist_scrub",
+    "t11" -> "blocklist_scrub", "t12" -> "pii_scrub",
+    "t13" -> "unigram_surprise",
     "w01" -> "hash_sample", "w02" -> "mixture_sample",
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",
     "w07" -> "budget_sample", "w08" -> "bottomk_sample",
-    "w09" -> "stratified_sample",
+    "w09" -> "stratified_sample", "w10" -> "quality_sample",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
     "x05" -> "kmv_setops")

@@ -316,6 +316,39 @@ object DedupQueries {
     // rows, so corpus-side cost is one scan + the shingle hash join.
     "d09" -> { (s, dir) => evalOverlap(s, dir) },
 
+    // Leakage-guarded split: w03's deterministic hash split COMPOSED with
+    // d09's shingle-overlap check — every train document is flagged when
+    // it shares ≥2 distinct shingles with any held-out (val/test)
+    // document, the audit a pipeline runs BEFORE shipping a split so the
+    // eval set doesn't grade memorization. Same inverted-index shape as
+    // d09 (shingle equi-join, never doc×doc); the split gate is the w03
+    // hash family (seed 2) so d17's split IS w03's split, and the output
+    // keeps every document (left join + coalesce 0) — absence-of-flag is
+    // an auditable row, not a missing one.
+    "d17" -> { (s, dir) =>
+      val bucket = TextFns.md5Hash32(col("doc_id").cast("string"), 2) % 100
+      val split = when(bucket < 90, "train")
+        .when(bucket < 95, "val").otherwise(lit("test"))
+      val base = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), split.as("split"), col("text"))
+      val sh = base.select(col("doc_id"), col("split"),
+        explode(array_distinct(TextFns.shingles(col("text"), shingleK)))
+          .as("s"))
+      val held = sh.filter(col("split") =!= "train")
+        .select(col("s"), col("doc_id").as("held_id"))
+      val leaks = sh.filter(col("split") === "train").join(held, Seq("s"))
+        .groupBy(col("doc_id"), col("held_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_leak_partners"))
+      base.select(col("doc_id"), col("split"))
+        .join(leaks, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_leak_partners"), lit(0L)).as("n_leak_partners"),
+          (coalesce(col("n_leak_partners"), lit(0L)) > 0).as("leaky"))
+    },
+
     // Sub-document exact dedup: non-overlapping 5-token windows repeated
     // across documents (the boilerplate-span detection pass — headers,
     // footers and license blocks recur verbatim across crawled pages while
@@ -938,6 +971,28 @@ object DedupQueries {
          |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
+
+    "d17" ->
+      s"""WITH ${shdSql()},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('2:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+         |         WHEN ('0x' || substr(md5('2:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT shd.doc_id, s FROM shd JOIN sp USING (doc_id)
+         |       WHERE split = 'train'),
+         |hd AS (SELECT shd.doc_id AS held_id, s FROM shd JOIN sp USING (doc_id)
+         |       WHERE split <> 'train'),
+         |pr AS (
+         |  SELECT tr.doc_id, held_id, count(*) AS n_shared
+         |  FROM tr JOIN hd USING (s) GROUP BY 1, 2 HAVING count(*) >= 2),
+         |lk AS (SELECT doc_id, count(*)::BIGINT AS n_leak_partners
+         |       FROM pr GROUP BY 1)
+         |SELECT sp.doc_id, sp.split,
+         |  coalesce(lk.n_leak_partners, 0)::BIGINT AS n_leak_partners,
+         |  (coalesce(lk.n_leak_partners, 0) > 0) AS leaky
+         |FROM sp LEFT JOIN lk USING (doc_id)""".stripMargin,
 
     "c01" ->
       s"""WITH ${shdSql()},

@@ -233,6 +233,69 @@ object MultimodalQueries {
             .as("first_change"),
           aggregate(col("deltas"), lit(0L), (a, d) => a + d).as("total_delta"),
           coalesce(array_max(col("deltas")), lit(0L)).as("max_delta"))
+    },
+
+    // Perceptual NEAR-dup: m04's exact-aHash collapse followed by d08's
+    // banded-Hamming candidate pattern — but over the DISTINCT hashes,
+    // which is the production shape: exact-dedup first shrinks the join
+    // domain to unique fingerprints (bounded by hash variety, NOT corpus
+    // rows — the codec map stays linear, the quadratic-ish band join runs
+    // on the collapsed set), then 4×16-bit bands generate candidates and
+    // bit_count(xor) verifies Hamming ≤ 6. The image differs from m04's
+    // by one "hot" pixel (+37 at position doc_id % 64), so same-seed
+    // variants land a few bits apart — real near-dups, not just re-finds
+    // of exact matches. Hash packs as ONE long (bit k = pixel ≥ mean);
+    // the oracle rebuilds it arithmetically with an explicit min-long
+    // literal for bit 63 (DuckDB's 1<<63 overflow-checks where the JVM
+    // wraps).
+    "m08" -> { (s, dir) =>
+      import s.implicits._
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val seed = id % 50
+            val hot = (id % 64).toInt
+            val px = Array.tabulate(64) { k =>
+              ((seed * 31 + k.toLong * 7 +
+                (if (k == hot) 37L else 0L)) % 256).toFloat
+            }
+            val png = ImageCodec.encodePng(px, 8, 8)
+            val (_, _, dec) = ImageCodec.decode(png)
+            var sum = 0.0
+            var i = 0
+            while (i < 64) { sum += dec(i); i += 1 }
+            val mean = sum / 64.0
+            var h = 0L
+            i = 0
+            while (i < 64) { if (dec(i) >= mean) h |= 1L << i; i += 1 }
+            (id, h)
+          }
+        }
+        .toDF("doc_id", "phash")
+      val uniq = hashed.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_doc"))
+      val bands = array((0 until 4).map(b =>
+        struct(lit(b).as("band_i"),
+          shiftrightunsigned(col("phash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("band_v"))): _*)
+      val banded = uniq
+        .select(col("phash"), col("n_images"), col("rep_doc"),
+          explode(bands).as("bd"))
+        .select(col("phash"), col("n_images"), col("rep_doc"),
+          col("bd.band_i").as("band_i"), col("bd.band_v").as("band_v"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band_i") === col("b.band_i") &&
+            col("a.band_v") === col("b.band_v") &&
+            col("a.phash") < col("b.phash"))
+        .select(col("a.phash").as("pa"), col("b.phash").as("pb"),
+          col("a.rep_doc").as("rep_a"), col("b.rep_doc").as("rep_b"),
+          col("a.n_images").as("n_a"), col("b.n_images").as("n_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))))
+        .filter(col("hamming") <= 6)
+        .select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"),
+          col("hamming"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -339,5 +402,42 @@ object MultimodalQueries {
         |  coalesce(changes[1], -1)::INT AS first_change,
         |  coalesce(list_sum(deltas), 0)::BIGINT AS total_delta,
         |  coalesce(list_max(deltas), 0)::BIGINT AS max_delta
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    "m08" ->
+      """WITH px AS (
+        |  SELECT doc_id, doc_id % 50 AS seed, doc_id % 64 AS hot,
+        |    unnest(range(0, 64)) AS k
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, k,
+        |    ((seed * 31 + k * 7 + CASE WHEN k = hot THEN 37 ELSE 0 END) % 256)
+        |      AS v
+        |  FROM px),
+        |m AS (SELECT doc_id, sum(v)::DOUBLE / 64 AS mean FROM p GROUP BY doc_id),
+        |h AS (
+        |  SELECT p.doc_id,
+        |    sum(CASE WHEN v < mean THEN 0
+        |             WHEN k = 63 THEN (-9223372036854775807::BIGINT) - 1
+        |             ELSE (1::BIGINT << k::INT) END)::BIGINT AS phash
+        |  FROM p JOIN m ON p.doc_id = m.doc_id GROUP BY p.doc_id),
+        |u AS (
+        |  SELECT phash, count(*)::BIGINT AS n_images,
+        |    min(doc_id)::BIGINT AS rep_doc
+        |  FROM h GROUP BY phash),
+        |b AS (SELECT phash, n_images, rep_doc, unnest(range(0, 4)) AS band_i
+        |      FROM u),
+        |bb AS (
+        |  SELECT phash, n_images, rep_doc, band_i,
+        |    (phash >> (band_i * 16)::INT) & 65535 AS band_v
+        |  FROM b),
+        |pr AS (
+        |  SELECT DISTINCT a.phash AS pa, b.phash AS pb,
+        |    a.rep_doc AS rep_a, b.rep_doc AS rep_b,
+        |    a.n_images AS n_a, b.n_images AS n_b
+        |  FROM bb a JOIN bb b
+        |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+        |      AND a.phash < b.phash)
+        |SELECT rep_a, rep_b, n_a, n_b, bit_count(xor(pa, pb))::INT AS hamming
+        |FROM pr WHERE bit_count(xor(pa, pb)) <= 6""".stripMargin)
 }

@@ -341,6 +341,32 @@ object SamplingQueries {
         .filter(col("rank") <= col("k_quota"))
         .select(col("doc_id"), col("source"), col("h"), col("rank"),
           col("k_quota"))
+    },
+
+    // Quality-weighted sampling: keep probability = the t02 quality score,
+    // decided by an independent hash family — the "soft filter" between
+    // w01's flat gate and c01's hard gates (DCLM/FineWeb-style quality
+    // curation keeps a stochastic fraction of mid-quality documents
+    // instead of a cliff). Deterministic like the whole w-family: the
+    // keep decision is a pure row function, so membership survives
+    // retries and re-runs, and the filter is codegen right above the scan
+    // — no shuffle, flat at any scale. FP-parity with the oracle rides on
+    // the SAME floored x10000 integer basis t02's green oracle already
+    // pins; the comparison u < q_basis is integer vs integer.
+    "w10" -> { (s, dir) =>
+      val toks = TextFns.tokens(col("text"))
+      val alphaRatio = TextFns.charClassRatio(col("text"), "[a-z]")
+      val stopRatio = TextFns.tokenSetRatio(toks, Seq("the", "a"))
+      val ttr = size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")
+      val qBasis = floor((alphaRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
+        ttr * 0.4) * 10000).cast("long")
+      Tables.load(s, dir, "documents")
+        .withColumn("q_basis", qBasis)
+        .withColumn("u",
+          TextFns.md5Hash32(col("doc_id").cast("string"), seed = 11) % 10000)
+        .filter(col("u") < col("q_basis"))
+        .select(col("doc_id"), col("source"), col("q_basis"), col("u"))
     })
 
   private def bucketSql(seed: Int) =
@@ -454,5 +480,17 @@ object SamplingQueries {
         |    AS weight,
         |  floor(pow(sum_tokens, 0.7) / sum(pow(sum_tokens, 0.7)) OVER ()
         |        * 1000000)::BIGINT AS expected_tokens
-        |FROM ps""".stripMargin)
+        |FROM ps""".stripMargin,
+
+    "w10" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    floor(((length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE / length(text) * 0.3
+        |      + (1.0 - len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the', 'a')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(text), '\s+')) ) * 0.3
+        |      + len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(text), '\s+')) * 0.4) * 10000)::BIGINT AS q_basis,
+        |    ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, q_basis, u FROM q WHERE u < q_basis""".stripMargin)
 }

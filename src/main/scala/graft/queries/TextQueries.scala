@@ -231,6 +231,65 @@ object TextQueries {
         (col("doc_id") +: counts) :+
           length(scrubbed).as("scrub_len") :+
           md5(scrubbed).as("scrub_md5"): _*)
+    },
+
+    // PII detection + redaction (email / IPv4 / 13-16-digit card), the
+    // scrub pass every published pretraining pipeline runs before release.
+    // The synthetic corpus carries no PII, so the query PLANTS a
+    // deterministic per-doc specimen suffix first — both engines build the
+    // identical string, so the detectors exercise real matches instead of
+    // certifying zeros. Everything is a codegen regexp above the scan (the
+    // w01 class: row-local, no shuffle, flat at any scale); byte-parity of
+    // the redacted text is pinned by length + md5 like t11. Patterns stay
+    // inside the Java-regex ∩ RE2 common subset ('\b', bounded repeats,
+    // classes — no lookaround, which RE2 lacks).
+    "t12" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.org office 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.1 card 4111111111111"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val cardRe = "\\b\\d{13,16}\\b"
+      // email first (its local part may contain digits), then IPs, then
+      // the bare digit runs that survive — same order in the oracle
+      val scrub = regexp_replace(regexp_replace(regexp_replace(
+        planted, emailRe, "<EMAIL>"), ipRe, "<IP>"), cardRe, "<CARD>")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(planted, lit(emailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(planted, lit(ipRe), lit(0))).as("n_ip"),
+        size(regexp_extract_all(planted, lit(cardRe), lit(0))).as("n_card"),
+        length(scrub).as("scrub_len"),
+        md5(scrub).as("scrub_md5"))
+    },
+
+    // Unigram-LM surprise scoring (the CCNet-class quality filter): each
+    // document scored by its average negative log-likelihood under the
+    // corpus's own unigram distribution — high-surprise docs are the
+    // gibberish/off-domain candidates a perplexity filter drops. Same
+    // exchange-reuse shape as t10 (the token counts feed both the vocab
+    // frequencies and the per-doc join). FP discipline: a per-doc
+    // sum(double) is summation-ORDER-dependent and Spark's partial aggs
+    // order differently than DuckDB — so the per-token nll is floored to
+    // a ×10⁴ FIXED-POINT LONG first (the t10-proven ln-parity basis) and
+    // the doc score is an integer sum + integer division: bit-exact on
+    // both engines regardless of aggregation order.
+    "t13" -> { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      tok.join(cnt, "tok").crossJoin(broadcast(tot))
+        .withColumn("nll_e4",
+          floor(log(col("n_total").cast("double") / col("n_tok")) * 10000)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("nll_e4")).as("nll_sum_e4"))
+        .select(col("doc_id"), col("n_tokens"), col("nll_sum_e4"),
+          expr("nll_sum_e4 div n_tokens").as("avg_nll_e4"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -384,5 +443,37 @@ object TextQueries {
          | length($scrub)::INT AS scrub_len,
          | md5($scrub) AS scrub_md5
          |FROM documents""".stripMargin
-    })
+    },
+
+    "t12" -> {
+      val planted = "text || ' contact u' || doc_id::VARCHAR || " +
+        "'@mail.example.org office 10.' || (doc_id % 256)::VARCHAR || " +
+        "'.0.1 card 4111111111111' || lpad((doc_id % 1000)::VARCHAR, 3, '0')"
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipRe = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+      val cardRe = """\b\d{13,16}\b"""
+      val scrub = s"regexp_replace(regexp_replace(regexp_replace(($planted)," +
+        s" '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g')," +
+        s" '$cardRe', '<CARD>', 'g')"
+      s"""SELECT doc_id,
+         | len(regexp_extract_all($planted, '$emailRe'))::INT AS n_email,
+         | len(regexp_extract_all($planted, '$ipRe'))::INT AS n_ip,
+         | len(regexp_extract_all($planted, '$cardRe'))::INT AS n_card,
+         | length($scrub)::INT AS scrub_len,
+         | md5($scrub) AS scrub_md5
+         |FROM documents""".stripMargin
+    },
+
+    "t13" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM tk),
+         |cnt AS (SELECT tok, count(*)::BIGINT AS n_tok FROM tk GROUP BY tok)
+         |SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(floor(ln(tot.n_total::DOUBLE / cnt.n_tok) * 10000)::BIGINT)::BIGINT
+         |    AS nll_sum_e4,
+         |  (sum(floor(ln(tot.n_total::DOUBLE / cnt.n_tok) * 10000)::BIGINT)
+         |    // count(*))::BIGINT AS avg_nll_e4
+         |FROM tk JOIN cnt USING (tok) CROSS JOIN tot
+         |GROUP BY tk.doc_id""".stripMargin)
 }

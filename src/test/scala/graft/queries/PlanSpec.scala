@@ -628,6 +628,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), "no global sort expected")
   }
 
+  test("t12: PII scrub is codegen regexps above the scan — no key shuffle, " +
+      "no UDF (loadSpread's round-robin compute-spread is the only exchange)") {
+    val p = plan("t12")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+  }
+
+  test("w10: quality-weighted sampling is a codegen filter above the scan " +
+      "— no shuffle of any kind, membership is a pure row function") {
+    val p = plan("w10")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert("Filter.*10000".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("m07: scene-change detection is map-side column HOFs — no key " +
       "shuffle, no UDF (the m05/m06 CPU-floor class)") {
     val p = plan("m07")
@@ -635,6 +650,42 @@ class PlanSpec extends SparkSpec {
       !p.contains("Exchange rangepartitioning"), p.take(2000))
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       p.take(2000))
+  }
+
+  test("m08: perceptual near-dup joins on (band_i, band_v) over the " +
+      "DISTINCT-hash set — equi-join only, and no shuffle carries text") {
+    val p = plan("m08")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("band_v")).getOrElse("")
+    assert(joinLine.contains("band_i"), s"band join missing:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exch.contains("text#"), exch)
+  }
+
+  test("t13: unigram-surprise reuses the exploded-token exchange between " +
+      "the vocab agg and the per-doc join (the t10 diamond), and the nll " +
+      "basis is the fixed-point long — no double sum crosses a shuffle") {
+    val df = SparkEntry.queries("t13")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exch.contains("nll"), "the nll must aggregate as a long:\n" + exch)
+    assert("partial_sum\\(nll_e4".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("d17: leakage audit joins shingles equi only — no doc×doc product, " +
+      "and no text payload crosses a shuffle") {
+    val p = plan("d17")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exch.nonEmpty && !exch.contains("text#"), exch)
   }
 
   test("driver smoke contract: entry() returns rows") {
