@@ -110,11 +110,13 @@ object Bench {
     "d12" -> 1.097,
     "d13" -> 0.233,
     "d14" -> 0.571,
-    // d15/d16/s06/s07 joined after the r12-close derivation; solo-run
-    // medians stand in until the next full-suite re-pin (solo > in-suite
-    // by the first-touch footer costs, so these bias totalRatio ≤ 1)
+    // d15–d17/m08/s06/s07/t12/t13/w10 joined after the r12-close
+    // derivation; solo-run medians stand in until the next full-suite
+    // re-pin (solo > in-suite by the first-touch footer costs, so these
+    // bias totalRatio ≤ 1)
     "d15" -> 1.723,
     "d16" -> 1.256,
+    "d17" -> 1.587,
     "m01" -> 0.102,
     "m02" -> 0.141,
     "m03" -> 0.724,
@@ -122,6 +124,7 @@ object Bench {
     "m05" -> 1.799,
     "m06" -> 0.279,
     "m07" -> 0.175,
+    "m08" -> 1.245,
     "p01" -> 0.525,
     "p02" -> 0.209,
     "p03" -> 0.216,
@@ -189,6 +192,8 @@ object Bench {
     "t09" -> 0.739,
     "t10" -> 1.178,
     "t11" -> 0.140,
+    "t12" -> 0.325,
+    "t13" -> 1.100,
     "w01" -> 0.081,
     "w02" -> 0.122,
     "w03" -> 0.134,
@@ -198,6 +203,7 @@ object Bench {
     "w07" -> 0.290,
     "w08" -> 0.186,
     "w09" -> 0.456,
+    "w10" -> 0.651,
     "x01" -> 0.267,
     "x02" -> 0.440,
     "x03" -> 0.778,
