@@ -177,6 +177,7 @@ object Bench {
     "s01" -> 0.281,
     "s06" -> 0.984,
     "s07" -> 0.786,
+    "s08" -> 0.771,
     "s02" -> 0.286,
     "s03" -> 0.716,
     "s04" -> 0.536,

@@ -235,6 +235,46 @@ object SimilarityQueries {
           sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
           round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 4)
             .as("recall"))
+    },
+
+    // k-NN graph construction: s02's bucket rule applied CORPUS-WIDE —
+    // every vector gets its top-3 neighbors among its LSH bucket mates,
+    // the adjacency backbone of graph-based dedup, diversity sampling,
+    // and label propagation. Unlike s01/s02's broadcast-tiny-query-set
+    // shape, here BOTH sides are the corpus: the join is a bucket-keyed
+    // self-equi-join (per-bucket locality is the whole design — no
+    // all-pairs anywhere), the per-vector top-3 is WindowGroupLimit-
+    // pruned before the vec_id shuffle, and parallelism grows with the
+    // number of occupied buckets. Pair work is Σ n_b² = n²/2^bits at a
+    // FIXED geometry — quadratic, the exact hazard d11's auto-sizing
+    // closed — so bits auto-sizes to max(8, ⌊⌊log₂n⌋/2⌋): bucket count
+    // ~√n and bucket size ~√n, the same n^1.5 balance point as d16,
+    // with neighbor availability GROWING (√n bucket mates) instead of
+    // starving. The formula is integer-exact on both engines (bit
+    // length, not FP log2 — JVM log vs DuckDB log2 can differ in the
+    // last ulp at a power-of-two boundary); explicit conf wins.
+    "s08" -> { (s, dir) =>
+      val k = 3
+      val e = emb(s, dir)
+      val bits = s.conf.getOption("spark.graft.s08.bits").map(_.toInt)
+        .getOrElse {
+          val n = e.count() // column-less O(footers) count, the d11 pattern
+          math.max(lshBits,
+            (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) / 2)
+        }
+      val eb = e
+        .withColumn("bucket", VectorFns.signBucket(col("embedding"), bits))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("cs"), 6).desc, col("nbr"))
+      eb.as("x").join(eb.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
+          VectorFns.cosine(col("x.embedding"), col("y.embedding")).as("cs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("nbr"), round(col("cs"), 4).as("cosine"),
+          col("rank"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -391,5 +431,29 @@ object SimilarityQueries {
         |  round(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)
         |        / count(1), 4) AS recall
         |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "s08" ->
+      """WITH nb AS (
+        |  SELECT greatest(8, (length(bin(count(1))) - 1) // 2) AS bits
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN embedding[i + 1] > 0 THEN pow(2, i)::BIGINT ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(range((SELECT bits FROM nb))) AS i)
+        |  GROUP BY vec_id),
+        |e AS (
+        |  SELECT e0.vec_id, embedding::DOUBLE[] AS v, bucket
+        |  FROM embeddings e0 JOIN bk USING (vec_id))
+        |SELECT vec_id, nbr, round(cs, 4) AS cosine, rank FROM (
+        |  SELECT x.vec_id, y.vec_id AS nbr,
+        |    list_dot_product(x.v, y.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cs,
+        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |      round(list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |      DESC, y.vec_id)::INT AS rank
+        |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+        |WHERE rank <= 3""".stripMargin)
 }

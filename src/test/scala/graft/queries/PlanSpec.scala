@@ -688,6 +688,17 @@ class PlanSpec extends SparkSpec {
     assert(exch.nonEmpty && !exch.contains("text#"), exch)
   }
 
+  test("s08: k-NN graph is a bucket-keyed self-equi-join with the top-k " +
+      "WindowGroupLimit-pruned — no all-pairs product anywhere") {
+    val p = plan("s08")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("bucket")).getOrElse("")
+    assert(joinLine.nonEmpty, p.take(3000))
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
