@@ -174,6 +174,7 @@ object Bench {
     "q38" -> 0.925,
     "q39" -> 0.792,
     "q40" -> 0.413,
+    "q41" -> 0.981,
     "s01" -> 0.281,
     "s06" -> 0.984,
     "s07" -> 0.786,
@@ -205,6 +206,7 @@ object Bench {
     "w08" -> 0.186,
     "w09" -> 0.456,
     "w10" -> 0.651,
+    "w11" -> 0.748,
     "x01" -> 0.267,
     "x02" -> 0.440,
     "x03" -> 0.778,

@@ -70,6 +70,7 @@ object SparkEntry {
     "q34" -> "json_extract", "q35" -> "trailing_window",
     "q36" -> "skew_salted", "q37" -> "pivot", "q38" -> "lateral_topk",
     "q39" -> "date_spine", "q40" -> "distributed_ntile",
+    "q41" -> "cohort_retention",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "s06" -> "kmeans_step", "s07" -> "ann_recall",
@@ -86,6 +87,7 @@ object SparkEntry {
     "w05" -> "shard_export", "w06" -> "mixture_weights",
     "w07" -> "budget_sample", "w08" -> "bottomk_sample",
     "w09" -> "stratified_sample", "w10" -> "quality_sample",
+    "w11" -> "mixture_fill",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
     "x05" -> "kmv_setops")

@@ -122,6 +122,34 @@ object EventQueries {
           round(avg(col("k")), 4).as("avg_k"),
           max(col("k")).as("max_k"),
           count(when(col("k") >= 50, 1)).as("n_high"))
+    },
+
+    // Cohort retention: users grouped by first-seen week, retention = the
+    // share of each cohort active again N weeks later — the analytics
+    // staple whose 100 TB shape is two hash aggs (first-seen per user,
+    // distinct activity weeks per user) + a broadcast of the tiny cohort
+    // dimension. Week truncation is Monday-based on both engines; week_n
+    // is an exact integer (both weeks are Monday-truncated, so the day
+    // delta is always a multiple of 7 — `div` not float division).
+    "q41" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val firstW = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val sizes = firstW.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      activity.join(firstW, Seq("user_id"))
+        .withColumn("week_n",
+          expr("CAST(datediff(week, cohort_week) div 7 AS INT)"))
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("retention",
+          round(col("n_active") / col("cohort_size"), 4))
+        .select(col("cohort_week"), col("week_n"), col("n_active"),
+          col("cohort_size"), col("retention"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +226,25 @@ object EventQueries {
         | round(avg(k), 4) AS avg_k,
         | max(k) AS max_k,
         | count(CASE WHEN k >= 50 THEN 1 END)::BIGINT AS n_high
-        |FROM e GROUP BY event_type""".stripMargin)
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "q41" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+        |  FROM events GROUP BY 1),
+        |ac AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week
+        |  FROM events),
+        |j AS (
+        |  SELECT ac.user_id, cohort_week,
+        |    (datediff('day', cohort_week::DATE, week::DATE) // 7)::INT AS week_n
+        |  FROM ac JOIN fw USING (user_id)),
+        |a AS (
+        |  SELECT cohort_week, week_n, count(DISTINCT user_id)::BIGINT AS n_active
+        |  FROM j GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+        |       FROM fw GROUP BY 1)
+        |SELECT a.cohort_week, a.week_n, a.n_active, sz.cohort_size,
+        |  round(a.n_active / sz.cohort_size, 4) AS retention
+        |FROM a JOIN sz USING (cohort_week)""".stripMargin)
 }

@@ -343,6 +343,53 @@ object SamplingQueries {
           col("k_quota"))
     },
 
+    // Mixture fill: w06's temperature weights APPLIED — each source greedily
+    // fills toward ITS OWN token budget (floor of its α=0.7 mixture share
+    // of a 10k-token draw) in hash order, w07's budget machinery with the
+    // constant budget replaced by a broadcast per-source budget frame.
+    // This is the step that actually assembles a mixed corpus: w06 says
+    // how many tokens each source deserves, w11 picks the documents. Same
+    // two-phase (source, hash-chunk) prefix sum as w07 so the heavy
+    // window never keys on source alone, and the chunk-offset ≤ budget
+    // prune bounds the sort by the BUDGET, not the corpus (an
+    // oversubscribed budget degrades to keep-everything, never to error).
+    "w11" -> { (s, dir) =>
+      val alpha = 0.7
+      val mixBudget = 10000L
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFns.md5Hash32(col("doc_id").cast("string"), seed = 13).as("h"))
+        .withColumn("chunk", expr(s"h div ${1L << 26}"))
+      // 1-row-per-source frame; the unordered whole-frame window is the
+      // w06-justified single-partition exchange over a tiny frame
+      val budgets = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("budget",
+          floor(pow(col("sum_tokens"), alpha) /
+            sum(pow(col("sum_tokens"), alpha)).over(Window.partitionBy()) *
+            mixBudget).cast("long"))
+        .select(col("source"), col("budget"))
+      val wSpine = Window.partitionBy(col("source")).orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("chunk"))
+        .agg(sum(col("n_tokens")).as("chunk_tokens"))
+        .withColumn("chunk_offset",
+          coalesce(sum(col("chunk_tokens")).over(wSpine), lit(0L)))
+        .select(col("source"), col("chunk"), col("chunk_offset"))
+      val wLocal = Window.partitionBy(col("source"), col("chunk"))
+        .orderBy(col("h"), col("doc_id"))
+      base.join(offsets, Seq("source", "chunk"))
+        .join(broadcast(budgets), Seq("source"))
+        .filter(col("chunk_offset") <= col("budget"))
+        .withColumn("cum_tokens",
+          col("chunk_offset") + sum(col("n_tokens")).over(wLocal))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("budget"))
+    },
+
     // Quality-weighted sampling: keep probability = the t02 quality score,
     // decided by an independent hash family — the "soft filter" between
     // w01's flat gate and c01's hard gates (DCLM/FineWeb-style quality
@@ -481,6 +528,29 @@ object SamplingQueries {
         |  floor(pow(sum_tokens, 0.7) / sum(pow(sum_tokens, 0.7)) OVER ()
         |        * 1000000)::BIGINT AS expected_tokens
         |FROM ps""".stripMargin,
+
+    // single-window formulation (the Spark side's two-phase chunking is
+    // bit-identical by the w07/w04 pinned equivalence)
+    "w11" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5('13:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |ps AS (SELECT source, sum(n_tokens)::BIGINT AS sum_tokens
+        |       FROM t GROUP BY 1),
+        |bu AS (
+        |  SELECT source,
+        |    floor(pow(sum_tokens, 0.7) / sum(pow(sum_tokens, 0.7)) OVER ()
+        |          * 10000)::BIGINT AS budget
+        |  FROM ps),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      )::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, bu.budget
+        |FROM c JOIN bu USING (source) WHERE cum_tokens <= budget""".stripMargin,
 
     "w10" ->
       """WITH q AS (

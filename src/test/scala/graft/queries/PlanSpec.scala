@@ -699,6 +699,22 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("w11: mixture fill windows within (source, hash-chunk) like w07 — " +
+      "never source alone — and the per-source budget frame broadcasts") {
+    val p = plan("w11")
+    assert("windowspecdefinition\\(source#\\d+, chunk#".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q41: cohort retention is two hash aggregates + a broadcast of the " +
+      "tiny cohort dimension — no global sort, no product") {
+    val p = plan("q41")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
