@@ -117,6 +117,7 @@ object Bench {
     "d15" -> 1.723,
     "d16" -> 1.256,
     "d17" -> 1.587,
+    "d18" -> 1.417,
     "m01" -> 0.102,
     "m02" -> 0.141,
     "m03" -> 0.724,
@@ -196,6 +197,7 @@ object Bench {
     "t11" -> 0.140,
     "t12" -> 0.325,
     "t13" -> 1.100,
+    "t14" -> 1.723,
     "w01" -> 0.081,
     "w02" -> 0.122,
     "w03" -> 0.134,

@@ -42,7 +42,7 @@ object SparkEntry {
     "d11" -> "lsh_embedding_dup", "d12" -> "bloom_decontaminate",
     "d13" -> "incremental_dedup", "d14" -> "prefix_dedup",
     "d15" -> "dup_spans", "d16" -> "semantic_dedup",
-    "d17" -> "leakage_guarded_split",
+    "d17" -> "leakage_guarded_split", "d18" -> "dedup_manifest",
     "m01" -> "binary_meta", "m02" -> "size_classes",
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",
@@ -81,7 +81,7 @@ object SparkEntry {
     "t07" -> "token_chunks", "t08" -> "ngram_repetition",
     "t09" -> "vocab_stats", "t10" -> "tfidf_topterms",
     "t11" -> "blocklist_scrub", "t12" -> "pii_scrub",
-    "t13" -> "unigram_surprise",
+    "t13" -> "unigram_surprise", "t14" -> "source_kl_drift",
     "w01" -> "hash_sample", "w02" -> "mixture_sample",
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",

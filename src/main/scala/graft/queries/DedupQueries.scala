@@ -251,6 +251,27 @@ object DedupQueries {
           (col("node") === col("component")).as("is_representative"))
     },
 
+    // The dedup MANIFEST — what a 100 TB dedup job actually ships to the
+    // next stage: one row per corpus document with its keeper reference
+    // and a keep/drop action. d07 resolves near-dup clusters (only docs
+    // that appear in a verified pair); the manifest completes the
+    // contract by left-joining the whole corpus — unclustered documents
+    // keep themselves. Reuses the shared verified-pairs checkpoint, so
+    // in a pipeline that already ran d02/d07 the marginal cost is one
+    // broadcast-sized join (clusters ≪ corpus by construction).
+    "d18" -> { (s, dir) =>
+      val clusters = graft.operators.ConnectedComponents
+        .resolve(verifiedPairs(s, dir), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("component"), col("doc_id")).as("keeper_id"),
+          when(coalesce(col("component"), col("doc_id")) === col("doc_id"),
+            "keep").otherwise("drop").as("action"))
+    },
+
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
     "d03" -> { (s, dir) => simhashes(s, dir) },
 
@@ -935,6 +956,23 @@ object DedupQueries {
     "d03" ->
       s"""WITH $simhashSqlCtes
          |SELECT doc_id, simhash FROM sims""".stripMargin,
+
+    "d18" ->
+      s"""WITH RECURSIVE $pairsSqlCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |cl AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(cl.comp, d.doc_id)::BIGINT AS keeper_id,
+         |  CASE WHEN coalesce(cl.comp, d.doc_id) = d.doc_id THEN 'keep'
+         |       ELSE 'drop' END AS action
+         |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin,
 
     "d08" ->
       s"""WITH $simhashSqlCtes,

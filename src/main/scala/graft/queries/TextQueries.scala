@@ -290,6 +290,34 @@ object TextQueries {
           sum(col("nll_e4")).as("nll_sum_e4"))
         .select(col("doc_id"), col("n_tokens"), col("nll_sum_e4"),
           expr("nll_sum_e4 div n_tokens").as("avg_nll_e4"))
+    },
+
+    // Per-source distribution drift: KL(source ‖ corpus) over the unigram
+    // distributions — the mixture-design diagnostic that says which
+    // sources are off-domain BEFORE w06 weights them. One exploded-token
+    // hash agg feeds everything (per-(source, tok) counts roll up to both
+    // marginals — the t10/t13 reuse diamond); the KL terms live on the
+    // tiny sources×vocab frame. Same fixed-point discipline as t13, at
+    // ×10⁸ because individual terms are O(p·ln ratio) ≈ 1e-3 and a
+    // coarser floor would swallow them; both engines build the IDENTICAL
+    // double expression tree (ps, pc, ps·ln(ps/pc)) so the floor is the
+    // only rounding site.
+    "t14" -> { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val st = tok.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt_s"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("cnt_s")).as("n_s"))
+      val ct = st.groupBy(col("tok")).agg(sum(col("cnt_s")).as("cnt"))
+      val tot = ct.agg(sum(col("cnt")).as("n"))
+      val ps = col("cnt_s").cast("double") / col("n_s")
+      val pc = col("cnt").cast("double") / col("n")
+      st.join(srcTot, Seq("source")).join(ct, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_e8", floor(ps * log(ps / pc) * 1e8).cast("long"))
+        .groupBy(col("source"))
+        .agg(min(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(col("term_e8")).as("kl_e8"))
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -475,5 +503,21 @@ object TextQueries {
          |  (sum(floor(ln(tot.n_total::DOUBLE / cnt.n_tok) * 10000)::BIGINT)
          |    // count(*))::BIGINT AS avg_nll_e4
          |FROM tk JOIN cnt USING (tok) CROSS JOIN tot
-         |GROUP BY tk.doc_id""".stripMargin)
+         |GROUP BY tk.doc_id""".stripMargin,
+
+    "t14" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents),
+         |st AS (SELECT source, tok, count(*)::BIGINT AS cnt_s
+         |       FROM tk GROUP BY 1, 2),
+         |sn AS (SELECT source, sum(cnt_s)::BIGINT AS n_s FROM st GROUP BY 1),
+         |ct AS (SELECT tok, sum(cnt_s)::BIGINT AS cnt FROM st GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS n FROM ct)
+         |SELECT st.source, min(n_s)::BIGINT AS n_tokens,
+         |  count(*)::BIGINT AS vocab,
+         |  sum(floor((cnt_s::DOUBLE / n_s)
+         |        * ln((cnt_s::DOUBLE / n_s) / (cnt::DOUBLE / tot.n))
+         |        * 100000000)::BIGINT)::BIGINT AS kl_e8
+         |FROM st JOIN sn USING (source) JOIN ct USING (tok) CROSS JOIN tot
+         |GROUP BY 1""".stripMargin)
 }

@@ -715,6 +715,26 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("t14: KL drift rolls BOTH marginals up from one per-(source,tok) " +
+      "aggregate — the exploded-token frame is scanned once") {
+    val df = SparkEntry.queries("t14")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (source, tok) aggregate's exchange is reused for the corpus
+    // marginal instead of re-exploding the corpus
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("d18: the dedup manifest left-joins the corpus against the " +
+      "resolved clusters — no product, clusters never re-derived") {
+    val p = plan("d18")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
