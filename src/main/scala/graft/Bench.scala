@@ -213,7 +213,8 @@ object Bench {
     "x02" -> 0.440,
     "x03" -> 0.778,
     "x04" -> 0.340,
-    "x05" -> 1.128)
+    "x05" -> 1.128,
+    "x06" -> 0.438)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.

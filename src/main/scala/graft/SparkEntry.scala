@@ -90,5 +90,5 @@ object SparkEntry {
     "w11" -> "mixture_fill",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
-    "x05" -> "kmv_setops")
+    "x05" -> "kmv_setops", "x06" -> "zorder_key")
 }

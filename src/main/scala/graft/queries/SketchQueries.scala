@@ -174,6 +174,25 @@ object SketchQueries {
         col("n_inter_exact"), col("n_union_exact"),
         round(col("n_inter_exact") / col("n_union_exact"), 6)
           .as("jaccard_exact"))
+    },
+
+    // Z-order (Morton) clustering keys — the multi-dim layout key behind
+    // lakehouse OPTIMIZE ZORDER: interleave(l_orderkey, l_partkey) makes
+    // BOTH columns' parquet footer stats selective once the table is
+    // range-partitioned by z (ZOrderSpec measures the file-pruning win;
+    // this query pins the KEY ARITHMETIC against the oracle's bit-sum
+    // formulation — magic-mask dilation vs Σ bit·2^pos, bit-identical).
+    // Output is the per-top-byte histogram + a modular checksum, so the
+    // dump stays small while every row's key feeds the comparison.
+    "x06" -> { (s, dir) =>
+      val z = graft.functions.ZOrder
+        .interleave(col("l_orderkey"), col("l_partkey"))
+      Tables.load(s, dir, "lineitem")
+        .select(z.as("z"))
+        .groupBy(shiftrightunsigned(col("z"), 22).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+          max(col("z")).as("max_z"),
+          sum(col("z") % 1000003L).as("checksum"))
     })
 
   /** x01/x02: no oracle by design (approximate results; driver records
@@ -261,5 +280,16 @@ object SketchQueries {
         |  round(n_inter / k_obs, 6) AS jaccard_est,
         |  n_inter_exact, n_union_exact,
         |  round(n_inter_exact / n_union_exact, 6) AS jaccard_exact
-        |FROM sk, inter, exact""".stripMargin)
+        |FROM sk, inter, exact""".stripMargin,
+
+    "x06" ->
+      """WITH z AS (
+        |  SELECT (SELECT sum((((l_orderkey >> i) & 1) << (2 * i))
+        |                   + (((l_partkey >> i) & 1) << (2 * i + 1)))
+        |          FROM range(31) t(i))::BIGINT AS z
+        |  FROM lineitem)
+        |SELECT (z >> 22)::BIGINT AS bucket, count(1)::BIGINT AS n,
+        |  min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z,
+        |  sum(z % 1000003)::BIGINT AS checksum
+        |FROM z GROUP BY 1""".stripMargin)
 }

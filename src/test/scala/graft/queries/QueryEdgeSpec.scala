@@ -395,4 +395,44 @@ class QueryEdgeSpec extends SparkSpec {
     assert((1L to 4L).forall(recall(_) == 1.0), recall.toString)
     assert(out.forall(_.getLong(1) == 3L), "k_exact must be 3 for all")
   }
+
+  test("w11: an oversubscribed budget (source smaller than its share) " +
+      "degrades to keep-everything for that source — never an error, and " +
+      "cum_tokens stays the exact prefix sum") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    // 'tiny' has 2 docs of 3 tokens each (6 ≪ its budget share);
+    // 'big' has 40 docs of 8 tokens (320 tokens, budget-limited)
+    val rows = Seq(
+      Row(1L, "tiny", "a b c"), Row(2L, "tiny", "d e f")) ++
+      (1L to 40L).map(i => Row(100L + i, "big", "t u v w x y z q"))
+    val dir = miniDir("documents", rows, schema)
+    val out = SparkEntry.queries("w11")(spark, dir).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    // tiny keeps BOTH docs (cum 3, 6 vs a budget in the thousands)
+    assert(bySrc("tiny").length == 2, bySrc.view.mapValues(_.length).toMap.toString)
+    // big keeps at most budget/8 docs and every kept cum <= budget
+    for (r <- out) assert(r.getLong(3) <= r.getLong(4),
+      s"cum ${r.getLong(3)} > budget ${r.getLong(4)}")
+  }
+
+  test("t14: a single-source corpus has zero KL drift by definition — " +
+      "every term is ln(1) and the fixed-point sum is exactly 0") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val rows = Seq(
+      Row(1L, "only", "alpha beta gamma alpha"),
+      Row(2L, "only", "beta gamma delta"))
+    val dir = miniDir("documents", rows, schema)
+    val out = SparkEntry.queries("t14")(spark, dir).collect()
+    assert(out.length == 1 && out.head.getString(0) == "only")
+    assert(out.head.getLong(1) == 7L && out.head.getLong(2) == 4L,
+      out.head.toString)
+    assert(out.head.getLong(3) == 0L,
+      s"single-source KL must be exactly 0: ${out.head}")
+  }
 }
