@@ -118,6 +118,7 @@ object Bench {
     "d16" -> 1.256,
     "d17" -> 1.587,
     "d18" -> 1.417,
+    "d19" -> 3.635,
     "m01" -> 0.102,
     "m02" -> 0.141,
     "m03" -> 0.724,

@@ -272,6 +272,55 @@ object DedupQueries {
             "keep").otherwise("drop").as("action"))
     },
 
+    // MinHash CALIBRATION audit — the measurement loop behind choosing
+    // d02's band geometry (s07's role, for text): every LSH candidate
+    // pair gets its banded similarity ESTIMATE (agreeing band minima / 6)
+    // next to its exact shingle Jaccard and the absolute error. This is
+    // the query that tells you whether 6 bands over-recall (wasted verify
+    // work) or under-recall (missed dups) BEFORE a 100 TB run commits to
+    // a geometry. Same scale shapes as d02: map-side codegen signatures,
+    // band equi-join candidates, exact verify priced by candidate density
+    // — the only addition is keeping the band-agreement count instead of
+    // discarding it. Estimate-only pairs (band minima collide, zero
+    // shared shingles) surface with j_exact 0, not as absent rows.
+    "d19" -> { (s, dir) =>
+      val docsDf = Tables.loadSpread(s, dir, "documents")
+      val sigw = docsDf
+        .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+      val sig = sigw.select(col("doc_id"), col("sig").getItem(0).as("c"),
+          explode(array((1 to nBands).map(b =>
+            struct(lit(b).as("band"), col("sig").getItem(b).as("mh"))): _*))
+            .as("bm"))
+        .select(col("doc_id"), col("c"), col("bm.band").as("band"),
+          col("bm.mh").as("mh"))
+      val agree = sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.c").as("ca"), col("b.c").as("cb"))
+        .agg(count(lit(1)).as("n_agree"))
+      val candIds = agree.select(col("doc_a").as("doc_id"))
+        .union(agree.select(col("doc_b").as("doc_id"))).distinct()
+      val shd = docsDf.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(col("text"), shingleK)))
+            .as("s"))
+      val inter = shd.as("x").join(shd.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      agree.join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("i0", coalesce(col("i"), lit(0L)))
+        .withColumn("jx",
+          col("i0").cast("double") / (col("ca") + col("cb") - col("i0")))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          round(col("n_agree") / lit(nBands), 4).as("j_est"),
+          round(col("jx"), 4).as("j_exact"),
+          round(abs(col("n_agree") / lit(nBands) - col("jx")), 4)
+            .as("abs_err"))
+    },
+
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
     "d03" -> { (s, dir) => simhashes(s, dir) },
 
@@ -956,6 +1005,39 @@ object DedupQueries {
     "d03" ->
       s"""WITH $simhashSqlCtes
          |SELECT doc_id, simhash FROM sims""".stripMargin,
+
+    "d19" ->
+      s"""WITH ${shdSql()},
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shd),
+         |sig AS (
+         |  SELECT doc_id, band,
+         |    min((h * (1000003 + band*7919) + band*104729) % 2147483647) AS mh
+         |  FROM hs CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS band)
+         |  GROUP BY doc_id, band),
+         |ag AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*)::BIGINT AS n_agree
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT g.doc_a, g.doc_b, count(*) AS i
+         |  FROM ag g
+         |  JOIN shd x ON x.doc_id = g.doc_a
+         |  JOIN shd y ON y.doc_id = g.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |SELECT g.doc_a, g.doc_b, g.n_agree,
+         |  round(g.n_agree / 6, 4) AS j_est,
+         |  round(coalesce(i, 0)::DOUBLE
+         |        / (ca.c + cb.c - coalesce(i, 0)), 4) AS j_exact,
+         |  round(abs(g.n_agree / 6 - coalesce(i, 0)::DOUBLE
+         |        / (ca.c + cb.c - coalesce(i, 0))), 4) AS abs_err
+         |FROM ag g
+         |LEFT JOIN inter ON g.doc_a = inter.doc_a AND g.doc_b = inter.doc_b
+         |JOIN cnt ca ON g.doc_a = ca.doc_id
+         |JOIN cnt cb ON g.doc_b = cb.doc_id""".stripMargin,
 
     "d18" ->
       s"""WITH RECURSIVE $pairsSqlCtes,

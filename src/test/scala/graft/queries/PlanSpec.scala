@@ -735,6 +735,14 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("d19: calibration keeps d02's scale shapes — map-side signatures " +
+      "(no shingle explode before the band join), equi-joins only") {
+    val p = plan("d19")
+    assert(p.contains("minhash_sig") || p.contains("MinHashSig"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
