@@ -210,6 +210,7 @@ object Bench {
     "w09" -> 0.456,
     "w10" -> 0.651,
     "w11" -> 0.748,
+    "w12" -> 1.070,
     "x01" -> 0.267,
     "x02" -> 0.440,
     "x03" -> 0.778,
@@ -435,7 +436,8 @@ object Bench {
     // shows the designed reuse win.
     val resetBefore: Map[String, () => Unit] = Map(
       "d02" -> (() => graft.queries.DedupQueries.releaseShared(spark, "minhash")),
-      "d15" -> (() => graft.queries.DedupQueries.releaseShared(spark, "d15")))
+      "d15" -> (() => graft.queries.DedupQueries.releaseShared(spark, "d15")),
+      "w12" -> (() => graft.queries.DedupQueries.releaseShared(spark, "w12qb")))
 
     def force(name: String): Double = {
       resetBefore.get(name).foreach(_.apply())

@@ -88,7 +88,7 @@ object SparkEntry {
     "w05" -> "shard_export", "w06" -> "mixture_weights",
     "w07" -> "budget_sample", "w08" -> "bottomk_sample",
     "w09" -> "stratified_sample", "w10" -> "quality_sample",
-    "w11" -> "mixture_fill",
+    "w11" -> "mixture_fill", "w12" -> "curriculum_deciles",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
     "x05" -> "kmv_setops", "x06" -> "zorder_key")

@@ -161,7 +161,7 @@ object DedupQueries {
     * so other queries with an expensive diamond subplan (d15's gram-pair
     * frame) get the same treatment. See [[verifiedPairs]] for the full
     * rationale and the cluster-mode `checkpoint()` note. */
-  private def sharedCheckpoint(s: SparkSession, dir: String, tag: String)
+  private[queries] def sharedCheckpoint(s: SparkSession, dir: String, tag: String)
                               (build: => DataFrame): DataFrame =
     pairCache.computeIfAbsent((s, dir, tag), { _ =>
       val sc = s.sparkContext

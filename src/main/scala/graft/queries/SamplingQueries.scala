@@ -24,6 +24,20 @@ object SamplingQueries {
   private def pct(c: org.apache.spark.sql.Column, seed: Int) =
     TextFns.md5Hash32(c.cast("string"), seed) % 100
 
+  /** t02's quality score on the floored ×10⁴ integer basis — the
+    * FP-parity-safe form w10 gates on and w12 ranks on (integer compares
+    * and integer histograms downstream; the only FP rounding site is the
+    * floor, which t02's green oracle already pins). */
+  private def qBasis: org.apache.spark.sql.Column = {
+    val toks = TextFns.tokens(col("text"))
+    val alphaRatio = TextFns.charClassRatio(col("text"), "[a-z]")
+    val stopRatio = TextFns.tokenSetRatio(toks, Seq("the", "a"))
+    val ttr = size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+    floor((alphaRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 + ttr * 0.4)
+      * 10000).cast("long")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Flat 5% deterministic sample by id hash.
@@ -343,6 +357,44 @@ object SamplingQueries {
           col("k_quota"))
     },
 
+    // Curriculum decile assignment: global quality deciles for ordered
+    // training (easy→hard curricula sample by decile), WITHOUT a
+    // row-count-sized global sort — q40's value-domain-spine
+    // construction on w10's integer quality basis. The spine here is at
+    // most 10,001 rows (the basis domain), the per-value rank runs
+    // (qb)-partitioned, and the closed-form ntile remainder rule (the
+    // q40-pinned equivalence) turns global rank into decile. Ties break
+    // by doc_id on both engines.
+    "w12" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // the scored frame feeds THREE consumers (spine, total, rank join)
+      // and the quality regexes are the expensive part — checkpoint the
+      // tiny (doc_id, qb) projection once (d15's shared-diamond pattern;
+      // Bench resets tag "w12qb" per run so the build cost stays visible)
+      val scored = DedupQueries.sharedCheckpoint(s, dir, "w12qb") {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), qBasis.as("qb"))
+      }
+      val spine = scored.groupBy(col("qb")).agg(count(lit(1)).as("n"))
+        .withColumn("bucket_offset",
+          coalesce(sum(col("n")).over(Window.orderBy(col("qb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("qb"), col("bucket_offset"))
+      val total = scored.agg(count(lit(1)).as("n_total"))
+      val wIn = Window.partitionBy(col("qb")).orderBy(col("doc_id"))
+      val decile = expr(
+        """case when r <= (n_total % 10) * (n_total div 10 + 1)
+          |  then (r - 1) div (n_total div 10 + 1) + 1
+          |  else (n_total % 10) +
+          |    (r - (n_total % 10) * (n_total div 10 + 1) - 1)
+          |      div (n_total div 10) + 1 end""".stripMargin)
+      scored.join(broadcast(spine), Seq("qb"))
+        .withColumn("r", col("bucket_offset") + row_number().over(wIn))
+        .crossJoin(total)
+        .withColumn("decile", decile.cast("int"))
+        .select(col("doc_id"), col("qb").as("q_basis"), col("decile"))
+    },
+
     // Mixture fill: w06's temperature weights APPLIED — each source greedily
     // fills toward ITS OWN token budget (floor of its α=0.7 mixture share
     // of a 10k-token draw) in hash order, w07's budget machinery with the
@@ -401,13 +453,6 @@ object SamplingQueries {
     // the SAME floored x10000 integer basis t02's green oracle already
     // pins; the comparison u < q_basis is integer vs integer.
     "w10" -> { (s, dir) =>
-      val toks = TextFns.tokens(col("text"))
-      val alphaRatio = TextFns.charClassRatio(col("text"), "[a-z]")
-      val stopRatio = TextFns.tokenSetRatio(toks, Seq("the", "a"))
-      val ttr = size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double")
-      val qBasis = floor((alphaRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
-        ttr * 0.4) * 10000).cast("long")
       Tables.load(s, dir, "documents")
         .withColumn("q_basis", qBasis)
         .withColumn("u",
@@ -562,5 +607,18 @@ object SamplingQueries {
         |          / len(regexp_split_to_array(trim(text), '\s+')) * 0.4) * 10000)::BIGINT AS q_basis,
         |    ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS u
         |  FROM documents)
-        |SELECT doc_id, source, q_basis, u FROM q WHERE u < q_basis""".stripMargin)
+        |SELECT doc_id, source, q_basis, u FROM q WHERE u < q_basis""".stripMargin,
+
+    "w12" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    floor(((length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE / length(text) * 0.3
+        |      + (1.0 - len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the', 'a')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(text), '\s+')) ) * 0.3
+        |      + len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(text), '\s+')) * 0.4) * 10000)::BIGINT AS q_basis
+        |  FROM documents)
+        |SELECT doc_id, q_basis,
+        |  ntile(10) OVER (ORDER BY q_basis, doc_id)::INT AS decile
+        |FROM q""".stripMargin)
 }

@@ -743,6 +743,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("w12: curriculum deciles rank (qb)-partitioned against a broadcast " +
+      "value-domain spine — no row-count-sized global sort (q40's shape)") {
+    val p = plan("w12")
+    assert("windowspecdefinition\\(qb#\\d+L, doc_id#".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
