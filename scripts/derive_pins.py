@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Re-derive Bench.CleanMediansSf01 from N close-run bench outputs.
+
+Usage: python3 scripts/derive_pins.py /tmp/close_r12b_A.json [...]
+
+Each input holds the two bench lines (`bench_detail` + metric). Takes the
+per-query MIN of the detail-line medians across runs (the least-contaminated
+clean-floor estimate; see the pin scaladoc in Bench.scala), prints the Scala
+map body ready to paste, plus the canary pins and run summaries.
+"""
+import json, re, sys
+
+runs = []
+for path in sys.argv[1:]:
+    detail = metric = None
+    for line in open(path):
+        line = line.strip().removeprefix("[info] ")
+        if '"bench_detail"' in line:
+            detail = json.loads(line)
+        elif '"metric"' in line:
+            metric = json.loads(line)
+    runs.append((path, detail, metric))
+
+qs = {}
+for path, detail, metric in runs:
+    t = metric["value"] if metric else None
+    print(f"# {path}: total {t} contaminated={metric.get('contaminated')}"
+          f" canary_x={metric.get('canary_x')} canary_max={metric.get('canary_max')}"
+          f" cpu_ref={metric.get('cpu_ref')} mt_x={metric.get('mt_x')}")
+    for q, v in detail["bench_detail"]["queries"].items():
+        if v >= 0:
+            qs.setdefault(q, []).append(v)
+
+pins = {q: min(vs) for q, vs in sorted(qs.items())}
+print(f"# pin sum: {sum(pins.values()):.2f} s over {len(pins)} queries")
+print(f"# canaries: q02 {pins.get('q02')}, q16 {pins.get('q16')}, q30 {pins.get('q30')}")
+for q, v in pins.items():
+    print(f'    "{q}" -> {v:.3f},')

@@ -26,10 +26,9 @@ object Bench {
     * first 6 bytes → `parsed: null` for the round of record (the third
     * emission failure after r2/r7). 150 reserves the epilogue plus 2×
     * headroom for its variable-width time/date text. As of round 12 the
-    * registry keys ARE the short codes (c01…x05, ≤4 chars), so the
-    * full-suite per-query map at 3 decimals is 1,365 measured bytes (101
-    * queries) and fits the remaining budget with ~400 B margin — the
-    * ladder's first step lands
+    * registry keys ARE the short codes (c01…x06, ≤4 chars), so the
+    * full-suite per-query map at 3 decimals is ~1,590 measured bytes (118
+    * queries) and fits the remaining budget — the ladder's first step lands
     * (see metricLine) — BenchEmitSpec models the epilogue end-to-end.
     */
   val SafetyMargin = 150
@@ -63,8 +62,8 @@ object Bench {
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
     * (seconds) — refreshed EVERY round from the min of that round's
-    * full-suite per-query medians (r12 close: q02 0.139, q16 0.110,
-    * q30 0.106 from the four quiet close runs; r6–r8 pins had drifted
+    * full-suite per-query medians (r12 FINAL close: q02 0.146, q16 0.106,
+    * q30 0.099 from the four quiet 118-query close runs; r6–r8 pins had drifted
     * until q30 read 1.7× on a near-clean run). Rationale: median-of-3 rejects a
     * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
     * noisy neighbor) elevates all three runs of every query — r8's driver
@@ -76,18 +75,20 @@ object Bench {
     * SF the flag is omitted rather than guessed.
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.139,
-    "q16"   -> 0.110,
-    "q30"     -> 0.106)
+    "q02" -> 0.146,
+    "q16"   -> 0.106,
+    "q30"     -> 0.099)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 12 FINAL binary: four quiet full-suite runs
-    * A–D on the closing code, all contaminated:false by their own
-    * canaries; derivation in BENCH_NOTES.md). The derivation runs' own
-    * environment probes ride beside the pins so later drift is
-    * attributable (verdict r10 #5): totals 50.40/51.21/49.28/50.03 s,
-    * cpu_ref 0.045/0.046/0.047/0.033, mt_x 2.9/2.7/2.0/3.6.
+    * this container (round 12 FINAL binary, 118 queries: four quiet
+    * full-suite runs A–D on the closing code, all contaminated:false by
+    * their own canaries; derivation in BENCH_NOTES.md, re-derivable via
+    * scripts/derive_pins.py). The derivation runs' own environment
+    * probes ride beside the pins so later drift is attributable
+    * (verdict r10 #5): totals 65.08/65.89/68.12/72.70 s,
+    * cpu_ref 0.044/0.045/0.049/0.057, mt_x 2.8/3.0/2.0/2.6; pin sum
+    * 61.91 s.
     * Min-of-runs is the least-contaminated estimate of the
     * clean floor, which biases totalRatio slightly ≥1 on a genuinely
     * clean run — the 1.5× threshold absorbs that. Refresh each round:
@@ -95,128 +96,124 @@ object Bench {
     * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.597,
-    "d01" -> 0.253,
-    "d02" -> 2.840,
-    "d03" -> 0.164,
-    "d04" -> 1.396,
-    "d05" -> 0.545,
-    "d06" -> 0.171,
-    "d07" -> 1.095,
-    "d08" -> 0.749,
-    "d09" -> 0.810,
-    "d10" -> 0.822,
+    "c01" -> 1.663,
+    "d01" -> 0.249,
+    "d02" -> 2.940,
+    "d03" -> 0.163,
+    "d04" -> 1.525,
+    "d05" -> 0.541,
+    "d06" -> 0.174,
+    "d07" -> 1.045,
+    "d08" -> 0.767,
+    "d09" -> 0.786,
+    "d10" -> 0.828,
     "d11" -> 0.910,
-    "d12" -> 1.097,
-    "d13" -> 0.233,
-    "d14" -> 0.571,
-    // d15–d17/m08/s06/s07/t12/t13/w10 joined after the r12-close
-    // derivation; solo-run medians stand in until the next full-suite
-    // re-pin (solo > in-suite by the first-touch footer costs, so these
-    // bias totalRatio ≤ 1)
-    "d15" -> 1.723,
-    "d16" -> 1.256,
-    "d17" -> 1.587,
-    "d18" -> 1.417,
-    "d19" -> 3.635,
-    "m01" -> 0.102,
-    "m02" -> 0.141,
-    "m03" -> 0.724,
-    "m04" -> 0.685,
-    "m05" -> 1.799,
-    "m06" -> 0.279,
-    "m07" -> 0.175,
-    "m08" -> 1.245,
-    "p01" -> 0.525,
-    "p02" -> 0.209,
-    "p03" -> 0.216,
-    "p04" -> 0.138,
-    "p05" -> 0.226,
-    "p06" -> 0.412,
-    "p07" -> 0.476,
-    "p08" -> 0.874,
-    "p09" -> 0.129,
-    "q01" -> 0.239,
-    "q02" -> 0.139,
-    "q03" -> 0.494,
-    "q04" -> 0.476,
-    "q05" -> 0.633,
-    "q06" -> 0.152,
-    "q07" -> 0.236,
-    "q08" -> 0.343,
-    "q09" -> 0.180,
-    "q10" -> 0.272,
-    "q11" -> 0.186,
-    "q12" -> 0.816,
-    "q13" -> 0.664,
-    "q14" -> 0.149,
+    "d12" -> 1.239,
+    "d13" -> 0.230,
+    "d14" -> 0.564,
+    "d15" -> 1.169,
+    "d16" -> 0.978,
+    "d17" -> 1.157,
+    "d18" -> 1.119,
+    "d19" -> 2.812,
+    "m01" -> 0.100,
+    "m02" -> 0.144,
+    "m03" -> 0.711,
+    "m04" -> 0.663,
+    "m05" -> 1.759,
+    "m06" -> 0.245,
+    "m07" -> 0.170,
+    "m08" -> 0.777,
+    "p01" -> 0.530,
+    "p02" -> 0.212,
+    "p03" -> 0.200,
+    "p04" -> 0.151,
+    "p05" -> 0.228,
+    "p06" -> 0.426,
+    "p07" -> 0.536,
+    "p08" -> 0.890,
+    "p09" -> 0.146,
+    "q01" -> 0.248,
+    "q02" -> 0.146,
+    "q03" -> 0.512,
+    "q04" -> 0.510,
+    "q05" -> 0.715,
+    "q06" -> 0.150,
+    "q07" -> 0.246,
+    "q08" -> 0.350,
+    "q09" -> 0.189,
+    "q10" -> 0.279,
+    "q11" -> 0.195,
+    "q12" -> 0.820,
+    "q13" -> 0.544,
+    "q14" -> 0.145,
     "q15" -> 0.166,
-    "q16" -> 0.110,
-    "q17" -> 0.299,
-    "q18" -> 0.447,
+    "q16" -> 0.106,
+    "q17" -> 0.287,
+    "q18" -> 0.420,
     "q19" -> 0.214,
-    "q20" -> 0.261,
-    "q21" -> 0.369,
-    "q22" -> 0.222,
-    "q23" -> 0.242,
-    "q24" -> 0.334,
-    "q25" -> 1.150,
-    "q26" -> 0.289,
-    "q27" -> 0.335,
-    "q28" -> 0.174,
-    "q29" -> 0.203,
-    "q30" -> 0.106,
-    "q31" -> 0.341,
-    "q32" -> 0.744,
-    "q33" -> 0.854,
-    "q34" -> 0.340,
-    "q35" -> 0.282,
-    "q36" -> 0.340,
+    "q20" -> 0.221,
+    "q21" -> 0.345,
+    "q22" -> 0.206,
+    "q23" -> 0.226,
+    "q24" -> 0.338,
+    "q25" -> 1.171,
+    "q26" -> 0.291,
+    "q27" -> 0.319,
+    "q28" -> 0.186,
+    "q29" -> 0.194,
+    "q30" -> 0.099,
+    "q31" -> 0.362,
+    "q32" -> 0.747,
+    "q33" -> 0.845,
+    "q34" -> 0.339,
+    "q35" -> 0.276,
+    "q36" -> 0.335,
     "q37" -> 0.169,
-    "q38" -> 0.925,
-    "q39" -> 0.792,
-    "q40" -> 0.413,
-    "q41" -> 0.981,
-    "s01" -> 0.281,
-    "s06" -> 0.984,
-    "s07" -> 0.786,
-    "s08" -> 0.771,
-    "s02" -> 0.286,
-    "s03" -> 0.716,
-    "s04" -> 0.536,
-    "s05" -> 0.339,
-    "t01" -> 0.129,
-    "t02" -> 0.302,
-    "t03" -> 0.163,
-    "t04" -> 0.284,
-    "t05" -> 0.142,
-    "t06" -> 0.155,
-    "t07" -> 0.143,
-    "t08" -> 0.347,
-    "t09" -> 0.739,
-    "t10" -> 1.178,
-    "t11" -> 0.140,
-    "t12" -> 0.325,
-    "t13" -> 1.100,
-    "t14" -> 1.723,
-    "w01" -> 0.081,
-    "w02" -> 0.122,
-    "w03" -> 0.134,
-    "w04" -> 0.325,
-    "w05" -> 0.134,
-    "w06" -> 0.156,
-    "w07" -> 0.290,
-    "w08" -> 0.186,
-    "w09" -> 0.456,
-    "w10" -> 0.651,
-    "w11" -> 0.748,
-    "w12" -> 1.070,
-    "x01" -> 0.267,
-    "x02" -> 0.440,
-    "x03" -> 0.778,
-    "x04" -> 0.340,
-    "x05" -> 1.128,
-    "x06" -> 0.438)
+    "q38" -> 0.921,
+    "q39" -> 0.820,
+    "q40" -> 0.406,
+    "q41" -> 0.413,
+    "s01" -> 0.345,
+    "s02" -> 0.300,
+    "s03" -> 0.597,
+    "s04" -> 0.564,
+    "s05" -> 0.306,
+    "s06" -> 0.649,
+    "s07" -> 0.546,
+    "s08" -> 0.750,
+    "t01" -> 0.145,
+    "t02" -> 0.317,
+    "t03" -> 0.191,
+    "t04" -> 0.296,
+    "t05" -> 0.145,
+    "t06" -> 0.180,
+    "t07" -> 0.142,
+    "t08" -> 0.349,
+    "t09" -> 0.789,
+    "t10" -> 1.482,
+    "t11" -> 0.153,
+    "t12" -> 0.178,
+    "t13" -> 0.940,
+    "t14" -> 1.468,
+    "w01" -> 0.085,
+    "w02" -> 0.145,
+    "w03" -> 0.129,
+    "w04" -> 0.377,
+    "w05" -> 0.146,
+    "w06" -> 0.178,
+    "w07" -> 0.368,
+    "w08" -> 0.235,
+    "w09" -> 0.504,
+    "w10" -> 0.416,
+    "w11" -> 0.401,
+    "w12" -> 0.515,
+    "x01" -> 0.275,
+    "x02" -> 0.408,
+    "x03" -> 0.830,
+    "x04" -> 0.524,
+    "x05" -> 1.118,
+    "x06" -> 0.209)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
