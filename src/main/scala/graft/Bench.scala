@@ -174,6 +174,8 @@ object Bench {
     "q39" -> 0.820,
     "q40" -> 0.406,
     "q41" -> 0.413,
+    // t15/q42 joined after the final close; solo-run stand-ins
+    "q42" -> 0.617,
     "s01" -> 0.345,
     "s02" -> 0.300,
     "s03" -> 0.597,
@@ -196,6 +198,7 @@ object Bench {
     "t12" -> 0.178,
     "t13" -> 0.940,
     "t14" -> 1.468,
+    "t15" -> 0.590,
     "w01" -> 0.085,
     "w02" -> 0.145,
     "w03" -> 0.129,

@@ -71,7 +71,7 @@ object SparkEntry {
     "q34" -> "json_extract", "q35" -> "trailing_window",
     "q36" -> "skew_salted", "q37" -> "pivot", "q38" -> "lateral_topk",
     "q39" -> "date_spine", "q40" -> "distributed_ntile",
-    "q41" -> "cohort_retention",
+    "q41" -> "cohort_retention", "q42" -> "user_anomalies",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "s06" -> "kmeans_step", "s07" -> "ann_recall",
@@ -83,6 +83,7 @@ object SparkEntry {
     "t09" -> "vocab_stats", "t10" -> "tfidf_topterms",
     "t11" -> "blocklist_scrub", "t12" -> "pii_scrub",
     "t13" -> "unigram_surprise", "t14" -> "source_kl_drift",
+    "t15" -> "langid_confusion",
     "w01" -> "hash_sample", "w02" -> "mixture_sample",
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",

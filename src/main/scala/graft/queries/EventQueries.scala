@@ -150,6 +150,33 @@ object EventQueries {
           round(col("n_active") / col("cohort_size"), 4))
         .select(col("cohort_week"), col("week_n"), col("n_active"),
           col("cohort_size"), col("retention"))
+    },
+
+    // Per-user outlier detection: events whose value z-score against the
+    // user's own distribution exceeds 2 — the metrics-anomaly staple.
+    // One user-keyed stats aggregate broadcast back onto the stream; the
+    // FP discipline is the knife-edge one: avg/stddev over doubles are
+    // summation-order-dependent (Spark partial aggs vs DuckDB), so the
+    // GATE compares the z-score ROUNDED to 4 decimals — cross-engine
+    // deltas are ~1e-12 relative, which the rounding absorbs except on
+    // astronomically unlikely exact boundaries (t13's accepted class).
+    // Single-event users (stddev null) and zero-variance users (stddev 0)
+    // emit no anomalies by definition — the join drops them via the
+    // sd > 0 gate, never by divide-by-null surprise.
+    "q42" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val st = ev.groupBy(col("user_id"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"),
+          count(lit(1)).as("n_events"))
+        .filter(col("sd") > 0)
+      ev.join(st, Seq("user_id"))
+        .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) > 2)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_anomalies"),
+          max(abs(col("z"))).as("max_abs_z"),
+          min(col("event_id")).as("first_event"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -246,5 +273,18 @@ object EventQueries {
         |       FROM fw GROUP BY 1)
         |SELECT a.cohort_week, a.week_n, a.n_active, sz.cohort_size,
         |  round(a.n_active / sz.cohort_size, 4) AS retention
-        |FROM a JOIN sz USING (cohort_week)""".stripMargin)
+        |FROM a JOIN sz USING (cohort_week)""".stripMargin,
+
+    "q42" ->
+      """WITH st AS (
+        |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1 HAVING stddev_samp(value) > 0),
+        |z AS (
+        |  SELECT e.user_id, e.event_id,
+        |    round((e.value - st.mu) / st.sd, 4) AS z
+        |  FROM events e JOIN st USING (user_id))
+        |SELECT user_id, count(*)::BIGINT AS n_anomalies,
+        |  max(abs(z)) AS max_abs_z, min(event_id)::BIGINT AS first_event
+        |FROM z WHERE abs(z) > 2 GROUP BY 1""".stripMargin)
 }

@@ -64,19 +64,24 @@ object TextQueries {
 
     // Marker-vocabulary language ID (n-gram-heuristic family): score each
     // language by marker-token hits, argmax with a fixed tie-break chain.
-    "t03" -> { (s, dir) =>
-      val toks = TextFns.tokens(col("text"))
-      val scored = docs(s, dir).select(
-        (col("doc_id") +: col("lang").as("actual_lang") +:
-          langMarkers.map { case (lang, markers) =>
-            size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
-              .as(s"score_$lang")
-          }): _*)
-      val maxScore = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
-      scored.withColumn("pred_lang",
-        langMarkers.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
-          when(acc.isNotNull, acc).otherwise(when(col(s"score_$l") === maxScore, lit(l)))
-        })
+    "t03" -> { (s, dir) => langPred(s, dir) },
+
+    // Language-ID QUALITY audit: the confusion matrix + per-class recall
+    // of t03's marker classifier against the labeled column — the
+    // evaluation every heuristic classifier ships with (the s07/d19
+    // measurement-loop pattern, for langid). Two tiny aggregations over
+    // t03's scored frame; the per-class total joins back broadcast.
+    "t15" -> { (s, dir) =>
+      val pred = langPred(s, dir)
+        .select(col("actual_lang"), col("pred_lang"))
+      val cell = pred.groupBy(col("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pred.groupBy(col("actual_lang"))
+        .agg(count(lit(1)).as("n_actual"))
+      cell.join(broadcast(totals), Seq("actual_lang"))
+        .select(col("actual_lang"), col("pred_lang"), col("n"),
+          col("n_actual"),
+          round(col("n") / col("n_actual"), 4).as("frac"))
     },
 
     // Cleaning/normalization transform: lowercase, strip non-alpha chars,
@@ -320,12 +325,44 @@ object TextQueries {
           sum(col("term_e8")).as("kl_e8"))
     })
 
+  /** t03's scored frame (doc_id, actual_lang, per-language marker scores,
+    * pred_lang) — shared by the classifier (t03) and its audit (t15). */
+  private def langPred(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = docs(s, dir).select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        langMarkers.map { case (lang, markers) =>
+          size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+            .as(s"score_$lang")
+        }): _*)
+    val maxScore = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    scored.withColumn("pred_lang",
+      langMarkers.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+        when(acc.isNotNull, acc).otherwise(when(col(s"score_$l") === maxScore, lit(l)))
+      })
+  }
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   private def markerScoreSql(markers: Seq[String]): String = {
     val set = markers.map(m => s"'$m'").mkString(", ")
     s"len(list_filter($toksSql, t -> t IN ($set)))::INT"
   }
+
+  /** t03's full SELECT — reused verbatim as the t15 audit's inner
+    * frame so the two oracles cannot drift apart. */
+  private def t03Sql: String =
+    s"""SELECT doc_id, lang AS actual_lang,
+           | ${markerScoreSql(Seq("the", "a", "fast", "slow"))} AS score_en,
+           | ${markerScoreSql(Seq("key", "value", "data"))} AS score_es,
+           | ${markerScoreSql(Seq("table", "column", "row"))} AS score_fr,
+           | ${markerScoreSql(Seq("stream", "batch", "spark"))} AS score_de,
+           | CASE
+           |  WHEN ${markerScoreSql(Seq("the", "a", "fast", "slow"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'en'
+           |  WHEN ${markerScoreSql(Seq("key", "value", "data"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'es'
+           |  WHEN ${markerScoreSql(Seq("table", "column", "row"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'fr'
+           |  ELSE 'de' END AS pred_lang
+           |FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t01" ->
@@ -347,18 +384,19 @@ object TextQueries {
          |   + len(list_distinct($toksSql))::DOUBLE / len($toksSql) * 0.4) * 10000) / 10000 AS quality
          |FROM documents""".stripMargin,
 
-    "t03" ->
-      s"""SELECT doc_id, lang AS actual_lang,
-         | ${markerScoreSql(Seq("the", "a", "fast", "slow"))} AS score_en,
-         | ${markerScoreSql(Seq("key", "value", "data"))} AS score_es,
-         | ${markerScoreSql(Seq("table", "column", "row"))} AS score_fr,
-         | ${markerScoreSql(Seq("stream", "batch", "spark"))} AS score_de,
-         | CASE
-         |  WHEN ${markerScoreSql(Seq("the", "a", "fast", "slow"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'en'
-         |  WHEN ${markerScoreSql(Seq("key", "value", "data"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'es'
-         |  WHEN ${markerScoreSql(Seq("table", "column", "row"))} = greatest(${markerScoreSql(Seq("the", "a", "fast", "slow"))}, ${markerScoreSql(Seq("key", "value", "data"))}, ${markerScoreSql(Seq("table", "column", "row"))}, ${markerScoreSql(Seq("stream", "batch", "spark"))}) THEN 'fr'
-         |  ELSE 'de' END AS pred_lang
-         |FROM documents""".stripMargin,
+    "t03" -> t03Sql,
+
+    "t15" ->
+      s"""WITH p AS ($t03Sql),
+         |cell AS (
+         |  SELECT actual_lang, pred_lang, count(*)::BIGINT AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT actual_lang, count(*)::BIGINT AS n_actual
+         |  FROM p GROUP BY 1)
+         |SELECT cell.actual_lang, cell.pred_lang, cell.n, tot.n_actual,
+         |  round(cell.n / tot.n_actual, 4) AS frac
+         |FROM cell JOIN tot USING (actual_lang)""".stripMargin,
 
     "t05" ->
       """SELECT doc_id,

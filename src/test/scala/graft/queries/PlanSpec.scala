@@ -751,6 +751,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q42: per-user anomaly stats broadcast back onto the event stream " +
+      "— one user-keyed aggregate, no global sort") {
+    val p = plan("q42")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
