@@ -176,6 +176,7 @@ object Bench {
     "q41" -> 0.413,
     // t15/q42 joined after the final close; solo-run stand-ins
     "q42" -> 0.617,
+    "q43" -> 0.534,
     "s01" -> 0.345,
     "s02" -> 0.300,
     "s03" -> 0.597,

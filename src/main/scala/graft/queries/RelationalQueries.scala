@@ -523,6 +523,32 @@ object RelationalQueries {
     // extra row) is then a closed-form expression of (rank, N) — checked
     // against Spark's own ntile in QueryEdgeSpec and against DuckDB's in
     // the oracle.
+    // RFM customer segmentation — the marketing-analytics staple: per
+    // customer, days since last order (anchored to the corpus's max date
+    // so the query is deterministic, not wall-clock-dependent), order
+    // count, and lifetime spend, classified into fixed segments. The
+    // segment GATES are integer comparisons only (recency days,
+    // frequency count) — monetary is a double sum whose cross-engine
+    // summation-order deltas make threshold gates knife-edged (q42's
+    // lesson), so it is REPORTED rounded, never gated on. One hash agg +
+    // a 1-row broadcast anchor: the 100 TB shape is a single
+    // customer-keyed exchange.
+    "q43" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val anchor = o.agg(max(col("o_orderdate")).as("max_date"))
+      val rfm = o.crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey"))
+        .agg(min(datediff(col("max_date"), col("o_orderdate"))).as("recency"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")), 4).as("monetary"))
+      rfm.withColumn("segment",
+        when(col("recency") <= 365 && col("frequency") >= 10, "champion")
+          .when(col("recency") <= 365, "active")
+          .when(col("frequency") >= 10, "lapsed_loyal")
+          .otherwise(lit("dormant")))
+    },
+
     "q40" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
@@ -828,6 +854,22 @@ object RelationalQueries {
         |  ON date_trunc('month', o.o_orderdate) = spine.m
         | AND o.o_totalprice > 450000
         |GROUP BY spine.m""".stripMargin,
+
+    "q43" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+        |r AS (
+        |  SELECT o_custkey,
+        |    min(datediff('day', o_orderdate::DATE, mx.max_date::DATE))::INT
+        |      AS recency,
+        |    count(*)::BIGINT AS frequency,
+        |    round(sum(o_totalprice), 4) AS monetary
+        |  FROM orders CROSS JOIN mx GROUP BY 1)
+        |SELECT o_custkey, recency, frequency, monetary,
+        |  CASE WHEN recency <= 365 AND frequency >= 10 THEN 'champion'
+        |       WHEN recency <= 365 THEN 'active'
+        |       WHEN frequency >= 10 THEN 'lapsed_loyal'
+        |       ELSE 'dormant' END AS segment
+        |FROM r""".stripMargin,
 
     "q40" ->
       """WITH r AS (
