@@ -116,6 +116,7 @@ object Bench {
     "d17" -> 1.157,
     "d18" -> 1.119,
     "d19" -> 2.812,
+    "d20" -> 2.162,
     "m01" -> 0.100,
     "m02" -> 0.144,
     "m03" -> 0.711,

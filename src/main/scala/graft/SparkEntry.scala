@@ -43,7 +43,7 @@ object SparkEntry {
     "d13" -> "incremental_dedup", "d14" -> "prefix_dedup",
     "d15" -> "dup_spans", "d16" -> "semantic_dedup",
     "d17" -> "leakage_guarded_split", "d18" -> "dedup_manifest",
-    "d19" -> "minhash_calibration",
+    "d19" -> "minhash_calibration", "d20" -> "ensemble_dedup_vote",
     "m01" -> "binary_meta", "m02" -> "size_classes",
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",

@@ -321,6 +321,29 @@ object DedupQueries {
             .as("abs_err"))
     },
 
+    // Ensemble near-dup vote: the three independent pair detectors —
+    // MinHash-verified Jaccard (d02), banded SimHash Hamming (d08), and
+    // exact n-gram Jaccard (d04) — unioned into one per-pair verdict
+    // with a vote count and per-method flags. This is how production
+    // dedup actually decides on marginal pairs (methods disagree
+    // precisely on the interesting ones: d02 can MISS true ≥0.5-Jaccard
+    // pairs whose bands never collide — visible here as ngram-only
+    // votes — while simhash fires on bit-local pairs the shingle
+    // methods score below threshold). The per-method lambdas are reused
+    // through the registry at CALL time, so d20 can never drift from
+    // the detectors it grades, and d02's shared verified-pair
+    // checkpoint is reused, not rebuilt.
+    "d20" -> { (s, dir) =>
+      def pairsOf(code: String) = queries(code)(s, dir)
+        .select(col("doc_a"), col("doc_b")).withColumn("method", lit(code))
+      pairsOf("d02").union(pairsOf("d08")).union(pairsOf("d04"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_votes"),
+          max(when(col("method") === "d02", 1).otherwise(0)).as("via_minhash"),
+          max(when(col("method") === "d08", 1).otherwise(0)).as("via_simhash"),
+          max(when(col("method") === "d04", 1).otherwise(0)).as("via_ngram"))
+    },
+
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
     "d03" -> { (s, dir) => simhashes(s, dir) },
 
@@ -1005,6 +1028,50 @@ object DedupQueries {
     "d03" ->
       s"""WITH $simhashSqlCtes
          |SELECT doc_id, simhash FROM sims""".stripMargin,
+
+    // the minhash chain (pairsSqlCtes) supplies tk/shd, which the simhash
+    // and exact-ngram chains below reuse (their own tk would clash)
+    "d20" ->
+      s"""WITH $pairsSqlCtes,
+         |h2 AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
+         |bits2 AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (hv // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h2 CROSS JOIN (SELECT unnest(range(32)) AS b)
+         |  GROUP BY doc_id, b),
+         |sims2 AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits2 GROUP BY doc_id),
+         |bands2 AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (8*b::INT)) % 256 AS bv
+         |  FROM sims2 CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |scand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands2 a JOIN bands2 b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |spairs AS (
+         |  SELECT doc_a, doc_b FROM scand WHERE bit_count(xor(sa, sb)) <= 3),
+         |ginter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |gpairs AS (
+         |  SELECT doc_a, doc_b FROM ginter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5),
+         |votes AS (
+         |  SELECT doc_a, doc_b, 'd02' AS method FROM pairs
+         |  UNION ALL SELECT doc_a, doc_b, 'd08' FROM spairs
+         |  UNION ALL SELECT doc_a, doc_b, 'd04' FROM gpairs)
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_votes,
+         |  max(CASE WHEN method = 'd02' THEN 1 ELSE 0 END)::INT AS via_minhash,
+         |  max(CASE WHEN method = 'd08' THEN 1 ELSE 0 END)::INT AS via_simhash,
+         |  max(CASE WHEN method = 'd04' THEN 1 ELSE 0 END)::INT AS via_ngram
+         |FROM votes GROUP BY 1, 2""".stripMargin,
 
     "d19" ->
       s"""WITH ${shdSql()},
