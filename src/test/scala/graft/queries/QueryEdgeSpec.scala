@@ -435,4 +435,50 @@ class QueryEdgeSpec extends SparkSpec {
     assert(out.head.getLong(3) == 0L,
       s"single-source KL must be exactly 0: ${out.head}")
   }
+
+  test("d20 ensemble invariants on real data: vote count is the flag sum, " +
+      "and every minhash-verified pair also carries the exact-ngram vote " +
+      "(d02 ⊆ d04 — LSH only prunes candidates, never adds pairs)") {
+    val out = SparkEntry.queries("d20")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (votes, mh, sh, ng) =
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(votes == mh + sh + ng, r.toString)
+      assert(mh == 0 || ng == 1,
+        s"minhash-verified pair missing its exact-ngram vote: $r")
+    }
+    graft.queries.DedupQueries.releaseShared(spark)
+  }
+
+  test("t15 confusion-matrix invariants on real data: per-class cells sum " +
+      "to n_actual and per-class fracs sum to ~1") {
+    val out = SparkEntry.queries("t15")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byActual = out.groupBy(_.getString(0))
+    for ((lang, rows) <- byActual) {
+      val nActual = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == nActual, lang)
+      val fracSum = rows.map(_.getDouble(4)).sum
+      assert(math.abs(fracSum - 1.0) < 1e-3, s"$lang fracs sum to $fracSum")
+    }
+  }
+
+  test("q43: a customer whose only order IS the corpus max date has " +
+      "recency 0, and every segment verdict follows the integer gates") {
+    val out = SparkEntry.queries("q43")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getInt(1) == 0), "someone ordered on the max date")
+    for (r <- out) {
+      val (rec, freq, seg) = (r.getInt(1), r.getLong(2), r.getString(4))
+      val want =
+        if (rec <= 365 && freq >= 10) "champion"
+        else if (rec <= 365) "active"
+        else if (freq >= 10) "lapsed_loyal"
+        else "dormant"
+      assert(seg == want, r.toString)
+    }
+  }
 }
