@@ -178,6 +178,7 @@ object Bench {
     // t15/q42 joined after the final close; solo-run stand-ins
     "q42" -> 0.617,
     "q43" -> 0.534,
+    "q44" -> 2.264,
     "s01" -> 0.345,
     "s02" -> 0.300,
     "s03" -> 0.597,

@@ -72,7 +72,7 @@ object SparkEntry {
     "q36" -> "skew_salted", "q37" -> "pivot", "q38" -> "lateral_topk",
     "q39" -> "date_spine", "q40" -> "distributed_ntile",
     "q41" -> "cohort_retention", "q42" -> "user_anomalies",
-    "q43" -> "rfm_segments",
+    "q43" -> "rfm_segments", "q44" -> "part_affinity",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "s06" -> "kmeans_step", "s07" -> "ann_recall",

@@ -549,6 +549,36 @@ object RelationalQueries {
           .otherwise(lit("dormant")))
     },
 
+    // Market-basket affinity: parts co-ordered in the same order, with
+    // support (co-order count) and lift — association mining's first
+    // query. The self-join is keyed by l_orderkey, so pair work is
+    // Σ per-order basket² (baskets are small and bounded by business
+    // reality, not corpus size — the join never goes quadratic in rows),
+    // the pair aggregation combines map-side, and the part-frequency
+    // dimension joins back broadcast. Lift's double math follows the
+    // identical expression tree on both engines and is reported rounded.
+    "q44" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .join(broadcast(pc.select(col("l_partkey").as("part_a"),
+          col("n_part").as("ca"))), Seq("part_a"))
+        .join(broadcast(pc.select(col("l_partkey").as("part_b"),
+          col("n_part").as("cb"))), Seq("part_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("part_a"), col("part_b"), col("n_orders"),
+          round(col("n_orders").cast("double") * col("n_orders_total") /
+            (col("ca") * col("cb")), 4).as("lift"))
+    },
+
     "q40" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
@@ -854,6 +884,25 @@ object RelationalQueries {
         |  ON date_trunc('month', o.o_orderdate) = spine.m
         | AND o.o_totalprice > 450000
         |GROUP BY spine.m""".stripMargin,
+
+    "q44" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey, count(*)::BIGINT AS n_part FROM li GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders_total
+        |        FROM li),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*)::BIGINT AS n_orders
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_orders,
+        |  round(n_orders::DOUBLE * tot.n_orders_total
+        |        / (ca.n_part * cb.n_part), 4) AS lift
+        |FROM pr
+        |JOIN pc ca ON part_a = ca.l_partkey
+        |JOIN pc cb ON part_b = cb.l_partkey
+        |CROSS JOIN tot""".stripMargin,
 
     "q43" ->
       """WITH mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
