@@ -125,6 +125,7 @@ object Bench {
     "m06" -> 0.245,
     "m07" -> 0.170,
     "m08" -> 0.777,
+    "m09" -> 0.847,
     "p01" -> 0.530,
     "p02" -> 0.212,
     "p03" -> 0.200,

@@ -48,6 +48,7 @@ object SparkEntry {
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",
     "m07" -> "scene_change", "m08" -> "phash_neardup",
+    "m09" -> "audio_fingerprint",
     "p01" -> "stack_stats", "p02" -> "batch_propagate",
     "p03" -> "thickness_math", "p04" -> "energy_math",
     "p05" -> "identifiers", "p06" -> "required_counts",

@@ -16,6 +16,28 @@ import graft.multimodal.Multimodal.ImageCodec
   */
 object MultimodalQueries {
 
+  /** m06's deterministic fake-PCM frame energies (5 + doc_id % 5 frames
+    * of `frameLen` samples; every 7th (frame + doc) is silent) — shared
+    * by the energy stats (m06) and the fingerprint dedup (m09) so the
+    * "decoder" is one definition. % is sign-of-dividend on purpose
+    * (DuckDB parity for signed ids; see m06's comment).
+    */
+  private def fakeFrameEnergies(frameLen: Int): org.apache.spark.sql.Column = {
+    val nFrames = (lit(5) + (col("doc_id") % 5L).cast("int")).cast("int")
+    transform(sequence(lit(0), nFrames - 1), f => {
+      val silent = (f.cast("long") + col("doc_id")) % 7L === 0L
+      val energy = aggregate(
+        sequence(lit(0), lit(frameLen - 1)),
+        lit(0L),
+        (acc, i) => {
+          val g = f.cast("long") * frameLen + i.cast("long")
+          val v = (col("doc_id") * 7919L + g * 31L) % 256L - 128L
+          acc + v * v
+        })
+      when(silent, lit(0L)).otherwise(energy)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary-column metadata: content addressing (md5), byte sizing, head
@@ -175,19 +197,7 @@ object MultimodalQueries {
       // the two agree; % keeps the parity for any future signed ids. The
       // silent gate is mod-convention-independent (x % 7 == 0 iff
       // pmod(x, 7) == 0), and 5 + doc_id % 5 stays >= 1 for any sign.
-      val nFrames = (lit(5) + (col("doc_id") % 5L).cast("int")).cast("int")
-      val frames = transform(sequence(lit(0), nFrames - 1), f => {
-        val silent = (f.cast("long") + col("doc_id")) % 7L === 0L
-        val energy = aggregate(
-          sequence(lit(0), lit(frameLen - 1)),
-          lit(0L),
-          (acc, i) => {
-            val g = f.cast("long") * frameLen + i.cast("long")
-            val v = (col("doc_id") * 7919L + g * 31L) % 256L - 128L
-            acc + v * v
-          })
-        when(silent, lit(0L)).otherwise(energy)
-      })
+      val frames = fakeFrameEnergies(frameLen)
       Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), frames.as("fe"))
         .select(col("doc_id"),
@@ -233,6 +243,30 @@ object MultimodalQueries {
             .as("first_change"),
           aggregate(col("deltas"), lit(0L), (a, d) => a + d).as("total_delta"),
           coalesce(array_max(col("deltas")), lit(0L)).as("max_delta"))
+    },
+
+    // Acoustic-fingerprint dedup (the chromaprint FAMILY shape): the
+    // fingerprint is the energy-delta SIGN pattern across consecutive
+    // frames (bit f set iff energy[f+1] > energy[f]) — robust to gain
+    // changes in a real decoder, here computed over m06's shared fake-PCM
+    // energies so swapping in a real codec replaces ONE definition for
+    // both queries. Census per (n_frames, fingerprint): the hash-agg
+    // collapse is m04's audio sibling; everything is map-side integer
+    // HOFs above the scan and the shuffle carries (int, long) keys only.
+    "m09" -> { (s, dir) =>
+      val fe = fakeFrameEnergies(160)
+      val fp = aggregate(
+        transform(sequence(lit(0), size(col("fe")) - 2), f =>
+          when(element_at(col("fe"), f + 2) > element_at(col("fe"), f + 1),
+            // column shift amount: the sql function form (the Scala
+            // shiftleft overload takes a literal Int only)
+            call_function("shiftleft", lit(1L), f)).otherwise(lit(0L))),
+        lit(0L), (a, b) => a + b)
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), fe.as("fe"))
+        .select(col("doc_id"), size(col("fe")).as("n_frames"), fp.as("fp"))
+        .groupBy(col("n_frames"), col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
     },
 
     // Perceptual NEAR-dup: m04's exact-aHash collapse followed by d08's
@@ -403,6 +437,28 @@ object MultimodalQueries {
         |  coalesce(list_sum(deltas), 0)::BIGINT AS total_delta,
         |  coalesce(list_max(deltas), 0)::BIGINT AS max_delta
         |FROM d""".stripMargin,
+
+    "m09" ->
+      """WITH fr AS (
+        |  SELECT doc_id, (5 + doc_id % 5)::INT AS n_frames,
+        |    unnest(range(0, 5 + doc_id % 5)) AS f
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n_frames, f,
+        |    CASE WHEN (f + doc_id) % 7 = 0 THEN 0 ELSE (
+        |      SELECT sum(((doc_id*7919 + (f*160 + i)*31) % 256 - 128)
+        |               * ((doc_id*7919 + (f*160 + i)*31) % 256 - 128))
+        |      FROM range(0, 160) t(i)) END AS energy
+        |  FROM fr),
+        |d AS (
+        |  SELECT a.doc_id, a.n_frames,
+        |    sum(CASE WHEN b.energy > a.energy
+        |             THEN (1::BIGINT << a.f::INT) ELSE 0 END)::BIGINT AS fp
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  GROUP BY 1, 2)
+        |SELECT n_frames, fp, count(*)::BIGINT AS n_docs,
+        |  min(doc_id)::BIGINT AS rep_doc
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     "m08" ->
       """WITH px AS (

@@ -643,6 +643,16 @@ class PlanSpec extends SparkSpec {
     assert("Filter.*10000".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("m09: audio fingerprinting is map-side integer HOFs into one hash " +
+      "agg — the shuffle carries (n_frames, fp) keys only, no UDF") {
+    val p = plan("m09")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exch.contains("fp#") || exch.contains("n_frames#"), p.take(3000))
+    assert(!exch.contains("fe#"), "energy arrays must not cross a shuffle:\n" + exch)
+  }
+
   test("m07: scene-change detection is map-side column HOFs — no key " +
       "shuffle, no UDF (the m05/m06 CPU-floor class)") {
     val p = plan("m07")
