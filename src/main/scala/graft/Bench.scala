@@ -203,6 +203,7 @@ object Bench {
     "t13" -> 0.940,
     "t14" -> 1.468,
     "t15" -> 0.590,
+    "t16" -> 0.601,
     "w01" -> 0.085,
     "w02" -> 0.145,
     "w03" -> 0.129,

@@ -85,7 +85,7 @@ object SparkEntry {
     "t09" -> "vocab_stats", "t10" -> "tfidf_topterms",
     "t11" -> "blocklist_scrub", "t12" -> "pii_scrub",
     "t13" -> "unigram_surprise", "t14" -> "source_kl_drift",
-    "t15" -> "langid_confusion",
+    "t15" -> "langid_confusion", "t16" -> "zipf_fit",
     "w01" -> "hash_sample", "w02" -> "mixture_sample",
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",

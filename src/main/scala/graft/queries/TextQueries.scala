@@ -323,6 +323,29 @@ object TextQueries {
         .groupBy(col("source"))
         .agg(min(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab"),
           sum(col("term_e8")).as("kl_e8"))
+    },
+
+    // Zipf fit — see the scaladoc above `t03Sql` for the exact-integer
+    // regression scheme. The rank window runs on the vocab-sized frame
+    // (single partition, t09/w06's justified tiny-frame window).
+    "t16" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      val xy = ranked.select(
+        floor(log(col("rank").cast("double")) * 10000).cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * 10000).cast("long").as("y"))
+      val sums = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      sums.select(col("n").as("n_vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy").cast("double") / col("n")) / 10000, 4)
+          .as("mean_log_freq"))
     })
 
   /** t03's scored frame (doc_id, actual_lang, per-language marker scores,
@@ -348,6 +371,17 @@ object TextQueries {
     val set = markers.map(m => s"'$m'").mkString(", ")
     s"len(list_filter($toksSql, t -> t IN ($set)))::INT"
   }
+
+  /** Zipf rank-frequency diagnostics (t16): the least-squares slope of
+    * log-freq vs log-rank, computed with EXACT INTEGER arithmetic — both
+    * lns are floored to ×10⁴ fixed-point longs and the regression's four
+    * sums (Σx, Σy, Σxy, Σx²) are long sums, so numerator and denominator
+    * are bit-identical across engines regardless of aggregation order;
+    * only the final division is floating (reported rounded). Long-range
+    * bound: |Σxy| ≤ vocab · (1.4e5)² ≈ 2e10·vocab, so the closed form is
+    * exact to vocab ~10⁷ — far past any natural-language vocabulary
+    * (the t09 argument: vocab is content-bounded, not corpus-bounded).
+    */
 
   /** t03's full SELECT — reused verbatim as the t15 audit's inner
     * frame so the two oracles cannot drift apart. */
@@ -557,5 +591,28 @@ object TextQueries {
          |        * ln((cnt_s::DOUBLE / n_s) / (cnt::DOUBLE / tot.n))
          |        * 100000000)::BIGINT)::BIGINT AS kl_e8
          |FROM st JOIN sn USING (source) JOIN ct USING (tok) CROSS JOIN tot
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    "t16" ->
+      s"""WITH tk AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents),
+         |fr AS (SELECT tok, count(*)::BIGINT AS freq FROM tk GROUP BY 1),
+         |rk AS (
+         |  SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, tok) AS rank
+         |  FROM fr),
+         |xy AS (
+         |  SELECT floor(ln(rank::DOUBLE) * 10000)::BIGINT AS x,
+         |    floor(ln(freq::DOUBLE) * 10000)::BIGINT AS y
+         |  FROM rk),
+         |s AS (
+         |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         |    sum(x * x)::BIGINT AS sxx
+         |  FROM xy)
+         |SELECT n AS n_vocab,
+         |  round((n * sxy - sx * sy)::DOUBLE
+         |        / (n * sxx - sx * sx), 6) AS zipf_slope,
+         |  round((sy::DOUBLE / n) / 10000, 4) AS mean_log_freq
+         |FROM s""".stripMargin)
 }
