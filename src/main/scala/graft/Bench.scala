@@ -221,7 +221,8 @@ object Bench {
     "x03" -> 0.830,
     "x04" -> 0.524,
     "x05" -> 1.118,
-    "x06" -> 0.209)
+    "x06" -> 0.209,
+    "x07" -> 0.749)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.

@@ -94,5 +94,6 @@ object SparkEntry {
     "w11" -> "mixture_fill", "w12" -> "curriculum_deciles",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
-    "x05" -> "kmv_setops", "x06" -> "zorder_key")
+    "x05" -> "kmv_setops", "x06" -> "zorder_key",
+    "x07" -> "linear_counting")
 }

@@ -176,6 +176,35 @@ object SketchQueries {
           .as("jaccard_exact"))
     },
 
+    // Linear (bitmap) counting, Whang et al. TODS'90 — the third portable
+    // distinct sketch next to x04's KMV: hash each token into an m-bucket
+    // bitmap, estimate n̂ = m·ln(m / empty). Like x03/x04 the md5 family
+    // makes the sketch STATE deterministic, so the estimate is
+    // oracle-exact (ln of an exact integer ratio, reported rounded).
+    // 100 TB shape: the shuffle carries distinct bucket ids (≤ m = 4096
+    // rows out of any corpus); the saturation guard (empty = 0 → NULL)
+    // takes the same guarded-CASE arm on both engines instead of ±inf.
+    "x07" -> { (s, dir) =>
+      val m = 4096
+      val occ = Tables.loadSpread(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+        .select(pmod(graft.functions.TextFns.md5Hash32(col("tok")),
+          lit(m.toLong)).as("bucket"))
+        .distinct()
+        .agg(count(lit(1)).as("occupied"))
+      val ex = Tables.loadSpread(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+        .select(graft.functions.TextFns.md5Hash32(col("tok")).as("h"))
+        .distinct().agg(count(lit(1)).as("n_exact"))
+      occ.crossJoin(ex).select(
+        lit(m).as("m"), col("occupied"),
+        when(col("occupied") < m,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m) - col("occupied"))), 4))
+          .otherwise(lit(null).cast("double")).as("est_distinct"),
+        col("n_exact"))
+    },
+
     // Z-order (Morton) clustering keys — the multi-dim layout key behind
     // lakehouse OPTIMIZE ZORDER: interleave(l_orderkey, l_partkey) makes
     // BOTH columns' parquet footer stats selective once the table is
@@ -281,6 +310,24 @@ object SketchQueries {
         |  n_inter_exact, n_union_exact,
         |  round(n_inter_exact / n_union_exact, 6) AS jaccard_exact
         |FROM sk, inter, exact""".stripMargin,
+
+    "x07" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+        |  FROM tk),
+        |occ AS (
+        |  SELECT count(*)::BIGINT AS occupied
+        |  FROM (SELECT DISTINCT hv % 4096 FROM h)),
+        |ex AS (SELECT count(*)::BIGINT AS n_exact FROM h)
+        |SELECT 4096 AS m, occupied,
+        |  CASE WHEN occupied < 4096
+        |       THEN round(4096.0 * ln(4096.0 / (4096 - occupied)), 4)
+        |       ELSE NULL END AS est_distinct,
+        |  n_exact
+        |FROM occ, ex""".stripMargin,
 
     "x06" ->
       """WITH z AS (
