@@ -117,6 +117,7 @@ object Bench {
     "d18" -> 1.119,
     "d19" -> 2.812,
     "d20" -> 2.162,
+    "d21" -> 1.221,
     "m01" -> 0.100,
     "m02" -> 0.144,
     "m03" -> 0.711,
@@ -180,6 +181,7 @@ object Bench {
     "q42" -> 0.617,
     "q43" -> 0.534,
     "q44" -> 2.264,
+    "q45" -> 0.435,
     "s01" -> 0.345,
     "s02" -> 0.300,
     "s03" -> 0.597,

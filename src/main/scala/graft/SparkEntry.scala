@@ -44,6 +44,7 @@ object SparkEntry {
     "d15" -> "dup_spans", "d16" -> "semantic_dedup",
     "d17" -> "leakage_guarded_split", "d18" -> "dedup_manifest",
     "d19" -> "minhash_calibration", "d20" -> "ensemble_dedup_vote",
+    "d21" -> "cluster_size_report",
     "m01" -> "binary_meta", "m02" -> "size_classes",
     "m03" -> "codec_roundtrip", "m04" -> "phash_dedup",
     "m05" -> "frame_sample", "m06" -> "audio_energy",
@@ -74,6 +75,7 @@ object SparkEntry {
     "q39" -> "date_spine", "q40" -> "distributed_ntile",
     "q41" -> "cohort_retention", "q42" -> "user_anomalies",
     "q43" -> "rfm_segments", "q44" -> "part_affinity",
+    "q45" -> "pareto_share",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "s06" -> "kmeans_step", "s07" -> "ann_recall",

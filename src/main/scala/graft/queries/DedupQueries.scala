@@ -344,6 +344,23 @@ object DedupQueries {
           max(when(col("method") === "d04", 1).otherwise(0)).as("via_ngram"))
     },
 
+    // Dedup REPORT: the duplicate-cluster size histogram — the one-page
+    // summary a dedup run ships to humans (how much is duplicated, in
+    // what clump sizes, and how many docs the manifest will drop). From
+    // d07's resolved components: cluster sizes, then size → frequency,
+    // with docs_dropped = (size − 1)·n_clusters per bucket. Reuses the
+    // shared verified-pair checkpoint; the histogram frames are
+    // cluster-count-sized, then size-distinct-sized — vanishing.
+    "d21" -> { (s, dir) =>
+      val sizes = graft.operators.ConnectedComponents
+        .resolve(verifiedPairs(s, dir), "doc_a", "doc_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_dropped",
+          (col("cluster_size") - 1) * col("n_clusters"))
+    },
+
     // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
     "d03" -> { (s, dir) => simhashes(s, dir) },
 
@@ -1105,6 +1122,23 @@ object DedupQueries {
          |LEFT JOIN inter ON g.doc_a = inter.doc_a AND g.doc_b = inter.doc_b
          |JOIN cnt ca ON g.doc_a = ca.doc_id
          |JOIN cnt cb ON g.doc_b = cb.doc_id""".stripMargin,
+
+    "d21" ->
+      s"""WITH RECURSIVE $pairsSqlCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+         |sz AS (SELECT component, count(*)::BIGINT AS cluster_size
+         |       FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+         |  ((cluster_size - 1) * count(*))::BIGINT AS docs_dropped
+         |FROM sz GROUP BY 1""".stripMargin,
 
     "d18" ->
       s"""WITH RECURSIVE $pairsSqlCtes,

@@ -579,6 +579,32 @@ object RelationalQueries {
             (col("ca") * col("cb")), 4).as("lift"))
     },
 
+    // Pareto concentration: how many customers carry 80% of revenue. The
+    // customer-revenue frame is tiny after the aggregate, so the global
+    // rank/prefix-sum window is the w06-class justified whole-frame
+    // window. FP discipline: total_rev is taken as max(cum_rev) — the
+    // LAST value of the deterministic ordered prefix sum — never a
+    // separate unordered sum(double), so numerator and denominator come
+    // from the same summation sequence on both engines.
+    "q45" -> { (s, dir) =>
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      val ranked = rev
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_rev",
+          sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = ranked.agg(max(col("cum_rev")).as("total_rev"),
+        max(col("rank")).cast("long").as("n_customers"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("cum_rev") / col("total_rev") >= 0.8)
+        .agg(min(col("rank")).cast("long").as("n80"),
+          max(col("n_customers")).as("n_customers"))
+        .select(col("n80"), col("n_customers"),
+          round(col("n80").cast("double") / col("n_customers"), 4)
+            .as("pareto_frac"))
+    },
+
     "q40" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
@@ -884,6 +910,24 @@ object RelationalQueries {
         |  ON date_trunc('month', o.o_orderdate) = spine.m
         | AND o.o_totalprice > 450000
         |GROUP BY spine.m""".stripMargin,
+
+    "q45" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rank,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev),
+        |tot AS (
+        |  SELECT max(cum_rev) AS total_rev, max(rank)::BIGINT AS n_customers
+        |  FROM r)
+        |SELECT min(rank)::BIGINT AS n80, max(tot.n_customers) AS n_customers,
+        |  round(min(rank)::DOUBLE / max(tot.n_customers), 4) AS pareto_frac
+        |FROM r CROSS JOIN tot
+        |WHERE cum_rev / tot.total_rev >= 0.8""".stripMargin,
 
     "q44" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
