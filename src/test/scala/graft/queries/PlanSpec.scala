@@ -581,6 +581,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q45: Pareto rank/prefix-sum is bucket-PARTITIONED (r12's weak: the " +
+      "customer frame funneled through one unpartitioned WindowExec) — the " +
+      "only partition-less window left runs on the band-bounded spine") {
+    val p = plan("q45")
+    // the customer-frame window (rank + cum_rev over rev desc, custkey)
+    // must be keyed by the revenue band
+    assert("windowspecdefinition\\(bucket#\\d+L, rev#\\d+L DESC".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    // no unpartitioned window may touch a customer-frame column: every
+    // windowspecdefinition that isn't bucket-keyed must be the spine's
+    // (inputs n/srev — never rev/o_custkey directly)
+    val unpart = "windowspecdefinition\\((?!bucket#)[^)]*".r
+      .findAllIn(p).toSeq
+    assert(unpart.forall(w => !w.contains("rev#") || w.contains("srev#")),
+      s"unpartitioned window over the customer frame:\n${unpart.mkString("\n")}")
+    // spine and totals broadcast back to the fact side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("d15: duplicated-span shuffles carry hashed longs only — the gram " +
       "text never leaves the map side, and nothing sorts") {
     val p = plan("d15")

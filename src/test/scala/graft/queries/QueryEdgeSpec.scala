@@ -253,6 +253,45 @@ class QueryEdgeSpec extends SparkSpec {
     }
   }
 
+  test("q45: the two-phase banded Pareto matches the naive global-window " +
+      "construction on awkward shapes (n=1, all-equal revenue collapsing " +
+      "the histogram to one band, ties, an exact-80% knife edge)") {
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(Seq(
+      StructField("o_custkey", LongType, nullable = false),
+      StructField("o_totalprice", DoubleType, nullable = false)))
+    val cases: Seq[Seq[(Long, Double)]] = Seq(
+      Seq(1L -> 123.45),                               // single customer
+      (1L to 50L).map(_ -> 10.0),                      // all equal → 1 band
+      (1L to 40L).map(i => i -> ((i % 5) * 100.0 + 1.0)), // heavy ties
+      Seq(1L -> 0.80, 2L -> 0.20),                     // cum/total == 0.8 exactly
+      (1L to 200L).map(i => i -> (i * i % 997).toDouble / 100.0))
+    for ((c, idx) <- cases.zipWithIndex) {
+      val rows = c.map { case (k, p) => Row(k, p) }
+      val dir = miniDir("orders", rows, schema)
+      val got = SparkEntry.queries("q45")(spark, dir).collect().head
+      // the naive construction the r12 version used, in exact cents
+      val rev = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      val want = rev
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(rev.agg(sum("rev").as("tot"), count(lit(1)).as("n")))
+        .filter(col("cum") * 5 >= col("tot") * 4)
+        .agg(min("rank").as("n80"), max("n").as("n")).collect().head
+      assert(got.getLong(0) == want.getLong(0) &&
+        got.getLong(1) == want.getLong(1),
+        s"case $idx: got (${got.getLong(0)},${got.getLong(1)}), " +
+          s"want (${want.getLong(0)},${want.getLong(1)})")
+      assert(math.abs(got.getDouble(2) -
+        want.getLong(0).toDouble / want.getLong(1)) < 5e-5, s"case $idx frac")
+    }
+  }
+
   test("d15: a shared 8-gram is flagged across documents, a within-doc " +
       "repeat alone is not, and short docs get 0/0/0.0 (the descending-" +
       "sequence guard)") {
