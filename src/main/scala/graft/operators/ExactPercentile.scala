@@ -46,16 +46,32 @@ object ExactPercentile {
          ps: Seq[(String, Double)],
          spanOverride: Option[Double] = None): DataFrame = {
     require(ps.nonEmpty, "ExactPercentile.of needs at least one percentile")
+    require(ps.map(_._1).distinct.size == ps.size,
+      s"duplicate percentile output names in ${ps.map(_._1)} — the pivot " +
+        "would silently collapse them into one column")
     ps.foreach { case (n, p) =>
       require(p >= 0.0 && p <= 1.0, s"percentile $n=$p outside [0, 1]")
     }
-    val base = df.select(col(grpName).as("g"), valCol.cast("double").as("v"))
+    // the group key travels wrapped in a 1-field struct: a null GROUP KEY
+    // is a real percentile() group, but bare null keys never match in the
+    // equi-joins below — struct-wrapped nulls do
+    val base = df.select(struct(col(grpName)).as("g"),
+        valCol.cast("double").as("v"))
       .filter(col("v").isNotNull)
     val span = spanOverride.getOrElse {
       val r = base.agg(min(col("v")), max(col("v"))).head()
       if (r.isNullAt(0)) 1.0
-      else math.max((r.getDouble(1) - r.getDouble(0)) /
-        (df.sparkSession.sparkContext.defaultParallelism.toDouble * 4), 1e-9)
+      else {
+        // the floor scales with the value MAGNITUDE, not a constant:
+        // a constant (min==max) or near-constant column with |v|~1e10
+        // against a 1e-9 floor would make chunk = floor(v/span) overflow
+        // Long (ANSI throw); |v|·1e-12 bounds chunk ids at ~1e12 while
+        // staying far finer than any useful chunking
+        val absMax = math.max(math.abs(r.getDouble(0)), math.abs(r.getDouble(1)))
+        math.max((r.getDouble(1) - r.getDouble(0)) /
+          (df.sparkSession.sparkContext.defaultParallelism.toDouble * 4),
+          math.max(1e-9, absMax * 1e-12))
+      }
     }
     require(span > 0, s"ExactPercentile span must be > 0: got $span")
     val chunked = base.withColumn("chunk", floor(col("v") / span).cast("long"))
@@ -110,8 +126,16 @@ object ExactPercentile {
       .withColumn("value",
         when(col("whi") === 0.0, col("vlo"))
           .otherwise(col("wlo") * col("vlo") + col("whi") * col("vhi")))
-    picked.groupBy(col("g").as(grpName))
+    val pivoted = picked.groupBy(col("g").as("gp"))
       .pivot("pname", ps.map(_._1))
       .agg(first(col("value")))
+    // groups whose values are ALL null were filtered out of `base` above —
+    // percentile()'s contract keeps the group and returns NULL, so
+    // left-join the result back onto the full group set (null-safe: a
+    // null GROUP KEY is itself a valid percentile() group)
+    df.select(struct(col(grpName)).as("g")).distinct()
+      .join(pivoted, col("g") <=> col("gp"), "left")
+      .select(col("g").getField(grpName).as(grpName) +:
+        ps.map { case (n, _) => col(n) }: _*)
   }
 }

@@ -255,8 +255,15 @@ object MultimodalQueries {
     // HOFs above the scan and the shuffle carries (int, long) keys only.
     "m09" -> { (s, dir) =>
       val fe = fakeFrameEnergies(160)
+      // m07's descending-sequence guard: a 1-frame doc (reachable for
+      // signed doc_ids, where 5 + id % 5 can be 1) makes
+      // sequence(0, -1) the DESCENDING [0, -1] and element_at(fe, 1±1)
+      // ANSI-throws — a 1-frame fingerprint is the empty delta pattern,
+      // fp = 0, which the oracle's LEFT-join sum mirrors
       val fp = aggregate(
-        transform(sequence(lit(0), size(col("fe")) - 2), f =>
+        transform(
+          when(size(col("fe")) >= 2, sequence(lit(0), size(col("fe")) - 2))
+            .otherwise(array().cast("array<int>")), f =>
           when(element_at(col("fe"), f + 2) > element_at(col("fe"), f + 1),
             // column shift amount: the sql function form (the Scala
             // shiftleft overload takes a literal Int only)
@@ -454,7 +461,7 @@ object MultimodalQueries {
         |  SELECT a.doc_id, a.n_frames,
         |    sum(CASE WHEN b.energy > a.energy
         |             THEN (1::BIGINT << a.f::INT) ELSE 0 END)::BIGINT AS fp
-        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  FROM e a LEFT JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
         |  GROUP BY 1, 2)
         |SELECT n_frames, fp, count(*)::BIGINT AS n_docs,
         |  min(doc_id)::BIGINT AS rep_doc

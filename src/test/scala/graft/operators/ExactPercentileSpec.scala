@@ -76,5 +76,34 @@ class ExactPercentileSpec extends SparkSpec {
       ExactPercentile.of(df, "g", col("v"), Seq("bad" -> 1.5)))
     intercept[IllegalArgumentException](
       ExactPercentile.of(df, "g", col("v"), Seq("p50" -> 0.5), Some(0.0)))
+    intercept[IllegalArgumentException](
+      ExactPercentile.of(df, "g", col("v"), Seq("p50" -> 0.5, "p50" -> 0.9)),
+    )
+  }
+
+  test("all-null groups and null GROUP KEYS keep percentile()'s contract: " +
+      "the group row survives with null percentiles / its values computed") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (Some("allnull"), None), (Some("allnull"), None),
+      (None, Some(10.0)), (None, Some(20.0))).toDF("g", "v")
+    val got = ExactPercentile.of(df, "g", col("v"), Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got.keySet == Set(Some("a"), Some("allnull"), None),
+      "every group in df must emit exactly one row")
+    assert(got(Some("a")).contains(2.0))
+    assert(got(Some("allnull")).isEmpty,
+      "an all-null group returns NULL, exactly like percentile()")
+    assert(got(None).contains(15.0),
+      "a null group key is a real group (null-safe join back)")
+  }
+
+  test("a constant column at |v|~1e10 (min==max) no longer overflows the " +
+      "chunk id — the span floor scales with value magnitude") {
+    val df = Seq("a" -> 9.2e10, "a" -> 9.2e10, "b" -> -9.2e10).toDF("g", "v")
+    val got = ExactPercentile.of(df, "g", col("v"), Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 9.2e10, "b" -> -9.2e10))
   }
 }

@@ -203,6 +203,44 @@ class QueryEdgeSpec extends SparkSpec {
         "would fabricate frames [1,0]")
   }
 
+  test("m09: a signed doc_id shrinking the frame count to 1 yields fp=0 — " +
+      "the unguarded sequence(0,-1) ANSI-threw at element_at(fe, 0|1)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    // -14 % 5 = -4 -> 1 frame (the guard case); -3 -> 2 frames; 6 -> 6
+    val ids = Seq(-14L, -3L, 6L)
+    val dir = miniDir("documents", ids.map(Row(_, "x", "en", "web", 1L)), schema)
+    val out = SparkEntry.queries("m09")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def energies(id: Long): IndexedSeq[Long] = {
+      val nFrames = (5 + id % 5).toInt
+      (0 until nFrames).map { f =>
+        if ((f + id) % 7 == 0) 0L
+        else (0 until 160).map { i =>
+          val g = f.toLong * 160 + i
+          val v = (id * 7919 + g * 31) % 256 - 128
+          v * v
+        }.sum
+      }
+    }
+    val expect = ids.map { id =>
+      val e = energies(id)
+      val fp = (0 until e.size - 1).map(f =>
+        if (e(f + 1) > e(f)) 1L << f else 0L).sum
+      (e.size, fp) -> id
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_._2).min)
+    }
+    assert(out == expect, s"got $out, want $expect")
+    assert(out.contains((1, 0L)),
+      "the 1-frame doc must survive with fp=0 (oracle: LEFT-join sum)")
+  }
+
   test("q39: the child session inherits a RUNTIME-set session timezone " +
       "(newSession starts from the original SparkConf, not runtime confs)") {
     // Driver sessions set UTC via conf.set() at runtime, not --conf; the
