@@ -1904,28 +1904,76 @@ def make_bad_objref2(path: Path, kind):
     """Loud-fail corners of the revised reference form: 'external' (flags
     bit 0 — the blob embeds a foreign filename, unresolvable from this
     file), 'token' (a non-8-byte token: not the native VOL address form),
-    'attr' (rtype 4, H5R_ATTR — rejected at datatype parse: its blob
-    appends an attribute name after the token)."""
+    'attrname' (rtype 4 whose blob's 2-byte name length disagrees with
+    the bytes that follow — a layout misread must stay loud)."""
     f = FileBuf()
     f.alloc(48)
-    if kind == 'attr':
-        elem, dt = b'\x00' * 18, dt_objref(rtype=4, size=18)
-    else:
-        gh = GlobalHeap(f)
-        if kind == 'external':
-            idx = gh.add(bytes([8]) + struct.pack('<Q', 0x1234))
-            elem, dt = _ref2_elem(gh.flush(), idx, flags=1), \
-                dt_objref(rtype=2, size=18)
-        else:  # token
-            idx = gh.add(bytes([4]) + struct.pack('<I', 7))
-            elem, dt = _ref2_elem(gh.flush(), idx, blob_size=5), \
-                dt_objref(rtype=2, size=18)
+    gh = GlobalHeap(f)
+    if kind == 'external':
+        idx = gh.add(bytes([8]) + struct.pack('<Q', 0x1234))
+        elem, dt = _ref2_elem(gh.flush(), idx, flags=1), \
+            dt_objref(rtype=2, size=18)
+    elif kind == 'attrname':
+        blob = bytes([8]) + struct.pack('<Q', 0x1234) + \
+            struct.pack('<H', 10) + b'abc'  # claims 10, carries 3
+        idx = gh.add(blob)
+        elem, dt = _ref2_elem(gh.flush(), idx, rtype=4,
+                              blob_size=len(blob)), \
+            dt_objref(rtype=4, size=18)
+    else:  # token
+        idx = gh.add(bytes([4]) + struct.pack('<I', 7))
+        elem, dt = _ref2_elem(gh.flush(), idx, blob_size=5), \
+            dt_objref(rtype=2, size=18)
     ds = object_header_v2(f, [
         (0x01, space_scalar()),
         (0x03, dt),
         (0x08, layout_contiguous(f.append(elem), 18)),
     ])
     finish_v2(f, group_v2(f, {'r': ds}), path)
+
+
+def make_attrref4(path: Path):
+    """Revised attribute references (rtype 4, HDF5 1.12 H5R_ATTR): same
+    18-byte disk element; the heap blob nests the token part (1-byte
+    size + 8-byte LE address) then the name part (H5R__encode_string:
+    2-byte LE length + the name bytes). /refs/to_attr resolves to the
+    OWNING object's path with `referenced_attribute` = the name (the
+    attribute's value reads through the owner's normal walk); null
+    element / null blob ID read as ''; a dangling heap index surfaces
+    the unresolved_attr_ref marker."""
+    f = FileBuf()
+    f.alloc(48)
+    t_raw = f.append(struct.pack('<d', 44.0))
+    target = object_header_v2(f, [
+        (0x01, space_scalar()),
+        (0x03, dt_f64()),
+        (0x08, layout_contiguous(t_raw, 8)),
+        (0x0C, attr_v3('units', dt_str(2), space_scalar(), b'm\x00')),
+    ])
+    grp = group_v2(f, {'target': target})
+    gh = GlobalHeap(f)
+    name = b'units'
+    blob = bytes([8]) + struct.pack('<Q', target) + \
+        struct.pack('<H', len(name)) + name
+    i_attr = gh.add(blob)
+    heap = gh.flush()
+
+    def ref_ds(elem):
+        raw = f.append(elem)
+        return object_header_v2(f, [
+            (0x01, space_scalar()),
+            (0x03, dt_objref(rtype=4, size=18)),
+            (0x08, layout_contiguous(raw, 18)),
+        ])
+
+    refs = group_v2(f, {
+        'to_attr': ref_ds(_ref2_elem(heap, i_attr, rtype=4,
+                                     blob_size=len(blob))),
+        'to_null': ref_ds(b'\x00' * 18),
+        'to_null_blob': ref_ds(_ref2_elem(0, 0, rtype=4)),
+        'dangling': ref_ds(_ref2_elem(heap, 99, rtype=4, blob_size=1)),
+    })
+    finish_v2(f, group_v2(f, {'grp': grp, 'refs': refs}), path)
 
 
 def _ref2_region_blob(addr, sel):
@@ -3239,7 +3287,8 @@ if __name__ == '__main__':
     make_objref2(out / 'objref2.h5')
     make_bad_objref2(out / 'bad_objref2_ext.h5', 'external')
     make_bad_objref2(out / 'bad_objref2_token.h5', 'token')
-    make_bad_objref2(out / 'bad_objref2_attr.h5', 'attr')
+    make_bad_objref2(out / 'bad_objref2_attrname.h5', 'attrname')
+    make_attrref4(out / 'attrref4.h5')
     make_regionref(out / 'regionref.h5')
     make_regionref2(out / 'regionref2.h5')
     make_bad_regionref(out / 'bad_regionref.h5')

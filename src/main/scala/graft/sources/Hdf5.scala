@@ -75,13 +75,14 @@ import scala.collection.mutable
   * stacking more than one compressor (per-stage sizes are only known for
   * one size-changing stage); non-IEEE numeric types (VAX byte order,
   * non-standard float widths);
-  * the revised H5T_STD_REF ATTRIBUTE (rtype 4) token form, and
   * EXTERNAL revised references (flags bit 0 — the blob embeds a
   * foreign filename) — scalar OBJECT references (rtype 0 AND the HDF5
-  * 1.12 revised rtype 2 token form) and REGION references (the ≤1.10
-  * rtype 1 heap form AND the revised rtype 3 token form) ARE
+  * 1.12 revised rtype 2 token form), REGION references (the ≤1.10
+  * rtype 1 heap form AND the revised rtype 3 token form) and
+  * ATTRIBUTE references (the revised rtype 4 H5R_ATTR form) ARE
   * supported, resolving to the referenced object's path (region forms
-  * also render the `region_selection` attribute), with null references
+  * also render the `region_selection` attribute; the attribute form
+  * renders the name into `referenced_attribute`), with null references
   * reading as '' and dangling addresses/heap handles surfacing a
   * marker attribute; reference ARRAYs fail loudly);
   * enums over non-integer bases;
@@ -199,6 +200,19 @@ object Hdf5 {
     * the `region_selection` rendering. Null/dangling/external handling
     * mirrors rtype 2. */
   private case class RegionRef2(size: Int) extends DType
+
+  /** Revised attribute reference (class 7, rtype 4, the HDF5 1.12+
+    * H5R_ATTR form). Same 18-byte disk element as rtype 2
+    * (H5T__ref_disk_write is reference-type-agnostic); the heap blob is
+    * the token part (1-byte size + 8-byte LE object-header address,
+    * H5R__encode_obj_token) followed by the attribute-name part
+    * (H5R__encode_string): 2-byte LE name length + the name bytes, no
+    * terminator. Decodes to the OWNING object's path (resolved
+    * post-walk like the other forms) with the attribute name rendered
+    * into the `referenced_attribute` attribute — the attribute's value
+    * itself already surfaces through the owner's normal attribute walk.
+    * Null / dangling / external handling mirrors rtype 2. */
+  private case class AttrRef2(size: Int) extends DType
   private case class Member(name: String, offset: Int, dt: DType)
   private case class Compound(size: Int, members: Seq[Member]) extends DType
 
@@ -349,10 +363,10 @@ object Hdf5 {
         // object-header address into this file), 1 (H5R_DATASET_REGION,
         // a 12-byte global-heap handle whose heap object carries the
         // target address + a serialized selection), 2 (H5R_OBJECT2, the
-        // HDF5 1.12 revised H5T_STD_REF object form — see ObjRef2) and
+        // HDF5 1.12 revised H5T_STD_REF object form — see ObjRef2),
         // 3 (H5R_DATASET_REGION2, the revised region form — see
-        // RegionRef2) are supported; the revised ATTRIBUTE form (4)
-        // fails loudly rather than decode addresses as data
+        // RegionRef2) and 4 (H5R_ATTR, the revised attribute form —
+        // see AttrRef2) are supported
         bits(0) & 0x0F match {
           case 0 =>
             require(size == 8, s"object reference size $size (8-byte offsets only)")
@@ -371,14 +385,14 @@ object Hdf5 {
               s"revised region reference size $size (2-byte header + " +
                 "4-byte blob size + 12-byte heap ID only)")
             RegionRef2(size)
-          case 4 => throw new UnsupportedOperationException(
-            "revised attribute reference (rtype 4, HDF5 1.12 H5R_ATTR) " +
-              "not supported — its blob appends an attribute NAME after " +
-              "the token; attribute values already read through the " +
-              "object walk")
+          case 4 =>
+            require(size == 18,
+              s"revised attribute reference size $size (2-byte header + " +
+                "4-byte blob size + 12-byte heap ID only)")
+            AttrRef2(size)
           case rtype => throw new UnsupportedOperationException(
             s"reference datatype rtype $rtype not supported " +
-              "(object rtype 0/2/3 and <=1.10 region rtype 1 only)")
+              "(object rtype 0/2/3/4 and <=1.10 region rtype 1 only)")
         }
       case other =>
         throw new UnsupportedOperationException(s"datatype class $other not supported")
@@ -2120,6 +2134,8 @@ object Hdf5 {
       case _: ObjRef => true // object-header addresses: equally file-local
       case _: ObjRef2 => true // heap blob ID + address token: file-local
       case _: RegionRef => true // heap handle + target address: file-local
+      case _: RegionRef2 => true // same revised heap-blob form: file-local
+      case _: AttrRef2 => true // same revised heap-blob form: file-local
       case Compound(_, ms) => ms.exists(m => heapRefs(m.dt))
       case ArrayT(base, _) => heapRefs(base)
       case _ => false
@@ -2441,7 +2457,8 @@ object Hdf5 {
         dt.isInstanceOf[Str] || dt == VlenStr)
     if (isNull || dt.isInstanceOf[Compound] || dt.isInstanceOf[ArrayT] ||
       dt.isInstanceOf[ObjRef] || dt.isInstanceOf[ObjRef2] ||
-      dt.isInstanceOf[RegionRef] ||
+      dt.isInstanceOf[RegionRef] || dt.isInstanceOf[RegionRef2] ||
+      dt.isInstanceOf[AttrRef2] ||
       (n != 1 && !smallArray)) return None
     // the value bytes live inside this message: a corrupted datatype
     // size must not drive the allocation past the message's remaining
@@ -2860,6 +2877,42 @@ object Hdf5 {
                 else // target path resolves AFTER the walk, like rtype 1
                   empty.copy(refAddr = Some(addr), attrs = attrs +
                     ("region_selection" -> selSummary(sel)))
+            }
+          case AttrRef2(_) =>
+            // scalar only, same policy as the other reference forms
+            if (elems > 1) throw new UnsupportedOperationException(
+              s"attribute-reference ARRAY dataset ($elems elements) not supported at $path")
+            ref2Blob(bytes, data, path, expectType = 4) match {
+              case Ref2Null => empty.copy(scalarStr = Some(""))
+              case Ref2Dangling(id) =>
+                require(!attrs.contains("unresolved_attr_ref"),
+                  s"user attribute 'unresolved_attr_ref' collides with " +
+                    s"the dangling-attribute-reference marker at $path")
+                empty.copy(attrs = attrs + ("unresolved_attr_ref" -> id))
+              case Ref2Blob(obj) =>
+                // attribute blob = token part + name part
+                // (H5R__encode_string): 2-byte LE length + the bytes —
+                // any length/blob disagreement means the layout is not
+                // what we think: loud, never a misread
+                val (addr, consumed) = ref2Token(obj, path)
+                require(obj.length >= consumed + 2,
+                  s"revised attribute reference blob ${obj.length} bytes " +
+                    s"at $path: no room for the name length after the token")
+                val nameLen = ((obj(consumed) & 0xFF) |
+                  ((obj(consumed + 1) & 0xFF) << 8))
+                require(obj.length == consumed + 2 + nameLen,
+                  s"revised attribute reference name claims $nameLen bytes " +
+                    s"but ${obj.length - consumed - 2} follow at $path")
+                val name = new String(obj, consumed + 2, nameLen,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                require(!attrs.contains("referenced_attribute"),
+                  s"user attribute 'referenced_attribute' collides with " +
+                    s"the attribute-reference rendering at $path")
+                if (addr == 0L || addr == UNDEF)
+                  empty.copy(scalarStr = Some(""))
+                else // owner path resolves AFTER the walk, like rtype 2
+                  empty.copy(refAddr = Some(addr), attrs = attrs +
+                    ("referenced_attribute" -> name))
             }
           case RegionRef(_) =>
             // scalar only, same policy as object references

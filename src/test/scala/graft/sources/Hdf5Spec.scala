@@ -681,12 +681,35 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.read(fixture("bad_objref2_token.h5"))
     }
     assert(e2.getMessage.contains("token size"))
-    // the revised ATTRIBUTE token form (rtype 4) is rejected at datatype
-    // parse with a pinned message — addresses must never decode as data
-    val e3 = intercept[UnsupportedOperationException] {
-      Hdf5.read(fixture("bad_objref2_attr.h5"))
+  }
+
+  test("revised attribute references (rtype 4, HDF5 1.12 H5R_ATTR) resolve " +
+      "to the OWNING object's path with the name in referenced_attribute; " +
+      "null/dangling corners mirror rtype 2; a name-length mismatch is loud") {
+    // Same epistemic caveat as the rtype-2 test above: self-written
+    // fixtures from the documented libhdf5 layout (token part +
+    // H5R__encode_string's 2-byte LE length + name bytes), pending an
+    // independent libhdf5 byte stream.
+    val nodes = Hdf5.read(fixture("attrref4.h5"))
+    def at(p: String) = nodes.find(_.path == p).get
+    val ref = at("/refs/to_attr")
+    assert(ref.scalarStr.contains("/grp/target"))
+    assert(ref.attrs.get("referenced_attribute").contains("units"))
+    // the referenced attribute's VALUE reads through the owner's walk
+    assert(at("/grp/target").attrs.get("units").contains("m"))
+    assert(at("/refs/to_null").scalarStr.contains(""))
+    assert(!at("/refs/to_null").attrs.contains("referenced_attribute"))
+    assert(at("/refs/to_null_blob").scalarStr.contains(""))
+    val dang = at("/refs/dangling")
+    assert(dang.scalarStr.isEmpty)
+    assert(dang.attrs.contains("unresolved_attr_ref"))
+    // a blob whose 2-byte name length disagrees with the bytes that
+    // follow means the layout is not what we think — loud, never a
+    // misread into a wrong attribute name
+    val e3 = intercept[IllegalArgumentException] {
+      Hdf5.read(fixture("bad_objref2_attrname.h5"))
     }
-    assert(e3.getMessage.contains("rtype 4"), e3.getMessage)
+    assert(e3.getMessage.contains("name claims"), e3.getMessage)
   }
 
   test("revised dataset-region references (rtype 3, HDF5 1.12 " +
