@@ -75,7 +75,8 @@ object SparkEntry {
     "q39" -> "date_spine", "q40" -> "distributed_ntile",
     "q41" -> "cohort_retention", "q42" -> "user_anomalies",
     "q43" -> "rfm_segments", "q44" -> "part_affinity",
-    "q45" -> "pareto_share",
+    "q45" -> "pareto_share", "q46" -> "strict_funnel",
+    "q47" -> "event_transitions",
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "s06" -> "kmeans_step", "s07" -> "ann_recall",
@@ -88,14 +89,16 @@ object SparkEntry {
     "t11" -> "blocklist_scrub", "t12" -> "pii_scrub",
     "t13" -> "unigram_surprise", "t14" -> "source_kl_drift",
     "t15" -> "langid_confusion", "t16" -> "zipf_fit",
+    "t17" -> "bigram_pmi",
     "w01" -> "hash_sample", "w02" -> "mixture_sample",
     "w03" -> "split_assign", "w04" -> "sequence_pack",
     "w05" -> "shard_export", "w06" -> "mixture_weights",
     "w07" -> "budget_sample", "w08" -> "bottomk_sample",
     "w09" -> "stratified_sample", "w10" -> "quality_sample",
     "w11" -> "mixture_fill", "w12" -> "curriculum_deciles",
+    "w13" -> "weighted_poisson_sample",
     "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
     "x05" -> "kmv_setops", "x06" -> "zorder_key",
-    "x07" -> "linear_counting")
+    "x07" -> "linear_counting", "x08" -> "ams_f2")
 }

@@ -177,6 +177,62 @@ object EventQueries {
         .agg(count(lit(1)).as("n_anomalies"),
           max(abs(col("z"))).as("max_abs_z"),
           min(col("event_id")).as("first_event"))
+    },
+
+    // Strict ORDERED funnel (view → click → purchase): unlike q31's
+    // as-of conversion window, each stage must happen strictly AFTER the
+    // user's first completion of the previous stage — the product-
+    // analytics funnel definition. Shape: three user-keyed hash aggs
+    // chained by equi-joins whose right side only ever SHRINKS (stage-2
+    // users ⊆ stage-1 users), so at 100 TB this is three shuffles of
+    // user-cardinality frames and the final counts are 1-row broadcasts.
+    // All comparisons are on exact timestamps — no FP anywhere until the
+    // final rounded rates.
+    "q46" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+        .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+          round(col("n_view_click").cast("double") / col("n_view"), 4)
+            .as("click_rate"),
+          round(col("n_full_funnel").cast("double") / col("n_view"), 4)
+            .as("funnel_rate"))
+    },
+
+    // Event-type transition matrix (first-order Markov over each user's
+    // event sequence): the clickstream-analytics staple behind "what do
+    // users do after X". ONE user-keyed window shuffle produces the
+    // (from, to) pairs; the pair aggregate combines map-side into a
+    // frame bounded by #event_types² (25 rows here) regardless of corpus
+    // size, and the row-total dimension broadcasts back. Ties on ts are
+    // broken by event_id so the sequence — and therefore the matrix —
+    // is deterministic on both engines.
+    "q47" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val totals = tr.groupBy(col("from_type"))
+        .agg(count(lit(1)).as("n_from"))
+      tr.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 4).as("p"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -286,5 +342,40 @@ object EventQueries {
         |  FROM events e JOIN st USING (user_id))
         |SELECT user_id, count(*)::BIGINT AS n_anomalies,
         |  max(abs(z)) AS max_abs_z, min(event_id)::BIGINT AS first_event
-        |FROM z WHERE abs(z) > 2 GROUP BY 1""".stripMargin)
+        |FROM z WHERE abs(z) > 2 GROUP BY 1""".stripMargin,
+
+    "q46" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+        |  (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+        |  (SELECT count(*) FROM p)::BIGINT AS n_full_funnel,
+        |  round((SELECT count(*) FROM c)::DOUBLE
+        |        / (SELECT count(*) FROM v), 4) AS click_rate,
+        |  round((SELECT count(*) FROM p)::DOUBLE
+        |        / (SELECT count(*) FROM v), 4) AS funnel_rate""".stripMargin,
+
+    "q47" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, sum(n)::BIGINT AS n_from FROM pairs GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / n_from, 4) AS p
+        |FROM pairs JOIN tot USING (from_type)""".stripMargin)
 }

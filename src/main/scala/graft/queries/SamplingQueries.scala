@@ -395,6 +395,35 @@ object SamplingQueries {
         .select(col("doc_id"), col("qb").as("q_basis"), col("decile"))
     },
 
+    // Weight-proportional Poisson sampling: each document keeps with
+    // probability ∝ its length (n_chars), the "sample big documents more
+    // often" step of importance-weighted corpus thinning — done with the
+    // w01 family's INTEGER hash gate (md5 % 1M against weight·1500,
+    // clamped at the scale) so inclusion is an exact integer predicate:
+    // no FP race keys, no ln/pow, bit-identical cross-engine and a pure
+    // function of the id (re-runs never migrate a document). 100 TB
+    // shape: shuffle-free map-side gate followed by one source-keyed
+    // hash agg; expected-vs-actual inclusion mass rides along so the
+    // sampler audits itself (d19's calibration idea in one aggregate).
+    "w13" -> { (s, dir) =>
+      val scale = 1000000L
+      val thresh = least(col("n_chars") * 1500L, lit(scale))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          thresh.as("thresh"),
+          TextFns.md5Hash32(col("doc_id").cast("string"), seed = 17)
+            .%(scale).as("u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("u") < col("thresh"), 1)).as("n_kept"),
+          sum(when(col("u") < col("thresh"), col("n_chars"))
+            .otherwise(lit(0L))).as("chars_kept"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(col("thresh")).as("expected_mass_e6"))
+        .withColumn("kept_char_share",
+          round(col("chars_kept").cast("double") / col("chars_total"), 4))
+    },
+
     // Mixture fill: w06's temperature weights APPLIED — each source greedily
     // fills toward ITS OWN token budget (floor of its α=0.7 mixture share
     // of a 10k-token draw) in hash order, w07's budget machinery with the
@@ -620,5 +649,22 @@ object SamplingQueries {
         |  FROM documents)
         |SELECT doc_id, q_basis,
         |  ntile(10) OVER (ORDER BY q_basis, doc_id)::INT AS decile
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin,
+
+    "w13" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    least(n_chars * 1500, 1000000)::BIGINT AS thresh,
+        |    ('0x' || substr(md5('17:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 1000000 AS u
+        |  FROM documents)
+        |SELECT source, count(1)::BIGINT AS n_docs,
+        |  count(CASE WHEN u < thresh THEN 1 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN u < thresh THEN n_chars ELSE 0 END)::BIGINT
+        |    AS chars_kept,
+        |  sum(n_chars)::BIGINT AS chars_total,
+        |  sum(thresh)::BIGINT AS expected_mass_e6,
+        |  round(sum(CASE WHEN u < thresh THEN n_chars ELSE 0 END)::DOUBLE
+        |        / sum(n_chars), 4) AS kept_char_share
+        |FROM t GROUP BY 1""".stripMargin)
 }

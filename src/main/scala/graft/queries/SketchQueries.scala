@@ -205,6 +205,38 @@ object SketchQueries {
         col("n_exact"))
     },
 
+    // AMS (Alon–Matias–Szegedy) second-moment sketch: estimate
+    // F₂ = Σ_tok f², the self-join size / collision mass that prices
+    // d04-class inverted-index joins BEFORE running them. R independent
+    // ±1 hash rows; each row's S_r = Σ sign(h_r(tok)) over OCCURRENCES,
+    // E[S_r²] = F₂. The 100 TB shape is the textbook one: the sign sum
+    // combines map-side, so the sketch shuffle is R ROWS regardless of
+    // corpus size (vs the vocabulary-sized exact agg it estimates —
+    // which rides along as the reference, x03's pattern). Everything is
+    // integer (md5 parity bit, long sums, div-16 mean; the relative
+    // error alone rounds at the end), so the estimate is bit-identical
+    // cross-engine.
+    "x08" -> { (s, dir) =>
+      val rRows = 16
+      val toks = Tables.loadSpread(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .select(col("tok"), explode(sequence(lit(0), lit(rRows - 1))).as("r"))
+        .select(col("r"),
+          when(pmod(graft.functions.TextFns.md5Hash32Keyed(col("r"), col("tok")),
+            lit(2L)) === 0L, 1L).otherwise(-1L).as("sign"))
+        .groupBy(col("r")).agg(sum(col("sign")).as("s"))
+        .agg(sum(col("s") * col("s")).as("sum_sq"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("exact_f2"))
+      sketch.crossJoin(broadcast(exact)).select(
+        lit(rRows).as("r_rows"),
+        expr("sum_sq div 16").as("est_f2"),
+        col("exact_f2"),
+        round((col("sum_sq").cast("double") / rRows) / col("exact_f2") - 1, 4)
+          .as("rel_err"))
+    },
+
     // Z-order (Morton) clustering keys — the multi-dim layout key behind
     // lakehouse OPTIMIZE ZORDER: interleave(l_orderkey, l_partkey) makes
     // BOTH columns' parquet footer stats selective once the table is
@@ -328,6 +360,25 @@ object SketchQueries {
         |       ELSE NULL END AS est_distinct,
         |  n_exact
         |FROM occ, ex""".stripMargin,
+
+    "x08" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |rows_ AS (
+        |  SELECT tok, r,
+        |    CASE WHEN ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8)
+        |              )::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM tk CROSS JOIN (SELECT unnest(range(16)) AS r)),
+        |sk AS (
+        |  SELECT r, sum(sign)::BIGINT AS s FROM rows_ GROUP BY 1),
+        |sq AS (SELECT sum(s * s)::BIGINT AS sum_sq FROM sk),
+        |ex AS (
+        |  SELECT sum(f * f)::BIGINT AS exact_f2
+        |  FROM (SELECT count(*)::BIGINT AS f FROM tk GROUP BY tok))
+        |SELECT 16 AS r_rows, (sum_sq // 16)::BIGINT AS est_f2, exact_f2,
+        |  round((sum_sq::DOUBLE / 16) / exact_f2 - 1, 4) AS rel_err
+        |FROM sq, ex""".stripMargin,
 
     "x06" ->
       """WITH z AS (

@@ -346,6 +346,42 @@ object TextQueries {
           (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
         round((col("sy").cast("double") / col("n")) / 10000, 4)
           .as("mean_log_freq"))
+    },
+
+    // Bigram collocation mining (pointwise mutual information): which
+    // adjacent token pairs co-occur far above chance — the corpus-
+    // analysis step behind tokenizer-merge candidates and stop-phrase
+    // lists. Shuffles are all vocabulary-bounded: one bigram hash agg
+    // (map-side combined), one unigram hash agg, and the top-30 cut is a
+    // TakeOrderedAndProject on INTEGER (count, bigram) keys — rank never
+    // touches a double, so the cross-engine order is exact. PMI itself
+    // rides along in t13's fixed-point-long discipline
+    // (floor(ln·10⁴) — both engines evaluate the identical expression
+    // tree on identical integers; the floor absorbs sub-ulp ln deltas
+    // except on t13's accepted knife-edge class).
+    "t17" -> { (s, dir) =>
+      val bg = docs(s, dir)
+        .select(explode(TextFns.shingles(col("text"), 2)).as("bg"))
+      val uni = docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+      val nTot = bg.agg(count(lit(1)).as("n_bg"))
+      val top = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+        .orderBy(col("c_xy").desc, col("bg").asc).limit(30)
+        .withColumn("x", split(col("bg"), " ").getItem(0))
+        .withColumn("y", split(col("bg"), " ").getItem(1))
+      // the 30-row cut is ALWAYS the broadcast side — the unigram frame
+      // is vocabulary-sized (100M+ terms at corpus scale) and streams
+      // through both probes unshuffled
+      uni.select(col("tok").as("x"), col("c_tok").as("c_x"))
+        .join(broadcast(top), Seq("x"))
+        .join(broadcast(uni.select(col("tok").as("y"), col("c_tok").as("c_y"))
+          .join(broadcast(top.select(col("y")).distinct()), Seq("y"))),
+          Seq("y"))
+        .crossJoin(broadcast(nTot))
+        .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
+          floor(log(col("c_xy").cast("double") * col("n_bg") /
+            (col("c_x") * col("c_y"))) * 10000).cast("long").as("pmi_e4"))
     })
 
   /** t03's scored frame (doc_id, actual_lang, per-language marker scores,
@@ -614,5 +650,27 @@ object TextQueries {
          |  round((n * sxy - sx * sy)::DOUBLE
          |        / (n * sxx - sx * sx), 6) AS zipf_slope,
          |  round((sy::DOUBLE / n) / 10000, 4) AS mean_log_freq
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+
+    "t17" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok,
+         |         generate_subscripts($toksSql, 1) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT tok || ' ' || lead(tok, 1) OVER w AS bg
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(tok, 1) OVER w IS NOT NULL),
+         |cnt AS (SELECT bg, count(*)::BIGINT AS c_xy FROM bg GROUP BY 1),
+         |uni AS (SELECT tok, count(*)::BIGINT AS c_tok FROM tk GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_bg FROM bg),
+         |top AS (SELECT bg, c_xy FROM cnt
+         |        ORDER BY c_xy DESC, bg ASC LIMIT 30)
+         |SELECT t.bg, t.c_xy, ux.c_tok AS c_x, uy.c_tok AS c_y,
+         |  floor(ln(t.c_xy::DOUBLE * tot.n_bg / (ux.c_tok * uy.c_tok))
+         |        * 10000)::BIGINT AS pmi_e4
+         |FROM top t
+         |JOIN uni ux ON ux.tok = string_split(t.bg, ' ')[1]
+         |JOIN uni uy ON uy.tok = string_split(t.bg, ' ')[2]
+         |CROSS JOIN tot""".stripMargin)
 }

@@ -789,6 +789,55 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q46: strict funnel is three user-keyed stages — equi-joins only, " +
+      "1-row count frames broadcast at the end, no cartesian on data") {
+    val p = plan("q46")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // stage joins are hash equi-joins on user_id
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    // the final 1-row count combines are broadcast nested-loop by design
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q47: transition matrix is ONE user-keyed window shuffle + a " +
+      "type-pair hash agg with the totals dimension broadcast back") {
+    val p = plan("q47")
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort belongs in a transition count")
+  }
+
+  test("t17: bigram PMI cuts top-30 with TakeOrderedAndProject and probes " +
+      "the vocabulary-sized unigram frame with the 30-row side broadcast " +
+      "— the unigram table itself must never be the build side") {
+    val p = plan("t17")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here means the unigram frame got shuffled")
+  }
+
+  test("w13: weighted Poisson sample is a shuffle-free integer hash gate " +
+      "— exactly one exchange (the source-keyed agg), no join anywhere") {
+    val p = plan("w13")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("x08: AMS sketch's sign sum combines map-side (partial_sum) so the " +
+      "sketch shuffle carries R rows, never the corpus; the exact side " +
+      "joins back as a 1-row broadcast") {
+    val p = plan("x08")
+    assert("HashAggregate.*partial_sum".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
