@@ -80,7 +80,7 @@ object SparkEntry {
     "s01" -> "cosine_topk", "s02" -> "lsh_ann", "s03" -> "ivf_ann",
     "s04" -> "label_centroids", "s05" -> "quantized_ann",
     "s06" -> "kmeans_step", "s07" -> "ann_recall",
-    "s08" -> "knn_graph",
+    "s08" -> "knn_graph", "s09" -> "simplified_silhouette",
     "t01" -> "token_stats", "t02" -> "quality_score",
     "t03" -> "langid_markers", "t04" -> "fingerprint",
     "t05" -> "clean_normalize", "t06" -> "edit_distance",

@@ -196,6 +196,52 @@ object SimilarityQueries {
             lit(0.0)).as("delta"))
     },
 
+    // Simplified silhouette — the clustering-quality eval that closes the
+    // s04/s06 loop: per point, a = squared distance to its OWN label
+    // centroid, b = min squared distance to any OTHER centroid,
+    // s = (b−a)/max(a,b) ∈ [−1,1] (the centroid-based silhouette, the
+    // form production evals use precisely because it is LINEAR in n —
+    // the classic pairwise silhouette is O(n²) by definition). 100 TB
+    // shape: centroids are one label-keyed agg; the ≤k-row centroid
+    // frame broadcasts back onto the scan (k× row local blowup, no
+    // shuffle), and the per-label mean runs in t13's fixed-point-long
+    // discipline so it is summation-order-free. FP parity: centroids are
+    // the ROUNDED s04 frame (round(avg,4), the accepted knife-edge
+    // class); distances expand as dot(v,v) − 2·dot(v,c) + dot(c,c) with
+    // left-to-right double accumulation on both engines (the DotProductF
+    // / list_dot_product pinned contract), so a and b are bit-identical
+    // given identical centroids. A single-label corpus has no "other"
+    // centroid: b is null and s defines to 0, not an error.
+    "s09" -> { (s, dir) =>
+      val e = Tables.loadSpread(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg((round(avg(col("x")), 4) + lit(0.0)).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          p => p.getField("c")).as("cv"))
+      val d2 = VectorFns.dot(col("embedding"), col("embedding")) -
+        lit(2) * VectorFns.dotHof(col("embedding"), col("cv")) +
+        VectorFns.dotHof(col("cv"), col("cv"))
+      val ab = e
+        .crossJoin(broadcast(cent.select(col("label").as("clabel"), col("cv"))))
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+      ab.withColumn("s_e4",
+          when(col("b").isNull, lit(0L))
+            .when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+            .otherwise(floor((col("b") - col("a")) /
+              greatest(col("a"), col("b")) * 10000).cast("long")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_points"), sum(col("s_e4")).as("sil_sum_e4"))
+        .select(col("label"), col("n_points"), col("sil_sum_e4"),
+          expr("sil_sum_e4 div n_points").as("avg_sil_e4"))
+    },
+
     // ANN quality evaluation: recall@3 of the LSH-bucketed search (s02's
     // candidate rule) against the exact top-3 (s01's rule at k=3) — the
     // measurement loop every ANN deployment runs before trading recall
@@ -455,5 +501,37 @@ object SimilarityQueries {
         |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
         |      DESC, y.vec_id)::INT AS rank
         |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
-        |WHERE rank <= 3""".stripMargin)
+        |WHERE rank <= 3""".stripMargin,
+
+    "s09" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos, round(avg(x), 4) + 0.0 AS c
+        |  FROM x GROUP BY 1, 2),
+        |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (
+        |  SELECT e.vec_id, e.label, cv.label AS clabel,
+        |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cv.cv)
+        |      + list_dot_product(cv.cv, cv.cv) AS d2
+        |  FROM e CROSS JOIN cv),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    min(CASE WHEN clabel = label THEN d2 END) AS a,
+        |    min(CASE WHEN clabel <> label THEN d2 END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s AS (
+        |  SELECT label,
+        |    CASE WHEN b IS NULL THEN 0
+        |         WHEN greatest(a, b) = 0 THEN 0
+        |         ELSE floor((b - a) / greatest(a, b) * 10000) END::BIGINT
+        |      AS s_e4
+        |  FROM ab)
+        |SELECT label, count(*)::BIGINT AS n_points,
+        |  sum(s_e4)::BIGINT AS sil_sum_e4,
+        |  (sum(s_e4) // count(*))::BIGINT AS avg_sil_e4
+        |FROM s GROUP BY 1""".stripMargin)
 }

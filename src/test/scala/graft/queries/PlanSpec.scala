@@ -838,6 +838,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("s09: silhouette centroids broadcast onto the scan (k-row build " +
+      "side), the a/b reduction is a map-side-combined hash agg, and the " +
+      "fixed-point mean keys one label-sized exchange") {
+    val p = plan("s09")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("HashAggregate.*partial_min".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
