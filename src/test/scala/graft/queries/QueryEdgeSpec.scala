@@ -330,6 +330,52 @@ class QueryEdgeSpec extends SparkSpec {
     }
   }
 
+  test("q46: the funnel is STRICTLY ordered — a click before the first " +
+      "view, or a purchase before the first qualifying click, does not " +
+      "count; ties on the boundary timestamp do not count either (>)") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("ts", TimestampType, nullable = false)))
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // u1: full funnel in order
+      Row(1L, "view", t(0)), Row(1L, "click", t(1)), Row(1L, "purchase", t(2)),
+      // u2: click BEFORE view — view counts, click does not
+      Row(2L, "click", t(0)), Row(2L, "view", t(1)),
+      // u3: purchase between view and click — only view+click count
+      Row(3L, "view", t(0)), Row(3L, "purchase", t(1)), Row(3L, "click", t(2)),
+      // u4: click at EXACTLY the view ts — strict > excludes it
+      Row(4L, "view", t(0)), Row(4L, "click", t(0)),
+      // u5: no view at all — enters no stage
+      Row(5L, "click", t(0)), Row(5L, "purchase", t(1)))
+    val dir = miniDir("events", rows, schema)
+    val r = SparkEntry.queries("q46")(spark, dir).collect().head
+    assert(r.getLong(0) == 4, s"n_view ${r.getLong(0)}")       // u1 u2 u3 u4
+    // u1, and u3 (its click at t2 IS after its first view) — but u3's
+    // purchase predates its qualifying click, so it never finishes
+    assert(r.getLong(1) == 2, s"n_view_click ${r.getLong(1)}")
+    assert(r.getLong(2) == 1, s"n_full_funnel ${r.getLong(2)}")
+  }
+
+  test("q47: single-event users emit no transitions, and equal timestamps " +
+      "order by event_id so the matrix is deterministic") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("ts", TimestampType, nullable = false)))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = Seq(
+      Row(1L, 1L, "view", t0), Row(2L, 1L, "click", t0), // tie: id order
+      Row(3L, 2L, "view", t0))                           // single event
+    val dir = miniDir("events", rows, schema)
+    val out = SparkEntry.queries("q47")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("view", "click") -> 1L),
+      s"only u1's id-ordered view→click transition must appear: $out")
+  }
+
   test("d15: a shared 8-gram is flagged across documents, a within-doc " +
       "repeat alone is not, and short docs get 0/0/0.0 (the descending-" +
       "sequence guard)") {
