@@ -12,27 +12,34 @@ import json, re, sys
 
 runs = []
 for path in sys.argv[1:]:
-    detail = metric = None
+    detail = metric = trust = None
     for line in open(path):
         line = line.strip().removeprefix("[info] ")
         if '"bench_detail"' in line:
             detail = json.loads(line)
+        elif '"bench_trust"' in line:
+            trust = json.loads(line)
         elif '"metric"' in line:
             metric = json.loads(line)
-    runs.append((path, detail, metric))
+    runs.append((path, detail, metric, trust))
 
 qs = {}
-for path, detail, metric in runs:
+for path, detail, metric, trust in runs:
     t = metric["value"] if metric else None
-    print(f"# {path}: total {t} contaminated={metric.get('contaminated')}"
-          f" canary_x={metric.get('canary_x')} canary_max={metric.get('canary_max')}"
-          f" cpu_ref={metric.get('cpu_ref')} mt_x={metric.get('mt_x')}")
+    # r13+: the trust fields live on the bench_trust line (the metric
+    # line is r8's strict five-field set); older captures carried them
+    # on the metric line — read either.
+    tr = trust or metric or {}
+    print(f"# {path}: total {t} contaminated={tr.get('contaminated')}"
+          f" canary_x={tr.get('canary_x')} canary_max={tr.get('canary_max')}"
+          f" cpu_ref={tr.get('cpu_ref')} mt_x={tr.get('mt_x')}")
     for q, v in detail["bench_detail"]["queries"].items():
         if v >= 0:
             qs.setdefault(q, []).append(v)
 
 pins = {q: min(vs) for q, vs in sorted(qs.items())}
 print(f"# pin sum: {sum(pins.values()):.2f} s over {len(pins)} queries")
-print(f"# canaries: q02 {pins.get('q02')}, q16 {pins.get('q16')}, q30 {pins.get('q30')}")
+print(f"# canaries: q02 {pins.get('q02')}, q16 {pins.get('q16')}, "
+      f"q30 {pins.get('q30')}, t08 {pins.get('t08')}")
 for q, v in pins.items():
     print(f'    "{q}" -> {v:.3f},')
