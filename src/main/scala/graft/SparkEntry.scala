@@ -34,7 +34,7 @@ object SparkEntry {
     * half of each name lives here and in COVERAGE.md.
     */
   val descriptions: Map[String, String] = Map(
-    "c01" -> "corpus_gate",
+    "c01" -> "corpus_gate", "c02" -> "corpus_integrity_audit",
     "d01" -> "exact_dedup", "d02" -> "minhash_lsh", "d03" -> "simhash",
     "d04" -> "ngram_jaccard", "d05" -> "embedding_dup", "d06" -> "dedup_keep",
     "d07" -> "dup_clusters", "d08" -> "simhash_hamming",

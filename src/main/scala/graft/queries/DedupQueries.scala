@@ -924,6 +924,41 @@ object DedupQueries {
     // against the eval slice), and both join SMALL derived frames. Gate
     // order is part of the contract (cheap and local before joined) and
     // is encoded identically in the oracle's CASE chain.
+    // Corpus referential-integrity + payload-validity audit — the check a
+    // multimodal pipeline runs BEFORE training: every document should
+    // have exactly one embedding and vice versa (left-anti probes both
+    // ways), and every embedding must be structurally sound (expected
+    // dim count, no NaN elements, non-zero norm — a zero vector poisons
+    // cosine math downstream in s01/s07/s09). 100 TB shape: the orphan
+    // probes shuffle bare ids only; the validity checks are map-side
+    // column predicates (the NaN scan is one codegen `exists`, the norm
+    // is the pinned left-to-right dot); five 1-row aggregates broadcast
+    // into the single output row.
+    "c02" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val checked = e.select(col("vec_id"),
+        (size(col("embedding")) === 64).as("dim_ok"),
+        exists(col("embedding"), x => isnan(x)).as("has_nan"),
+        (VectorFns.dot(col("embedding"), col("embedding")) === 0.0)
+          .as("zero_norm"))
+      val orphanVec = checked
+        .join(d, col("vec_id") === col("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_vecs_without_doc"))
+      val orphanDoc = d
+        .join(e.select(col("vec_id")), col("doc_id") === col("vec_id"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_docs_without_vec"))
+      val stats = checked.agg(count(lit(1)).as("n_vecs"),
+        count(when(col("dim_ok"), 1)).as("n_dim_ok"),
+        count(when(col("has_nan"), 1)).as("n_nan"),
+        count(when(col("zero_norm"), 1)).as("n_zero_norm"))
+      d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(orphanDoc))
+        .crossJoin(broadcast(orphanVec))
+    },
+
     "c01" -> { (s, dir) =>
       // null text gets a coalesced hash sentinel + the 'empty' verdict:
       // a null join key would silently drop the document from the output
@@ -1387,5 +1422,30 @@ object DedupQueries {
         |  FROM cand
         |  JOIN e ea ON vec_a = ea.vec_id
         |  JOIN e eb ON vec_b = eb.vec_id)
-        |SELECT vec_a, vec_b, round(cs, 4) AS cosine FROM p WHERE cs >= 0.4""".stripMargin)
+        |SELECT vec_a, vec_b, round(cs, 4) AS cosine FROM p WHERE cs >= 0.4""".stripMargin,
+
+    "c02" ->
+      """WITH chk AS (
+        |  SELECT vec_id,
+        |    len(embedding) = 64 AS dim_ok,
+        |    len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+        |      AS zero_norm
+        |  FROM embeddings),
+        |ov AS (
+        |  SELECT count(*)::BIGINT AS n_vecs_without_doc FROM chk
+        |  WHERE vec_id NOT IN (SELECT doc_id FROM documents)),
+        |od AS (
+        |  SELECT count(*)::BIGINT AS n_docs_without_vec FROM documents
+        |  WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_vecs,
+        |    count(CASE WHEN dim_ok THEN 1 END)::BIGINT AS n_dim_ok,
+        |    count(CASE WHEN has_nan THEN 1 END)::BIGINT AS n_nan,
+        |    count(CASE WHEN zero_norm THEN 1 END)::BIGINT AS n_zero_norm
+        |  FROM chk),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        |SELECT nd.n_docs, st.n_vecs, st.n_dim_ok, st.n_nan, st.n_zero_norm,
+        |  od.n_docs_without_vec, ov.n_vecs_without_doc
+        |FROM nd, st, od, ov""".stripMargin)
 }
