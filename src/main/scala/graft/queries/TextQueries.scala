@@ -365,8 +365,13 @@ object TextQueries {
       val uni = docs(s, dir)
         .select(explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
-      val nTot = bg.agg(count(lit(1)).as("n_bg"))
-      val top = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      // total bigram mass off the COUNT frame, not a third corpus scan —
+      // the cnt subtree is byte-identical for both consumers, so the
+      // shuffle is a ReusedExchange (PlanSpec-pinned) and the total costs
+      // one vocabulary-sized agg instead of a scan+tokenize pass
+      val nTot = cnt.agg(sum(col("c_xy")).as("n_bg"))
+      val top = cnt
         .orderBy(col("c_xy").desc, col("bg").asc).limit(30)
         .withColumn("x", split(col("bg"), " ").getItem(0))
         .withColumn("y", split(col("bg"), " ").getItem(1))

@@ -812,12 +812,20 @@ class PlanSpec extends SparkSpec {
 
   test("t17: bigram PMI cuts top-30 with TakeOrderedAndProject and probes " +
       "the vocabulary-sized unigram frame with the 30-row side broadcast " +
-      "— the unigram table itself must never be the build side") {
+      "— the unigram table itself must never be the build side — and the " +
+      "bigram total reuses the count exchange instead of a third scan") {
     val p = plan("t17")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"),
       "a sort-merge join here means the unigram frame got shuffled")
+    // exchange reuse is an AQE runtime decision — execute for the final
+    // plan (the d16 pattern); two scans (bigram + unigram), never three
+    val df = SparkEntry.queries("t17")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      "n_bg must ride the bigram-count exchange, not a third corpus scan")
   }
 
   test("w13: weighted Poisson sample is a shuffle-free integer hash gate " +
