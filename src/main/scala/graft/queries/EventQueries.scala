@@ -182,26 +182,41 @@ object EventQueries {
     // Strict ORDERED funnel (view → click → purchase): unlike q31's
     // as-of conversion window, each stage must happen strictly AFTER the
     // user's first completion of the previous stage — the product-
-    // analytics funnel definition. Shape: three user-keyed hash aggs
-    // chained by equi-joins whose right side only ever SHRINKS (stage-2
-    // users ⊆ stage-1 users), so at 100 TB this is three shuffles of
-    // user-cardinality frames and the final counts are 1-row broadcasts.
-    // All comparisons are on exact timestamps — no FP anywhere until the
-    // final rounded rates.
+    // analytics funnel definition. Shape: ONE events scan + ONE
+    // user-keyed shuffle. The naive staged form (min-view agg, join
+    // clicks, join purchases) re-derives each stage's input and scans
+    // the events table up to six times; here two chained window passes
+    // over the SAME user partitioning (no re-shuffle between them)
+    // compute the running first-view and first-qualifying-click, and
+    // every stage gate compares VALUES (ts > running-min), not window
+    // positions — which is what makes tie order irrelevant: a click at
+    // exactly the first view's timestamp fails `ts > vrun` whether the
+    // view sorted before or after it, so no event_id tiebreak is even
+    // needed. The correctness argument for the single pass: a purchase
+    // qualifies iff it is after the FIRST qualifying click c*, and any
+    // qualifying click in the purchase's prefix is ≥ c*, so
+    // `ts > min(prefix qualifying clicks)` ⟺ `ts > c*`. No FP anywhere
+    // until the final rounded rates.
     "q46" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val perUser = t(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-      v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
-        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+        .withColumn("vrun",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("cq", when(col("event_type") === "click" &&
+          col("ts") > col("vrun"), col("ts")))
+        .withColumn("crun", min(col("cq")).over(w))
+        .withColumn("pq", when(col("event_type") === "purchase" &&
+          col("ts") > col("crun"), col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+          min(col("cq")).as("c_ts"), min(col("pq")).as("p_ts"))
+      perUser
+        .agg(count(col("v_ts")).as("n_view"),
+          count(col("c_ts")).as("n_view_click"),
+          count(col("p_ts")).as("n_full_funnel"))
         .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
           round(col("n_view_click").cast("double") / col("n_view"), 4)
             .as("click_rate"),

@@ -789,15 +789,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("q46: strict funnel is three user-keyed stages — equi-joins only, " +
-      "1-row count frames broadcast at the end, no cartesian on data") {
+  test("q46: strict funnel is ONE events scan + ONE user-keyed shuffle — " +
+      "chained windows share the partitioning, no join anywhere, and the " +
+      "only other exchange is the final 1-row rollup") {
     val p = plan("q46")
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    // stage joins are hash equi-joins on user_id
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+    assert(!p.contains("Join"), p.take(3000))
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
       p.take(3000))
-    // the final 1-row count combines are broadcast nested-loop by design
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"stage joins crept back in:\n${p.take(3000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "the staged form scanned events up to six times")
   }
 
   test("q47: transition matrix is ONE user-keyed window shuffle + a " +

@@ -17,8 +17,8 @@ class StreamFunnelSpec extends SparkSpec {
   private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   /** latest emission per user (OutputMode.Update revisions). */
-  private def latest(table: String): Map[Long, Int] = {
-    val df = spark.table(table)
+  private def latest(dir: String): Map[Long, Int] = {
+    val df = spark.read.parquet(dir)
     df.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
           .orderBy(col("batch_id").desc)))
@@ -28,25 +28,29 @@ class StreamFunnelSpec extends SparkSpec {
   }
 
   private def startQuery(input: MemoryStream[(Long, String, Timestamp, Long)],
-                         name: String) = {
+                         dir: String) = {
     val events = input.toDS().toDF("user_id", "event_type", "ts", "event_id")
     StreamFunnel.funnelStream(events)
-      .withColumn("batch_id", lit(null).cast("long")) // overwritten below
-      .writeStream.format("memory").queryName(name)
+      .writeStream
       .outputMode("update")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamFunnel.UserFunnel],
+                       id: Long) =>
         b.withColumn("batch_id", lit(id))
-          .write.mode("append").saveAsTable(name)
+          .write.mode("append").parquet(dir)
+        ()
       }
       .start()
   }
 
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("sfunnel").toString + "/out"
+
   test("strict-order traps (the q46 edge fixture), within-batch order " +
       "independence, and replay idempotence") {
     implicit val sqlCtx = spark.sqlContext
-    spark.sql("DROP TABLE IF EXISTS sfunnel_out")
+    val out = tmp()
     val input = MemoryStream[(Long, String, Timestamp, Long)]
-    val q = startQuery(input, "sfunnel_out")
+    val q = startQuery(input, out)
     // the q46 edge fixture, delivered DELIBERATELY out of order within
     // the batch — the fold sorts by (ts, event_id)
     val batch = Seq(
@@ -59,23 +63,23 @@ class StreamFunnelSpec extends SparkSpec {
       (5L, "purchase", ts(1), 502L), (5L, "click", ts(0), 501L))
     input.addData(batch)
     q.processAllAvailable()
-    val stages = latest("sfunnel_out")
+    val stages = latest(out)
     assert(stages == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0),
       s"got $stages")
     // REPLAY the identical batch: every transition is a guarded monotone
     // min, so nothing may move
     input.addData(batch)
     q.processAllAvailable()
-    assert(latest("sfunnel_out") == stages, "replay moved a stage")
+    assert(latest(out) == stages, "replay moved a stage")
     q.stop()
   }
 
   test("stream/batch parity: after an in-order prefix the per-stage " +
       "counts equal batch q46 over the same events") {
     implicit val sqlCtx = spark.sqlContext
-    spark.sql("DROP TABLE IF EXISTS sfunnel_par")
+    val out = tmp()
     val input = MemoryStream[(Long, String, Timestamp, Long)]
-    val q = startQuery(input, "sfunnel_par")
+    val q = startQuery(input, out)
     // per-user in-order delivery split across two micro-batches
     val types = Seq("view", "click", "purchase", "error")
     def ev(u: Long, i: Int) =
@@ -84,7 +88,7 @@ class StreamFunnelSpec extends SparkSpec {
     val (b1, b2) = all.partition(_._4 % 100 < 3)
     input.addData(b1); q.processAllAvailable()
     input.addData(b2); q.processAllAvailable()
-    val stages = latest("sfunnel_par")
+    val stages = latest(out)
     val dir = java.nio.file.Files.createTempDirectory("sfunnel").toString
     all.toDF("user_id", "event_type", "ts", "event_id")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
