@@ -236,16 +236,18 @@ object EventQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val tr = t(s, dir, "events")
+      val pairs = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("to_type", lead(col("event_type"), 1).over(w))
         .filter(col("to_type").isNotNull)
-        .select(col("event_type").as("from_type"), col("to_type"))
-      val totals = tr.groupBy(col("from_type"))
-        .agg(count(lit(1)).as("n_from"))
-      tr.groupBy(col("from_type"), col("to_type"))
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
-        .join(broadcast(totals), Seq("from_type"))
+      // row totals off the ≤|types|²-row PAIR frame (the oracle's own
+      // construction) — deriving them from the window output would run
+      // the sort+window pass a second time
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(totals), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("n"),
           round(col("n").cast("double") / col("n_from"), 4).as("p"))
     })

@@ -803,13 +803,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q47: transition matrix is ONE user-keyed window shuffle + a " +
-      "type-pair hash agg with the totals dimension broadcast back") {
+      "type-pair hash agg with the totals dimension broadcast back — " +
+      "the window pass runs once (totals come off the pair frame)") {
     val p = plan("q47")
     assert("windowspecdefinition\\(user_id#".r.findFirstIn(p).isDefined,
       p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("Exchange rangepartitioning"),
       "no global sort belongs in a transition count")
+    // exchange reuse is an AQE runtime decision — execute for the final
+    // plan (the d16/t17 pattern): the totals branch must ride the pair
+    // aggregate's exchange, not re-run the scan+sort+window subtree
+    val df = SparkEntry.queries("q47")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      s"totals re-derived the window subtree:\n${ep.take(3000)}")
   }
 
   test("t17: bigram PMI cuts top-30 with TakeOrderedAndProject and probes " +
