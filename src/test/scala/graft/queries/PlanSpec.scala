@@ -598,6 +598,14 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window over the customer frame:\n${unpart.mkString("\n")}")
     // spine and totals broadcast back to the fact side
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the rev frame (orders scan + custkey shuffle — the expensive part
+    // at corpus scale) feeds bounds/bucketed/spine/totals; the four
+    // consumers must share ONE exchange at runtime, not rescan orders
+    val df = SparkEntry.queries("q45")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      s"rev subtree re-derived per consumer:\n${ep.take(3000)}")
   }
 
   test("d15: duplicated-span shuffles carry hashed longs only — the gram " +
