@@ -48,7 +48,8 @@ object Bench {
     */
   def detailLine(timings: Seq[(String, Double)], runs: Seq[(String, Int)],
                  sfName: String, cpuRefs: Seq[Double] = Nil,
-                 mtRefs: Seq[Double] = Nil): String = {
+                 mtRefs: Seq[Double] = Nil,
+                 trust: Option[String] = None): String = {
     val rs = runs.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val cpart =
@@ -57,7 +58,18 @@ object Bench {
     val mpart =
       if (mtRefs.isEmpty) ""
       else mtRefs.map(fmt(_, 3)).mkString(""","mt_refs":[""", ",", "]")
-    s"""{"bench_detail":{"queries":${queriesJson(timings, 3)},"runs":$rs$cpart$mpart},"sf":"$sfName"}"""
+    // Round 15: the trust verdict rides the END of this line (after
+    // mt_refs) as well as the standalone bench_trust line. Rationale: the
+    // round-of-record artifact keeps ONLY the 2,000-byte stdout tail, and
+    // the r14 trust→detail→total order deliberately evicts the standalone
+    // trust line from that window on full-suite runs — which made
+    // contaminated/canary_x/canary_max unrecoverable from BENCH_r14.json.
+    // The detail line's TAIL provably survives in-window (r13/r14 both
+    // kept mt_refs), so appending the verdict here keeps it on the round
+    // of record without re-risking the metric-shape parse (this line
+    // leads with "bench_detail", never "metric").
+    val tpart = trust.map(t => s""","trust":$t""").getOrElse("")
+    s"""{"bench_detail":{"queries":${queriesJson(timings, 3)},"runs":$rs$cpart$mpart$tpart},"sf":"$sfName"}"""
   }
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
@@ -90,17 +102,29 @@ object Bench {
     * the same binary were all pin-class) while all four canaries read
     * clean: scan-agg and string-CPU shapes share no regime with a
     * contended multithread shuffle, so that disturbance class was
-    * invisible on the trust line. d01 is the family's cheapest member
-    * (~0.25 s clean), so sampling the regime costs ~0.75 s per suite.
-    * The canary set now spans scan (q02/q16/q30), string-CPU (t08) and
-    * shuffle (d01).
+    * invisible on the trust line. Selection criterion: d01 is the
+    * cheapest dedup query whose plan contains a genuine 32-thread
+    * exchange (d03 at 0.163 s is a map-only simhash scan — no shuffle to
+    * sample), so the regime costs ~0.75 s per suite to watch. And r14
+    * validated it live: d01 read 1.31× during the very window that
+    * elevated w03–w12 2–5×.
+    *
+    * Round-15 addition: d06 (md5 hash-groupBy + min_by, ~0.17 s clean,
+    * also a real high-cardinality exchange) joins as the shuffle
+    * CORROBORATOR. With only one shuffle canary, a moderate (1.75–3×)
+    * shuffle-regime disturbance could never satisfy the ≥2-canary rule —
+    * the r13 disturbance this family watches for STARTED at 1.9×, under
+    * the 3.0 single-canary trip. Two independent shuffle canaries let
+    * the moderate band auto-flag. The set now spans scan (q02/q16/q30),
+    * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
     "q02" -> 0.146,
     "q16" -> 0.106,
     "q30" -> 0.099,
     "t08" -> 0.349,
-    "d01" -> 0.249)
+    "d01" -> 0.249,
+    "d06" -> 0.174)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
@@ -431,21 +455,32 @@ object Bench {
     * Returns None when no signal was evaluated (absence = "not
     * evaluated", never "clean").
     */
-  def trustLine(sfName: String,
-                contaminated: Option[Boolean] = None,
-                canaryX: Option[Double] = None,
-                canaryMax: Option[Double] = None,
-                cpuRef: Option[Double] = None,
-                mtX: Option[Double] = None): Option[String] = {
+  /** The inner trust-fields object `{...}`, shared by the standalone
+    * bench_trust line and the detail line's `"trust":` appendix.
+    * None when nothing was evaluated (absence = "not evaluated").
+    */
+  def trustFields(contaminated: Option[Boolean] = None,
+                  canaryX: Option[Double] = None,
+                  canaryMax: Option[Double] = None,
+                  cpuRef: Option[Double] = None,
+                  mtX: Option[Double] = None): Option[String] = {
     val parts = Seq(
       contaminated.map(c => s""""contaminated":$c"""),
       canaryX.map(x => s""""canary_x":${fmt(x, 2)}"""),
       canaryMax.map(x => s""""canary_max":${fmt(x, 1)}"""),
       cpuRef.map(x => s""""cpu_ref":${fmt(x, 3)}"""),
       mtX.map(x => s""""mt_x":${fmt(x, 1)}""")).flatten
-    if (parts.isEmpty) None
-    else Some(s"""{"bench_trust":{${parts.mkString(",")}},"sf":"$sfName"}""")
+    if (parts.isEmpty) None else Some(s"{${parts.mkString(",")}}")
   }
+
+  def trustLine(sfName: String,
+                contaminated: Option[Boolean] = None,
+                canaryX: Option[Double] = None,
+                canaryMax: Option[Double] = None,
+                cpuRef: Option[Double] = None,
+                mtX: Option[Double] = None): Option[String] =
+    trustFields(contaminated, canaryX, canaryMax, cpuRef, mtX)
+      .map(f => s"""{"bench_trust":$f,"sf":"$sfName"}""")
 
   /** Upper bound on the trust line + its newline. Since round 14 the trust
     * line precedes the detail line (it no longer has to share the tail
@@ -474,6 +509,19 @@ object Bench {
     * and printed before the detail line, and `reserve` (tail-window space
     * set aside for any line sharing the window after the detail line)
     * defaults to 0.
+    *
+    * Round 15 — the LAST bounded experiment on the eight-round
+    * parsed:null (VERDICT r14 #2): every structural hypothesis is now
+    * falsified by some round (field set: r13 matched r8's exactly;
+    * metric-shape ordering: r14 made the totals line the only in-window
+    * metric line — both null). The one untested model left is a driver
+    * tail window SMALLER than the 2,000 B we model, in which r13/r14's
+    * ~1,690 B three-decimal line + `[info] ` prefix + epilogue (~1,770 B
+    * start-to-EOF) overran while r8's shorter line fit. So the ladder now
+    * STARTS at 2 decimals — ~1,555 B for the 136-query map, start-to-EOF
+    * ~1,640 B — keeping full 3-decimal precision on the detail line the
+    * judge reads. If BENCH_r15.json still records null, the field is
+    * driver-side; BENCH_NOTES.md freezes the investigation.
     */
   def metricLine(timings: Seq[(String, Double)], sfName: String,
                  reserve: Int = 0): String = {
@@ -483,7 +531,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$qpart,"sf":"$sfName"}"""
     }
     val steps =
-      (3 to 1 by -1).iterator.map(s => line(Some(queriesJson(timings, s))))
+      (2 to 1 by -1).iterator.map(s => line(Some(queriesJson(timings, s))))
     steps.find(_.length <= TailCaptureBytes - SafetyMargin - reserve)
       .getOrElse(line(None))
   }
@@ -577,14 +625,18 @@ object Bench {
     // metric-shaped line inside the driver's 2,000-byte tail (the shape of
     // every round that ever parsed). The trust line is additionally
     // de-shaped ({"bench_trust":{...}}) so it can never be grabbed by the
-    // first-metric-line parser even on a short SPARK_GRAFT_ONLY run. See
-    // TailCaptureBytes / trustLine / metricLine for the eight-round
-    // history this encodes.
-    val trust = trustLine(sfName, contaminationFlag(timings, sfName),
+    // first-metric-line parser even on a short SPARK_GRAFT_ONLY run.
+    // Round 15: the same verdict ALSO rides the end of the detail line,
+    // whose tail provably survives the captured window — so the round of
+    // record keeps the contamination verdict even though the standalone
+    // line is evicted on full-suite runs. See TailCaptureBytes /
+    // trustLine / detailLine / metricLine for the nine-round history.
+    val tf = trustFields(contaminationFlag(timings, sfName),
       canaryRatio(timings, sfName), canaryMax(timings, sfName),
       Some(cpuSamples.max), mtX)
-    trust.foreach(println)
-    println(detailLine(timings, runs, sfName, cpuSamples.toSeq, mtSamples.toSeq))
+    tf.foreach(f => println(s"""{"bench_trust":$f,"sf":"$sfName"}"""))
+    println(detailLine(timings, runs, sfName, cpuSamples.toSeq,
+      mtSamples.toSeq, tf))
     println(metricLine(timings, sfName))
     spark.stop()
   }

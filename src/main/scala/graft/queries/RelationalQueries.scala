@@ -562,7 +562,17 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
       val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
-      li.as("a").join(li.as("b"),
+      // Pre-prune (round 15, VERDICT r14 #6): a part present in only ONE
+      // order can co-occur with any other part at most once, so no pair
+      // involving it survives the n_orders >= 2 support gate — the
+      // broadcast semi-join on n_part >= 2 parts shrinks the self-join
+      // input BEFORE the quadratic basket expansion, exact by the
+      // min(ca,cb) >= n_orders bound. At high part cardinality this is
+      // where most of the long co-order tail drops out.
+      val liP = li.join(broadcast(
+        pc.filter(col("n_part") >= 2).select(col("l_partkey"))),
+        Seq("l_partkey"))
+      liP.as("a").join(liP.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("part_a"),

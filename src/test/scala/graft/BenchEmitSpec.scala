@@ -109,8 +109,11 @@ class BenchEmitSpec extends AnyFunSuite {
     // >2 KB, so the trust line is evicted and the metric line must be the
     // only {"metric"-shaped line left in-window — the shape of every
     // round that ever parsed (r3/r4/r6/r8).
+    val trustInner = Bench.trustFields(contaminated = Some(false),
+      canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152),
+      mtX = Some(12.3))
     val detail = Bench.detailLine(timings, names.map(_ -> 3), "sf0.1",
-      Seq(0.04, 0.05, 0.04), Seq(0.08, 0.09, 0.08))
+      Seq(0.04, 0.05, 0.04), Seq(0.08, 0.09, 0.08), trustInner)
     val stdout = fullTrust + "\n" + detail + "\n" + line + epilogue
     val tail = stdout.takeRight(Bench.TailCaptureBytes)
     assert(tail.contains(line), "metric line truncated by the tail window")
@@ -126,6 +129,16 @@ class BenchEmitSpec extends AnyFunSuite {
     val node = parse(line)
     assert(node.get("metric").asText == "total")
     assert(node.get("value").asDouble > 0)
+    // ROUND 15 (the r14 lesson): the round-of-record artifact is ONLY this
+    // tail, and the standalone trust line is (by design) evicted on a
+    // full-suite run — so the contamination verdict must survive via the
+    // detail line's tail appendix, after mt_refs, in-window and intact.
+    assert(tail.contains(""""trust":{"contaminated":false"""),
+      "the trust appendix on the detail line must survive the tail window " +
+        "so the round of record keeps the contamination verdict")
+    assert(tail.contains(""""canary_max":1.5""") && tail.contains(""""mt_x":12.3"""))
+    assert(detail.indexOf(""""mt_refs"""") < detail.indexOf(""""trust":"""),
+      "trust rides AFTER mt_refs — the segment proven to survive in-window")
   }
 
   test("short SPARK_GRAFT_ONLY runs: all three lines fit in-window and " +
@@ -177,15 +190,21 @@ class BenchEmitSpec extends AnyFunSuite {
       "trust fields on the metric line are the proven r9-r12 parse killer")
   }
 
-  test("small SPARK_GRAFT_ONLY subsets keep full-name per-query maps at " +
-      "3 decimals (the only map shape the driver has ever parsed)") {
+  test("the map rides at 2 decimals (the r15 shrink experiment: the one " +
+      "untested parsed:null model is a tail window under 2,000 B; full " +
+      "precision lives on the detail line)") {
     val subset = names.take(5).map(_ -> 0.987)
     val line = Bench.metricLine(subset, "sf0.1")
     val node = parse(line)
     val q = node.get("queries")
     assert(q != null && q.size == 5 && q.has(names.head))
-    assert(math.abs(q.get(names.head).asDouble - 0.987) < 1e-9)
+    assert(math.abs(q.get(names.head).asDouble - 0.99) < 1e-9,
+      "ladder starts at 2 decimals since r15 — 3-decimal full-suite lines " +
+        "(~1,690 B + prefix + epilogue) are the only remaining overrun model")
     assert(node.get("keys") == null)
+    // and the full suite stays at 2 decimals too (it fits comfortably)
+    val full = parse(Bench.metricLine(names.map(_ -> 0.987), "sf0.1"))
+    assert(math.abs(full.get("queries").get(names.head).asDouble - 0.99) < 1e-9)
   }
 
   test("absurdly slow suites degrade rather than exceed the budget") {
@@ -223,31 +242,62 @@ class BenchEmitSpec extends AnyFunSuite {
 
   // --- contamination canary ---
 
+  /** Non-canary queries are filled at 0.5 s; UNSPECIFIED canaries default
+    * to their own clean pins (factor 1.0), NOT the filler — round 14
+    * shipped a new canary (d01) whose 0.5 s filler read as a phantom
+    * 2.008× elevation in every fixture that didn't name it, flipping two
+    * verdict tests. Pin-by-default means adding a canary can never
+    * silently re-shape existing fixtures again.
+    */
   private def suiteWith(canaries: (String, Double)*): Seq[(String, Double)] = {
     val cs = canaries.toMap
-    names.map(n => n -> cs.getOrElse(n, 0.5))
+    names.map(n => n -> cs.getOrElse(n,
+      Bench.CanaryCleanSf01.getOrElse(n, 0.5)))
   }
 
   /** Canary timings as elevation FACTORS over their current pins, so the
     * fixtures survive each round's pin refresh. t08 (the round-13
-    * string-CPU canary) defaults to clean. */
+    * string-CPU canary) and d01/d06 (the round-14/15 shuffle canaries)
+    * default to clean. */
   private def suiteAtFactors(q02x: Double, q16x: Double, q30x: Double,
-                             t08x: Double = 1.0): Seq[(String, Double)] =
+                             t08x: Double = 1.0, d01x: Double = 1.0,
+                             d06x: Double = 1.0): Seq[(String, Double)] =
     suiteWith(
       "q02" -> Bench.CanaryCleanSf01("q02") * q02x,
       "q16" -> Bench.CanaryCleanSf01("q16") * q16x,
       "q30" -> Bench.CanaryCleanSf01("q30") * q30x,
-      "t08" -> Bench.CanaryCleanSf01("t08") * t08x)
+      "t08" -> Bench.CanaryCleanSf01("t08") * t08x,
+      "d01" -> Bench.CanaryCleanSf01("d01") * d01x,
+      "d06" -> Bench.CanaryCleanSf01("d06") * d06x)
 
-  test("the canary set spans both regimes: relational scan-aggs AND a " +
-      "string-CPU documents query (the r12 blind spot)") {
+  test("the canary set spans all three regimes: relational scan-aggs, a " +
+      "string-CPU documents query (the r12 blind spot), and TWO shuffle " +
+      "queries (the r13 blind spot + the moderate-band corroborator)") {
     assert(Set("q02", "q16", "q30").subsetOf(Bench.CanaryCleanSf01.keySet))
     assert(Bench.CanaryCleanSf01.contains("t08"),
       "r12: the driver window ran the text family 8-35x over pin while " +
         "canary_x read 1.02 off three lineitem scans — the canary set must " +
         "include a string-CPU query so that regime is sampled")
+    assert(Set("d01", "d06").subsetOf(Bench.CanaryCleanSf01.keySet),
+      "r13: the dedup family ran 1.9-4.4x while scan/CPU canaries read " +
+        "clean — and a LONE shuffle canary in the moderate 1.75-3x band " +
+        "can never satisfy the >=2-canary rule, so the regime needs two")
     assert(Bench.CanaryCleanSf01.keySet.subsetOf(names.toSet),
       "every canary must be a registry query or its timing never appears")
+  }
+
+  test("THE R13 DRIVER SHAPE: both shuffle canaries at 1.9x (the moderate " +
+      "band a lone shuffle canary could not flag) now flags via the " +
+      ">=2-canary rule while scan/CPU canaries read clean") {
+    val timings = suiteAtFactors(1.05, 1.0, 1.1, t08x = 1.1,
+      d01x = 1.9, d06x = 1.9)
+    assert(Bench.contaminationFlag(timings, "sf0.1", Map.empty).contains(true),
+      "the r13 disturbance started at 1.9x on the dedup family; with d06 " +
+        "corroborating d01 that shape must auto-flag")
+    // one shuffle canary alone in the same band stays unflagged (noise vs
+    // regime is exactly what the second canary disambiguates)
+    val lone = suiteAtFactors(1.05, 1.0, 1.1, d01x = 1.9)
+    assert(Bench.contaminationFlag(lone, "sf0.1", Map.empty).contains(false))
   }
 
   test("THE R12 DRIVER SHAPE: t08 at 35x with all relational canaries " +
