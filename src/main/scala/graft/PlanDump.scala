@@ -56,9 +56,9 @@ object PlanDump {
     "d18" -> "dedup manifest: corpus left join against resolved clusters",
     "t14" -> "source KL drift: one (source,tok) agg feeds both marginals",
     "q45" -> "Pareto share: banded value-domain spine, bucket-parallel rank/prefix, integer-cent gate",
-    "q46" -> "strict funnel: three shrinking user-keyed stages, 1-row broadcast counts",
-    "q47" -> "transition matrix: one user window, pair agg map-side, broadcast totals",
-    "t17" -> "bigram PMI: vocab-bounded aggs, integer-ranked top-30 broadcast into unigram probes",
+    "q46" -> "strict funnel: ONE scan + one user-keyed shuffle, two chained value-gated windows, no joins",
+    "q47" -> "transition matrix: one user window, pair agg map-side; totals reuse the pair-frame exchange",
+    "t17" -> "bigram PMI: vocab-bounded aggs, totals ride the count frame via ReusedExchange, integer-ranked top-30 broadcast into unigram probes",
     "w13" -> "weighted Poisson sample: shuffle-free integer gate, one source agg",
     "x08" -> "AMS F2: 16-row sign-sum sketch (map-side combine) vs vocab-sized exact reference",
     "s09" -> "simplified silhouette: k-row centroid broadcast, fixed-point per-label mean")
