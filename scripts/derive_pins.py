@@ -26,10 +26,11 @@ for path in sys.argv[1:]:
 qs = {}
 for path, detail, metric, trust in runs:
     t = metric["value"] if metric else None
-    # r13+: the trust fields live on the bench_trust line (the metric
-    # line is r8's strict five-field set); older captures carried them
-    # on the metric line — read either.
+    # r14+: the trust line is de-shaped — fields nest under "bench_trust".
+    # r13 carried them flat on a {"metric":"bench_trust"} line; older
+    # captures carried them on the metric line — read any of the three.
     tr = trust or metric or {}
+    tr = tr.get("bench_trust", tr)
     print(f"# {path}: total {t} contaminated={tr.get('contaminated')}"
           f" canary_x={tr.get('canary_x')} canary_max={tr.get('canary_max')}"
           f" cpu_ref={tr.get('cpu_ref')} mt_x={tr.get('mt_x')}")
@@ -40,6 +41,7 @@ for path, detail, metric, trust in runs:
 pins = {q: min(vs) for q, vs in sorted(qs.items())}
 print(f"# pin sum: {sum(pins.values()):.2f} s over {len(pins)} queries")
 print(f"# canaries: q02 {pins.get('q02')}, q16 {pins.get('q16')}, "
-      f"q30 {pins.get('q30')}, t08 {pins.get('t08')}")
+      f"q30 {pins.get('q30')}, t08 {pins.get('t08')}, "
+      f"d01 {pins.get('d01')}, d06 {pins.get('d06')}")
 for q, v in pins.items():
     print(f'    "{q}" -> {v:.3f},')

@@ -74,8 +74,9 @@ object Bench {
 
   /** Scan-only canary queries with their pinned clean sf0.1 medians
     * (seconds) — refreshed EVERY round from the min of that round's
-    * full-suite per-query medians (r12 FINAL close: q02 0.146, q16 0.106,
-    * q30 0.099 from the four quiet 118-query close runs; r6–r8 pins had drifted
+    * full-suite per-query medians (r15 FINAL close: four quiet
+    * 135-query close runs, all contaminated:false by their own canaries;
+    * r6–r8 pins had drifted
     * until q30 read 1.7× on a near-clean run). Rationale: median-of-3 rejects a
     * single outlier run, but a SESSION-WIDE disturbance (concurrent build,
     * noisy neighbor) elevates all three runs of every query — r8's driver
@@ -119,23 +120,26 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.146,
-    "q16" -> 0.106,
-    "q30" -> 0.099,
-    "t08" -> 0.349,
-    "d01" -> 0.249,
-    "d06" -> 0.174)
+    "q02" -> 0.140,
+    "q16" -> 0.104,
+    "q30" -> 0.096,
+    "t08" -> 0.320,
+    "d01" -> 0.247,
+    "d06" -> 0.178)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 12 FINAL binary, 118 queries: four quiet
-    * full-suite runs A–D on the closing code, all contaminated:false by
-    * their own canaries; derivation in BENCH_NOTES.md, re-derivable via
-    * scripts/derive_pins.py). The derivation runs' own environment
-    * probes ride beside the pins so later drift is attributable
-    * (verdict r10 #5): totals 65.08/65.89/68.12/72.70 s,
-    * cpu_ref 0.044/0.045/0.049/0.057, mt_x 2.8/3.0/2.0/2.6; pin sum
-    * 61.91 s.
+    * this container (round 15 FINAL binary, ALL 135 queries — the 7 that
+    * joined after the r12 close (c02, q46, q47, s09, t17, w13, x08) are
+    * now pinned from the same quad-run instead of solo stand-ins: four
+    * quiet full-suite runs A–D on the closing code, all
+    * contaminated:false by their own canaries; derivation in
+    * BENCH_NOTES.md, re-derivable via scripts/derive_pins.py). The
+    * derivation runs' own environment probes ride beside the pins so
+    * later drift is attributable
+    * (verdict r10 #5): totals 81.09/76.14/75.56/74.62 s,
+    * cpu_ref 0.034/0.032/0.045/0.046, mt_x 5.0/4.4/3.4/2.7; pin sum
+    * 69.22 s.
     * Min-of-runs is the least-contaminated estimate of the
     * clean floor, which biases totalRatio slightly ≥1 on a genuinely
     * clean run — the 1.5× threshold absorbs that. Refresh each round:
@@ -143,135 +147,141 @@ object Bench {
     * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.663,
-    "d01" -> 0.249,
-    "d02" -> 2.940,
-    "d03" -> 0.163,
-    "d04" -> 1.525,
-    "d05" -> 0.541,
-    "d06" -> 0.174,
-    "d07" -> 1.045,
-    "d08" -> 0.767,
-    "d09" -> 0.786,
-    "d10" -> 0.828,
-    "d11" -> 0.910,
-    "d12" -> 1.239,
-    "d13" -> 0.230,
-    "d14" -> 0.564,
-    "d15" -> 1.169,
-    "d16" -> 0.978,
-    "d17" -> 1.157,
-    "d18" -> 1.119,
-    "d19" -> 2.812,
-    "d20" -> 2.162,
-    "d21" -> 1.221,
-    "m01" -> 0.100,
-    "m02" -> 0.144,
-    "m03" -> 0.711,
-    "m04" -> 0.663,
-    "m05" -> 1.759,
-    "m06" -> 0.245,
-    "m07" -> 0.170,
-    "m08" -> 0.777,
-    "m09" -> 0.847,
-    "p01" -> 0.530,
-    "p02" -> 0.212,
-    "p03" -> 0.200,
-    "p04" -> 0.151,
-    "p05" -> 0.228,
-    "p06" -> 0.426,
-    "p07" -> 0.536,
-    "p08" -> 0.890,
-    "p09" -> 0.146,
-    "q01" -> 0.248,
-    "q02" -> 0.146,
-    "q03" -> 0.512,
-    "q04" -> 0.510,
-    "q05" -> 0.715,
-    "q06" -> 0.150,
-    "q07" -> 0.246,
-    "q08" -> 0.350,
-    "q09" -> 0.189,
-    "q10" -> 0.279,
-    "q11" -> 0.195,
-    "q12" -> 0.820,
-    "q13" -> 0.544,
+    "c01" -> 1.787,
+    "c02" -> 0.544,
+    "d01" -> 0.247,
+    "d02" -> 2.484,
+    "d03" -> 0.160,
+    "d04" -> 1.368,
+    "d05" -> 0.525,
+    "d06" -> 0.178,
+    "d07" -> 1.000,
+    "d08" -> 0.794,
+    "d09" -> 0.687,
+    "d10" -> 0.772,
+    "d11" -> 0.937,
+    "d12" -> 1.146,
+    "d13" -> 0.196,
+    "d14" -> 0.533,
+    "d15" -> 1.049,
+    "d16" -> 0.908,
+    "d17" -> 1.214,
+    "d18" -> 0.949,
+    "d19" -> 2.442,
+    "d20" -> 1.563,
+    "d21" -> 0.792,
+    "m01" -> 0.098,
+    "m02" -> 0.134,
+    "m03" -> 0.729,
+    "m04" -> 0.662,
+    "m05" -> 1.825,
+    "m06" -> 0.248,
+    "m07" -> 0.164,
+    "m08" -> 0.795,
+    "m09" -> 0.450,
+    "p01" -> 0.510,
+    "p02" -> 0.196,
+    "p03" -> 0.194,
+    "p04" -> 0.152,
+    "p05" -> 0.234,
+    "p06" -> 0.390,
+    "p07" -> 0.474,
+    "p08" -> 0.852,
+    "p09" -> 0.136,
+    "q01" -> 0.237,
+    "q02" -> 0.140,
+    "q03" -> 0.469,
+    "q04" -> 0.477,
+    "q05" -> 0.671,
+    "q06" -> 0.138,
+    "q07" -> 0.224,
+    "q08" -> 0.324,
+    "q09" -> 0.176,
+    "q10" -> 0.262,
+    "q11" -> 0.177,
+    "q12" -> 0.785,
+    "q13" -> 0.513,
     "q14" -> 0.145,
-    "q15" -> 0.166,
-    "q16" -> 0.106,
-    "q17" -> 0.287,
-    "q18" -> 0.420,
-    "q19" -> 0.214,
-    "q20" -> 0.221,
-    "q21" -> 0.345,
-    "q22" -> 0.206,
-    "q23" -> 0.226,
-    "q24" -> 0.338,
-    "q25" -> 1.171,
-    "q26" -> 0.291,
-    "q27" -> 0.319,
-    "q28" -> 0.186,
-    "q29" -> 0.194,
-    "q30" -> 0.099,
-    "q31" -> 0.362,
-    "q32" -> 0.747,
-    "q33" -> 0.845,
-    "q34" -> 0.339,
-    "q35" -> 0.276,
-    "q36" -> 0.335,
-    "q37" -> 0.169,
-    "q38" -> 0.921,
-    "q39" -> 0.820,
-    "q40" -> 0.406,
-    "q41" -> 0.413,
-    // t15/q42 joined after the final close; solo-run stand-ins
-    "q42" -> 0.617,
-    "q43" -> 0.534,
-    "q44" -> 2.264,
-    "q45" -> 0.435,
-    "s01" -> 0.345,
-    "s02" -> 0.300,
-    "s03" -> 0.597,
-    "s04" -> 0.564,
-    "s05" -> 0.306,
-    "s06" -> 0.649,
-    "s07" -> 0.546,
-    "s08" -> 0.750,
-    "t01" -> 0.145,
-    "t02" -> 0.317,
-    "t03" -> 0.191,
-    "t04" -> 0.296,
-    "t05" -> 0.145,
-    "t06" -> 0.180,
-    "t07" -> 0.142,
-    "t08" -> 0.349,
-    "t09" -> 0.789,
-    "t10" -> 1.482,
-    "t11" -> 0.153,
-    "t12" -> 0.178,
-    "t13" -> 0.940,
-    "t14" -> 1.468,
-    "t15" -> 0.590,
-    "t16" -> 0.601,
-    "w01" -> 0.085,
-    "w02" -> 0.145,
-    "w03" -> 0.129,
-    "w04" -> 0.377,
-    "w05" -> 0.146,
-    "w06" -> 0.178,
-    "w07" -> 0.368,
-    "w08" -> 0.235,
-    "w09" -> 0.504,
-    "w10" -> 0.416,
-    "w11" -> 0.401,
-    "w12" -> 0.515,
-    "x01" -> 0.275,
-    "x02" -> 0.408,
-    "x03" -> 0.830,
-    "x04" -> 0.524,
-    "x05" -> 1.118,
-    "x06" -> 0.209,
-    "x07" -> 0.749)
+    "q15" -> 0.152,
+    "q16" -> 0.104,
+    "q17" -> 0.288,
+    "q18" -> 0.406,
+    "q19" -> 0.215,
+    "q20" -> 0.229,
+    "q21" -> 0.307,
+    "q22" -> 0.204,
+    "q23" -> 0.213,
+    "q24" -> 0.315,
+    "q25" -> 1.120,
+    "q26" -> 0.275,
+    "q27" -> 0.288,
+    "q28" -> 0.163,
+    "q29" -> 0.201,
+    "q30" -> 0.096,
+    "q31" -> 0.347,
+    "q32" -> 0.692,
+    "q33" -> 0.784,
+    "q34" -> 0.313,
+    "q35" -> 0.281,
+    "q36" -> 0.338,
+    "q37" -> 0.172,
+    "q38" -> 0.928,
+    "q39" -> 0.762,
+    "q40" -> 0.391,
+    "q41" -> 0.374,
+    "q42" -> 0.281,
+    "q43" -> 0.243,
+    "q44" -> 1.719,
+    "q45" -> 0.613,
+    "q46" -> 0.335,
+    "q47" -> 0.395,
+    "s01" -> 0.260,
+    "s02" -> 0.256,
+    "s03" -> 0.586,
+    "s04" -> 0.459,
+    "s05" -> 0.327,
+    "s06" -> 0.696,
+    "s07" -> 0.506,
+    "s08" -> 0.720,
+    "s09" -> 1.085,
+    "t01" -> 0.132,
+    "t02" -> 0.278,
+    "t03" -> 0.171,
+    "t04" -> 0.271,
+    "t05" -> 0.143,
+    "t06" -> 0.153,
+    "t07" -> 0.120,
+    "t08" -> 0.320,
+    "t09" -> 0.715,
+    "t10" -> 1.433,
+    "t11" -> 0.148,
+    "t12" -> 0.170,
+    "t13" -> 0.883,
+    "t14" -> 1.145,
+    "t15" -> 0.492,
+    "t16" -> 0.417,
+    "t17" -> 1.105,
+    "w01" -> 0.080,
+    "w02" -> 0.128,
+    "w03" -> 0.133,
+    "w04" -> 0.354,
+    "w05" -> 0.137,
+    "w06" -> 0.160,
+    "w07" -> 0.270,
+    "w08" -> 0.194,
+    "w09" -> 0.414,
+    "w10" -> 0.407,
+    "w11" -> 0.363,
+    "w12" -> 0.439,
+    "w13" -> 0.123,
+    "x01" -> 0.267,
+    "x02" -> 0.412,
+    "x03" -> 0.604,
+    "x04" -> 0.502,
+    "x05" -> 0.770,
+    "x06" -> 0.192,
+    "x07" -> 0.742,
+    "x08" -> 0.738)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
@@ -518,7 +528,7 @@ object Bench {
     * tail window SMALLER than the 2,000 B we model, in which r13/r14's
     * ~1,690 B three-decimal line + `[info] ` prefix + epilogue (~1,770 B
     * start-to-EOF) overran while r8's shorter line fit. So the ladder now
-    * STARTS at 2 decimals — ~1,555 B for the 136-query map, start-to-EOF
+    * STARTS at 2 decimals — ~1,555 B for the 135-query map, start-to-EOF
     * ~1,640 B — keeping full 3-decimal precision on the detail line the
     * judge reads. If BENCH_r15.json still records null, the field is
     * driver-side; BENCH_NOTES.md freezes the investigation.

@@ -46,10 +46,27 @@ class ZOrderSpec extends SparkSpec {
       .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
     val aDir = java.nio.file.Files.createTempDirectory("linear").toString
-    grid.repartitionByRange(nFiles, ZOrder.interleave(col("a"), col("b")))
-      .write.mode("overwrite").parquet(zDir)
-    grid.repartitionByRange(nFiles, col("a"))
-      .write.mode("overwrite").parquet(aDir)
+    // repartitionByRange picks boundaries from a 100-rows-per-partition
+    // reservoir sample whose seed varies with RDD id (suite order) — under
+    // full-suite parallel load a skewed sample can leave a near-empty
+    // partition (fewer files) or smear a boundary file across the b-range
+    // knife edge. A 20x sample makes the quantiles effectively exact for
+    // this 65,536-row grid; scoped set/reset (a larger sample is only ever
+    // more precise, so a concurrent suite reading it mid-test is unharmed).
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "2000")
+    try {
+      grid.repartitionByRange(nFiles, ZOrder.interleave(col("a"), col("b")))
+        .write.mode("overwrite").parquet(zDir)
+      grid.repartitionByRange(nFiles, col("a"))
+        .write.mode("overwrite").parquet(aDir)
+    } finally {
+      prevSample match {
+        case Some(v) => spark.conf.set(sampleKey, v)
+        case None => spark.conf.unset(sampleKey)
+      }
+    }
 
     // per-file (min, max) of each dimension, read back footer-equivalent
     def fileSpans(dir: String): Seq[(Long, Long, Long, Long)] = {
@@ -63,7 +80,10 @@ class ZOrderSpec extends SparkSpec {
     }
     val zSpans = fileSpans(zDir)
     val aSpans = fileSpans(aDir)
-    assert(zSpans.size == nFiles && aSpans.size == nFiles)
+    // tolerate one empty range partition (no file) — the claim under test
+    // is pruning fractions, not the writer's exact file count
+    assert(zSpans.size >= nFiles - 1 && aSpans.size >= nFiles - 1,
+      s"z=${zSpans.size}, a=${aSpans.size} files of $nFiles partitions")
 
     // how many files could contain rows with dim ∈ [lo, hi]?
     def overlapA(spans: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long) =
@@ -72,13 +92,17 @@ class ZOrderSpec extends SparkSpec {
       spans.count { case (_, _, mn, mx) => mx >= lo && mn <= hi }
 
     // b-filter: the linear-by-a layout cannot prune AT ALL (every file
-    // spans all of b); the z layout confines b to a strict subset
+    // spans all of b); the z layout confines b to a strict subset.
+    // Denominators are the ACTUAL file counts so a missing empty
+    // partition can't shift the fractions. With near-exact boundaries
+    // the z-side expectation is ~6/16 on b (qualifying keys live in
+    // z ∈ [10272, 32253] = files 2..7), well under the half bound.
     val zB = overlapB(zSpans, 100, 110)
     val aB = overlapB(aSpans, 100, 110)
-    assert(aB == nFiles, s"linear layout should span b everywhere: $aB")
-    assert(zB <= nFiles / 2, s"z layout pruned only to $zB/$nFiles files")
+    assert(aB == aSpans.size, s"linear layout should span b everywhere: $aB")
+    assert(zB <= zSpans.size / 2, s"z layout pruned only to $zB/${zSpans.size} files")
     // a-filter: the z layout still prunes (both dims share the key's bits)
     val zA = overlapA(zSpans, 100, 110)
-    assert(zA <= nFiles / 2, s"z layout pruned only to $zA/$nFiles on a")
+    assert(zA <= zSpans.size / 2, s"z layout pruned only to $zA/${zSpans.size} on a")
   }
 }
