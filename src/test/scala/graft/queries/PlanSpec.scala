@@ -876,6 +876,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q44: basket self-join is keyed by l_orderkey with the single-order " +
+      "part prune broadcast UNDER it; the distinct-basket exchange is " +
+      "computed once and reused across both join sides; no cartesian") {
+    val df = SparkEntry.queries("q44")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    // the round-15 pre-prune: parts with n_part < 2 are filtered before
+    // the quadratic basket expansion, as a broadcast build side
+    assert("Filter \\(n_part#\\d+L >= 2\\)".r.findFirstIn(ep).isDefined,
+      s"pre-prune filter missing:\n${ep.take(3000)}")
+    // pair support gate above the pair aggregate
+    assert("Filter \\(n_orders#\\d+L >= 2\\)".r.findFirstIn(ep).isDefined,
+      ep.take(3000))
+    // one distinct-basket subtree, reused for side b / ca / cb — the
+    // self-join must not re-scan and re-distinct lineitem per consumer
+    assert(ep.contains("ReusedExchange"),
+      s"distinct-basket exchange re-derived per consumer:\n${ep.take(3000)}")
+    // count scans in the FINAL plan only — AdaptiveSparkPlan.toString
+    // appends the pre-reuse "== Initial Plan ==" section, which legally
+    // repeats the scan per consumer. Three scans is the designed shape:
+    // basket frame (reused for both self-join sides), part counts
+    // (reused for prune/ca/cb), and the 1-row totals branch, which
+    // prunes to the single l_orderkey column — cheaper as its own
+    // column-pruned scan than forced through the 2-column distinct
+    // exchange. Four+ means a consumer lost its reuse.
+    val finalPlan = ep.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size <= 3,
+      "a q44 consumer re-scanned lineitem instead of reusing its exchange")
+    // the only nested loop is the 1-row totals cross; never a cartesian
+    assert(!ep.contains("CartesianProduct"), ep.take(3000))
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every query carries an oracle except the approximate sketches, which
