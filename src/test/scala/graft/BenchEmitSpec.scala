@@ -145,8 +145,13 @@ class BenchEmitSpec extends AnyFunSuite {
       "the totals line is still the only metric-shaped one") {
     val subset = names.take(5).map(_ -> 0.987)
     val line = Bench.metricLine(subset, "sf0.1")
+    // model what main() actually emits: the detail line ALWAYS carries the
+    // trust appendix, so the in-window claim must hold with those extra
+    // ~120 bytes present
     val detail = Bench.detailLine(subset, subset.map(_._1 -> 3), "sf0.1",
-      Seq(0.04), Seq(0.08))
+      Seq(0.04), Seq(0.08), Bench.trustFields(contaminated = Some(false),
+        canaryX = Some(1.38), canaryMax = Some(1.52), cpuRef = Some(0.152),
+        mtX = Some(12.3)))
     val stdout = fullTrust + "\n" + detail + "\n" + line + epilogue
     val tail = stdout.takeRight(Bench.TailCaptureBytes)
     assert(tail.contains(fullTrust) && tail.contains(detail) &&
