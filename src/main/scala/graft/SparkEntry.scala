@@ -97,7 +97,7 @@ object SparkEntry {
     "w09" -> "stratified_sample", "w10" -> "quality_sample",
     "w11" -> "mixture_fill", "w12" -> "curriculum_deciles",
     "w13" -> "weighted_poisson_sample",
-    "x01" -> "approx_distinct", "x02" -> "approx_quantiles",
+    "x01" -> "hll_distinct", "x02" -> "histogram_quantiles",
     "x03" -> "countmin_heavy", "x04" -> "kmv_distinct",
     "x05" -> "kmv_setops", "x06" -> "zorder_key",
     "x07" -> "linear_counting", "x08" -> "ams_f2")

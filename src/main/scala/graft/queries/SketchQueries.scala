@@ -1,22 +1,25 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Approximate/sketch aggregates (SURVEY §2.5 note: "free from Spark", in
-  * scope for the generic surface). x01/x02 intentionally carry NO DuckDB
-  * oracle — different engines implement different sketches, so results are
-  * approximate-by-contract and the driver applies its rows-only check. The
-  * exact counterparts are oracle-checked in q13. x03 and x04
-  * are the exceptions: their sketches (count-min; k-minimum-values) are
-  * built from the portable md5 hash family, so the sketch state itself is
-  * deterministic and the full estimate pipelines ARE oracle-checked.
+  * scope for the generic surface). Every sketch here is built from the
+  * portable md5 hash family (or pure integer bucket arithmetic), so the
+  * sketch STATE is deterministic and the full estimate pipelines are
+  * oracle-checked exactly against DuckDB — including x01 (fixed-geometry
+  * HLL, round 16; previously the engine-specific `approx_count_distinct`,
+  * rows-only by contract) and x02 (fixed-geometry histogram quantiles,
+  * round 16; previously `approx_percentile`). The exact counterparts are
+  * oracle-checked in q13/q25.
   *
-  * Scale note: this is the 100 TB path for distinct counting — HLL sketches
-  * merge map-side, so cardinality estimation costs one scan and a tiny
-  * shuffle, where exact countDistinct re-shuffles the full key set.
+  * Scale note: this is the 100 TB path for distinct counting — HLL
+  * registers merge map-side (max per bucket), so cardinality estimation
+  * costs one scan and a ≤ groups×m-row shuffle, where exact countDistinct
+  * re-shuffles the full key set.
   */
 object SketchQueries {
 
@@ -37,29 +40,92 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Fixed-geometry HyperLogLog (Flajolet et al. 2007), m = 256 registers
+    // per (group, key). Round 16: replaces the engine-specific
+    // `approx_count_distinct` (whose HLL state can't hash-match another
+    // engine) with the portable construction so the WHOLE estimate
+    // pipeline is oracle-exact: h = md5-prefix 32-bit hash, bucket = low
+    // 8 bits, rank = leading-zero count of the remaining 24 bits + 1
+    // (via length(bin(w)) — identical string semantics in both engines),
+    // registers = max(rank) per bucket. The harmonic sum is kept EXACT
+    // integer (Σ 2^(25−mx), each term ≤ 2^24 and ≤ 256+zeros terms → the
+    // double-sum of exact powers of two is order-independent), so the
+    // only float ops are the final one-expression estimator — identical
+    // parse tree on both engines. Small-range branch: linear counting
+    // m·ln(m/zeros) when zeros>0 and raw ≤ 2.5m, per the paper (the
+    // 32-bit high-range branch is unreachable at 2^32/30 and omitted on
+    // both sides). 100 TB shape: register agg combines map-side to
+    // ≤ groups × 2 × 256 rows — the shuffle is sketch-sized, never
+    // key-set-sized (vs q13's exact countDistinct re-shuffle).
     "x01" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          // default 5% rsd: a tighter rsd quadruples the HLL register set
-          // for little analytical value at this cardinality
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-          count(lit(1)).as("n_rows"))
+      val keyed = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), explode(array(
+          struct(lit("p").as("tag"), graft.functions.TextFns
+            .md5Hash32(col("l_partkey").cast("string")).as("h")),
+          struct(lit("s").as("tag"), graft.functions.TextFns
+            .md5Hash32(col("l_suppkey").cast("string")).as("h")))).as("kh"))
+        .select(col("l_returnflag"), col("kh.tag").as("tag"),
+          col("kh.h").bitwiseAND(lit(255L)).as("bucket"),
+          shiftrightunsigned(col("kh.h"), 8).as("w"))
+      val regs = keyed
+        .groupBy(col("l_returnflag"), col("tag"), col("bucket"))
+        .agg(max(when(col("w") === 0L, lit(25))
+          .otherwise(lit(25) - length(bin(col("w"))))).as("mx"))
+      val est = regs
+        .groupBy(col("l_returnflag"), col("tag"))
+        .agg(sum(pow(lit(2.0), lit(25) - col("mx"))).cast("long").as("s_occ"),
+          count(lit(1)).as("occupied"))
+        .select(col("l_returnflag"), col("tag"),
+          (lit(256L) - col("occupied")).as("zeros"),
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(256.0) *
+            lit(256.0) * lit(33554432.0) /
+            (col("s_occ") + (lit(256L) - col("occupied")) * lit(33554432L))
+              .cast("double")).as("raw"))
+        .select(col("l_returnflag"), col("tag"),
+          when(col("zeros") > 0 && col("raw") <= lit(640.0),
+            round(lit(256.0) * log(lit(256.0) / col("zeros").cast("double")), 4))
+            .otherwise(round(col("raw"), 4)).as("approx"))
+      val nRows = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      // 3-row × 3-row frames: AQE broadcasts, never a corpus shuffle
+      est.groupBy(col("l_returnflag"))
+        .agg(max(when(col("tag") === "p", col("approx"))).as("approx_parts"),
+          max(when(col("tag") === "s", col("approx"))).as("approx_supps"))
+        .join(nRows, Seq("l_returnflag"))
     },
 
+    // Fixed-geometry equi-width histogram quantile sketch — the mergeable
+    // deterministic replacement (round 16) for the engine-specific
+    // `approx_percentile`: 4,096 cells of width 32 over the fixed value
+    // domain [0, 131072) (l_extendedprice ≤ 50 × max retail price ≈
+    // 105,000; the top cell clamps any outlier), nearest-rank cut
+    // ⌈q·n⌉ in pure integer arithmetic ((n+1) div 2; (19n+19) div 20),
+    // estimate = cell midpoint (error ≤ half the 32-unit cell width).
+    // The geometry is data-independent, so cell counts merge across
+    // corpora/partitions like any HLL register set. 100 TB shape: the
+    // histogram aggregation combines map-side to ≤ groups × 4,096 cells;
+    // the rank windows run on that bounded spine (q40's pattern), never
+    // on corpus rows — vs q25's exact percentile full-sort.
     "x02" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          // one sketch pass for both percentiles (array form), not two;
-          // split into scalar columns so the result is comparison-friendly
-          element_at(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 1).as("p50_price"),
-          element_at(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 2).as("p95_price"),
-          min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"))
+      val hist = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          least(floor(col("l_extendedprice") / lit(32.0)), lit(4095L))
+            .as("bucket"))
+        .agg(count(lit(1)).as("c"),
+          min(col("l_extendedprice")).as("bmin"),
+          max(col("l_extendedprice")).as("bmax"))
+      val cum = hist
+        .withColumn("cum", sum(col("c"))
+          .over(Window.partitionBy("l_returnflag").orderBy("bucket")))
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy("l_returnflag")))
+      cum.groupBy(col("l_returnflag")).agg(
+        (min(when(expr("cum >= (n + 1) div 2"), col("bucket"))) * 32 + 16)
+          .cast("double").as("p50_price"),
+        (min(when(expr("cum >= (19 * n + 19) div 20"), col("bucket"))) * 32 + 16)
+          .cast("double").as("p95_price"),
+        min(col("bmin")).as("min_price"),
+        max(col("bmax")).as("max_price"))
     },
 
     // Count-min-sketch heavy hitters over the document token stream, with
@@ -256,9 +322,72 @@ object SketchQueries {
           sum(col("z") % 1000003L).as("checksum"))
     })
 
-  /** x01/x02: no oracle by design (approximate results; driver records
-    * rows-only). x03's md5-keyed sketch is deterministic → full oracle. */
+  /** All sketches are md5-keyed / integer-deterministic → full oracles.
+    * Float literals in x01 are cast ::DOUBLE so DuckDB doesn't evaluate
+    * the estimator in DECIMAL where Spark uses double. */
   val oracle: Map[String, String] = Map(
+    "x01" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag, 'p' AS tag,
+        |    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 's' AS tag,
+        |    ('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM lineitem),
+        |regs AS (
+        |  SELECT l_returnflag, tag, h & 255 AS bucket,
+        |    max(CASE WHEN (h >> 8) = 0 THEN 25
+        |             ELSE 25 - length(bin(h >> 8)) END) AS mx
+        |  FROM keyed GROUP BY 1, 2, 3),
+        |sums AS (
+        |  SELECT l_returnflag, tag,
+        |    sum((1::BIGINT << (25 - mx)))::BIGINT AS s_occ,
+        |    count(1)::BIGINT AS occupied
+        |  FROM regs GROUP BY 1, 2),
+        |est AS (
+        |  SELECT l_returnflag, tag, (256 - occupied) AS zeros,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |      * 256.0::DOUBLE * 256.0::DOUBLE * 33554432.0::DOUBLE
+        |      / (s_occ + (256 - occupied) * 33554432)::DOUBLE AS raw
+        |  FROM sums),
+        |fin AS (
+        |  SELECT l_returnflag, tag,
+        |    CASE WHEN zeros > 0 AND raw <= 640.0::DOUBLE
+        |         THEN round(256.0::DOUBLE * ln(256.0::DOUBLE / zeros::DOUBLE), 4)
+        |         ELSE round(raw, 4) END AS approx
+        |  FROM est),
+        |nr AS (
+        |  SELECT l_returnflag, count(1)::BIGINT AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT f.l_returnflag,
+        |  max(CASE WHEN tag = 'p' THEN approx END) AS approx_parts,
+        |  max(CASE WHEN tag = 's' THEN approx END) AS approx_supps,
+        |  max(n_rows)::BIGINT AS n_rows
+        |FROM fin f JOIN nr USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+
+    "x02" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag,
+        |    least(floor(l_extendedprice / 32.0)::BIGINT, 4095) AS bucket,
+        |    count(1)::BIGINT AS c,
+        |    min(l_extendedprice) AS bmin, max(l_extendedprice) AS bmax
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, bucket, c, bmin, bmax,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket)::BIGINT
+        |      AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag)::BIGINT AS n
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |  (min(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) * 32 + 16)
+        |    ::DOUBLE AS p50_price,
+        |  (min(CASE WHEN cum >= (19 * n + 19) // 20 THEN bucket END) * 32
+        |    + 16)::DOUBLE AS p95_price,
+        |  min(bmin) AS min_price,
+        |  max(bmax) AS max_price
+        |FROM cum GROUP BY 1""".stripMargin,
     "x03" ->
       """WITH tk AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
