@@ -53,7 +53,7 @@ object PlanDump {
     "s08" -> "k-NN graph: bucket-keyed self-join, WindowGroupLimit top-k, auto-sized geometry",
     "w11" -> "mixture fill: per-source broadcast budgets over the w07 chunked prefix sum",
     "q41" -> "cohort retention: two hash aggs + broadcast cohort dimension",
-    "q44" -> "basket affinity: order-keyed pair expansion, single-order parts pruned broadcast-side, distinct-basket exchange reused",
+    "q44" -> "basket affinity: order-keyed pair expansion, single-order part prune AQE-sized, distinct-basket exchange reused",
     "d18" -> "dedup manifest: corpus left join against resolved clusters",
     "t14" -> "source KL drift: one (source,tok) agg feeds both marginals",
     "q45" -> "Pareto share: banded value-domain spine, bucket-parallel rank/prefix, integer-cent gate",

@@ -555,8 +555,11 @@ object RelationalQueries {
     // Σ per-order basket² (baskets are small and bounded by business
     // reality, not corpus size — the join never goes quadratic in rows),
     // the pair aggregation combines map-side, and the part-frequency
-    // dimension joins back broadcast. Lift's double math follows the
-    // identical expression tree on both engines and is reported rounded.
+    // dimension joins back AQE-sized (broadcast when the catalog is
+    // small, shuffled when not — pc is one row per part, unbounded on a
+    // long-tail catalog, the same regime as the pre-prune below). Lift's
+    // double math follows the identical expression tree on both engines
+    // and is reported rounded.
     "q44" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -584,10 +587,10 @@ object RelationalQueries {
           col("b.l_partkey").as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
-        .join(broadcast(pc.select(col("l_partkey").as("part_a"),
-          col("n_part").as("ca"))), Seq("part_a"))
-        .join(broadcast(pc.select(col("l_partkey").as("part_b"),
-          col("n_part").as("cb"))), Seq("part_b"))
+        .join(pc.select(col("l_partkey").as("part_a"),
+          col("n_part").as("ca")), Seq("part_a"))
+        .join(pc.select(col("l_partkey").as("part_b"),
+          col("n_part").as("cb")), Seq("part_b"))
         .crossJoin(broadcast(tot))
         .select(col("part_a"), col("part_b"), col("n_orders"),
           round(col("n_orders").cast("double") * col("n_orders_total") /
