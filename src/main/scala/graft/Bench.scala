@@ -121,26 +121,26 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.140,
-    "q16" -> 0.104,
+    "q02" -> 0.139,
+    "q16" -> 0.102,
     "q30" -> 0.096,
-    "t08" -> 0.320,
-    "d01" -> 0.247,
-    "d06" -> 0.178)
+    "t08" -> 0.315,
+    "d01" -> 0.215,
+    "d06" -> 0.157)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 15 FINAL binary, ALL 135 queries — the 7 that
-    * joined after the r12 close (c02, q46, q47, s09, t17, w13, x08) are
-    * now pinned from the same quad-run instead of solo stand-ins: four
+    * this container (round 16 FINAL binary, ALL 135 queries — x01/x02 newly pinned on
+    * their deterministic oracle-exact forms from this round: four
     * quiet full-suite runs A–D on the closing code, all
     * contaminated:false by their own canaries; derivation in
     * BENCH_NOTES.md, re-derivable via scripts/derive_pins.py). The
     * derivation runs' own environment probes ride beside the pins so
     * later drift is attributable
-    * (verdict r10 #5): totals 81.09/76.14/75.56/74.62 s,
-    * cpu_ref 0.034/0.032/0.045/0.046, mt_x 5.0/4.4/3.4/2.7; pin sum
-    * 69.22 s.
+    * (verdict r10 #5): totals 101.65/74.07/70.55/73.18 s (A is a
+    * cold-cache outlier right after the 1000× probe; min-of-four
+    * absorbs it), cpu_ref 0.045/0.052/0.034/0.044, mt_x
+    * 2.6/2.5/3.9/3.1; pin sum 67.11 s. Evidence: bench/r16/.
     * Min-of-runs is the least-contaminated estimate of the
     * clean floor, which biases totalRatio slightly ≥1 on a genuinely
     * clean run — the 1.5× threshold absorbs that. Refresh each round:
@@ -148,141 +148,141 @@ object Bench {
     * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.787,
-    "c02" -> 0.544,
-    "d01" -> 0.247,
-    "d02" -> 2.484,
-    "d03" -> 0.160,
-    "d04" -> 1.368,
-    "d05" -> 0.525,
-    "d06" -> 0.178,
-    "d07" -> 1.000,
-    "d08" -> 0.794,
-    "d09" -> 0.687,
-    "d10" -> 0.772,
-    "d11" -> 0.937,
-    "d12" -> 1.146,
-    "d13" -> 0.196,
-    "d14" -> 0.533,
-    "d15" -> 1.049,
-    "d16" -> 0.908,
-    "d17" -> 1.214,
-    "d18" -> 0.949,
-    "d19" -> 2.442,
-    "d20" -> 1.563,
-    "d21" -> 0.792,
-    "m01" -> 0.098,
-    "m02" -> 0.134,
-    "m03" -> 0.729,
-    "m04" -> 0.662,
-    "m05" -> 1.825,
-    "m06" -> 0.248,
-    "m07" -> 0.164,
-    "m08" -> 0.795,
-    "m09" -> 0.450,
-    "p01" -> 0.510,
-    "p02" -> 0.196,
-    "p03" -> 0.194,
-    "p04" -> 0.152,
-    "p05" -> 0.234,
+    "c01" -> 1.426,
+    "c02" -> 0.512,
+    "d01" -> 0.215,
+    "d02" -> 2.664,
+    "d03" -> 0.143,
+    "d04" -> 1.244,
+    "d05" -> 0.467,
+    "d06" -> 0.157,
+    "d07" -> 1.039,
+    "d08" -> 0.736,
+    "d09" -> 0.642,
+    "d10" -> 0.722,
+    "d11" -> 0.838,
+    "d12" -> 1.242,
+    "d13" -> 0.207,
+    "d14" -> 0.549,
+    "d15" -> 1.075,
+    "d16" -> 0.866,
+    "d17" -> 1.234,
+    "d18" -> 1.022,
+    "d19" -> 2.655,
+    "d20" -> 1.507,
+    "d21" -> 0.996,
+    "m01" -> 0.097,
+    "m02" -> 0.124,
+    "m03" -> 0.662,
+    "m04" -> 0.610,
+    "m05" -> 1.633,
+    "m06" -> 0.233,
+    "m07" -> 0.145,
+    "m08" -> 0.742,
+    "m09" -> 0.391,
+    "p01" -> 0.454,
+    "p02" -> 0.192,
+    "p03" -> 0.189,
+    "p04" -> 0.128,
+    "p05" -> 0.223,
     "p06" -> 0.390,
-    "p07" -> 0.474,
-    "p08" -> 0.852,
-    "p09" -> 0.136,
-    "q01" -> 0.237,
-    "q02" -> 0.140,
-    "q03" -> 0.469,
-    "q04" -> 0.477,
-    "q05" -> 0.671,
-    "q06" -> 0.138,
-    "q07" -> 0.224,
-    "q08" -> 0.324,
-    "q09" -> 0.176,
-    "q10" -> 0.262,
-    "q11" -> 0.177,
-    "q12" -> 0.785,
-    "q13" -> 0.513,
-    "q14" -> 0.145,
-    "q15" -> 0.152,
-    "q16" -> 0.104,
-    "q17" -> 0.288,
-    "q18" -> 0.406,
-    "q19" -> 0.215,
-    "q20" -> 0.229,
-    "q21" -> 0.307,
-    "q22" -> 0.204,
-    "q23" -> 0.213,
-    "q24" -> 0.315,
-    "q25" -> 1.120,
-    "q26" -> 0.275,
-    "q27" -> 0.288,
-    "q28" -> 0.163,
-    "q29" -> 0.201,
+    "p07" -> 0.439,
+    "p08" -> 0.856,
+    "p09" -> 0.127,
+    "q01" -> 0.219,
+    "q02" -> 0.139,
+    "q03" -> 0.446,
+    "q04" -> 0.454,
+    "q05" -> 0.602,
+    "q06" -> 0.130,
+    "q07" -> 0.221,
+    "q08" -> 0.304,
+    "q09" -> 0.163,
+    "q10" -> 0.254,
+    "q11" -> 0.182,
+    "q12" -> 0.769,
+    "q13" -> 0.567,
+    "q14" -> 0.135,
+    "q15" -> 0.153,
+    "q16" -> 0.102,
+    "q17" -> 0.275,
+    "q18" -> 0.411,
+    "q19" -> 0.205,
+    "q20" -> 0.208,
+    "q21" -> 0.302,
+    "q22" -> 0.192,
+    "q23" -> 0.218,
+    "q24" -> 0.297,
+    "q25" -> 1.069,
+    "q26" -> 0.267,
+    "q27" -> 0.306,
+    "q28" -> 0.158,
+    "q29" -> 0.188,
     "q30" -> 0.096,
-    "q31" -> 0.347,
-    "q32" -> 0.692,
-    "q33" -> 0.784,
-    "q34" -> 0.313,
-    "q35" -> 0.281,
-    "q36" -> 0.338,
-    "q37" -> 0.172,
-    "q38" -> 0.928,
-    "q39" -> 0.762,
-    "q40" -> 0.391,
+    "q31" -> 0.350,
+    "q32" -> 0.701,
+    "q33" -> 0.787,
+    "q34" -> 0.318,
+    "q35" -> 0.255,
+    "q36" -> 0.311,
+    "q37" -> 0.158,
+    "q38" -> 0.890,
+    "q39" -> 0.748,
+    "q40" -> 0.381,
     "q41" -> 0.374,
-    "q42" -> 0.281,
-    "q43" -> 0.243,
-    "q44" -> 1.719,
-    "q45" -> 0.613,
-    "q46" -> 0.335,
-    "q47" -> 0.395,
-    "s01" -> 0.260,
-    "s02" -> 0.256,
-    "s03" -> 0.586,
-    "s04" -> 0.459,
-    "s05" -> 0.327,
-    "s06" -> 0.696,
-    "s07" -> 0.506,
-    "s08" -> 0.720,
-    "s09" -> 1.085,
-    "t01" -> 0.132,
-    "t02" -> 0.278,
-    "t03" -> 0.171,
-    "t04" -> 0.271,
-    "t05" -> 0.143,
-    "t06" -> 0.153,
-    "t07" -> 0.120,
-    "t08" -> 0.320,
-    "t09" -> 0.715,
-    "t10" -> 1.433,
-    "t11" -> 0.148,
-    "t12" -> 0.170,
-    "t13" -> 0.883,
-    "t14" -> 1.145,
-    "t15" -> 0.492,
-    "t16" -> 0.417,
-    "t17" -> 1.105,
-    "w01" -> 0.080,
-    "w02" -> 0.128,
-    "w03" -> 0.133,
-    "w04" -> 0.354,
-    "w05" -> 0.137,
-    "w06" -> 0.160,
-    "w07" -> 0.270,
-    "w08" -> 0.194,
-    "w09" -> 0.414,
-    "w10" -> 0.407,
-    "w11" -> 0.363,
-    "w12" -> 0.439,
+    "q42" -> 0.261,
+    "q43" -> 0.232,
+    "q44" -> 1.615,
+    "q45" -> 0.545,
+    "q46" -> 0.322,
+    "q47" -> 0.368,
+    "s01" -> 0.290,
+    "s02" -> 0.235,
+    "s03" -> 0.584,
+    "s04" -> 0.527,
+    "s05" -> 0.304,
+    "s06" -> 0.584,
+    "s07" -> 0.434,
+    "s08" -> 0.687,
+    "s09" -> 1.002,
+    "t01" -> 0.128,
+    "t02" -> 0.329,
+    "t03" -> 0.152,
+    "t04" -> 0.258,
+    "t05" -> 0.119,
+    "t06" -> 0.134,
+    "t07" -> 0.123,
+    "t08" -> 0.315,
+    "t09" -> 0.641,
+    "t10" -> 1.118,
+    "t11" -> 0.147,
+    "t12" -> 0.155,
+    "t13" -> 0.835,
+    "t14" -> 0.840,
+    "t15" -> 0.454,
+    "t16" -> 0.413,
+    "t17" -> 1.033,
+    "w01" -> 0.077,
+    "w02" -> 0.113,
+    "w03" -> 0.126,
+    "w04" -> 0.306,
+    "w05" -> 0.128,
+    "w06" -> 0.153,
+    "w07" -> 0.298,
+    "w08" -> 0.183,
+    "w09" -> 0.415,
+    "w10" -> 0.382,
+    "w11" -> 0.329,
+    "w12" -> 0.441,
     "w13" -> 0.123,
-    "x01" -> 0.267,
-    "x02" -> 0.412,
-    "x03" -> 0.604,
-    "x04" -> 0.502,
-    "x05" -> 0.770,
-    "x06" -> 0.192,
-    "x07" -> 0.742,
-    "x08" -> 0.738)
+    "x01" -> 0.671,
+    "x02" -> 0.299,
+    "x03" -> 0.814,
+    "x04" -> 0.443,
+    "x05" -> 1.133,
+    "x06" -> 0.178,
+    "x07" -> 0.674,
+    "x08" -> 0.541)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
