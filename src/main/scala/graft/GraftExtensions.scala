@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHashF, TokenCountF}
+import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHash64F, SimHashF, TokenCountF}
 
 /** SQL surface for the engine's native codegen expressions, injected via
   * `SparkSessionExtensions` — set
@@ -23,6 +23,8 @@ import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHashF, TokenCou
   *   - `dot_f(a, b)`        — float-array dot product ([[DotProductF]])
   *   - `minhash_sig(text)`  — one-pass MinHash signature ([[MinHashSigF]])
   *   - `simhash32(text)`    — one-pass 32-bit SimHash ([[SimHashF]])
+  *   - `simhash64(text)`    — one-pass 64-bit SimHash as two unsigned
+  *                            32-bit halves `[hi, lo]` ([[SimHash64F]])
   *   - `md5_32(s)`          — portable 32-bit md5-prefix hash ([[Md5Hash32F]])
   *   - `token_count(text)`  — zero-allocation whitespace token count ([[TokenCountF]])
   *
@@ -69,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, s"simhash32 takes 1 argument, got ${args.size}")
         SimHashF(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64F]),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"simhash64 takes 1 argument, got ${args.size}")
+        SimHash64F(args.head)
       }))
   }
 }

@@ -89,6 +89,17 @@ object TextFns {
     column(SimHashF(expression(text)))
   }
 
+  /** 64-bit Charikar SimHash as two unsigned 32-bit halves
+    * `[simhash_hi, simhash_lo]` in one map-side pass — the native codegen
+    * expression [[SimHash64F]] (the d08-scale signature; see its Scaladoc
+    * for the band-space rationale). Value-identical to the explode +
+    * two-md5-hex-slice + 64-conditional-sum groupBy chain (the DuckDB
+    * oracle's formulation). */
+  def simhash64Native(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(SimHash64F(expression(text)))
+  }
+
   /** 32-bit SimHash over a token array. For each bit b, sum +1/-1 according
     * to bit b of each token's hash; bit set in the result when the sum is
     * positive. Duplicate tokens are weighted by their count (classic

@@ -43,4 +43,20 @@ private[functions] object TextHash {
     ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
       ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
   }
+
+  /** First SIXTEEN hex chars of md5(s) as two unsigned 32-bit halves in a
+    * packed Long: bits 32..63 = hex chars 1-8 (bytes 0-3), bits 0..31 =
+    * hex chars 9-16 (bytes 4-7). The two halves are what the 64-bit
+    * simhash votes over — carried separately downstream
+    * (`simhash_hi`/`simhash_lo`) because a single 64-bit hash value would
+    * sign-overflow BIGINT/LongType on the top bit in the DuckDB oracle;
+    * packed here only because one return value is cheaper than two calls
+    * per token on the scan hot path. */
+  def md5_64(s: String): Long = {
+    val d = digest.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
 }

@@ -211,14 +211,22 @@ object DedupQueries {
     }
   }
 
-  /** 32-bit Charikar SimHash per document — the native codegen expression
-    * [[graft.functions.SimHashF]]: one map-side pass per document, no
-    * token explode and no 32-conditional-sum aggregation exchange (the
-    * declarative form re-shuffled the corpus re-keyed one row per word;
-    * value parity is property-tested in `SimHashFSpec`). */
+  /** 64-bit Charikar SimHash per document as two unsigned 32-bit halves —
+    * the native codegen expression [[graft.functions.SimHash64F]]: one
+    * map-side pass per document, no token explode and no
+    * 64-conditional-sum aggregation exchange (the declarative form
+    * re-shuffled the corpus re-keyed one row per word; value parity is
+    * property-tested in `SimHash64FSpec`). The r16 ×1000 probe migrated
+    * this chain from 32 to 64 bits: d08's band-key space is fixed by the
+    * signature width, and 4×8-bit bands (1,024 keys) meant candidate
+    * products n²/256 — 4×16-bit bands (262,144 keys) bring occupancy to
+    * n/65,536. Two halves, never one 64-bit value: bit 63 would
+    * sign-overflow BIGINT/LongType in the oracle's pow/%-arithmetic. */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(s, dir, "documents")
-      .select(col("doc_id"), TextFns.simhashNative(col("text")).as("simhash"))
+      .select(col("doc_id"), TextFns.simhash64Native(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh").getItem(0).as("simhash_hi"),
+        col("sh").getItem(1).as("simhash_lo"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -361,28 +369,43 @@ object DedupQueries {
           (col("cluster_size") - 1) * col("n_clusters"))
     },
 
-    // Per-document 32-bit SimHash (Charikar): token hashes vote per bit.
+    // Per-document 64-bit SimHash (Charikar) as two unsigned 32-bit
+    // halves: token hashes vote per bit, hi half from md5 hex chars 1-8,
+    // lo half from chars 9-16.
     "d03" -> { (s, dir) => simhashes(s, dir) },
 
     // SimHash near-dup MATCHING: banded Hamming search over the d03
-    // signatures. Pigeonhole: 32 bits split into 4 byte-bands — any pair
-    // within Hamming distance 3 agrees on at least one whole band, so an
-    // equi-join on (band, byte) finds every such pair without an all-pairs
-    // product; bit_count(xor) then verifies exactly. All codegen'd integer
-    // ops; the band join is the same shuffle shape as d02's LSH buckets.
+    // signatures. Pigeonhole: 64 bits split into 4 16-bit bands (two
+    // slices per 32-bit half) — any pair within Hamming distance 3 agrees
+    // on at least one whole band, so an equi-join on (band, slice) finds
+    // every such pair without an all-pairs product;
+    // bit_count(xor(hi)) + bit_count(xor(lo)) then verifies exactly. All
+    // codegen'd integer ops; the band join is the same shuffle shape as
+    // d02's LSH buckets. Band width is the scale lever: 4×16-bit bands
+    // give 262,144 distinct (band, slice) keys vs the old 32-bit form's
+    // 1,024, so bucket occupancy is n/65,536 and the candidate product
+    // stays linear-ish through the 5M-doc probe decade instead of
+    // n²/256 (BENCH_NOTES.md "Round 16").
     "d08" -> { (s, dir) =>
       val sims = simhashes(s, dir)
-      val banded = sims.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"),
-            (shiftright(col("simhash"), 8 * b) % 256).as("bv"))): _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"),
+      val banded = sims.select(col("doc_id"), col("simhash_hi"),
+          col("simhash_lo"),
+          explode(array(
+            struct(lit(0).as("b"), (col("simhash_lo") % 65536).as("bv")),
+            struct(lit(1).as("b"),
+              (shiftright(col("simhash_lo"), 16) % 65536).as("bv")),
+            struct(lit(2).as("b"), (col("simhash_hi") % 65536).as("bv")),
+            struct(lit(3).as("b"),
+              (shiftright(col("simhash_hi"), 16) % 65536).as("bv")))).as("bb"))
+        .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
           col("bb.b").as("b"), col("bb.bv").as("bv"))
       banded.as("a").join(banded.as("b"),
           col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          (bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))) +
+            bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))))
+            .as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
     },
@@ -1036,20 +1059,38 @@ object DedupQueries {
 
   // the SimHash signature chain (mirror of simhashes) ending in
   // sims(doc_id, simhash)
+  // 64-bit simhash as two overflow-safe 32-bit halves: hv_hi from md5 hex
+  // chars 1-8, hv_lo from chars 9-16, vote bits per half — mirrors
+  // SimHash64F exactly (a single 64-bit value would sign-overflow BIGINT
+  // on bit 63 in this pow/%-arithmetic formulation).
   private def simhashSqlCtes =
     s"""tk AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
        |h AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv_hi,
+       |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hv_lo FROM tk),
        |bits AS (
        |  SELECT doc_id, b,
-       |    sum(CASE WHEN (hv // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |    sum(CASE WHEN (hv_hi // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS vh,
+       |    sum(CASE WHEN (hv_lo // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS vl
        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
        |  GROUP BY doc_id, b),
        |sims AS (
        |  SELECT doc_id,
-       |    sum(CASE WHEN v > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+       |    sum(CASE WHEN vh > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash_hi,
+       |    sum(CASE WHEN vl > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash_lo
        |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  // the 4×16-bit band split shared by the d08 and d20 oracles: bands 0/1
+  // slice the lo half, 2/3 the hi half — same layout as the Spark side.
+  private def simhashBandSql(simsRel: String) =
+    s"""SELECT doc_id, simhash_hi, simhash_lo, b,
+       |    CASE b WHEN 0 THEN simhash_lo % 65536
+       |           WHEN 1 THEN (simhash_lo // 65536) % 65536
+       |           WHEN 2 THEN simhash_hi % 65536
+       |           ELSE (simhash_hi // 65536) % 65536 END AS bv
+       |  FROM $simsRel CROSS JOIN (SELECT unnest(range(4)) AS b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d01" ->
@@ -1079,33 +1120,38 @@ object DedupQueries {
 
     "d03" ->
       s"""WITH $simhashSqlCtes
-         |SELECT doc_id, simhash FROM sims""".stripMargin,
+         |SELECT doc_id, simhash_hi, simhash_lo FROM sims""".stripMargin,
 
     // the minhash chain (pairsSqlCtes) supplies tk/shd, which the simhash
     // and exact-ngram chains below reuse (their own tk would clash)
     "d20" ->
       s"""WITH $pairsSqlCtes,
          |h2 AS (
-         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv_hi,
+         |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hv_lo FROM tk),
          |bits2 AS (
          |  SELECT doc_id, b,
-         |    sum(CASE WHEN (hv // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |    sum(CASE WHEN (hv_hi // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS vh,
+         |    sum(CASE WHEN (hv_lo // pow(2, b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS vl
          |  FROM h2 CROSS JOIN (SELECT unnest(range(32)) AS b)
          |  GROUP BY doc_id, b),
          |sims2 AS (
          |  SELECT doc_id,
-         |    sum(CASE WHEN v > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+         |    sum(CASE WHEN vh > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash_hi,
+         |    sum(CASE WHEN vl > 0 THEN pow(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash_lo
          |  FROM bits2 GROUP BY doc_id),
          |bands2 AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (8*b::INT)) % 256 AS bv
-         |  FROM sims2 CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |  ${simhashBandSql("sims2")}),
          |scand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sa, b.simhash AS sb
+         |    a.simhash_hi AS ha, a.simhash_lo AS la,
+         |    b.simhash_hi AS hb, b.simhash_lo AS lb
          |  FROM bands2 a JOIN bands2 b
          |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |spairs AS (
-         |  SELECT doc_a, doc_b FROM scand WHERE bit_count(xor(sa, sb)) <= 3),
+         |  SELECT doc_a, doc_b FROM scand
+         |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3),
          |ginter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
          |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1195,15 +1241,17 @@ object DedupQueries {
     "d08" ->
       s"""WITH $simhashSqlCtes,
          |bands AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (8*b::INT)) % 256 AS bv
-         |  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |  ${simhashBandSql("sims")}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sa, b.simhash AS sb
+         |    a.simhash_hi AS ha, a.simhash_lo AS la,
+         |    b.simhash_hi AS hb, b.simhash_lo AS lb
          |  FROM bands a JOIN bands b
          |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+         |SELECT doc_a, doc_b,
+         |  (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INT AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
 
     "d04" ->
       s"""WITH ${shdSql()},

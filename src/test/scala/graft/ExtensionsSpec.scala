@@ -13,7 +13,7 @@ import graft.functions.TextFns
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions registers dot_f / minhash_sig / simhash32 / md5_32 / token_count for SQL") {
+  test("GraftExtensions registers dot_f / minhash_sig / simhash32 / simhash64 / md5_32 / token_count for SQL") {
     // a FRESH session applies the extensions (the shared SparkSpec session
     // was built without them); the underlying context is reused. The
     // programmatic withExtensions path works with a pre-existing
@@ -37,11 +37,13 @@ class ExtensionsSpec extends AnyFunSuite {
       docs.createOrReplaceTempView("ext_docs")
       val viaSql = s.sql(
         "SELECT minhash_sig(text) AS sig, simhash32(text) AS sh, " +
+          "simhash64(text) AS sh64, " +
           "md5_32(text) AS h, token_count(text) AS tc FROM ext_docs")
         .collect()
       val viaCol = docs.select(
         TextFns.minhashSig(col("text")).as("sig"),
         TextFns.simhashNative(col("text")).as("sh"),
+        TextFns.simhash64Native(col("text")).as("sh64"),
         TextFns.md5Hash32(col("text")).as("h"),
         TextFns.tokenCount(col("text")).as("tc")).collect()
       assert(viaSql.map(_.toString).toSeq == viaCol.map(_.toString).toSeq)
