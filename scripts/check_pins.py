@@ -59,6 +59,12 @@ def main():
         if derived.get(q) != pins.get(q):
             bad.append(f"  CleanMediansSf01[{q}]: committed {pins.get(q)} "
                        f"!= derived {derived.get(q)}")
+    # the canary map must be EXACTLY the 6-query canary set — an extra
+    # entry whose value happens to match its derived pin must not pass
+    # silently (the value loop below only compares, it doesn't bound)
+    if set(canaries) != CANARIES:
+        bad.append(f"  CanaryCleanSf01 keys {sorted(canaries)} != "
+                   f"canary set {sorted(CANARIES)}")
     for q in sorted(CANARIES | set(canaries)):
         if canaries.get(q) != derived.get(q):
             bad.append(f"  CanaryCleanSf01[{q}]: committed {canaries.get(q)} "

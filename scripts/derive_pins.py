@@ -53,6 +53,9 @@ def main():
     qs = {}
     for path in sys.argv[1:]:
         detail, metric, trust = parse_run(path)
+        if detail is None:
+            sys.exit(f"FAIL: no bench_detail line parseable in {path} "
+                     "(tail-truncated capture? re-capture the full run)")
         t = metric["value"] if metric else None
         tr = trust_fields(detail, metric, trust)
         print(f"# {path}: total {t} contaminated={tr.get('contaminated')}"

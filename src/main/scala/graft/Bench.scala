@@ -133,7 +133,10 @@ object Bench {
     * this container (round 16 FINAL binary, ALL 135 queries — x01/x02 newly pinned on
     * their deterministic oracle-exact forms from this round: four
     * quiet full-suite runs A–D on the closing code, all
-    * contaminated:false by their own canaries; derivation in
+    * contaminated:false by their own canaries — though A sat exactly AT
+    * the 3.0 CanaryMaxFactor boundary, clean only via the strict '>', so
+    * read A as marginal; min-of-four discards its elevated values either
+    * way; derivation in
     * BENCH_NOTES.md, re-derivable via scripts/derive_pins.py). The
     * derivation runs' own environment probes ride beside the pins so
     * later drift is attributable

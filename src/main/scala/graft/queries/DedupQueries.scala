@@ -156,22 +156,44 @@ object DedupQueries {
   private val pairCache =
     new ConcurrentHashMap[(SparkSession, String, String), SharedPairs]()
 
-  /** Build-once localCheckpoint registry, keyed (session, dir, tag): the
+  /** Build-once checkpoint registry, keyed (session, dir, tag): the
     * shared-subplan pattern behind d02/d07's verified pairs, generalized
     * so other queries with an expensive diamond subplan (d15's gram-pair
     * frame) get the same treatment. See [[verifiedPairs]] for the full
-    * rationale and the cluster-mode `checkpoint()` note. */
+    * rationale.
+    *
+    * Durability is a CONF, not a code swap: with
+    * `spark.graft.checkpoint.dir` set, the frame goes through
+    * `df.checkpoint()` to that reliable store (HDFS/S3/local path), so on
+    * a real cluster an executor loss replays from the checkpoint files
+    * instead of re-running the whole upstream pipeline; unset (the
+    * local[*] default), `localCheckpoint` keeps the blocks on executors
+    * with zero filesystem round-trip. Both forms are lazy (eager = false)
+    * so plan construction for explain/analysis stays job-free.
+    *
+    * The reliable path persists the frame BEFORE checkpointing — a lazy
+    * reliable checkpoint otherwise computes the subplan twice (once for
+    * the triggering job, once more when `doCheckpoint` writes the files);
+    * with the persist, the write reads cached blocks. The persisted RDD
+    * lands in the same release registry, and the checkpoint FILES follow
+    * the directory's lifecycle (point the conf at a per-run path, or set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` for GC-driven
+    * cleanup). */
   private[queries] def sharedCheckpoint(s: SparkSession, dir: String, tag: String)
                               (build: => DataFrame): DataFrame =
     pairCache.computeIfAbsent((s, dir, tag), { _ =>
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      // eager = false: CONSTRUCTION stays lazy (no Spark job) so building
-      // a plan for explain/analysis is free; the frame materializes on
-      // the first ACTION and later consumers reuse the cached blocks.
       // The persisted RDD registers at construction either way, which is
       // what the registry diff below tracks for release.
-      val df = build.localCheckpoint(eager = false)
+      val df = s.conf.getOption("spark.graft.checkpoint.dir") match {
+        case Some(ckDir) =>
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(ckDir)
+          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .checkpoint(eager = false)
+        case None =>
+          build.localCheckpoint(eager = false)
+      }
       val added = sc.getPersistentRDDs.collect {
         case (id, rdd) if !before.contains(id) => rdd
       }.toSeq
@@ -184,14 +206,15 @@ object DedupQueries {
     * (shingle explode + band join + Jaccard verify), and without sharing,
     * d07 re-runs all of it just to get edges d02 already produced.
     *
-    * localCheckpoint (lazy — materialized at first action) truncates
+    * The checkpoint (lazy — materialized at first action) truncates
     * lineage so consumers read the small
     * verified-pair blocks, never the exploded shingle plan; the backing
     * blocks are tracked by registry diff (same pattern and same no-racing
     * caveat as `ConnectedComponents.resolve`) so `releaseShared` can drop
     * them deterministically — a long-lived session calls it after the
-    * consuming actions. On a real cluster, swap for `df.checkpoint()` to a
-    * reliable store so executor loss cannot force a full pipeline re-run.
+    * consuming actions. On a real cluster, set
+    * `spark.graft.checkpoint.dir` to a reliable store so executor loss
+    * cannot force a full pipeline re-run ([[sharedCheckpoint]]).
     * The checkpoint build cost lands on whichever of d02/d07 runs first.
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =

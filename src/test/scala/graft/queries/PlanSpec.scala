@@ -158,6 +158,25 @@ class PlanSpec extends SparkSpec {
     assert(d11AutoBits(500L, 4, 8) == 8, "small n never shrinks the default")
     assert(d11AutoBits(1000000000L, 4, 8) == 16, "dim budget caps the growth")
     assert(d11AutoBits(1000000000L, 1, 8) == 28, "1 table may use all 64 dims")
+    // the saturation law, made explicit for the 10⁹-row regime (the d08
+    // lesson: a fixed key space means occupancy grows linearly again).
+    // Unsaturated (n ≤ target·2^cap = 4·2^16 for 4 tables): the sizing
+    // keeps bucket occupancy n/2^bits within 2× of the 4-row target.
+    // Saturated: bits pin at the 64/tables dim budget and occupancy is
+    // n/65,536 — 4 docs/bucket at 262k rows, ~15k at 10⁹. The cap is a
+    // hard consequence of 64 embedding dims split across disjoint table
+    // slices; the escape is FEWER tables (more bits each), queued in
+    // COVERAGE.md as the table-count escalation rule.
+    for (n <- Seq(150000L, 200001L, 262144L)) {
+      val bits = d11AutoBits(n, 4, 8)
+      assert(n.toDouble / (1L << bits) <= 8.0,
+        s"n=$n bits=$bits occupancy ${n.toDouble / (1L << bits)}")
+    }
+    for (n <- Seq(300000L, 10000000L, 260000000L, 1000000000L)) {
+      assert(d11AutoBits(n, 4, 8) == 16, s"n=$n must sit at the 4-table cap")
+    }
+    assert(d11AutoBits(1000000000L, 2, 8) == 28,
+      "halving the table count buys 12 more bits — the escalation lever")
     // end-to-end: a forced-tiny threshold routes sf0.001's 500 rows through
     // the auto path; at this n the law lands back on the default 8 bits,
     // so the output must be IDENTICAL to the guard-free default run
@@ -428,6 +447,30 @@ class PlanSpec extends SparkSpec {
     DedupQueries.releaseShared(spark)
     assert(sc.getPersistentRDDs.keySet.subsetOf(base),
       "release must leave no cached RDDs behind")
+  }
+
+  test("sharedCheckpoint: spark.graft.checkpoint.dir routes the shared " +
+      "frame to a reliable checkpoint (cluster-survivable)") {
+    // unset (every other test), sharedCheckpoint localCheckpoints — blocks
+    // on executors, lost with them. With the conf set, the frame must go
+    // through df.checkpoint() to the reliable store so executor loss
+    // replays from files instead of re-running the minhash pipeline.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ck").toFile
+    DedupQueries.releaseShared(spark)
+    spark.conf.set("spark.graft.checkpoint.dir", tmp.getAbsolutePath)
+    try {
+      val df = SparkEntry.queries("d02")(spark, sf)
+      df.collect() // materializes the lazy reliable checkpoint
+      val dbg = df.rdd.toDebugString
+      assert(dbg.contains("ReliableCheckpointRDD"), dbg.take(3000))
+      // and the checkpoint files actually landed under the conf'd dir
+      def anyFiles(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
+      assert(anyFiles(tmp), s"no checkpoint files under $tmp")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      DedupQueries.releaseShared(spark)
+    }
   }
 
   test("d11: multi-table LSH dedup is equi-join only — no product, no " +

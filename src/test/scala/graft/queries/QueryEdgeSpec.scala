@@ -405,6 +405,40 @@ class QueryEdgeSpec extends SparkSpec {
       s"within-doc repetition alone must not count as duplication: ${out(4L)}")
   }
 
+  test("d19: a band-minima collision with ZERO shared shingles emits a " +
+      "j_exact = 0 row (the estimate-only pair geometry audits depend on)") {
+    // d19's calibration semantics hinge on keeping candidate pairs whose
+    // exact Jaccard is 0 — they ARE the LSH false positives the abs_err
+    // column measures. Manufacture one: "x y 13639" and "x y 46711" are an
+    // md5-32 prefix collision (both hash to 1547047260, found by birthday
+    // search), so as single-shingle documents ALL six band minima agree
+    // while the shingle sets are disjoint. The left join from candidates
+    // to the exact-intersection frame must coalesce the missing overlap to
+    // 0, not drop the row.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = Seq(
+      Row(1L, "x y 13639", "en", "s", 9L),
+      Row(2L, "x y 46711", "en", "s", 9L),
+      Row(3L, "completely different tokens here", "en", "s", 32L))
+    val dir = miniDir("documents", rows, schema)
+    val out = SparkEntry.queries("d19")(spark, dir).collect()
+    val pair = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.length == 1, out.mkString("\n"))
+    val r = pair.head
+    assert(r.getLong(2) == 6L, s"all six bands must agree: $r")      // n_agree
+    assert(r.getDouble(3) == 1.0, s"j_est: $r")                      // 6/6
+    assert(r.getDouble(4) == 0.0, s"j_exact must be 0, not dropped: $r")
+    assert(r.getDouble(5) == 1.0, s"abs_err: $r")
+    // and no phantom pairs involving the unrelated doc
+    assert(out.forall(p => p.getLong(0) != 3L && p.getLong(1) != 3L),
+      out.mkString("\n"))
+  }
+
   test("s06: a duplicate seed vector empties one cluster (tie-break to the " +
       "lower cid) and the empty cluster is absent from the output") {
     val schema = StructType(Seq(
