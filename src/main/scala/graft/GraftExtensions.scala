@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHash64F, SimHashF, TokenCountF}
+import graft.functions.{DotProductF, Md5Hash32F, Md5Hash60F, MinHashSigF, SimHash64F, SimHashF, TokenCountF}
 
 /** SQL surface for the engine's native codegen expressions, injected via
   * `SparkSessionExtensions` — set
@@ -26,6 +26,7 @@ import graft.functions.{DotProductF, Md5Hash32F, MinHashSigF, SimHash64F, SimHas
   *   - `simhash64(text)`    — one-pass 64-bit SimHash as two unsigned
   *                            32-bit halves `[hi, lo]` ([[SimHash64F]])
   *   - `md5_32(s)`          — portable 32-bit md5-prefix hash ([[Md5Hash32F]])
+  *   - `md5_60(s)`          — portable 60-bit md5-prefix join-key hash ([[Md5Hash60F]])
   *   - `token_count(text)`  — zero-allocation whitespace token count ([[TokenCountF]])
   *
   * This is the integration path for `spark.sql(...)`-only users (BI tools,
@@ -59,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, s"md5_32 takes 1 argument, got ${args.size}")
         Md5Hash32F(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("md5_60"),
+      info("md5_60", classOf[Md5Hash60F]),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"md5_60 takes 1 argument, got ${args.size}")
+        Md5Hash60F(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("token_count"),
       info("token_count", classOf[TokenCountF]),

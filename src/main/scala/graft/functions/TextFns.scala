@@ -55,6 +55,15 @@ object TextFns {
   def md5Hash32(s: Column, seed: Int = 0): Column =
     hash32(if (seed == 0) s else concat(lit(s"$seed:"), s))
 
+  /** The 60-bit corpus-scale JOIN-KEY hash — the native [[Md5Hash60F]]
+    * expression (first 15 md5 hex chars; see its Scaladoc for the
+    * 60-vs-32-vs-64 bit rationale). DuckDB:
+    * ('0x'||substr(md5(s),1,15))::BIGINT. */
+  def md5Hash60(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(Md5Hash60F(expression(s)))
+  }
+
   /** The hash kernel behind both forms: the native codegen [[Md5Hash32F]]
     * expression (digest bytes 0–3 big-endian, no 32-char hex
     * materialization + re-parse per call — the composed

@@ -52,8 +52,20 @@ private[functions] object TextHash {
     * sign-overflow BIGINT/LongType on the top bit in the DuckDB oracle;
     * packed here only because one return value is cheaper than two calls
     * per token on the scan hot path. */
-  def md5_64(s: String): Long = {
-    val d = digest.get().digest(s.getBytes(StandardCharsets.UTF_8))
+  def md5_64(s: String): Long =
+    md5_64bytes(s.getBytes(StandardCharsets.UTF_8))
+
+  /** First FIFTEEN hex chars of md5(s) as an unsigned 60-bit value in a
+    * Long — the BIGINT-safe wide join key ([[Md5Hash60F]]'s kernel): 60
+    * bits never touch the sign bit, so the identical
+    * `('0x'||substr(md5(s),1,15))::BIGINT` runs in the DuckDB oracle.
+    * Equals the top 60 bits of the packed [[md5_64]] value (15 hex chars
+    * = digest bytes 0–6 plus the high nibble of byte 7 = the 64-bit
+    * prefix shifted right 4). */
+  def md5_60(u: UTF8String): Long = md5_64bytes(u.getBytes) >>> 4
+
+  private def md5_64bytes(bytes: Array[Byte]): Long = {
+    val d = digest.get().digest(bytes)
     ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
       ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
       ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |

@@ -436,10 +436,19 @@ object DedupQueries {
     // Full-corpus all-pairs token-3-gram Jaccard via inverted shingle index
     // (pairs must share >= 1 shingle, so the index join is lossless for
     // jaccard > 0 — no candidate is dropped, unlike the banded LSH path).
+    // The index joins the 60-BIT HASH of the shingle, never the string:
+    // the self-join is the one corpus-scale shuffle here, and shipping
+    // variable-length text through it was probe-measured as the
+    // difference between d20 aborting and completing the 5M-doc decade
+    // (strings put ~5× the bytes through sort pages; the r17 ladder's
+    // GCLocker thrash). 60 bits keep the expected colliding-pair count
+    // ~0.02 at 2×10⁸ distinct shingles, and the DuckDB oracle computes
+    // the identical hash, so parity is exact even IF one collides.
     "d04" -> { (s, dir) =>
       val sh = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+        .select(col("doc_id"), TextFns.md5Hash60(col("s")).as("s"))
       // distinct-shingle count map-side (MinHashSigF slot 0) — the groupBy
       // form re-shuffled the exploded frame just to count it; value parity
       // with count-over-explode is MinHashSigFSpec's property
@@ -1175,9 +1184,12 @@ object DedupQueries {
          |spairs AS (
          |  SELECT doc_a, doc_b FROM scand
          |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3),
+         |ghsh AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM shd),
          |ginter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM ghsh a JOIN ghsh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |gpairs AS (
          |  SELECT doc_a, doc_b FROM ginter
@@ -1278,10 +1290,13 @@ object DedupQueries {
 
     "d04" ->
       s"""WITH ${shdSql()},
+         |hsh AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM shd),
          |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM hsh a JOIN hsh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  floor(i::DOUBLE / (ca.c + cb.c - i) * 10000) / 10000 AS jaccard

@@ -16,6 +16,22 @@ class TextFnsSpec extends SparkSpec {
     assert(v == 2416005272L) // == DuckDB ('0x'||substr(md5('abc'),1,8))::BIGINT
   }
 
+  test("md5Hash60 matches the cross-engine constant, the composed conv " +
+      "chain, and stays in [0, 2^60)") {
+    val v = Seq("abc").toDF("s")
+      .select(TextFns.md5Hash60(col("s"))).as[Long].head()
+    // == DuckDB ('0x'||substr(md5('abc'),1,15))::BIGINT
+    assert(v == 648541476951500027L)
+    // the declarative form the expression replaces, over varied inputs
+    val inputs = Seq("", " ", "a b c", "über 漢字", "x" * 500)
+    val both = inputs.toDF("s").select(
+        TextFns.md5Hash60(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    both.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 60)))
+  }
+
   test("shingles: sliding windows; fewer than k tokens yields empty") {
     val out = Seq("a b c d", "a b", "  x  y  z  ").toDF("text")
       .select(TextFns.shingles(col("text"), 3)).as[Seq[String]].collect()
