@@ -41,6 +41,43 @@ object DedupQueries {
         math.log(2.0)).toInt))
   }
 
+  /** Full auto geometry `(tables, bits)` with TABLE-COUNT ESCALATION —
+    * the third regime of the sizing law (VERDICT r17 #3, the d08 lesson
+    * applied to sign-LSH: a fixed key space means occupancy regrows
+    * linearly past saturation). Three regimes by corpus size:
+    *
+    *  1. n ≤ guard (handled by the caller): default geometry VERBATIM —
+    *     the pinned oracle's geometry at the test scales.
+    *  2. bit growth: needed = max(defaultBits, ceil(log2(n/4))) fits the
+    *     default table count's dim budget (needed·tables ≤ 64) → keep
+    *     all `defaultTables` tables, grow bits occupancy-constant.
+    *  3. table escalation: past saturation (needed·defaultTables > 64),
+    *     trade tables for bits — the LARGEST table count whose disjoint
+    *     dim slices still cover `needed` bits each (4→3 tables at
+    *     needed = 17, →2 at 22, →1 at 33). Fewer tables cost recall
+    *     (the OR over tables is what amplifies it) — measured on sf0.1
+    *     embeddings in D11GeomProbe: candidate recall at matched
+    *     occupancy degrades gracefully, while a saturated geometry's
+    *     occupancy (~15k docs/bucket at 10⁹ rows under the old 4×16
+    *     cap) re-quadratizes the candidate join, which is fatal rather
+    *     than lossy. Recall-sensitive pipelines pin
+    *     spark.graft.d11.{tables,bits} explicitly.
+    *
+    * The dim budget is hard: 64-dim embeddings sliced disjointly mean
+    * tables·bits ≤ 64 always; at Long-max rows needed = 61 still fits
+    * one table. */
+  def d11AutoGeometry(n: Long, defaultTables: Int, defaultBits: Int): (Int, Int) = {
+    val targetBucketRows = 4L
+    val needed = math.max(defaultBits,
+      math.ceil(math.log(n.toDouble / targetBucketRows) /
+        math.log(2.0)).toInt)
+    if (needed * defaultTables <= 64) (defaultTables, needed)
+    else {
+      val tables = math.max(1, math.min(defaultTables, 64 / needed))
+      (tables, math.min(64 / tables, needed))
+    }
+  }
+
   /** (doc_id, bench_id, n_shared) for corpus docs sharing >= 2 distinct
     * shingles with the eval slice (doc_id % 97 == 0) — d09's whole body,
     * and c01's contamination gate. ONE definition so the overlap
@@ -152,9 +189,21 @@ object DedupQueries {
   def minhashPairsForPlan(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir)
 
-  private case class SharedPairs(df: DataFrame, rdds: Seq[RDD[_]])
+  /** One shared-checkpoint registry entry. `rdds` is the RDD-registry
+    * diff that tracks localCheckpoint blocks (they register with the
+    * SparkContext at construction); `persisted` is the reliable path's
+    * cached Dataset — Dataset.persist goes through the CacheManager,
+    * whose backing RDD is created lazily at first materialization, so an
+    * RDD-registry diff at construction sees NOTHING for it (and
+    * `rdd.unpersist` would not evict a CacheManager entry anyway): the
+    * only correct release handle is `df.unpersist` on the very Dataset
+    * that was persisted. `reliable` marks entries whose checkpoint FILES
+    * the engine wrote and therefore owns deleting on release. */
+  private case class SharedPairs(df: DataFrame, rdds: Seq[RDD[_]],
+                                 persisted: Option[DataFrame], reliable: Boolean)
   private val pairCache =
     new ConcurrentHashMap[(SparkSession, String, String), SharedPairs]()
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Build-once checkpoint registry, keyed (session, dir, tag): the
     * shared-subplan pattern behind d02/d07's verified pairs, generalized
@@ -174,30 +223,57 @@ object DedupQueries {
     * The reliable path persists the frame BEFORE checkpointing — a lazy
     * reliable checkpoint otherwise computes the subplan twice (once for
     * the triggering job, once more when `doCheckpoint` writes the files);
-    * with the persist, the write reads cached blocks. The persisted RDD
-    * lands in the same release registry, and the checkpoint FILES follow
-    * the directory's lifecycle (point the conf at a per-run path, or set
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` for GC-driven
-    * cleanup). */
+    * with the persist, the write reads cached blocks. The persisted
+    * Dataset is tracked in the registry entry itself: Dataset.persist is
+    * a CacheManager entry whose backing RDD materializes lazily, so the
+    * RDD-registry diff (which tracks the localCheckpoint path) cannot see
+    * it — `releaseShared` evicts it with `df.unpersist` (=
+    * CacheManager.uncacheQuery) instead. The checkpoint FILES are
+    * engine-owned: `releaseShared` deletes exactly the rdd-N directories
+    * this entry wrote (Spark's own `cleanCheckpoints` conf cannot be
+    * enabled post-context and its GC-driven timing is nondeterministic
+    * anyway), so a long-lived session that releases its subplans leaves
+    * neither cache entries nor checkpoint files behind. */
   private[queries] def sharedCheckpoint(s: SparkSession, dir: String, tag: String)
                               (build: => DataFrame): DataFrame =
     pairCache.computeIfAbsent((s, dir, tag), { _ =>
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      // The persisted RDD registers at construction either way, which is
-      // what the registry diff below tracks for release.
-      val df = s.conf.getOption("spark.graft.checkpoint.dir") match {
+      s.conf.getOption("spark.graft.checkpoint.dir") match {
         case Some(ckDir) =>
-          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(ckDir)
-          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            .checkpoint(eager = false)
+          sc.getCheckpointDir match {
+            case None => sc.setCheckpointDir(ckDir)
+            case Some(existing) =>
+              // setCheckpointDir appends a per-context UUID segment under
+              // the configured root, so compare the conf against the
+              // PARENT of the live dir (both fully qualified). A mismatch
+              // means the context already had a checkpoint dir (set
+              // directly, or by an earlier conf value): Spark offers no
+              // re-point, so say where the files will actually land
+              // instead of silently ignoring the conf.
+              val confPath = new org.apache.hadoop.fs.Path(ckDir)
+              val qualified = confPath
+                .getFileSystem(sc.hadoopConfiguration).makeQualified(confPath)
+              val liveRoot = new org.apache.hadoop.fs.Path(existing).getParent
+              if (liveRoot == null || liveRoot.toString != qualified.toString)
+                log.warn(s"spark.graft.checkpoint.dir=$ckDir ignored: the " +
+                  s"SparkContext checkpoint dir is already $existing " +
+                  "(it cannot be re-pointed); checkpoint files will land " +
+                  "under the existing directory")
+          }
+          val persisted =
+            build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          SharedPairs(persisted.checkpoint(eager = false), Nil,
+            Some(persisted), reliable = true)
         case None =>
-          build.localCheckpoint(eager = false)
+          // localCheckpoint marks its RDD persistent at construction, so
+          // the registry diff captures exactly the blocks to release
+          val df = build.localCheckpoint(eager = false)
+          val added = sc.getPersistentRDDs.collect {
+            case (id, rdd) if !before.contains(id) => rdd
+          }.toSeq
+          SharedPairs(df, added, None, reliable = false)
       }
-      val added = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before.contains(id) => rdd
-      }.toSeq
-      SharedPairs(df, added)
     }).df
 
   /** The verified pair frame, materialized ONCE per (session, dir) and shared
@@ -220,15 +296,48 @@ object DedupQueries {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     sharedCheckpoint(s, dir, "minhash")(minhashPairs(s, dir))
 
+  /** Reliable-checkpoint file paths reachable from `rdd`'s lineage —
+    * after a lazy `Dataset.checkpoint` materializes, the internal RDD it
+    * wrapped reports its rdd-N directory via `getCheckpointFile`
+    * (localCheckpoint lineages report none, so this is reliable-only by
+    * construction). Walked at release time because the files only exist
+    * after the first action. */
+  private def reliableCheckpointFiles(rdd: RDD[_]): Seq[String] = {
+    val seen = scala.collection.mutable.HashSet[Int]()
+    def walk(r: RDD[_]): Seq[String] =
+      if (!seen.add(r.id)) Nil
+      else r.getCheckpointFile.toSeq ++ r.dependencies.flatMap(d => walk(d.rdd))
+    walk(rdd)
+  }
+
   /** Drop every shared checkpoint held for session `s`; with `tag`, only
     * that subplan's (Bench's per-query reset uses tags so resetting d15
-    * cannot evict d02/d07's pairs mid-suite, and vice versa). */
+    * cannot evict d02/d07's pairs mid-suite, and vice versa).
+    *
+    * Release is COMPLETE per entry: localCheckpoint blocks unpersist via
+    * the RDD registry diff; the reliable path's cached upstream Dataset
+    * unpersists through the CacheManager; and the reliable checkpoint
+    * FILES this entry wrote are deleted (the engine wrote them, the
+    * engine removes them — a long-lived session otherwise accumulates
+    * one rdd-N directory per released subplan forever). */
   def releaseShared(s: SparkSession, tag: String = ""): Unit = {
     val it = pairCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if ((e.getKey._1 eq s) && (tag.isEmpty || e.getKey._3 == tag)) {
-        e.getValue.rdds.foreach(_.unpersist(blocking = false))
+        val sp = e.getValue
+        sp.rdds.foreach(_.unpersist(blocking = false))
+        sp.persisted.foreach(_.unpersist(blocking = false))
+        if (sp.reliable) try {
+          reliableCheckpointFiles(sp.df.rdd).foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(ex) =>
+            log.warn(s"could not delete reliable checkpoint files for " +
+              s"tag '${e.getKey._3}': ${ex.getMessage}")
+        }
         it.remove()
       }
     }
@@ -250,6 +359,71 @@ object DedupQueries {
       .select(col("doc_id"), TextFns.simhash64Native(col("text")).as("sh"))
       .select(col("doc_id"), col("sh").getItem(0).as("simhash_hi"),
         col("sh").getItem(1).as("simhash_lo"))
+
+  /** d04's pair-count shape: co-shingle counts `(doc_a < doc_b, i)` from
+    * the inverted-index self-join on the hashed shingle column `s`.
+    *
+    * Default is the plain equi-join — on organic corpora salting measured
+    * 1.3–2× SLOWER (D04SkewProbe; the hot aggregation + replicated b-side
+    * cost real work the corpus never repays), so it must not be the
+    * shipped path. But a genuinely hot shingle (a boilerplate span shared
+    * by m documents) makes ONE join key emit m²/2 output rows on a
+    * single task — OUTPUT skew AQE cannot split, because its skew
+    * detection sizes INPUT partitions and the hot posting list is tiny
+    * (measured: +51% wall at a 1%-hot ×100 corpus, BENCH_NOTES
+    * "Round 17"). `spark.graft.d04.salt = N` (≥ 2; unset = off) is the
+    * productized escape: shingles whose posting list exceeds
+    * `spark.graft.d04.salt.hotMin` docs (default 1024) route through an
+    * EXACT salted join — the a-side assigned one of N salts by doc_id
+    * hash, the b-side replicated once per salt, so each (a,b,s) match
+    * survives in exactly one salt bucket and the m²/2 expansion spreads
+    * over N tasks; cold shingles join plain. The hot-set detection costs
+    * one aggregation over the exploded frame plus two broadcast
+    * semi/anti probes — the price of the escape, paid only when the
+    * operator of a skewed corpus turns the conf on. */
+  private[graft] def coShinglePairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    def intConf(key: String): Option[Int] =
+      s.conf.getOption(key).map { v =>
+        try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be an integer: got '$v'")
+        }
+      }
+    val plain = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    intConf("spark.graft.d04.salt") match {
+      case None => plain
+      case Some(nSalts) =>
+        require(nSalts >= 2,
+          s"spark.graft.d04.salt must be >= 2 salt buckets (got $nSalts); " +
+            "unset the conf to disable salting")
+        val hotMin = intConf("spark.graft.d04.salt.hotMin").getOrElse(1024)
+        require(hotMin >= 1,
+          s"spark.graft.d04.salt.hotMin must be >= 1 (got $hotMin)")
+        // hot = shingle hashes held by more than hotMin docs; small by
+        // definition (each hot key is boilerplate shared corpus-wide),
+        // so the explicit broadcast is safe where d02's fact-derived
+        // frames are not
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("m"))
+          .filter(col("m") > hotMin).select("s")
+        val shHot = sh.join(broadcast(hot), Seq("s"), "left_semi")
+        val shCold = sh.join(broadcast(hot), Seq("s"), "left_anti")
+        val a = shHot.withColumn("__salt", pmod(hash(col("doc_id")), lit(nSalts)))
+        val b = shHot.withColumn("__salt",
+          explode(sequence(lit(0), lit(nSalts - 1))))
+        val hotJoined = a.as("a").join(b.as("b"),
+            col("a.s") === col("b.s") && col("a.__salt") === col("b.__salt") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val coldJoined = shCold.as("a").join(shCold.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        hotJoined.union(coldJoined).groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("i"))
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -456,10 +630,7 @@ object DedupQueries {
         .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
         .filter(col("sig").isNotNull)
         .select(col("doc_id"), col("sig").getItem(0).as("c"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
+      val inter = coShinglePairs(s, sh)
       inter
         .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
         .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
@@ -635,6 +806,8 @@ object DedupQueries {
       }
       val explicitBits =
         s.conf.getOption("spark.graft.d11.bits").orElse(sys.env.get("SPARK_GRAFT_D11_BITS"))
+      val explicitTables =
+        s.conf.getOption("spark.graft.d11.tables").orElse(sys.env.get("SPARK_GRAFT_D11_TABLES"))
       val nTables = knob("spark.graft.d11.tables", "SPARK_GRAFT_D11_TABLES", 4)
       val defaultBits = knob("spark.graft.d11.bits", "SPARK_GRAFT_D11_BITS", 8)
       // zero/negative geometries fail silently-wrong, not loudly: tables=0
@@ -659,13 +832,19 @@ object DedupQueries {
       // oracle's geometry at the test scales); an explicitly-set bits
       // value expresses intent, skips the scan, and always wins.
       // CAVEAT the auto-size makes duplicate-pair RECALL discontinuous in
-      // corpus size: crossing maxDefaultRows changes bits and therefore
-      // which near-pairs collide, between two otherwise-identical runs.
-      // Pipelines that pin results set spark.graft.d11.strict=true to get
-      // the r10 refusal back (loud error instead of a silent re-geometry),
-      // or pin spark.graft.d11.bits explicitly.
-      val bits =
-        if (explicitBits.nonEmpty) defaultBits
+      // corpus size: crossing maxDefaultRows changes the geometry and
+      // therefore which near-pairs collide, between two otherwise-
+      // identical runs — and past saturation (needed·tables > 64) the
+      // auto law also ESCALATES the table count down ([[d11AutoGeometry]]
+      // regime 3), trading recall for a candidate join that stays
+      // occupancy-constant. Pipelines that pin results set
+      // spark.graft.d11.strict=true to get the r10 refusal back (loud
+      // error instead of a silent re-geometry), or pin
+      // spark.graft.d11.{tables,bits} explicitly — an explicit tables
+      // value is respected (auto then only grows bits up to its dim
+      // budget, the d11AutoBits law).
+      val (tables, bits) =
+        if (explicitBits.nonEmpty) (nTables, defaultBits)
         else {
           val maxDefaultRows = s.conf.getOption("spark.graft.d11.maxDefaultRows")
             .map { v =>
@@ -674,38 +853,41 @@ object DedupQueries {
                   s"spark.graft.d11.maxDefaultRows must be an integer: got '$v'")
               }
             }.getOrElse(100000L)
-          if (maxDefaultRows <= 0) defaultBits
+          if (maxDefaultRows <= 0) (nTables, defaultBits)
           else {
             // count the RAW load, not the loadSpread frame: counting after
             // the spread repartition would pay its exchange just to count
             val n = Tables.load(s, dir, "embeddings").count()
-            if (n <= maxDefaultRows) defaultBits
+            if (n <= maxDefaultRows) (nTables, defaultBits)
             else if (s.conf.getOption("spark.graft.d11.strict")
                 .orElse(sys.env.get("SPARK_GRAFT_D11_STRICT"))
                 .exists(_.trim.equalsIgnoreCase("true"))) {
+              val (at, ab) = d11AutoGeometry(n, nTables, defaultBits)
               throw new IllegalArgumentException(
                 s"d11: $n embedding rows exceed the $maxDefaultRows guard " +
-                  s"and strict mode is on — the default $defaultBits-bit " +
-                  "geometry would be re-sized, changing candidate recall. " +
-                  "Pin spark.graft.d11.bits explicitly (auto would pick " +
-                  s"${d11AutoBits(n, nTables, defaultBits)}) or unset " +
+                  s"and strict mode is on — the default $nTables x " +
+                  s"$defaultBits geometry would be re-sized, changing " +
+                  "candidate recall. Pin spark.graft.d11.bits explicitly " +
+                  s"(auto would pick $at tables x $ab bits) or unset " +
                   "spark.graft.d11.strict to accept auto-sizing.")
             } else {
-              val auto = d11AutoBits(n, nTables, defaultBits)
+              val (at, ab) =
+                if (explicitTables.nonEmpty) (nTables, d11AutoBits(n, nTables, defaultBits))
+                else d11AutoGeometry(n, nTables, defaultBits)
               // through the logger, not stderr: production log pipelines
               // index logger events; a bare println is invisible there
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"d11 auto-sized LSH geometry: $n rows > $maxDefaultRows " +
-                  s"guard, using $nTables tables x $auto bits " +
-                  s"(~${n / (1L << auto)} rows/bucket; " +
-                  "override with spark.graft.d11.bits, or " +
+                  s"guard, using $at tables x $ab bits " +
+                  s"(~${n / (1L << ab)} rows/bucket; " +
+                  "override with spark.graft.d11.{tables,bits}, or " +
                   "spark.graft.d11.strict=true to refuse instead)")
-              auto
+              (at, ab)
             }
           }
         }
       val tabbed = e.select(col("vec_id"),
-        explode(array((0 until nTables).map { t =>
+        explode(array((0 until tables).map { t =>
           struct(lit(t).as("tbl"),
             VectorFns.signBucketSlice(col("embedding"), t * bits, bits).as("bkt"))
         }: _*)).as("tb"))

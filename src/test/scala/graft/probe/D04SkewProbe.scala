@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.queries.DedupQueries
 
 /** Measured probe for the d04 hot-shingle m²/2 hazard (VERDICT r9 #6).
   *
@@ -13,11 +14,12 @@ import graft.functions.TextFns
   * join key. The input partition holding the hot shingle is only nHot
   * rows — far below AQE's byte-based skew thresholds — so AQE's skew
   * split never fires and the whole m²/2 expansion lands on ONE task:
-  * OUTPUT skew invisible to INPUT-sized detection. The probe measures
-  * the plain shape against a hot-key-salted shape (cold keys join
-  * plain; hot keys join with the a-side salted by doc_id and the
-  * b-side replicated per salt) and asserts both produce identical pair
-  * counts.
+  * OUTPUT skew invisible to INPUT-sized detection.
+  *
+  * Since round 18 the probe measures the PRODUCT path, not a probe-local
+  * copy: `DedupQueries.coShinglePairs` with `spark.graft.d04.salt`
+  * unset (plain) vs set (hot keys salted across N buckets, cold keys
+  * plain), asserting both produce identical pair counts.
   *
   * Run: sbt "Test/runMain graft.probe.D04SkewProbe [nDocs] [nHot] [nSalts]"
   */
@@ -38,35 +40,26 @@ object D04SkewProbe {
       explode(array_distinct(TextFns.shingles(col("text"), 3))).as("s"))
     .repartition(32, col("s"))
 
-  /** The d04/minhash-verify join shape: co-shingle pair counts. */
-  def plainPairs(sh: DataFrame): DataFrame =
-    sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+  /** The shipped d04 pair shape, plain (conf unset). */
+  def plainPairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    s.conf.unset("spark.graft.d04.salt")
+    s.conf.unset("spark.graft.d04.salt.hotMin")
+    DedupQueries.coShinglePairs(s, sh)
+  }
 
-  /** Exact hot-key-salted variant: shingles held by more than `hotMin`
-    * docs join with the a-side salted (pmod of doc_id hash) and the
-    * b-side replicated once per salt; cold shingles join plain. Exact:
-    * every (a, b, s) match survives in exactly one salt bucket.
-    */
-  def saltedPairs(sh: DataFrame, hotMin: Int, nSalts: Int): DataFrame = {
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("m"))
-      .filter(col("m") > hotMin).select("s")
-    val shHot = sh.join(broadcast(hot), Seq("s"), "left_semi")
-    val shCold = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val a = shHot.withColumn("__salt", pmod(hash(col("doc_id")), lit(nSalts)))
-    val b = shHot.withColumn("__salt",
-      explode(sequence(lit(0), lit(nSalts - 1))))
-    val hotJoined = a.as("a").join(b.as("b"),
-        col("a.s") === col("b.s") && col("a.__salt") === col("b.__salt") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val coldJoined = shCold.as("a").join(shCold.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    hotJoined.union(coldJoined).groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
+  /** The shipped d04 pair shape with the salted escape ON: shingles held
+    * by more than `hotMin` docs join a-side-salted / b-side-replicated;
+    * cold shingles join plain. Exact: every (a, b, s) match survives in
+    * exactly one salt bucket. */
+  def saltedPairs(s: SparkSession, sh: DataFrame,
+                  hotMin: Int, nSalts: Int): DataFrame = {
+    s.conf.set("spark.graft.d04.salt", nSalts.toString)
+    s.conf.set("spark.graft.d04.salt.hotMin", hotMin.toString)
+    try DedupQueries.coShinglePairs(s, sh)
+    finally {
+      s.conf.unset("spark.graft.d04.salt")
+      s.conf.unset("spark.graft.d04.salt.hotMin")
+    }
   }
 
   private def time(label: String)(f: => Long): Long = {
@@ -91,15 +84,15 @@ object D04SkewProbe {
     println(s"[probe] nDocs=$nDocs nHot=$nHot nSalts=$nSalts " +
       s"shingleRows=${sh.count()} expectedHotPairs=${nHot.toLong * (nHot - 1) / 2}")
     // warmup both plans at tiny scale for codegen
-    time("warmup plain (cold keys)")(plainPairs(sh.limit(2000)).count())
-    time("warmup salted")(saltedPairs(sh.limit(2000), 16, nSalts).count())
+    time("warmup plain (cold keys)")(plainPairs(spark, sh.limit(2000)).count())
+    time("warmup salted")(saltedPairs(spark, sh.limit(2000), 16, nSalts).count())
     // interleaved, twice each: the container shows multi-minute ambient
     // bursts, so adjacent same-shape runs can differ 2x — alternation
     // separates shape effects from environment drift
-    val q1 = time(s"hot-salted (> 16 docs) #1")(saltedPairs(sh, 16, nSalts).count())
-    val p1 = time("plain (AQE on) #1")(plainPairs(sh).count())
-    val q2 = time(s"hot-salted (> 16 docs) #2")(saltedPairs(sh, 16, nSalts).count())
-    val p2 = time("plain (AQE on) #2")(plainPairs(sh).count())
+    val q1 = time(s"hot-salted (> 16 docs) #1")(saltedPairs(spark, sh, 16, nSalts).count())
+    val p1 = time("plain (AQE on) #1")(plainPairs(spark, sh).count())
+    val q2 = time(s"hot-salted (> 16 docs) #2")(saltedPairs(spark, sh, 16, nSalts).count())
+    val p2 = time("plain (AQE on) #2")(plainPairs(spark, sh).count())
     require(p1 == q1 && p1 == q2 && p1 == p2,
       s"salted shape changed results: $p1 $p2 vs $q1 $q2")
     spark.stop()

@@ -148,35 +148,57 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d11 guard: past maxDefaultRows the geometry AUTO-SIZES (occupancy-" +
-      "constant, capped at the dim budget); explicit bits always wins") {
-    import graft.queries.DedupQueries.d11AutoBits
-    // the sizing law itself: 4-row bucket target, floor at the default,
-    // cap at 64/tables — 200k rows with 4 tables is the probe-measured
-    // geometry that replaced the r10 refusal
+      "constant, table-count escalation past saturation); explicit bits always wins") {
+    import graft.queries.DedupQueries.{d11AutoBits, d11AutoGeometry}
+    // the per-table sizing law (explicit-tables mode): 4-row bucket
+    // target, floor at the default, cap at 64/tables — 200k rows with 4
+    // tables is the probe-measured geometry that replaced the r10 refusal
     assert(d11AutoBits(200000L, 4, 8) == 16)
     assert(d11AutoBits(100001L, 4, 8) == 15)
     assert(d11AutoBits(500L, 4, 8) == 8, "small n never shrinks the default")
     assert(d11AutoBits(1000000000L, 4, 8) == 16, "dim budget caps the growth")
     assert(d11AutoBits(1000000000L, 1, 8) == 28, "1 table may use all 64 dims")
-    // the saturation law, made explicit for the 10⁹-row regime (the d08
-    // lesson: a fixed key space means occupancy grows linearly again).
-    // Unsaturated (n ≤ target·2^cap = 4·2^16 for 4 tables): the sizing
-    // keeps bucket occupancy n/2^bits within 2× of the 4-row target.
-    // Saturated: bits pin at the 64/tables dim budget and occupancy is
-    // n/65,536 — 4 docs/bucket at 262k rows, ~15k at 10⁹. The cap is a
-    // hard consequence of 64 embedding dims split across disjoint table
-    // slices; the escape is FEWER tables (more bits each), queued in
-    // COVERAGE.md as the table-count escalation rule.
-    for (n <- Seq(150000L, 200001L, 262144L)) {
-      val bits = d11AutoBits(n, 4, 8)
-      assert(n.toDouble / (1L << bits) <= 8.0,
-        s"n=$n bits=$bits occupancy ${n.toDouble / (1L << bits)}")
-    }
-    for (n <- Seq(300000L, 10000000L, 260000000L, 1000000000L)) {
-      assert(d11AutoBits(n, 4, 8) == 16, s"n=$n must sit at the 4-table cap")
-    }
     assert(d11AutoBits(1000000000L, 2, 8) == 28,
       "halving the table count buys 12 more bits — the escalation lever")
+    // THE THREE-REGIME LAW (VERDICT r17 #3 — the d08 lesson: a fixed key
+    // space means occupancy regrows linearly past saturation).
+    // Regime 2 — bit growth at the default table count while
+    // needed·tables ≤ 64: occupancy n/2^bits stays within 2× of the
+    // 4-row target, 4 tables throughout
+    for (n <- Seq(150000L, 200001L, 262144L)) {
+      val (t, b) = d11AutoGeometry(n, 4, 8)
+      assert(t == 4, s"n=$n must keep all 4 tables")
+      assert(n.toDouble / (1L << b) <= 8.0,
+        s"n=$n bits=$b occupancy ${n.toDouble / (1L << b)}")
+    }
+    assert(d11AutoGeometry(200000L, 4, 8) == ((4, 16)), "the r10-probe geometry")
+    // Regime 3 — table-count ESCALATION: past 4·2^16 = 262,144 rows the
+    // old law pinned bits at 16 and occupancy regrew (~15k docs/bucket
+    // at 10⁹ — the candidate join re-quadratizes); the escalation trades
+    // tables for bits, keeping occupancy ≤ 2× target all the way to the
+    // 1-table regime. Recall degrades gracefully with fewer OR-tables
+    // (D11GeomProbe measures it); saturation was fatal, not lossy.
+    assert(d11AutoGeometry(300000L, 4, 8) == ((3, 17)),
+      "first escalation step: 3 tables x 17 bits at needed = 17")
+    assert(d11AutoGeometry(10000000L, 4, 8) == ((2, 22)),
+      "10M rows: 2 tables x 22 bits")
+    assert(d11AutoGeometry(100000000L, 4, 8) == ((2, 25)),
+      "the ~10^8 regime that motivated the rule: 2 tables x 25 bits")
+    assert(d11AutoGeometry(1000000000L, 4, 8) == ((2, 28)),
+      "10^9 rows: 2 tables x 28 bits — ~4 docs/bucket, not ~15k")
+    assert(d11AutoGeometry(40000000000L, 4, 8) == ((1, 34)),
+      "past needed = 33 a single table uses the whole dim budget")
+    assert(d11AutoGeometry(Long.MaxValue, 4, 8) == ((1, 61)),
+      "Long-max rows still fit the 64-dim budget (needed = 61)")
+    // occupancy stays bounded across ALL of regime 2 + 3 — the property
+    // the escalation exists to restore
+    for (n <- Seq(3e5, 1e6, 1e7, 1e8, 1e9, 1e10, 1e12).map(_.toLong)) {
+      val (t, b) = d11AutoGeometry(n, 4, 8)
+      assert(t >= 1 && t * b <= 64, s"n=$n geometry $t x $b busts the dim budget")
+      assert(n.toDouble / (1L << b) <= 8.0,
+        s"n=$n geometry $t x $b occupancy ${n.toDouble / (1L << b)} " +
+          "— saturation regression")
+    }
     // end-to-end: a forced-tiny threshold routes sf0.001's 500 rows through
     // the auto path; at this n the law lands back on the default 8 bits,
     // so the output must be IDENTICAL to the guard-free default run
@@ -457,20 +479,69 @@ class PlanSpec extends SparkSpec {
     // replays from files instead of re-running the minhash pipeline.
     val tmp = java.nio.file.Files.createTempDirectory("graft-ck").toFile
     DedupQueries.releaseShared(spark)
+    val base = spark.sparkContext.getPersistentRDDs.keySet
     spark.conf.set("spark.graft.checkpoint.dir", tmp.getAbsolutePath)
+    def anyFiles(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
     try {
       val df = SparkEntry.queries("d02")(spark, sf)
       df.collect() // materializes the lazy reliable checkpoint
       val dbg = df.rdd.toDebugString
       assert(dbg.contains("ReliableCheckpointRDD"), dbg.take(3000))
       // and the checkpoint files actually landed under the conf'd dir
-      def anyFiles(f: java.io.File): Boolean =
-        f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
       assert(anyFiles(tmp), s"no checkpoint files under $tmp")
+      // the reliable path persists the upstream frame (so the lazy
+      // checkpoint write reads cached blocks instead of re-running the
+      // minhash pipeline) — that cache entry must exist while shared...
+      assert(spark.sparkContext.getPersistentRDDs.keySet != base,
+        "reliable path should hold the persisted upstream in cache")
     } finally {
       spark.conf.unset("spark.graft.checkpoint.dir")
       DedupQueries.releaseShared(spark)
     }
+    // ...and release must evict it THROUGH THE CACHEMANAGER (the r17
+    // RDD-registry diff saw nothing for a lazily-backed Dataset cache,
+    // so the entry was unreleasable) and delete the checkpoint files the
+    // engine wrote — a long-lived session leaves nothing behind.
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(base),
+      "releaseShared must uncache the reliable path's persisted Dataset")
+    assert(!anyFiles(tmp),
+      s"releaseShared must delete the engine-written checkpoint files under $tmp")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
+    }
+    rmTree(tmp)
+  }
+
+  test("d04 salted skew escape: off by default; spark.graft.d04.salt " +
+      "routes hot shingles through an exact salted join, output unchanged") {
+    // default plan is the plain inverted-index equi-join — salting costs
+    // 1.3-2x on organic corpora (D04SkewProbe), so no salt machinery may
+    // appear unless the conf asks for it
+    val p0 = plan("d04")
+    assert(!p0.contains("__salt"), p0.take(3000))
+    val expected = SparkEntry.queries("d04")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    // hotMin=1 forces the hot branch to actually exercise on testdata
+    // (no organic shingle there reaches the 1024-doc default)
+    spark.conf.set("spark.graft.d04.salt", "8")
+    spark.conf.set("spark.graft.d04.salt.hotMin", "1")
+    try {
+      val df = SparkEntry.queries("d04")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), p.take(3000))
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(got == expected, "salted path changed d04's output")
+    } finally {
+      spark.conf.unset("spark.graft.d04.salt")
+      spark.conf.unset("spark.graft.d04.salt.hotMin")
+    }
+    // misconfiguration is loud: salt=1 would silently degenerate to the
+    // plain join plus the hot-detection overhead
+    spark.conf.set("spark.graft.d04.salt", "1")
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("d04")(spark, sf)
+    } finally spark.conf.unset("spark.graft.d04.salt")
   }
 
   test("d11: multi-table LSH dedup is equi-join only — no product, no " +
