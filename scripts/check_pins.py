@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Assert the committed pins are re-derivable from committed evidence.
 
-Usage: python3 scripts/check_pins.py bench/r16
+Usage: python3 scripts/check_pins.py bench/r18 [path/to/Bench.scala]
+
+The second argument (default: this repo's Bench.scala) exists so
+scripts/test_check_pins.py can run the checker against doctored fixtures —
+the negative tests that keep the key-set and value assertions honest.
 
 Re-derives the per-query clean-floor pins (min of detail-line medians, the
 derive_pins.py rule) from the close-run captures in the given evidence
@@ -33,7 +37,7 @@ def scala_map(src, name):
 
 
 def main():
-    evidence_dir = sys.argv[1] if len(sys.argv) > 1 else "bench/r16"
+    evidence_dir = sys.argv[1] if len(sys.argv) > 1 else "bench/r18"
     files = sorted(glob.glob(os.path.join(evidence_dir, "close_*.json")))
     if not files:
         sys.exit(f"FAIL: no close_*.json under {evidence_dir}")
@@ -48,9 +52,10 @@ def main():
                 qs.setdefault(q, []).append(v)
     derived = {q: f"{min(vs):.3f}" for q, vs in qs.items()}
 
-    bench_src = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "..", "src", "main", "scala", "graft",
-                                  "Bench.scala")).read()
+    bench_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "src", "main", "scala", "graft", "Bench.scala")
+    bench_src = open(bench_path).read()
     pins = scala_map(bench_src, "CleanMediansSf01")
     canaries = scala_map(bench_src, "CanaryCleanSf01")
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Re-derive Bench.CleanMediansSf01 from N close-run bench outputs.
 
-Usage: python3 scripts/derive_pins.py bench/r16/close_*.json
+Usage: python3 scripts/derive_pins.py bench/r18/close_*.json
 
 Each input holds the two bench lines (`bench_detail` + metric). Takes the
 per-query MIN of the detail-line medians across runs (the least-contaminated

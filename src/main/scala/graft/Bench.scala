@@ -121,29 +121,29 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.139,
-    "q16" -> 0.102,
-    "q30" -> 0.096,
-    "t08" -> 0.315,
-    "d01" -> 0.215,
-    "d06" -> 0.157)
+    "q02" -> 0.155,
+    "q16" -> 0.100,
+    "q30" -> 0.102,
+    "t08" -> 0.366,
+    "d01" -> 0.267,
+    "d06" -> 0.172)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
-    * the min of the per-query medians over quiet-window full-suite runs on
-    * this container (round 16 FINAL binary, ALL 135 queries — x01/x02 newly pinned on
-    * their deterministic oracle-exact forms from this round: four
-    * quiet full-suite runs A–D on the closing code, all
-    * contaminated:false by their own canaries — though A sat exactly AT
-    * the 3.0 CanaryMaxFactor boundary, clean only via the strict '>', so
-    * read A as marginal; min-of-four discards its elevated values either
-    * way; derivation in
+    * the min of the per-query medians over quiet-window full-suite runs
+    * on this container (round 18 binary, ALL 135 queries — the quad
+    * close the r17 round timer interrupted, re-run in full: four quiet
+    * full-suite runs A–D on the shipping code, all contaminated:false
+    * by their own canaries; the d03/d08/d04/d20 pins now describe the
+    * POST-64-bit-simhash-migration plans for the first time, and the
+    * r17 d02/d17/q05 drifts adjudicated clean — all three re-derive at
+    * or below their r16 pins under min-of-four. Derivation in
     * BENCH_NOTES.md, re-derivable via scripts/derive_pins.py). The
     * derivation runs' own environment probes ride beside the pins so
-    * later drift is attributable
-    * (verdict r10 #5): totals 101.65/74.07/70.55/73.18 s (A is a
-    * cold-cache outlier right after the 1000× probe; min-of-four
-    * absorbs it), cpu_ref 0.045/0.052/0.034/0.044, mt_x
-    * 2.6/2.5/3.9/3.1; pin sum 67.11 s. Evidence: bench/r16/.
+    * later drift is attributable (verdict r10 #5): totals
+    * 78.27/78.22/75.24/73.99 s, cpu_ref 0.055/0.057/0.067/0.053, mt_x
+    * 1.5/2.0/1.5/2.0, canary_max 2.8/1.6/1.8/1.5 (A's 2.8 is d01 —
+    * first-touch cold cache after the pre-close test battery;
+    * min-of-four discards it); pin sum 66.37 s. Evidence: bench/r18/.
     * Min-of-runs is the least-contaminated estimate of the
     * clean floor, which biases totalRatio slightly ≥1 on a genuinely
     * clean run — the 1.5× threshold absorbs that. Refresh each round:
@@ -151,141 +151,141 @@ object Bench {
     * threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.426,
-    "c02" -> 0.512,
-    "d01" -> 0.215,
-    "d02" -> 2.664,
-    "d03" -> 0.143,
-    "d04" -> 1.244,
-    "d05" -> 0.467,
-    "d06" -> 0.157,
-    "d07" -> 1.039,
-    "d08" -> 0.736,
-    "d09" -> 0.642,
-    "d10" -> 0.722,
-    "d11" -> 0.838,
-    "d12" -> 1.242,
-    "d13" -> 0.207,
-    "d14" -> 0.549,
-    "d15" -> 1.075,
-    "d16" -> 0.866,
-    "d17" -> 1.234,
-    "d18" -> 1.022,
-    "d19" -> 2.655,
-    "d20" -> 1.507,
-    "d21" -> 0.996,
-    "m01" -> 0.097,
-    "m02" -> 0.124,
-    "m03" -> 0.662,
-    "m04" -> 0.610,
-    "m05" -> 1.633,
-    "m06" -> 0.233,
-    "m07" -> 0.145,
-    "m08" -> 0.742,
-    "m09" -> 0.391,
-    "p01" -> 0.454,
-    "p02" -> 0.192,
-    "p03" -> 0.189,
-    "p04" -> 0.128,
-    "p05" -> 0.223,
-    "p06" -> 0.390,
-    "p07" -> 0.439,
-    "p08" -> 0.856,
+    "c01" -> 1.730,
+    "c02" -> 0.510,
+    "d01" -> 0.267,
+    "d02" -> 2.610,
+    "d03" -> 0.179,
+    "d04" -> 1.263,
+    "d05" -> 0.515,
+    "d06" -> 0.172,
+    "d07" -> 0.853,
+    "d08" -> 0.563,
+    "d09" -> 0.660,
+    "d10" -> 0.711,
+    "d11" -> 0.720,
+    "d12" -> 1.012,
+    "d13" -> 0.199,
+    "d14" -> 0.440,
+    "d15" -> 0.825,
+    "d16" -> 0.697,
+    "d17" -> 1.114,
+    "d18" -> 0.995,
+    "d19" -> 2.309,
+    "d20" -> 1.399,
+    "d21" -> 0.853,
+    "m01" -> 0.104,
+    "m02" -> 0.118,
+    "m03" -> 0.733,
+    "m04" -> 0.689,
+    "m05" -> 1.994,
+    "m06" -> 0.248,
+    "m07" -> 0.132,
+    "m08" -> 0.811,
+    "m09" -> 0.383,
+    "p01" -> 0.434,
+    "p02" -> 0.211,
+    "p03" -> 0.231,
+    "p04" -> 0.134,
+    "p05" -> 0.248,
+    "p06" -> 0.360,
+    "p07" -> 0.432,
+    "p08" -> 0.931,
     "p09" -> 0.127,
-    "q01" -> 0.219,
-    "q02" -> 0.139,
-    "q03" -> 0.446,
-    "q04" -> 0.454,
-    "q05" -> 0.602,
-    "q06" -> 0.130,
-    "q07" -> 0.221,
-    "q08" -> 0.304,
-    "q09" -> 0.163,
-    "q10" -> 0.254,
-    "q11" -> 0.182,
-    "q12" -> 0.769,
-    "q13" -> 0.567,
-    "q14" -> 0.135,
-    "q15" -> 0.153,
-    "q16" -> 0.102,
-    "q17" -> 0.275,
-    "q18" -> 0.411,
-    "q19" -> 0.205,
-    "q20" -> 0.208,
-    "q21" -> 0.302,
-    "q22" -> 0.192,
-    "q23" -> 0.218,
-    "q24" -> 0.297,
-    "q25" -> 1.069,
-    "q26" -> 0.267,
-    "q27" -> 0.306,
-    "q28" -> 0.158,
-    "q29" -> 0.188,
-    "q30" -> 0.096,
-    "q31" -> 0.350,
-    "q32" -> 0.701,
-    "q33" -> 0.787,
-    "q34" -> 0.318,
-    "q35" -> 0.255,
-    "q36" -> 0.311,
-    "q37" -> 0.158,
-    "q38" -> 0.890,
-    "q39" -> 0.748,
-    "q40" -> 0.381,
-    "q41" -> 0.374,
-    "q42" -> 0.261,
-    "q43" -> 0.232,
-    "q44" -> 1.615,
-    "q45" -> 0.545,
-    "q46" -> 0.322,
-    "q47" -> 0.368,
-    "s01" -> 0.290,
-    "s02" -> 0.235,
-    "s03" -> 0.584,
-    "s04" -> 0.527,
-    "s05" -> 0.304,
-    "s06" -> 0.584,
-    "s07" -> 0.434,
-    "s08" -> 0.687,
-    "s09" -> 1.002,
-    "t01" -> 0.128,
-    "t02" -> 0.329,
-    "t03" -> 0.152,
-    "t04" -> 0.258,
-    "t05" -> 0.119,
-    "t06" -> 0.134,
-    "t07" -> 0.123,
-    "t08" -> 0.315,
-    "t09" -> 0.641,
-    "t10" -> 1.118,
-    "t11" -> 0.147,
-    "t12" -> 0.155,
-    "t13" -> 0.835,
-    "t14" -> 0.840,
-    "t15" -> 0.454,
-    "t16" -> 0.413,
-    "t17" -> 1.033,
-    "w01" -> 0.077,
-    "w02" -> 0.113,
-    "w03" -> 0.126,
-    "w04" -> 0.306,
-    "w05" -> 0.128,
-    "w06" -> 0.153,
-    "w07" -> 0.298,
-    "w08" -> 0.183,
-    "w09" -> 0.415,
-    "w10" -> 0.382,
-    "w11" -> 0.329,
-    "w12" -> 0.441,
-    "w13" -> 0.123,
-    "x01" -> 0.671,
-    "x02" -> 0.299,
-    "x03" -> 0.814,
-    "x04" -> 0.443,
-    "x05" -> 1.133,
-    "x06" -> 0.178,
-    "x07" -> 0.674,
-    "x08" -> 0.541)
+    "q01" -> 0.232,
+    "q02" -> 0.155,
+    "q03" -> 0.463,
+    "q04" -> 0.478,
+    "q05" -> 0.673,
+    "q06" -> 0.141,
+    "q07" -> 0.220,
+    "q08" -> 0.329,
+    "q09" -> 0.174,
+    "q10" -> 0.273,
+    "q11" -> 0.179,
+    "q12" -> 0.876,
+    "q13" -> 0.612,
+    "q14" -> 0.133,
+    "q15" -> 0.142,
+    "q16" -> 0.100,
+    "q17" -> 0.265,
+    "q18" -> 0.376,
+    "q19" -> 0.200,
+    "q20" -> 0.203,
+    "q21" -> 0.326,
+    "q22" -> 0.209,
+    "q23" -> 0.215,
+    "q24" -> 0.338,
+    "q25" -> 1.097,
+    "q26" -> 0.291,
+    "q27" -> 0.321,
+    "q28" -> 0.183,
+    "q29" -> 0.218,
+    "q30" -> 0.102,
+    "q31" -> 0.393,
+    "q32" -> 0.805,
+    "q33" -> 0.788,
+    "q34" -> 0.341,
+    "q35" -> 0.313,
+    "q36" -> 0.378,
+    "q37" -> 0.189,
+    "q38" -> 0.936,
+    "q39" -> 0.715,
+    "q40" -> 0.416,
+    "q41" -> 0.381,
+    "q42" -> 0.286,
+    "q43" -> 0.238,
+    "q44" -> 1.857,
+    "q45" -> 0.649,
+    "q46" -> 0.352,
+    "q47" -> 0.440,
+    "s01" -> 0.251,
+    "s02" -> 0.284,
+    "s03" -> 0.532,
+    "s04" -> 0.389,
+    "s05" -> 0.301,
+    "s06" -> 0.450,
+    "s07" -> 0.446,
+    "s08" -> 0.566,
+    "s09" -> 0.822,
+    "t01" -> 0.144,
+    "t02" -> 0.268,
+    "t03" -> 0.183,
+    "t04" -> 0.320,
+    "t05" -> 0.137,
+    "t06" -> 0.163,
+    "t07" -> 0.140,
+    "t08" -> 0.366,
+    "t09" -> 0.610,
+    "t10" -> 1.045,
+    "t11" -> 0.161,
+    "t12" -> 0.186,
+    "t13" -> 0.654,
+    "t14" -> 0.962,
+    "t15" -> 0.385,
+    "t16" -> 0.391,
+    "t17" -> 0.922,
+    "w01" -> 0.090,
+    "w02" -> 0.118,
+    "w03" -> 0.144,
+    "w04" -> 0.329,
+    "w05" -> 0.140,
+    "w06" -> 0.157,
+    "w07" -> 0.273,
+    "w08" -> 0.199,
+    "w09" -> 0.434,
+    "w10" -> 0.450,
+    "w11" -> 0.310,
+    "w12" -> 0.452,
+    "w13" -> 0.122,
+    "x01" -> 0.764,
+    "x02" -> 0.310,
+    "x03" -> 0.622,
+    "x04" -> 0.369,
+    "x05" -> 0.837,
+    "x06" -> 0.188,
+    "x07" -> 0.548,
+    "x08" -> 0.518)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
