@@ -377,10 +377,24 @@ object DedupQueries {
     * EXACT salted join — the a-side assigned one of N salts by doc_id
     * hash, the b-side replicated once per salt, so each (a,b,s) match
     * survives in exactly one salt bucket and the m²/2 expansion spreads
-    * over N tasks; cold shingles join plain. The hot-set detection costs
-    * one aggregation over the exploded frame plus two broadcast
-    * semi/anti probes — the price of the escape, paid only when the
-    * operator of a skewed corpus turns the conf on. */
+    * over N tasks; cold shingles keep salt 0 on both sides (one join,
+    * no hot/cold split).
+    *
+    * HOT DETECTION IS SAMPLED, NOT COUNTED: a corpus-scale
+    * `groupBy(s).count` just to find the hot keys costs more than the
+    * skew it guards against — measured at the ×100 1%-hot probe, the
+    * exact-count variant (checkpoint + full aggregation + semi/anti
+    * split) ran +55% OVER the plain path it was rescuing. Instead a
+    * deterministic 1/128 DOCUMENT sample (xxhash64(doc_id), pushed below
+    * the shingle explode so 127/128 documents never explode) estimates
+    * posting-list sizes: a shingle held by m docs appears ~m/128 times,
+    * hot = sampled count > hotMin/128. Detection only ROUTES — the
+    * output is exact regardless of which keys salt — so sampling noise
+    * near the threshold costs load balance on boundary keys (whose m²/2
+    * is small by definition), never correctness; a genuinely hot key at
+    * the ×1000 scale (m = 50k → ~390 sampled hits vs threshold 8) is
+    * detected with certainty. The salted plan costs one extra 1/128
+    * scan + two broadcast probes over the plain plan. */
   private[graft] def coShinglePairs(s: SparkSession, sh: DataFrame): DataFrame = {
     def intConf(key: String): Option[Int] =
       s.conf.getOption(key).map { v =>
@@ -402,25 +416,59 @@ object DedupQueries {
         val hotMin = intConf("spark.graft.d04.salt.hotMin").getOrElse(1024)
         require(hotMin >= 1,
           s"spark.graft.d04.salt.hotMin must be >= 1 (got $hotMin)")
-        // hot = shingle hashes held by more than hotMin docs; small by
-        // definition (each hot key is boilerplate shared corpus-wide),
-        // so the explicit broadcast is safe where d02's fact-derived
-        // frames are not
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("m"))
-          .filter(col("m") > hotMin).select("s")
-        val shHot = sh.join(broadcast(hot), Seq("s"), "left_semi")
-        val shCold = sh.join(broadcast(hot), Seq("s"), "left_anti")
-        val a = shHot.withColumn("__salt", pmod(hash(col("doc_id")), lit(nSalts)))
-        val b = shHot.withColumn("__salt",
-          explode(sequence(lit(0), lit(nSalts - 1))))
-        val hotJoined = a.as("a").join(b.as("b"),
+        // 1/128 deterministic doc sample, COLLECTED to driver literals at
+        // build time (the d11 build-time-count precedent; the tiny job
+        // runs only when the salt conf is ON — the default path stays
+        // job-free for explain). The doc_id-only predicate is pushed
+        // below the Generate, so sampled-out documents never explode.
+        // Literals instead of a broadcast-joined hot frame because the
+        // join sides must stay CANONICALLY IDENTICAL (below): a __hot
+        // column survives pruning only on the side whose filter needs
+        // it, and that asymmetry alone kills exchange reuse.
+        val hotKeys = sh
+          .filter(pmod(xxhash64(col("doc_id")), lit(128)) === 0)
+          .groupBy("s").agg(count(lit(1)).as("msamp"))
+          .filter(col("msamp") > lit(hotMin / 128))
+          .select("s").collect().map(_.getLong(0)).sorted
+        require(hotKeys.length <= 100000,
+          s"d04 salt: ${hotKeys.length} hot shingles exceed the 100k " +
+            "driver-literal cap — raise spark.graft.d04.salt.hotMin " +
+            s"(currently $hotMin)")
+        val isHot =
+          if (hotKeys.isEmpty) lit(false) else col("s").isin(hotKeys: _*)
+        // ONE salt-exploded frame serves both join sides so the
+        // scan+explode+shuffle runs ONCE (AQE stage reuse) — distinct
+        // a/b subtrees measured +41% on an organic corpus because each
+        // side re-ran the whole upstream, where the plain self-join's
+        // identical sides share one exchange. x carries every b-side
+        // row (hot rows replicated per salt, cold rows once at salt 0);
+        // the explicit not-null filters pre-empt the join's inferred
+        // constraints so neither side grows filters the other lacks,
+        // and the explicit repartition pins the exchange both sides
+        // reuse (its (s, __salt) keys satisfy the join's clustering, so
+        // no further exchange is planned).
+        val x = sh
+          .filter(col("s").isNotNull && col("doc_id").isNotNull)
+          .withColumn("__salt", explode(when(isHot,
+            sequence(lit(0), lit(nSalts - 1))).otherwise(array(lit(0)))))
+          .repartition(col("s"), col("__salt"))
+        // the a-side keeps exactly one salt per hot row (its doc's own)
+        // and every cold row — the same rows a separate a-subtree would
+        // produce, at half the upstream cost. The observe() is
+        // LOAD-BEARING, not just telemetry: predicate pushdown walks
+        // through Project/Repartition but not through CollectMetrics,
+        // so this filter stays ABOVE the shared exchange — pushed below
+        // it, the a/b exchange subtrees differ and reuse cannot fire.
+        // The metric itself (salt-exploded row count = shingle rows +
+        // (N-1)·hot rows) is the replication factor an operator watches
+        // when tuning hotMin.
+        val a = x.observe("d04_salt", count(lit(1)).as("salt_rows"))
+          .filter(col("__salt") === when(isHot,
+            pmod(hash(col("doc_id")), lit(nSalts))).otherwise(lit(0)))
+        a.as("a").join(x.as("b"),
             col("a.s") === col("b.s") && col("a.__salt") === col("b.__salt") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val coldJoined = shCold.as("a").join(shCold.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        hotJoined.union(coldJoined).groupBy("doc_a", "doc_b")
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("i"))
     }
   }

@@ -47,10 +47,10 @@ object D04SkewProbe {
     DedupQueries.coShinglePairs(s, sh)
   }
 
-  /** The shipped d04 pair shape with the salted escape ON: shingles held
-    * by more than `hotMin` docs join a-side-salted / b-side-replicated;
-    * cold shingles join plain. Exact: every (a, b, s) match survives in
-    * exactly one salt bucket. */
+  /** The shipped d04 pair shape with the salted escape ON: shingles
+    * whose SAMPLED posting-list estimate exceeds `hotMin` join
+    * a-side-salted / b-side-replicated; cold shingles keep salt 0.
+    * Exact: every (a, b, s) match survives in exactly one salt bucket. */
   def saltedPairs(s: SparkSession, sh: DataFrame,
                   hotMin: Int, nSalts: Int): DataFrame = {
     s.conf.set("spark.graft.d04.salt", nSalts.toString)
@@ -85,13 +85,16 @@ object D04SkewProbe {
       s"shingleRows=${sh.count()} expectedHotPairs=${nHot.toLong * (nHot - 1) / 2}")
     // warmup both plans at tiny scale for codegen
     time("warmup plain (cold keys)")(plainPairs(spark, sh.limit(2000)).count())
-    time("warmup salted")(saltedPairs(spark, sh.limit(2000), 16, nSalts).count())
+    time("warmup salted")(
+      saltedPairs(spark, sh.limit(2000), 16, nSalts).count())
     // interleaved, twice each: the container shows multi-minute ambient
     // bursts, so adjacent same-shape runs can differ 2x — alternation
     // separates shape effects from environment drift
-    val q1 = time(s"hot-salted (> 16 docs) #1")(saltedPairs(spark, sh, 16, nSalts).count())
+    val q1 = time(s"hot-salted (> 16 docs) #1")(
+      saltedPairs(spark, sh, 16, nSalts).count())
     val p1 = time("plain (AQE on) #1")(plainPairs(spark, sh).count())
-    val q2 = time(s"hot-salted (> 16 docs) #2")(saltedPairs(spark, sh, 16, nSalts).count())
+    val q2 = time(s"hot-salted (> 16 docs) #2")(
+      saltedPairs(spark, sh, 16, nSalts).count())
     val p2 = time("plain (AQE on) #2")(plainPairs(spark, sh).count())
     require(p1 == q1 && p1 == q2 && p1 == p2,
       s"salted shape changed results: $p1 $p2 vs $q1 $q2")

@@ -523,18 +523,31 @@ class PlanSpec extends SparkSpec {
     val expected = SparkEntry.queries("d04")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     // hotMin=1 forces the hot branch to actually exercise on testdata
-    // (no organic shingle there reaches the 1024-doc default)
+    // (no organic shingle there reaches the 1024-doc default); broadcast
+    // thresholds off pin the at-scale SMJ shape so the reuse invariant
+    // is visible (AQE broadcast-converts the tiny sf0.001 join and
+    // elides the b-side exchange entirely)
     spark.conf.set("spark.graft.d04.salt", "8")
     spark.conf.set("spark.graft.d04.salt.hotMin", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val df = SparkEntry.queries("d04")(spark, sf)
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("__salt"), p.take(3000))
       val got = df.collect().map(_.toString).sorted.toSeq
       assert(got == expected, "salted path changed d04's output")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), p.take(3000))
+      // both join sides must read ONE salt-exploded exchange — distinct
+      // a/b subtrees re-ran the whole scan+explode upstream twice
+      // (probe-measured +41% on an organic corpus). The reuse is only
+      // decided at execution, so this asserts the AQE final plan.
+      assert(p.contains("ReusedExchange") && p.contains("REPARTITION_BY_COL"),
+        p.take(4000))
     } finally {
       spark.conf.unset("spark.graft.d04.salt")
       spark.conf.unset("spark.graft.d04.salt.hotMin")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
     // misconfiguration is loud: salt=1 would silently degenerate to the
     // plain join plus the hot-detection overhead
