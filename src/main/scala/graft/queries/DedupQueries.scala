@@ -198,9 +198,15 @@ object DedupQueries {
     * `rdd.unpersist` would not evict a CacheManager entry anyway): the
     * only correct release handle is `df.unpersist` on the very Dataset
     * that was persisted. `reliable` marks entries whose checkpoint FILES
-    * the engine wrote and therefore owns deleting on release. */
+    * the engine wrote and therefore owns deleting on release; `ckRdd` is
+    * the INTERNAL checkpointed RDD captured at construction (the
+    * `LogicalRDD` leaf `Dataset.checkpoint` plans) — the only handle whose
+    * `getCheckpointFile` names exactly this entry's rdd-N directory and
+    * nothing upstream (see [[releaseShared]] for why a lineage walk is
+    * wrong). */
   private case class SharedPairs(df: DataFrame, rdds: Seq[RDD[_]],
-                                 persisted: Option[DataFrame], reliable: Boolean)
+                                 persisted: Option[DataFrame], reliable: Boolean,
+                                 ckRdd: Option[RDD[_]] = None)
   private val pairCache =
     new ConcurrentHashMap[(SparkSession, String, String), SharedPairs]()
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -234,6 +240,31 @@ object DedupQueries {
     * enabled post-context and its GC-driven timing is nondeterministic
     * anyway), so a long-lived session that releases its subplans leaves
     * neither cache entries nor checkpoint files behind. */
+  /** Warn message when `spark.graft.checkpoint.dir` cannot take effect —
+    * `None` when the live SparkContext checkpoint dir already sits under
+    * the configured root. setCheckpointDir appends a per-context UUID
+    * segment under the configured root, so the conf is compared against
+    * the PARENT of the live dir (both fully qualified). A mismatch means
+    * the context already had a checkpoint dir (set directly, or by an
+    * earlier conf value): Spark offers no re-point, so the message says
+    * where files will actually land instead of the conf being silently
+    * ignored. Pure on its inputs so the warn branch is unit-testable
+    * without staging a second SparkContext (SharedCheckpointSpec). */
+  private[graft] def checkpointDirMismatch(
+      existing: Option[String], ckDir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[String] =
+    existing.flatMap { live =>
+      val confPath = new org.apache.hadoop.fs.Path(ckDir)
+      val qualified = confPath.getFileSystem(hadoopConf).makeQualified(confPath)
+      val liveRoot = new org.apache.hadoop.fs.Path(live).getParent
+      if (liveRoot == null || liveRoot.toString != qualified.toString)
+        Some(s"spark.graft.checkpoint.dir=$ckDir ignored: the " +
+          s"SparkContext checkpoint dir is already $live " +
+          "(it cannot be re-pointed); checkpoint files will land " +
+          "under the existing directory")
+      else None
+    }
+
   private[queries] def sharedCheckpoint(s: SparkSession, dir: String, tag: String)
                               (build: => DataFrame): DataFrame =
     pairCache.computeIfAbsent((s, dir, tag), { _ =>
@@ -244,27 +275,29 @@ object DedupQueries {
           sc.getCheckpointDir match {
             case None => sc.setCheckpointDir(ckDir)
             case Some(existing) =>
-              // setCheckpointDir appends a per-context UUID segment under
-              // the configured root, so compare the conf against the
-              // PARENT of the live dir (both fully qualified). A mismatch
-              // means the context already had a checkpoint dir (set
-              // directly, or by an earlier conf value): Spark offers no
-              // re-point, so say where the files will actually land
-              // instead of silently ignoring the conf.
-              val confPath = new org.apache.hadoop.fs.Path(ckDir)
-              val qualified = confPath
-                .getFileSystem(sc.hadoopConfiguration).makeQualified(confPath)
-              val liveRoot = new org.apache.hadoop.fs.Path(existing).getParent
-              if (liveRoot == null || liveRoot.toString != qualified.toString)
-                log.warn(s"spark.graft.checkpoint.dir=$ckDir ignored: the " +
-                  s"SparkContext checkpoint dir is already $existing " +
-                  "(it cannot be re-pointed); checkpoint files will land " +
-                  "under the existing directory")
+              checkpointDirMismatch(Some(existing), ckDir, sc.hadoopConfiguration)
+                .foreach(log.warn(_))
           }
           val persisted =
             build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          SharedPairs(persisted.checkpoint(eager = false), Nil,
-            Some(persisted), reliable = true)
+          val ck = persisted.checkpoint(eager = false)
+          // Capture the internal checkpointed RDD NOW: Dataset.checkpoint
+          // wraps it in a LogicalRDD leaf, so it is the analyzed plan's
+          // only node. releaseShared reads its getCheckpointFile — a
+          // single Option naming exactly this entry's rdd-N directory —
+          // instead of walking lineage at release time (which, for a
+          // never-materialized lazy checkpoint, traverses the whole
+          // upstream plan and can reach ANOTHER live entry's files).
+          val internal = ck.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+            case other =>
+              log.warn("sharedCheckpoint: Dataset.checkpoint planned a " +
+                s"${other.getClass.getSimpleName} leaf, not LogicalRDD — " +
+                s"tag '$tag' checkpoint files will not be deleted on release")
+              None
+          }
+          SharedPairs(ck, Nil, Some(persisted), reliable = true,
+            ckRdd = internal)
         case None =>
           // localCheckpoint marks its RDD persistent at construction, so
           // the registry diff captures exactly the blocks to release
@@ -296,20 +329,6 @@ object DedupQueries {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     sharedCheckpoint(s, dir, "minhash")(minhashPairs(s, dir))
 
-  /** Reliable-checkpoint file paths reachable from `rdd`'s lineage —
-    * after a lazy `Dataset.checkpoint` materializes, the internal RDD it
-    * wrapped reports its rdd-N directory via `getCheckpointFile`
-    * (localCheckpoint lineages report none, so this is reliable-only by
-    * construction). Walked at release time because the files only exist
-    * after the first action. */
-  private def reliableCheckpointFiles(rdd: RDD[_]): Seq[String] = {
-    val seen = scala.collection.mutable.HashSet[Int]()
-    def walk(r: RDD[_]): Seq[String] =
-      if (!seen.add(r.id)) Nil
-      else r.getCheckpointFile.toSeq ++ r.dependencies.flatMap(d => walk(d.rdd))
-    walk(rdd)
-  }
-
   /** Drop every shared checkpoint held for session `s`; with `tag`, only
     * that subplan's (Bench's per-query reset uses tags so resetting d15
     * cannot evict d02/d07's pairs mid-suite, and vice versa).
@@ -319,7 +338,18 @@ object DedupQueries {
     * unpersists through the CacheManager; and the reliable checkpoint
     * FILES this entry wrote are deleted (the engine wrote them, the
     * engine removes them — a long-lived session otherwise accumulates
-    * one rdd-N directory per released subplan forever). */
+    * one rdd-N directory per released subplan forever).
+    *
+    * File deletion reads ONLY the entry's own `ckRdd` handle, captured at
+    * construction — never a release-time lineage walk. A lazy checkpoint
+    * that was never materialized still has its full upstream lineage (the
+    * truncation happens at materialization), so a walk from `sp.df.rdd`
+    * would traverse the whole upstream plan — and if that plan COMPOSES
+    * another tag's checkpointed frame (builds can nest), the walk reaches
+    * the inner entry's already-materialized rdd-N directory and deletes
+    * files a live entry still owns. `getCheckpointFile` on the captured
+    * handle is `Some` exactly when THIS entry's files exist, `None` when
+    * the lazy checkpoint never ran — nothing else is reachable. */
   def releaseShared(s: SparkSession, tag: String = ""): Unit = {
     val it = pairCache.entrySet().iterator()
     while (it.hasNext) {
@@ -329,7 +359,7 @@ object DedupQueries {
         sp.rdds.foreach(_.unpersist(blocking = false))
         sp.persisted.foreach(_.unpersist(blocking = false))
         if (sp.reliable) try {
-          reliableCheckpointFiles(sp.df.rdd).foreach { f =>
+          sp.ckRdd.flatMap(_.getCheckpointFile).foreach { f =>
             val p = new org.apache.hadoop.fs.Path(f)
             p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
           }
@@ -385,17 +415,45 @@ object DedupQueries {
     * skew it guards against — measured at the ×100 1%-hot probe, the
     * exact-count variant (checkpoint + full aggregation + semi/anti
     * split) ran +55% OVER the plain path it was rescuing. Instead a
-    * deterministic 1/128 DOCUMENT sample (xxhash64(doc_id), pushed below
-    * the shingle explode so 127/128 documents never explode) estimates
-    * posting-list sizes: a shingle held by m docs appears ~m/128 times,
-    * hot = sampled count > hotMin/128. Detection only ROUTES — the
-    * output is exact regardless of which keys salt — so sampling noise
-    * near the threshold costs load balance on boundary keys (whose m²/2
-    * is small by definition), never correctness; a genuinely hot key at
-    * the ×1000 scale (m = 50k → ~390 sampled hits vs threshold 8) is
-    * detected with certainty. The salted plan costs one extra 1/128
-    * scan + two broadcast probes over the plain plan. */
-  private[graft] def coShinglePairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    * deterministic 1/`sampleInv` DOCUMENT sample (xxhash64(doc_id),
+    * `spark.graft.d04.salt.sampleInv`, default 128; pushed below the
+    * shingle explode so sampled-out documents never explode) estimates
+    * posting-list sizes: a shingle held by m docs appears ~m/sampleInv
+    * times, hot = sampled count > max(1, hotMin/sampleInv). The max(1,_)
+    * floor means hotMin below sampleInv cannot make the threshold 0 —
+    * threshold 0 salts EVERY shingle the sample sees once (~1/sampleInv
+    * of the corpus) and replicates the b-side N× for each, a perf
+    * surprise with no detection benefit (a 1-doc sample estimates
+    * m ≈ sampleInv, not "hot"); the effective detection floor is
+    * therefore m ≈ 2·sampleInv docs, logged when hotMin asks for less.
+    * Set sampleInv = 1 for EXACT detection on small corpora (tests).
+    * Detection only ROUTES — the output is exact regardless of which
+    * keys salt — so sampling noise near the threshold costs load balance
+    * on boundary keys (whose m²/2 is small by definition), never
+    * correctness; a genuinely hot key at the ×1000 scale (m = 50k →
+    * ~390 sampled hits vs threshold 8) is detected with certainty.
+    *
+    * The detection scan's COST is the reason `sampleSh` exists: the
+    * in-plan sample (`sh` filtered by doc_id hash) prunes the explode
+    * but not the SCAN — a hash predicate cannot push into parquet, so
+    * detection decodes every text byte to keep 1/128 of documents, and
+    * at 100 TB that lone scan is a full-corpus read. A caller that has
+    * a persisted 1/sampleInv extract of the corpus
+    * ([[graft.sources.SampleExtract]], one linear pass at ingest,
+    * corpus/sampleInv bytes on disk) passes its shingle frame as
+    * `sampleSh` and detection reads sampleInv× fewer bytes; the extract
+    * is re-filtered by the same hash predicate on read, so a stale or
+    * coarser extract can only UNDER-sample (weaker detection, exact
+    * output) — never mis-route beyond what sampling noise already may.
+    *
+    * `obsName` names the observe() barrier's metric; Spark rejects
+    * duplicate observed-metric names within ONE query at analysis time,
+    * so a plan that embeds two salted coShinglePairs subtrees must pass
+    * distinct names (every shipped plan — d04, and d20's single d04
+    * leg — embeds at most one). */
+  private[graft] def coShinglePairs(s: SparkSession, sh: DataFrame,
+      sampleSh: Option[DataFrame] = None,
+      obsName: String = "d04_salt"): DataFrame = {
     def intConf(key: String): Option[Int] =
       s.conf.getOption(key).map { v =>
         try v.trim.toInt catch {
@@ -416,20 +474,37 @@ object DedupQueries {
         val hotMin = intConf("spark.graft.d04.salt.hotMin").getOrElse(1024)
         require(hotMin >= 1,
           s"spark.graft.d04.salt.hotMin must be >= 1 (got $hotMin)")
-        // 1/128 deterministic doc sample, COLLECTED to driver literals at
-        // build time (the d11 build-time-count precedent; the tiny job
-        // runs only when the salt conf is ON — the default path stays
-        // job-free for explain). The doc_id-only predicate is pushed
-        // below the Generate, so sampled-out documents never explode.
-        // Literals instead of a broadcast-joined hot frame because the
-        // join sides must stay CANONICALLY IDENTICAL (below): a __hot
-        // column survives pruning only on the side whose filter needs
-        // it, and that asymmetry alone kills exchange reuse.
-        val hotKeys = sh
-          .filter(pmod(xxhash64(col("doc_id")), lit(128)) === 0)
-          .groupBy("s").agg(count(lit(1)).as("msamp"))
-          .filter(col("msamp") > lit(hotMin / 128))
-          .select("s").collect().map(_.getLong(0)).sorted
+        val sampleInv =
+          intConf("spark.graft.d04.salt.sampleInv").getOrElse(128)
+        require(sampleInv >= 1,
+          s"spark.graft.d04.salt.sampleInv must be >= 1 (got $sampleInv)")
+        // threshold floor: hotMin below the sample rate cannot resolve —
+        // a single sampled hit estimates m ≈ sampleInv, so the smallest
+        // meaningful verdict is "seen twice" (see the scaladoc)
+        val threshold = math.max(1, hotMin / sampleInv)
+        if (hotMin < sampleInv && sampleInv > 1)
+          log.warn(s"spark.graft.d04.salt.hotMin=$hotMin is below the " +
+            s"1/$sampleInv sample rate: detection cannot estimate posting " +
+            s"lists that small, so the effective hot floor is " +
+            s"~${2 * sampleInv} docs (threshold $threshold sampled hits); " +
+            "lower spark.graft.d04.salt.sampleInv for finer detection")
+        // 1/sampleInv deterministic doc sample, COLLECTED to driver
+        // literals at build time (the d11 build-time-count precedent; the
+        // tiny job runs only when the salt conf is ON — the default path
+        // stays job-free for explain). In-plan, the doc_id-only predicate
+        // is pushed below the Generate so sampled-out documents never
+        // explode; with a SampleExtract-backed `sampleSh` the scan itself
+        // shrinks sampleInv×. Literals instead of a broadcast-joined hot
+        // frame because the join sides must stay CANONICALLY IDENTICAL
+        // (below): a __hot column survives pruning only on the side whose
+        // filter needs it, and that asymmetry alone kills exchange reuse.
+        val detect = sampleSh.getOrElse(sh.filter(
+          pmod(xxhash64(col("doc_id")), lit(sampleInv)) === 0))
+        val hotKeys = d04HotKeys(detect, threshold)
+        log.info(s"d04 salt: ${hotKeys.length} hot shingles detected " +
+          s"(1/$sampleInv doc sample, > $threshold sampled hits ≈ " +
+          s"m > ${threshold.toLong * sampleInv} docs); the '$obsName' " +
+          "observed metric reports the salt-exploded row count at run")
         require(hotKeys.length <= 100000,
           s"d04 salt: ${hotKeys.length} hot shingles exceed the 100k " +
             "driver-literal cap — raise spark.graft.d04.salt.hotMin " +
@@ -462,7 +537,7 @@ object DedupQueries {
         // The metric itself (salt-exploded row count = shingle rows +
         // (N-1)·hot rows) is the replication factor an operator watches
         // when tuning hotMin.
-        val a = x.observe("d04_salt", count(lit(1)).as("salt_rows"))
+        val a = x.observe(obsName, count(lit(1)).as("salt_rows"))
           .filter(col("__salt") === when(isHot,
             pmod(hash(col("doc_id")), lit(nSalts))).otherwise(lit(0)))
         a.as("a").join(x.as("b"),
@@ -472,6 +547,19 @@ object DedupQueries {
           .agg(count(lit(1)).as("i"))
     }
   }
+
+  /** Hot-shingle keys from a detection frame: shingles whose sampled
+    * posting-list count exceeds `threshold`, sorted driver-side (by
+    * string form — the keys are opaque literals, only ORDER determinism
+    * matters for plan stability). Split out of [[coShinglePairs]] so
+    * detection parity (in-plan sample vs SampleExtract-backed sample) is
+    * directly assertable in tests. Key type follows the `s` column —
+    * Long on the shipped d04 path (md5Hash60), String for probe frames
+    * that skip the hash. */
+  private[graft] def d04HotKeys(detect: DataFrame, threshold: Int): Array[Any] =
+    detect.groupBy("s").agg(count(lit(1)).as("msamp"))
+      .filter(col("msamp") > lit(threshold))
+      .select("s").collect().map(_.get(0)).sortBy(String.valueOf(_))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -667,10 +755,11 @@ object DedupQueries {
     // ~0.02 at 2×10⁸ distinct shingles, and the DuckDB oracle computes
     // the identical hash, so parity is exact even IF one collides.
     "d04" -> { (s, dir) =>
-      val sh = Tables.loadSpread(s, dir, "documents")
+      def shingleize(docs: DataFrame): DataFrame = docs
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
         .select(col("doc_id"), TextFns.md5Hash60(col("s")).as("s"))
+      val sh = shingleize(Tables.loadSpread(s, dir, "documents"))
       // distinct-shingle count map-side (MinHashSigF slot 0) — the groupBy
       // form re-shuffled the exploded frame just to count it; value parity
       // with count-over-explode is MinHashSigFSpec's property
@@ -678,7 +767,11 @@ object DedupQueries {
         .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
         .filter(col("sig").isNotNull)
         .select(col("doc_id"), col("sig").getItem(0).as("c"))
-      val inter = coShinglePairs(s, sh)
+      // salted hot detection reads the persisted 1/sampleInv extract when
+      // spark.graft.d04.salt.sampleDir points at one — same shingleize as
+      // the corpus frame, so sampled keys are identical by construction
+      val inter = coShinglePairs(s, sh,
+        graft.sources.SampleExtract.detectionDocs(s).map(shingleize))
       inter
         .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
         .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))

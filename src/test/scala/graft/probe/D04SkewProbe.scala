@@ -40,27 +40,39 @@ object D04SkewProbe {
       explode(array_distinct(TextFns.shingles(col("text"), 3))).as("s"))
     .repartition(32, col("s"))
 
-  /** The shipped d04 pair shape, plain (conf unset). */
-  def plainPairs(s: SparkSession, sh: DataFrame): DataFrame = {
-    s.conf.unset("spark.graft.d04.salt")
-    s.conf.unset("spark.graft.d04.salt.hotMin")
-    DedupQueries.coShinglePairs(s, sh)
+  private val d04Confs = Seq("spark.graft.d04.salt",
+    "spark.graft.d04.salt.hotMin", "spark.graft.d04.salt.sampleInv",
+    "spark.graft.d04.salt.sampleDir")
+
+  /** Apply `vals` (None = unset) for the duration of `f`, then restore
+    * every d04 conf to its PRIOR value — the probe must not clobber a
+    * caller's session settings (the conf only matters at plan-build
+    * time, so restoring after the build is sufficient). */
+  private def withD04Confs[T](s: SparkSession,
+                              vals: Map[String, Option[String]])(f: => T): T = {
+    val prior = d04Confs.map(k => k -> s.conf.getOption(k)).toMap
+    def apply(m: Map[String, Option[String]]): Unit = m.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    apply(prior.map { case (k, _) => k -> vals.getOrElse(k, None) })
+    try f finally apply(prior)
   }
+
+  /** The shipped d04 pair shape, plain (conf unset). */
+  def plainPairs(s: SparkSession, sh: DataFrame): DataFrame =
+    withD04Confs(s, Map.empty)(DedupQueries.coShinglePairs(s, sh))
 
   /** The shipped d04 pair shape with the salted escape ON: shingles
     * whose SAMPLED posting-list estimate exceeds `hotMin` join
     * a-side-salted / b-side-replicated; cold shingles keep salt 0.
     * Exact: every (a, b, s) match survives in exactly one salt bucket. */
   def saltedPairs(s: SparkSession, sh: DataFrame,
-                  hotMin: Int, nSalts: Int): DataFrame = {
-    s.conf.set("spark.graft.d04.salt", nSalts.toString)
-    s.conf.set("spark.graft.d04.salt.hotMin", hotMin.toString)
-    try DedupQueries.coShinglePairs(s, sh)
-    finally {
-      s.conf.unset("spark.graft.d04.salt")
-      s.conf.unset("spark.graft.d04.salt.hotMin")
-    }
-  }
+                  hotMin: Int, nSalts: Int): DataFrame =
+    withD04Confs(s, Map(
+      "spark.graft.d04.salt" -> Some(nSalts.toString),
+      "spark.graft.d04.salt.hotMin" -> Some(hotMin.toString)))(
+      DedupQueries.coShinglePairs(s, sh))
 
   private def time(label: String)(f: => Long): Long = {
     val t0 = System.nanoTime()

@@ -77,8 +77,21 @@ object D11GeomProbe {
     val n = e.count()
     // the law's occupancy-target bits for THIS corpus (unless overridden):
     // holds occupancy fixed so table count is the only variable
-    val bits = args.lift(1).map(_.toInt).getOrElse(
-      math.max(4, math.ceil(math.log(n.toDouble / 4.0) / math.log(2.0)).toInt))
+    // second arg: either occupancy bits for the default 4..1-table sweep,
+    // or an explicit geometry list "4x16,3x17" — the latter compares the
+    // saturated dim-budget cap against regime-3 escalation side by side
+    // at whatever corpus scale `dir` holds (VERDICT r18 #3: the ×100
+    // cross-check of the 1-(1-p)^t extrapolation)
+    val lawBits =
+      math.max(4, math.ceil(math.log(n.toDouble / 4.0) / math.log(2.0)).toInt)
+    val geoms: Seq[(Int, Int)] = args.lift(1) match {
+      case Some(g) if g.contains('x') => g.split(',').toSeq.map { s =>
+        val Array(t, b) = s.split('x'); (t.toInt, b.toInt)
+      }
+      case other =>
+        val bits = other.map(_.toInt).getOrElse(lawBits)
+        Seq(4, 3, 2, 1).map(t => (t, bits))
+    }
     val gt = truth(e).localCheckpoint()
     // recall per similarity band: the 0.4 contract floor admits weakly-
     // similar pairs whose sign-LSH collision probability is intrinsically
@@ -88,9 +101,9 @@ object D11GeomProbe {
     // graded on
     val bands = Seq(0.4, 0.7, 0.9)
     val nTruth = bands.map(b => b -> gt.filter(col("cs") >= b).count()).toMap
-    println(s"[probe] dir=$dir n=$n bits=$bits truthPairs=" +
+    println(s"[probe] dir=$dir n=$n lawBits=$lawBits truthPairs=" +
       bands.map(b => s">=$b: ${nTruth(b)}").mkString(", "))
-    for (t <- Seq(4, 3, 2, 1)) {
+    for ((t, bits) <- geoms) {
       require(t * bits <= 64, s"$t tables x $bits bits busts the dim budget")
       val cand = candidates(e, t, bits).localCheckpoint()
       val nCand = cand.count()

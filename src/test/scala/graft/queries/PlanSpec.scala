@@ -522,13 +522,16 @@ class PlanSpec extends SparkSpec {
     assert(!p0.contains("__salt"), p0.take(3000))
     val expected = SparkEntry.queries("d04")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
-    // hotMin=1 forces the hot branch to actually exercise on testdata
-    // (no organic shingle there reaches the 1024-doc default); broadcast
-    // thresholds off pin the at-scale SMJ shape so the reuse invariant
-    // is visible (AQE broadcast-converts the tiny sf0.001 join and
-    // elides the b-side exchange entirely)
+    // sampleInv=1 makes hot detection EXACT (every doc sampled) and
+    // hotMin=1 (threshold floors at 1 sampled hit) marks every shingle
+    // shared by >= 2 documents hot, so the hot branch actually routes on
+    // testdata (no organic shingle there reaches the 1024-doc default);
+    // broadcast thresholds off pin the at-scale SMJ shape so the reuse
+    // invariant is visible (AQE broadcast-converts the tiny sf0.001 join
+    // and elides the b-side exchange entirely)
     spark.conf.set("spark.graft.d04.salt", "8")
     spark.conf.set("spark.graft.d04.salt.hotMin", "1")
+    spark.conf.set("spark.graft.d04.salt.sampleInv", "1")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -537,15 +540,30 @@ class PlanSpec extends SparkSpec {
       assert(got == expected, "salted path changed d04's output")
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("__salt"), p.take(3000))
+      // the hot-key literal set must be NON-empty here (near-dup docs
+      // share shingles at sf0.001) — visible as an IN/INSET predicate
+      // over the driver-collected hot keys inside the salt explode
+      assert(p.contains(" IN (") || p.contains("INSET"),
+        "no hot keys routed (empty isin literal set):\n" + p.take(4000))
       // both join sides must read ONE salt-exploded exchange — distinct
       // a/b subtrees re-ran the whole scan+explode upstream twice
       // (probe-measured +41% on an organic corpus). The reuse is only
       // decided at execution, so this asserts the AQE final plan.
+      //
+      // VERSION-COUPLED ASSUMPTION this case pins: the a-side salt
+      // filter stays ABOVE the shared exchange only because Catalyst's
+      // PushPredicateThroughNonJoin does NOT push predicates through
+      // CollectMetrics (the observe() node in coShinglePairs). A Spark
+      // upgrade that starts pushing through CollectMetrics sinks the
+      // filter below the exchange, the a/b subtrees stop being
+      // canonically identical, and THIS ReusedExchange assertion is the
+      // loud failure that diagnoses it.
       assert(p.contains("ReusedExchange") && p.contains("REPARTITION_BY_COL"),
         p.take(4000))
     } finally {
       spark.conf.unset("spark.graft.d04.salt")
       spark.conf.unset("spark.graft.d04.salt.hotMin")
+      spark.conf.unset("spark.graft.d04.salt.sampleInv")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
@@ -555,6 +573,140 @@ class PlanSpec extends SparkSpec {
     try intercept[IllegalArgumentException] {
       SparkEntry.queries("d04")(spark, sf)
     } finally spark.conf.unset("spark.graft.d04.salt")
+  }
+
+  test("d04 hot detection: a SampleExtract-backed sample finds the same " +
+      "hot keys as the in-plan sample; the read guard re-filters a " +
+      "mismatched extract to a subset of the true sample") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import graft.probe.D04SkewProbe
+    import graft.sources.SampleExtract
+    // 2000 of 4000 docs share one hot shingle; inv=8 samples ~500 docs,
+    // so the hot shingle is sampled ~250 times vs threshold 8 (hotMin 64)
+    val docs = D04SkewProbe.corpus(spark, 4000, 2000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-extract").toFile
+    val out = new java.io.File(tmp, "extract").getAbsolutePath
+    try {
+      val inv = 8
+      SampleExtract.write(docs, out, inv)
+      val inPlan = D04SkewProbe.shingleFrame(docs)
+        .filter(pmod(xxhash64(col("doc_id")), lit(inv)) === 0)
+      val fromExtract =
+        D04SkewProbe.shingleFrame(SampleExtract.read(spark, out, inv))
+      val threshold = math.max(1, 64 / inv)
+      val a = DedupQueries.d04HotKeys(inPlan, threshold)
+      val b = DedupQueries.d04HotKeys(fromExtract, threshold)
+      assert(a.nonEmpty, "crafted hot shingle must be detected")
+      assert(a.sameElements(b),
+        s"extract-backed detection diverged: ${a.toSeq} vs ${b.toSeq}")
+      // guard: reading the inv=8 extract at inv=16 must return EXACTLY
+      // the true 1/16 sample (16 is a multiple of 8, so the extract is a
+      // superset and the re-filter lands precisely on it) — a mismatched
+      // extract under-samples, never over-samples
+      val viaGuard = SampleExtract.read(spark, out, 16).select("doc_id")
+      val trueSample = docs
+        .filter(pmod(xxhash64(col("doc_id")), lit(16)) === 0).select("doc_id")
+      assert(viaGuard.exceptAll(trueSample).isEmpty &&
+        trueSample.exceptAll(viaGuard).isEmpty,
+        "guarded extract read must equal the true 1/16 sample")
+      // missing dir and salt-off are both a clean in-plan fallback
+      spark.conf.set("spark.graft.d04.salt.sampleDir",
+        new java.io.File(tmp, "nope").getAbsolutePath)
+      assert(SampleExtract.detectionDocs(spark).isEmpty,
+        "salt off: detectionDocs must be None without the salt conf")
+      spark.conf.set("spark.graft.d04.salt", "4")
+      assert(SampleExtract.detectionDocs(spark).isEmpty,
+        "missing extract dir must fall back to in-plan sampling")
+      spark.conf.set("spark.graft.d04.salt.sampleDir", out)
+      assert(SampleExtract.detectionDocs(spark).isDefined,
+        "existing extract dir must be used")
+    } finally {
+      spark.conf.unset("spark.graft.d04.salt")
+      spark.conf.unset("spark.graft.d04.salt.sampleDir")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
+      }
+      rmTree(tmp)
+    }
+  }
+
+  test("d20 composition: the ensemble's d04 leg under spark.graft.d04.salt " +
+      "produces byte-identical output to salt-off") {
+    // d20 reuses d04 through the registry, so the salt conf silently
+    // changes its d04 leg — this pins that the ensemble cannot drift
+    // from its detectors under any conf (VERDICT r18 #2)
+    val expected = SparkEntry.queries("d20")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.d04.salt", "8")
+    spark.conf.set("spark.graft.d04.salt.hotMin", "1")
+    spark.conf.set("spark.graft.d04.salt.sampleInv", "1")
+    try {
+      val got = SparkEntry.queries("d20")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, "salted d04 leg changed d20's ensemble output")
+    } finally {
+      spark.conf.unset("spark.graft.d04.salt")
+      spark.conf.unset("spark.graft.d04.salt.hotMin")
+      spark.conf.unset("spark.graft.d04.salt.sampleInv")
+    }
+  }
+
+  test("releaseShared deletes ONLY its own entry's checkpoint files: a " +
+      "nested never-materialized outer entry must not delete the " +
+      "inner's (ADVICE r18)") {
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    DedupQueries.releaseShared(spark)
+    // reuse the live checkpoint root if an earlier test already pinned
+    // one on this shared context (setCheckpointDir cannot be re-pointed)
+    val root = sc.getCheckpointDir match {
+      case Some(existing) =>
+        new org.apache.hadoop.fs.Path(existing).getParent.toString
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft-ck-nest").toString
+    }
+    spark.conf.set("spark.graft.checkpoint.dir", root)
+    try {
+      val inner = DedupQueries.sharedCheckpoint(spark, sf, "ckNestInner")(
+        spark.range(100).toDF("doc_a"))
+      assert(inner.count() == 100) // materialize inner's rdd-N files
+      val ckDir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      val fs = ckDir.getFileSystem(sc.hadoopConfiguration)
+      def rddDirs(): Set[String] =
+        fs.listStatus(ckDir).map(_.getPath.getName).toSet
+      val before = rddDirs()
+      assert(before.nonEmpty, s"inner checkpoint wrote nothing under $ckDir")
+      // outer COMPOSES the inner's checkpointed frame and is never
+      // materialized: under the old release-time lineage walk, releasing
+      // it traversed outer's (untruncated) upstream plan into the inner
+      // entry's materialized checkpoint and deleted files the live inner
+      // entry still owned
+      DedupQueries.sharedCheckpoint(spark, sf, "ckNestOuter")(
+        inner.filter(col("doc_a") < 50))
+      DedupQueries.releaseShared(spark, "ckNestOuter")
+      assert(rddDirs() == before,
+        "releasing the unmaterialized outer entry touched the inner's files")
+      assert(inner.count() == 100, "inner entry must stay readable")
+      DedupQueries.releaseShared(spark, "ckNestInner")
+      assert(rddDirs().isEmpty,
+        "releasing the inner entry must delete its own files")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      DedupQueries.releaseShared(spark)
+    }
+  }
+
+  test("checkpointDirMismatch: warns exactly when the live checkpoint dir " +
+      "is not under the configured root") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // setCheckpointDir appends a per-context UUID segment under the root
+    val live = Some("file:/tmp/ck-root/9a1b2c3d-uuid")
+    assert(DedupQueries.checkpointDirMismatch(live, "/tmp/ck-root", conf).isEmpty,
+      "conf matching the live root must not warn")
+    val warn = DedupQueries.checkpointDirMismatch(live, "/tmp/other-root", conf)
+    assert(warn.exists(_.contains("/tmp/ck-root/9a1b2c3d-uuid")),
+      s"mismatched conf must warn with the live dir: $warn")
+    assert(DedupQueries.checkpointDirMismatch(None, "/tmp/x", conf).isEmpty)
   }
 
   test("d11: multi-table LSH dedup is equi-join only — no product, no " +
