@@ -427,11 +427,17 @@ object DedupQueries {
     * m ≈ sampleInv, not "hot"); the effective detection floor is
     * therefore m ≈ 2·sampleInv docs, logged when hotMin asks for less.
     * Set sampleInv = 1 for EXACT detection on small corpora (tests).
-    * Detection only ROUTES — the output is exact regardless of which
-    * keys salt — so sampling noise near the threshold costs load balance
-    * on boundary keys (whose m²/2 is small by definition), never
-    * correctness; a genuinely hot key at the ×1000 scale (m = 50k →
-    * ~390 sampled hits vs threshold 8) is detected with certainty.
+    * Detection picks the PLAN as well as the routing: an EMPTY hot set
+    * short-circuits to the plain self-join, so on an organic corpus a
+    * standing `spark.graft.d04.salt` conf costs only the detection job
+    * (measured +42% for the salt plan machinery vs ~the detection job
+    * alone at the ×100 organic corpus, bench/r19/d04_detect100.log) —
+    * the escape engages exactly when a hot key exists. Output is exact
+    * regardless of which keys salt, so sampling noise near the threshold
+    * costs load balance on boundary keys (whose m²/2 is small by
+    * definition), never correctness; a genuinely hot key at the ×1000
+    * scale (m = 50k → ~390 sampled hits vs threshold 8) is detected
+    * with certainty.
     *
     * The detection scan's COST is the reason `sampleSh` exists: the
     * in-plan sample (`sh` filtered by doc_id hash) prunes the explode
@@ -509,8 +515,17 @@ object DedupQueries {
           s"d04 salt: ${hotKeys.length} hot shingles exceed the 100k " +
             "driver-literal cap — raise spark.graft.d04.salt.hotMin " +
             s"(currently $hotMin)")
-        val isHot =
-          if (hotKeys.isEmpty) lit(false) else col("s").isin(hotKeys: _*)
+        // NO HOT KEYS → PLAIN PLAN. The salt machinery (1-element explode
+        // per shingle row, the (s, __salt) exchange, the observe barrier
+        // + post-exchange filter) measured +42% over plain at the ×100
+        // organic corpus even with an EMPTY hot set (bench/r19/
+        // d04_detect100.log — the r18 note attributing that overhead to
+        // the detection scan was wrong; detection is seconds). Detection
+        // deciding the PLAN, not just the routing, turns the conf into a
+        // cheap standing guard: organic corpora pay only the detection
+        // job (extract-prunable), skewed corpora get the escape.
+        if (hotKeys.isEmpty) return plain
+        val isHot = col("s").isin(hotKeys.toSeq: _*)
         // ONE salt-exploded frame serves both join sides so the
         // scan+explode+shuffle runs ONCE (AQE stage reuse) — distinct
         // a/b subtrees measured +41% on an organic corpus because each

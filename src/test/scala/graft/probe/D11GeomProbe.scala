@@ -48,6 +48,27 @@ object D11GeomProbe {
       .filter(col("cs") >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cs"))
 
+  /** Exact cosine over ONLY the planted pairs (vec, vec+1M) / (vec, vec+2M)
+    * — an equi-join on the constructed ids, linear in n. At ×100 (300k
+    * rows incl. plants) the all-pairs [[truth]] is 4.5×10¹⁰ cosine
+    * evaluations (~an hour); but the corpus has NO organic pair above
+    * cosine 0.7 (probed at sf0.1, and the scale-probe's per-copy dim
+    * permutation preserves the per-copy pair structure exactly while
+    * cross-copy cosine ~ 0), so for the ≥0.7 and ≥0.9 bands — the bands
+    * the escalation trade is graded on — the planted pairs ARE the
+    * complete truth. The ≥0.4 band is NOT complete under this mode and
+    * is reported as planted-only. */
+  def plantedTruth(e: DataFrame): DataFrame = {
+    val base = e.filter(col("vec_id") < 1000000L)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    e.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") % 1000000L).as("vec_a"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .join(base, Seq("vec_a"))
+      .withColumn("cs", VectorFns.cosine(col("ea"), col("eb")))
+      .select(col("vec_a"), col("vec_b"), col("cs"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -92,7 +113,10 @@ object D11GeomProbe {
         val bits = other.map(_.toInt).getOrElse(lawBits)
         Seq(4, 3, 2, 1).map(t => (t, bits))
     }
-    val gt = truth(e).localCheckpoint()
+    // third arg "planted": planted-pair truth (complete for the >=0.7
+    // and >=0.9 bands; see plantedTruth) — the ×100 cross-check mode
+    val gt = (if (args.lift(2).contains("planted")) plantedTruth(e)
+              else truth(e)).localCheckpoint()
     // recall per similarity band: the 0.4 contract floor admits weakly-
     // similar pairs whose sign-LSH collision probability is intrinsically
     // low at ANY geometry (p_bit = 1 - acos(cs)/pi -> 0.63 at cs = 0.4 vs

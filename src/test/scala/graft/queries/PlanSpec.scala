@@ -522,6 +522,17 @@ class PlanSpec extends SparkSpec {
     assert(!p0.contains("__salt"), p0.take(3000))
     val expected = SparkEntry.queries("d04")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
+    // with the conf ON but NOTHING hot (default hotMin=1024; no sf0.001
+    // shingle comes close), detection must short-circuit to the PLAIN
+    // plan — the salt machinery measured +42% over plain with an empty
+    // hot set at the ×100 organic corpus, so an engaged-but-idle escape
+    // may cost only the detection job
+    spark.conf.set("spark.graft.d04.salt", "8")
+    try {
+      val pIdle = plan("d04")
+      assert(!pIdle.contains("__salt"),
+        "empty hot set must fall back to the plain plan:\n" + pIdle.take(3000))
+    } finally spark.conf.unset("spark.graft.d04.salt")
     // sampleInv=1 makes hot detection EXACT (every doc sampled) and
     // hotMin=1 (threshold floors at 1 sampled hit) marks every shingle
     // shared by >= 2 documents hot, so the hot branch actually routes on
