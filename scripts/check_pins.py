@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Assert the committed pins are re-derivable from committed evidence.
 
-Usage: python3 scripts/check_pins.py bench/r18 [path/to/Bench.scala]
+Usage: python3 scripts/check_pins.py bench/r19 [path/to/Bench.scala]
 
 The second argument (default: this repo's Bench.scala) exists so
 scripts/test_check_pins.py can run the checker against doctored fixtures —
@@ -37,7 +37,7 @@ def scala_map(src, name):
 
 
 def main():
-    evidence_dir = sys.argv[1] if len(sys.argv) > 1 else "bench/r18"
+    evidence_dir = sys.argv[1] if len(sys.argv) > 1 else "bench/r19"
     files = sorted(glob.glob(os.path.join(evidence_dir, "close_*.json")))
     if not files:
         sys.exit(f"FAIL: no close_*.json under {evidence_dir}")

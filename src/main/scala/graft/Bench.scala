@@ -121,171 +121,170 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.155,
-    "q16" -> 0.100,
-    "q30" -> 0.102,
-    "t08" -> 0.366,
-    "d01" -> 0.267,
-    "d06" -> 0.172)
+    "q02" -> 0.140,
+    "q16" -> 0.101,
+    "q30" -> 0.084,
+    "t08" -> 0.317,
+    "d01" -> 0.182,
+    "d06" -> 0.148)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs
-    * on this container (round 18 binary, ALL 135 queries — the quad
-    * close the r17 round timer interrupted, re-run in full: four quiet
+    * on this container (round 19 binary, ALL 135 queries: four quiet
     * full-suite runs A–D on the shipping code, all contaminated:false
-    * by their own canaries; the d03/d08/d04/d20 pins now describe the
-    * POST-64-bit-simhash-migration plans for the first time, and the
-    * r17 d02/d17/q05 drifts adjudicated clean — all three re-derive at
-    * or below their r16 pins under min-of-four. Derivation in
+    * by their own canaries. The round-19 code changes are plan-neutral
+    * at bench defaults — the d04 salt conf is off, so the extract/
+    * short-circuit paths never build — yet every pin re-derives on the
+    * binary that runs it, per the standing ritual. Derivation in
     * BENCH_NOTES.md, re-derivable via scripts/derive_pins.py). The
     * derivation runs' own environment probes ride beside the pins so
     * later drift is attributable (verdict r10 #5): totals
-    * 78.27/78.22/75.24/73.99 s, cpu_ref 0.055/0.057/0.067/0.053, mt_x
-    * 1.5/2.0/1.5/2.0, canary_max 2.8/1.6/1.8/1.5 (A's 2.8 is d01 —
-    * first-touch cold cache after the pre-close test battery;
-    * min-of-four discards it); pin sum 66.37 s. Evidence: bench/r18/.
-    * Min-of-runs is the least-contaminated estimate of the
-    * clean floor, which biases totalRatio slightly ≥1 on a genuinely
-    * clean run — the 1.5× threshold absorbs that. Refresh each round:
-    * the pins are container-epoch-specific and drift erodes the
-    * threshold's meaning.
+    * 69.65/64.57/61.62/63.09 s, cpu_ref 0.055/0.047/0.048/0.048, mt_x
+    * 1.6/2.1/2.8/2.3, canary_max 1.2/1.1/1.2/1.1 — the quietest close
+    * bracket in the project's history; pin sum 58.42 s (r18: 66.37 —
+    * the container epoch is simply faster, every family moved together).
+    * Evidence: bench/r19/. Min-of-runs is the least-contaminated
+    * estimate of the clean floor, which biases totalRatio slightly ≥1
+    * on a genuinely clean run — the 1.5× threshold absorbs that.
+    * Refresh each round: the pins are container-epoch-specific and
+    * drift erodes the threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.730,
-    "c02" -> 0.510,
-    "d01" -> 0.267,
-    "d02" -> 2.610,
-    "d03" -> 0.179,
-    "d04" -> 1.263,
-    "d05" -> 0.515,
-    "d06" -> 0.172,
-    "d07" -> 0.853,
-    "d08" -> 0.563,
-    "d09" -> 0.660,
-    "d10" -> 0.711,
-    "d11" -> 0.720,
-    "d12" -> 1.012,
-    "d13" -> 0.199,
-    "d14" -> 0.440,
-    "d15" -> 0.825,
-    "d16" -> 0.697,
-    "d17" -> 1.114,
-    "d18" -> 0.995,
-    "d19" -> 2.309,
-    "d20" -> 1.399,
-    "d21" -> 0.853,
-    "m01" -> 0.104,
-    "m02" -> 0.118,
-    "m03" -> 0.733,
-    "m04" -> 0.689,
-    "m05" -> 1.994,
-    "m06" -> 0.248,
-    "m07" -> 0.132,
-    "m08" -> 0.811,
-    "m09" -> 0.383,
-    "p01" -> 0.434,
-    "p02" -> 0.211,
-    "p03" -> 0.231,
+    "c01" -> 1.403,
+    "c02" -> 0.428,
+    "d01" -> 0.182,
+    "d02" -> 2.324,
+    "d03" -> 0.155,
+    "d04" -> 0.995,
+    "d05" -> 0.464,
+    "d06" -> 0.148,
+    "d07" -> 0.742,
+    "d08" -> 0.507,
+    "d09" -> 0.511,
+    "d10" -> 0.594,
+    "d11" -> 0.642,
+    "d12" -> 0.859,
+    "d13" -> 0.184,
+    "d14" -> 0.407,
+    "d15" -> 0.808,
+    "d16" -> 0.688,
+    "d17" -> 0.882,
+    "d18" -> 0.765,
+    "d19" -> 2.083,
+    "d20" -> 1.352,
+    "d21" -> 0.743,
+    "m01" -> 0.093,
+    "m02" -> 0.122,
+    "m03" -> 0.720,
+    "m04" -> 0.700,
+    "m05" -> 1.913,
+    "m06" -> 0.240,
+    "m07" -> 0.141,
+    "m08" -> 0.728,
+    "m09" -> 0.380,
+    "p01" -> 0.408,
+    "p02" -> 0.168,
+    "p03" -> 0.208,
     "p04" -> 0.134,
-    "p05" -> 0.248,
-    "p06" -> 0.360,
-    "p07" -> 0.432,
-    "p08" -> 0.931,
-    "p09" -> 0.127,
-    "q01" -> 0.232,
-    "q02" -> 0.155,
-    "q03" -> 0.463,
-    "q04" -> 0.478,
-    "q05" -> 0.673,
-    "q06" -> 0.141,
-    "q07" -> 0.220,
-    "q08" -> 0.329,
-    "q09" -> 0.174,
-    "q10" -> 0.273,
-    "q11" -> 0.179,
-    "q12" -> 0.876,
-    "q13" -> 0.612,
-    "q14" -> 0.133,
-    "q15" -> 0.142,
-    "q16" -> 0.100,
-    "q17" -> 0.265,
-    "q18" -> 0.376,
-    "q19" -> 0.200,
-    "q20" -> 0.203,
-    "q21" -> 0.326,
-    "q22" -> 0.209,
-    "q23" -> 0.215,
-    "q24" -> 0.338,
-    "q25" -> 1.097,
-    "q26" -> 0.291,
-    "q27" -> 0.321,
-    "q28" -> 0.183,
-    "q29" -> 0.218,
-    "q30" -> 0.102,
-    "q31" -> 0.393,
-    "q32" -> 0.805,
-    "q33" -> 0.788,
-    "q34" -> 0.341,
-    "q35" -> 0.313,
-    "q36" -> 0.378,
-    "q37" -> 0.189,
-    "q38" -> 0.936,
-    "q39" -> 0.715,
-    "q40" -> 0.416,
-    "q41" -> 0.381,
-    "q42" -> 0.286,
-    "q43" -> 0.238,
-    "q44" -> 1.857,
-    "q45" -> 0.649,
-    "q46" -> 0.352,
-    "q47" -> 0.440,
-    "s01" -> 0.251,
-    "s02" -> 0.284,
-    "s03" -> 0.532,
-    "s04" -> 0.389,
-    "s05" -> 0.301,
-    "s06" -> 0.450,
-    "s07" -> 0.446,
-    "s08" -> 0.566,
-    "s09" -> 0.822,
-    "t01" -> 0.144,
-    "t02" -> 0.268,
-    "t03" -> 0.183,
-    "t04" -> 0.320,
-    "t05" -> 0.137,
-    "t06" -> 0.163,
-    "t07" -> 0.140,
-    "t08" -> 0.366,
-    "t09" -> 0.610,
-    "t10" -> 1.045,
-    "t11" -> 0.161,
-    "t12" -> 0.186,
-    "t13" -> 0.654,
-    "t14" -> 0.962,
-    "t15" -> 0.385,
-    "t16" -> 0.391,
-    "t17" -> 0.922,
-    "w01" -> 0.090,
-    "w02" -> 0.118,
-    "w03" -> 0.144,
-    "w04" -> 0.329,
-    "w05" -> 0.140,
-    "w06" -> 0.157,
-    "w07" -> 0.273,
-    "w08" -> 0.199,
-    "w09" -> 0.434,
-    "w10" -> 0.450,
-    "w11" -> 0.310,
-    "w12" -> 0.452,
-    "w13" -> 0.122,
-    "x01" -> 0.764,
-    "x02" -> 0.310,
-    "x03" -> 0.622,
-    "x04" -> 0.369,
-    "x05" -> 0.837,
-    "x06" -> 0.188,
-    "x07" -> 0.548,
-    "x08" -> 0.518)
+    "p05" -> 0.238,
+    "p06" -> 0.365,
+    "p07" -> 0.400,
+    "p08" -> 0.883,
+    "p09" -> 0.124,
+    "q01" -> 0.214,
+    "q02" -> 0.140,
+    "q03" -> 0.465,
+    "q04" -> 0.425,
+    "q05" -> 0.634,
+    "q06" -> 0.130,
+    "q07" -> 0.202,
+    "q08" -> 0.310,
+    "q09" -> 0.160,
+    "q10" -> 0.267,
+    "q11" -> 0.168,
+    "q12" -> 0.743,
+    "q13" -> 0.593,
+    "q14" -> 0.127,
+    "q15" -> 0.139,
+    "q16" -> 0.101,
+    "q17" -> 0.249,
+    "q18" -> 0.368,
+    "q19" -> 0.190,
+    "q20" -> 0.197,
+    "q21" -> 0.307,
+    "q22" -> 0.195,
+    "q23" -> 0.200,
+    "q24" -> 0.288,
+    "q25" -> 0.878,
+    "q26" -> 0.275,
+    "q27" -> 0.301,
+    "q28" -> 0.153,
+    "q29" -> 0.171,
+    "q30" -> 0.084,
+    "q31" -> 0.313,
+    "q32" -> 0.629,
+    "q33" -> 0.704,
+    "q34" -> 0.300,
+    "q35" -> 0.261,
+    "q36" -> 0.318,
+    "q37" -> 0.146,
+    "q38" -> 0.774,
+    "q39" -> 0.603,
+    "q40" -> 0.340,
+    "q41" -> 0.314,
+    "q42" -> 0.252,
+    "q43" -> 0.224,
+    "q44" -> 1.502,
+    "q45" -> 0.531,
+    "q46" -> 0.317,
+    "q47" -> 0.365,
+    "s01" -> 0.235,
+    "s02" -> 0.221,
+    "s03" -> 0.457,
+    "s04" -> 0.371,
+    "s05" -> 0.231,
+    "s06" -> 0.420,
+    "s07" -> 0.399,
+    "s08" -> 0.519,
+    "s09" -> 0.748,
+    "t01" -> 0.118,
+    "t02" -> 0.236,
+    "t03" -> 0.148,
+    "t04" -> 0.272,
+    "t05" -> 0.116,
+    "t06" -> 0.127,
+    "t07" -> 0.111,
+    "t08" -> 0.317,
+    "t09" -> 0.571,
+    "t10" -> 0.949,
+    "t11" -> 0.121,
+    "t12" -> 0.152,
+    "t13" -> 0.575,
+    "t14" -> 0.724,
+    "t15" -> 0.359,
+    "t16" -> 0.315,
+    "t17" -> 0.735,
+    "w01" -> 0.071,
+    "w02" -> 0.107,
+    "w03" -> 0.116,
+    "w04" -> 0.265,
+    "w05" -> 0.114,
+    "w06" -> 0.128,
+    "w07" -> 0.230,
+    "w08" -> 0.156,
+    "w09" -> 0.344,
+    "w10" -> 0.421,
+    "w11" -> 0.289,
+    "w12" -> 0.421,
+    "w13" -> 0.104,
+    "x01" -> 0.737,
+    "x02" -> 0.286,
+    "x03" -> 0.558,
+    "x04" -> 0.341,
+    "x05" -> 0.709,
+    "x06" -> 0.180,
+    "x07" -> 0.459,
+    "x08" -> 0.435)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
