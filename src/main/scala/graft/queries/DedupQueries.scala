@@ -452,11 +452,19 @@ object DedupQueries {
     * coarser extract can only UNDER-sample (weaker detection, exact
     * output) — never mis-route beyond what sampling noise already may.
     *
-    * `obsName` names the observe() barrier's metric; Spark rejects
-    * duplicate observed-metric names within ONE query at analysis time,
-    * so a plan that embeds two salted coShinglePairs subtrees must pass
-    * distinct names (every shipped plan — d04, and d20's single d04
-    * leg — embeds at most one). */
+    * The a-side filter that picks one salt per row must stay ABOVE the
+    * exchange both join sides share (pushed below it, reuse dies).
+    * `spark.graft.d04.salt.barrier` selects the pushdown barrier:
+    * `expr` (default) wraps the filter in
+    * [[graft.functions.PushdownBarrierF]] so the span stays inside
+    * whole-stage codegen; `observe` is the r18 CollectMetrics barrier
+    * (reports the exploded row count as the `obsName` metric, but
+    * breaks codegen at the barrier); `none` is the no-barrier
+    * DIAGNOSTIC control (two-sided rebuild). `obsName` names the
+    * `observe` variant's metric; Spark rejects duplicate observed-metric
+    * names within ONE query at analysis time, so a plan that embeds two
+    * observe-barrier subtrees must pass distinct names (every shipped
+    * plan — d04, and d20's single d04 leg — embeds at most one). */
   private[graft] def coShinglePairs(s: SparkSession, sh: DataFrame,
       sampleSh: Option[DataFrame] = None,
       obsName: String = "d04_salt"): DataFrame = {
@@ -506,11 +514,17 @@ object DedupQueries {
         // filter needs it, and that asymmetry alone kills exchange reuse.
         val detect = sampleSh.getOrElse(sh.filter(
           pmod(xxhash64(col("doc_id")), lit(sampleInv)) === 0))
-        val hotKeys = d04HotKeys(detect, threshold)
+        val hot = d04HotKeys(detect, threshold)
+        val hotKeys: Array[Any] = hot.map(_._1)
+        // replication estimate from the detection sample itself — the
+        // tuning signal an operator watches when adjusting hotMin
+        // ((nSalts-1) extra b-side copies per hot-key posting row), known
+        // at BUILD time with no runtime metric needed
+        val estExtra = (nSalts - 1).toLong * hot.map(_._2).sum * sampleInv
         log.info(s"d04 salt: ${hotKeys.length} hot shingles detected " +
           s"(1/$sampleInv doc sample, > $threshold sampled hits ≈ " +
-          s"m > ${threshold.toLong * sampleInv} docs); the '$obsName' " +
-          "observed metric reports the salt-exploded row count at run")
+          s"m > ${threshold.toLong * sampleInv} docs); estimated " +
+          s"~$estExtra extra salt-replicated rows")
         require(hotKeys.length <= 100000,
           s"d04 salt: ${hotKeys.length} hot shingles exceed the 100k " +
             "driver-literal cap — raise spark.graft.d04.salt.hotMin " +
@@ -544,17 +558,37 @@ object DedupQueries {
           .repartition(col("s"), col("__salt"))
         // the a-side keeps exactly one salt per hot row (its doc's own)
         // and every cold row — the same rows a separate a-subtree would
-        // produce, at half the upstream cost. The observe() is
-        // LOAD-BEARING, not just telemetry: predicate pushdown walks
-        // through Project/Repartition but not through CollectMetrics,
-        // so this filter stays ABOVE the shared exchange — pushed below
-        // it, the a/b exchange subtrees differ and reuse cannot fire.
-        // The metric itself (salt-exploded row count = shingle rows +
-        // (N-1)·hot rows) is the replication factor an operator watches
-        // when tuning hotMin.
-        val a = x.observe(obsName, count(lit(1)).as("salt_rows"))
-          .filter(col("__salt") === when(isHot,
-            pmod(hash(col("doc_id")), lit(nSalts))).otherwise(lit(0)))
+        // produce, at half the upstream cost. The filter must stay ABOVE
+        // the shared exchange: predicate pushdown walks through
+        // Project/Repartition, and pushed below it the a/b exchange
+        // subtrees differ and reuse cannot fire. Barrier choices
+        // (spark.graft.d04.salt.barrier, probe-compared at skewed
+        // ×10/×100 — BENCH_NOTES "Round 20"):
+        //  - "expr" (default): Filter(pushdown_barrier(cond)) — the
+        //    nondeterministic-flag wrapper PushPredicateThroughNonJoin
+        //    won't move, codegen'd in place, so the whole
+        //    exchange→filter→join span stays ONE WholeStageCodegen;
+        //  - "observe": the r18 CollectMetrics barrier. Correct, and
+        //    reports the exploded row count as the '`obsName`' observed
+        //    metric, but CollectMetricsExec does not implement
+        //    CodegenSupport (Spark 4.1.2) — the barrier forces a
+        //    row-at-a-time boundary on the full salt-exploded stream;
+        //  - "none": DIAGNOSTIC control — no barrier, the a-side filter
+        //    sinks below its exchange, both sides rebuild the upstream
+        //    (the two-sided-rebuild cost r18 measured at +41%).
+        val saltCond = col("__salt") === when(isHot,
+          pmod(hash(col("doc_id")), lit(nSalts))).otherwise(lit(0))
+        val a = s.conf.getOption("spark.graft.d04.salt.barrier")
+          .getOrElse("expr") match {
+          case "expr" =>
+            x.filter(graft.functions.PushdownBarrierF.pushdownBarrier(saltCond))
+          case "observe" =>
+            x.observe(obsName, count(lit(1)).as("salt_rows")).filter(saltCond)
+          case "none" => x.filter(saltCond)
+          case other => throw new IllegalArgumentException(
+            "spark.graft.d04.salt.barrier must be one of expr|observe|none" +
+              s" (got '$other')")
+        }
         a.as("a").join(x.as("b"),
             col("a.s") === col("b.s") && col("a.__salt") === col("b.__salt") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -563,18 +597,29 @@ object DedupQueries {
     }
   }
 
-  /** Hot-shingle keys from a detection frame: shingles whose sampled
-    * posting-list count exceeds `threshold`, sorted driver-side (by
-    * string form — the keys are opaque literals, only ORDER determinism
-    * matters for plan stability). Split out of [[coShinglePairs]] so
-    * detection parity (in-plan sample vs SampleExtract-backed sample) is
-    * directly assertable in tests. Key type follows the `s` column —
-    * Long on the shipped d04 path (md5Hash60), String for probe frames
-    * that skip the hash. */
-  private[graft] def d04HotKeys(detect: DataFrame, threshold: Int): Array[Any] =
+  /** Hot-shingle keys from a detection frame, with their SAMPLED
+    * posting-list counts: shingles whose sampled count exceeds
+    * `threshold`, sorted driver-side (by the key's string form — the
+    * keys are opaque literals, only ORDER determinism matters for plan
+    * stability). Split out of [[coShinglePairs]] so detection parity
+    * (in-plan sample vs SampleExtract-backed sample) is directly
+    * assertable in tests. Key type follows the `s` column — Long on the
+    * shipped d04 path (md5Hash60), String for probe frames that skip
+    * the hash. The counts feed the build-time replication-estimate log.
+    *
+    * The `limit(100001)` caps what the driver MATERIALIZES: the caller's
+    * 100k-literal `require` used to fire only after an unbounded
+    * `collect()`, so a pathological detection frame could exhaust driver
+    * memory before the friendly error (ADVICE r19). One row past the cap
+    * is enough to trip the require; which excess rows survive the limit
+    * is irrelevant because > 100k is always fatal. */
+  private[graft] def d04HotKeys(detect: DataFrame,
+                                threshold: Int): Array[(Any, Long)] =
     detect.groupBy("s").agg(count(lit(1)).as("msamp"))
       .filter(col("msamp") > lit(threshold))
-      .select("s").collect().map(_.get(0)).sortBy(String.valueOf(_))
+      .limit(100001)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+      .sortBy(p => String.valueOf(p._1))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -561,17 +561,59 @@ class PlanSpec extends SparkSpec {
       // (probe-measured +41% on an organic corpus). The reuse is only
       // decided at execution, so this asserts the AQE final plan.
       //
-      // VERSION-COUPLED ASSUMPTION this case pins: the a-side salt
-      // filter stays ABOVE the shared exchange only because Catalyst's
-      // PushPredicateThroughNonJoin does NOT push predicates through
-      // CollectMetrics (the observe() node in coShinglePairs). A Spark
-      // upgrade that starts pushing through CollectMetrics sinks the
-      // filter below the exchange, the a/b subtrees stop being
-      // canonically identical, and THIS ReusedExchange assertion is the
-      // loud failure that diagnoses it.
-      assert(p.contains("ReusedExchange") && p.contains("REPARTITION_BY_COL"),
+      // ASSUMPTION this case pins: the a-side salt filter stays ABOVE
+      // the shared exchange only because PushDownPredicates refuses to
+      // move NONDETERMINISTIC predicates — the pushdown_barrier wrapper
+      // (PushdownBarrierF, the default spark.graft.d04.salt.barrier) is
+      // exactly that flag. A Spark upgrade that starts reordering
+      // nondeterministic filters sinks it below the exchange, the a/b
+      // subtrees stop being canonically identical, and THIS
+      // ReusedExchange assertion is the loud failure that diagnoses it.
+      assert(p.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("REPARTITION_BY_COL")),
         p.take(4000))
+      assert(p.contains("pushdown_barrier"),
+        "default barrier must be the codegen'd pushdown_barrier:\n" + p.take(4000))
+      // the expr barrier's raison d'être: NO CollectMetrics boundary —
+      // the exchange→filter→join span stays inside whole-stage codegen
+      // (the a-side Filter line carries a codegen-stage '*(n)' marker)
+      assert(!p.contains("CollectMetrics"),
+        "expr barrier must not plan a CollectMetrics node:\n" + p.take(4000))
+      assert(p.linesIterator.exists(l =>
+        l.contains("pushdown_barrier") && l.trim.matches("""^[+\-:\s]*\*\(\d+\).*""")),
+        "the barrier filter must be inside a WholeStageCodegen stage:\n" +
+          p.take(4000))
+      // the r18 observe barrier stays available behind the conf — same
+      // output, same exchange reuse, but with the CollectMetrics
+      // codegen boundary (and the salt_rows observed metric)
+      spark.conf.set("spark.graft.d04.salt.barrier", "observe")
+      val dfObs = SparkEntry.queries("d04")(spark, sf)
+      assert(dfObs.collect().map(_.toString).sorted.toSeq == expected,
+        "observe barrier changed d04's output")
+      val pObs = dfObs.queryExecution.executedPlan.toString
+      assert(pObs.contains("CollectMetrics") && pObs.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("REPARTITION_BY_COL")),
+        pObs.take(4000))
+      // the no-barrier diagnostic control: output still exact, but the
+      // a-side filter sinks below its exchange and reuse is LOST — this
+      // pins the control's meaning in the D04BarrierProbe comparison
+      spark.conf.set("spark.graft.d04.salt.barrier", "none")
+      val dfNone = SparkEntry.queries("d04")(spark, sf)
+      assert(dfNone.collect().map(_.toString).sorted.toSeq == expected,
+        "barrier-free control changed d04's output")
+      val pNone = dfNone.queryExecution.executedPlan.toString
+      // only the SALT exchange (REPARTITION_BY_COL) must lose reuse —
+      // unrelated exchanges (the cnt-frame joins) may still be reused
+      assert(!pNone.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("REPARTITION_BY_COL")),
+        "no-barrier control unexpectedly kept SALT exchange reuse (did " +
+          "pushdown stop sinking the salt filter?):\n" + pNone.take(4000))
+      spark.conf.set("spark.graft.d04.salt.barrier", "bogus")
+      intercept[IllegalArgumentException] {
+        SparkEntry.queries("d04")(spark, sf)
+      }
     } finally {
+      spark.conf.unset("spark.graft.d04.salt.barrier")
       spark.conf.unset("spark.graft.d04.salt")
       spark.conf.unset("spark.graft.d04.salt.hotMin")
       spark.conf.unset("spark.graft.d04.salt.sampleInv")
