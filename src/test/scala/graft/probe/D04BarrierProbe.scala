@@ -65,12 +65,21 @@ object D04BarrierProbe {
     val (nw, tw) = run(warmupMode)
     println(f"D04BARRIER dir=$dir warmup $warmupMode rows=$nw wall=$tw%.1f s")
     var nRef = nw
-    for (r <- 1 to reps; mode <- Seq("expr", "observe", "none", "plain")) {
-      val (n, sec) = run(mode)
-      require(n == nRef, s"row count moved: $n vs $nRef ($mode)")
-      nRef = n
-      println(f"D04BARRIER dir=$dir rep=$r mode=$mode%-8s nSalts=$nSalts " +
-        f"hotMin=$hotMin rows=$n wall=$sec%.1f s")
+    val modes = Seq("expr", "observe", "none", "plain")
+    for (r <- 1 to reps) {
+      // ROTATE the order each rep: with a fixed order, position-in-cycle
+      // effects (GC/page-cache state left by the previous mode) land on
+      // the same mode every rep and masquerade as a mode effect — the
+      // first x100 run of this probe charged expr ~+50% that way
+      val order = modes.drop((r - 1) % modes.length) ++
+        modes.take((r - 1) % modes.length)
+      for (mode <- order) {
+        val (n, sec) = run(mode)
+        require(n == nRef, s"row count moved: $n vs $nRef ($mode)")
+        nRef = n
+        println(f"D04BARRIER dir=$dir rep=$r mode=$mode%-8s nSalts=$nSalts " +
+          f"hotMin=$hotMin rows=$n wall=$sec%.1f s")
+      }
     }
     spark.stop()
   }

@@ -69,6 +69,24 @@ object D11GeomProbe {
       .select(col("vec_a"), col("vec_b"), col("cs"))
   }
 
+  /** `base` plus deterministic planted near-dups. The synthetic corpora
+    * have NO organic pairs above cosine 0.7 (probed: max truth band at
+    * sf0.1 is ~0.55), so the near-dup bands a recall probe grades on
+    * would be empty — every 4th vector gets a copy perturbed by a fixed
+    * pseudo-noise field (sin of id/dim — no RNG), scaled for ~0.95
+    * ("strong", offset +1M) and ~0.85 ("moderate", offset +2M) cosine
+    * against its original; vectors are unit-norm so cos = 1/sqrt(1+|n|^2).
+    * [[plantedTruth]] recovers the exact pair cosines linearly. */
+  def withPlants(base: DataFrame): DataFrame = {
+    def plant(scale: Double, offset: Long): DataFrame =
+      base.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+        .select(col("vec_id"), expr(
+          s"transform(embedding, (v, i) -> cast(v + $scale * " +
+            "sin(vec_id * 131 + i * 17) as float))").as("embedding"))
+    base.union(plant(0.058, 1000000L)).union(plant(0.11, 2000000L))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -80,21 +98,7 @@ object D11GeomProbe {
     spark.sparkContext.setLogLevel("WARN")
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // the synthetic corpus has NO organic pairs above cosine 0.7 (probed:
-    // max truth band at sf0.1 is ~0.55), so the near-dup band the
-    // escalation is graded on would be empty — plant deterministic
-    // near-dups: every 4th vector gets a copy perturbed by a fixed
-    // pseudo-noise field (sin of id/dim — no RNG), scaled for ~0.95
-    // ("strong", offset +1M) and ~0.85 ("moderate", offset +2M) cosine
-    // against its original; vectors are unit-norm so cos = 1/sqrt(1+|n|^2)
-    def plant(scale: Double, offset: Long): DataFrame =
-      base.filter(col("vec_id") % 4 === 0)
-        .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
-        .select(col("vec_id"), expr(
-          s"transform(embedding, (v, i) -> cast(v + $scale * " +
-            "sin(vec_id * 131 + i * 17) as float))").as("embedding"))
-    val e = base.union(plant(0.058, 1000000L)).union(plant(0.11, 2000000L))
-      .localCheckpoint()
+    val e = withPlants(base).localCheckpoint()
     val n = e.count()
     // the law's occupancy-target bits for THIS corpus (unless overridden):
     // holds occupancy fixed so table count is the only variable
