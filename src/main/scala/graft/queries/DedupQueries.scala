@@ -103,8 +103,17 @@ object DedupQueries {
   // in — the two MUST agree or jaccard denominators silently diverge
   private val shingleK = graft.functions.MinHashSigF.ShingleK
 
-  /** Verified near-dup pairs (doc_a < doc_b, shingle-Jaccard >= 0.5) via the
-    * MinHash+LSH path.
+  /** The minhash CALIBRATION pair frame: every LSH candidate pair
+    * (doc_a < doc_b) with its band-agreement count `n_agree`, both
+    * distinct-shingle counts `ca`/`cb`, and the exact shared-shingle
+    * count `i` (0 when band minima collide but the docs share no
+    * shingle). This is the ONE materialization the whole minhash family
+    * reads — the production dedup chain (d02/d07/d18/d20/d21) filters it
+    * to `jaccard = i/(ca+cb-i) >= 0.5` via [[verifiedPairs]], and the
+    * calibration audit (d19) keeps every candidate with its estimate.
+    * Before r20, d19 re-ran this entire pipeline just to recover the
+    * agreement count the verified frame had discarded — the second most
+    * expensive query in the suite, for zero new scans' worth of insight.
     *
     * Signatures come from the native codegen expression
     * [[graft.functions.MinHashSigF]]: distinct-shingle count + all 6 band
@@ -119,9 +128,12 @@ object DedupQueries {
     *
     * The verify join then explodes shingles for CANDIDATE documents only
     * (left-semi prune first): candidate density x doc length, not corpus
-    * size, prices the exact-Jaccard verification at scale.
+    * size, prices the exact-Jaccard verification at scale. Keeping the
+    * sub-threshold candidates in the checkpoint costs only the verify
+    * rows that were already computed and then thrown away — candidate
+    * density, not corpus size, bounds the frame in both variants.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def calibrationPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
     val sigw = docs
       .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
@@ -131,12 +143,16 @@ object DedupQueries {
         explode(array((1 to nBands).map(b =>
           struct(lit(b).as("band"), col("sig").getItem(b).as("mh"))): _*)).as("bm"))
       .select(col("doc_id"), col("c"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+    // One row per candidate pair, counting HOW MANY bands agreed (the
+    // same shuffle the .distinct() this replaced already paid — a hash
+    // aggregate on the pair key either way; the count is free and it is
+    // the entire calibration signal)
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.c").as("ca"), col("b.c").as("cb"))
-      .distinct()
+      .agg(count(lit(1)).as("n_agree"))
     // Exact verify on candidate docs only (left-semi prune first), via the
     // inverted-index shape: join shingles on the shingle itself and count
     // shared ones per doc pair, THEN restrict to candidate pairs. The
@@ -170,24 +186,26 @@ object DedupQueries {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
-    // Plain equi-join with cand (attaches ca/cb and drops non-candidate
-    // co-shingle pairs): the candidate-pair set grows with corpus size x
-    // duplication density, so broadcasting it would cap scale — AQE may
-    // still choose broadcast when the measured size is small. Candidate
-    // pairs sharing zero shingles drop out of the inner shingle join in
-    // both shapes (their jaccard is 0 < 0.5 regardless).
-    val inter = inter0.join(cand, Seq("doc_a", "doc_b"))
-    inter
-      .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-      .filter(col("jaccard") >= 0.5)
+    // LEFT join cand→inter (attaches the exact intersection; the
+    // candidate-pair set grows with corpus size x duplication density,
+    // so broadcasting it would cap scale — AQE may still choose
+    // broadcast when the measured size is small). Candidate pairs
+    // sharing zero shingles keep a row with i = 0: the calibration
+    // audit needs them (they are exactly the over-recall the band
+    // geometry wastes verify work on), and the production filter
+    // removes them as 0 < 0.5 — same verified set as the inner-join
+    // variant this replaced.
+    cand.join(inter0, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"),
+        col("n_agree"), coalesce(col("i"), lit(0L)).as("i"))
   }
 
   /** The pre-checkpoint pair-generation frame, exposed for plan
-    * inspection only (PlanDump, plan tests): the d02/d07 queries read the
-    * shared localCheckpoint, whose explain is a bare `Scan ExistingRDD` —
-    * this is the REAL minhash plan behind it. */
+    * inspection only (PlanDump, plan tests): the d02/d07/d19 queries read
+    * the shared localCheckpoint, whose explain is a bare `Scan
+    * ExistingRDD` — this is the REAL minhash plan behind it. */
   def minhashPairsForPlan(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(s, dir)
+    calibrationPairs(s, dir)
 
   /** One shared-checkpoint registry entry. `rdds` is the RDD-registry
     * diff that tracks localCheckpoint blocks (they register with the
@@ -309,25 +327,39 @@ object DedupQueries {
       }
     }).df
 
-  /** The verified pair frame, materialized ONCE per (session, dir) and shared
-    * by every consumer — d02 ships it, d07 clusters it. The minhash pipeline
-    * above is the single most expensive subplan in the query surface
-    * (shingle explode + band join + Jaccard verify), and without sharing,
-    * d07 re-runs all of it just to get edges d02 already produced.
+  /** The calibration pair frame, materialized ONCE per (session, dir) and
+    * shared by every consumer — d02 ships its verified filter, d07
+    * clusters it, d19 audits the estimates. The minhash pipeline above is
+    * the single most expensive subplan in the query surface (shingle
+    * explode + band join + Jaccard verify), and without sharing, d07
+    * re-ran all of it just to get edges d02 already produced — and d19
+    * re-ran it AGAIN just to keep the agreement count (r20: −2 s of the
+    * suite's 68, and at 100 TB a whole second corpus pass).
     *
     * The checkpoint (lazy — materialized at first action) truncates
-    * lineage so consumers read the small
-    * verified-pair blocks, never the exploded shingle plan; the backing
-    * blocks are tracked by registry diff (same pattern and same no-racing
-    * caveat as `ConnectedComponents.resolve`) so `releaseShared` can drop
-    * them deterministically — a long-lived session calls it after the
+    * lineage so consumers read the small candidate-pair blocks, never the
+    * exploded shingle plan; the backing blocks are tracked by registry
+    * diff (same pattern and same no-racing caveat as
+    * `ConnectedComponents.resolve`) so `releaseShared` can drop them
+    * deterministically — a long-lived session calls it after the
     * consuming actions. On a real cluster, set
     * `spark.graft.checkpoint.dir` to a reliable store so executor loss
     * cannot force a full pipeline re-run ([[sharedCheckpoint]]).
-    * The checkpoint build cost lands on whichever of d02/d07 runs first.
+    * The checkpoint build cost lands on whichever consumer runs first.
     */
+  private def calibrationCheckpoint(s: SparkSession, dir: String): DataFrame =
+    sharedCheckpoint(s, dir, "minhash")(calibrationPairs(s, dir))
+
+  /** The production view of [[calibrationCheckpoint]]: exact shingle
+    * Jaccard attached, filtered to the verified >= 0.5 near-dup pairs.
+    * The division is recomputed per read — two longs off the checkpoint,
+    * bit-identical to computing it pre-checkpoint, and it keeps the
+    * stored frame estimator-neutral. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    sharedCheckpoint(s, dir, "minhash")(minhashPairs(s, dir))
+    calibrationCheckpoint(s, dir)
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jaccard") >= 0.5)
 
   /** Drop every shared checkpoint held for session `s`; with `tag`, only
     * that subplan's (Bench's per-query reset uses tags so resetting d15
@@ -685,36 +717,15 @@ object DedupQueries {
     // discarding it. Estimate-only pairs (band minima collide, zero
     // shared shingles) surface with j_exact 0, not as absent rows.
     "d19" -> { (s, dir) =>
-      val docsDf = Tables.loadSpread(s, dir, "documents")
-      val sigw = docsDf
-        .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
-      val sig = sigw.select(col("doc_id"), col("sig").getItem(0).as("c"),
-          explode(array((1 to nBands).map(b =>
-            struct(lit(b).as("band"), col("sig").getItem(b).as("mh"))): _*))
-            .as("bm"))
-        .select(col("doc_id"), col("c"), col("bm.band").as("band"),
-          col("bm.mh").as("mh"))
-      val agree = sig.as("a").join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.c").as("ca"), col("b.c").as("cb"))
-        .agg(count(lit(1)).as("n_agree"))
-      val candIds = agree.select(col("doc_a").as("doc_id"))
-        .union(agree.select(col("doc_b").as("doc_id"))).distinct()
-      val shd = docsDf.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFns.shingles(col("text"), shingleK)))
-            .as("s"))
-      val inter = shd.as("x").join(shd.as("y"),
-          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      agree.join(inter, Seq("doc_a", "doc_b"), "left")
-        .withColumn("i0", coalesce(col("i"), lit(0L)))
+      // r20: the calibration signal (n_agree, i, ca, cb) IS the shared
+      // checkpoint's content — d19 no longer re-runs the signature/band/
+      // verify pipeline d02 already materialized (it was the suite's
+      // second most expensive query for zero new scans). Estimate-only
+      // pairs (band minima collide, zero shared shingles) arrive as
+      // i = 0 rows and surface with j_exact 0, exactly as before.
+      calibrationCheckpoint(s, dir)
         .withColumn("jx",
-          col("i0").cast("double") / (col("ca") + col("cb") - col("i0")))
+          col("i").cast("double") / (col("ca") + col("cb") - col("i")))
         .select(col("doc_a"), col("doc_b"), col("n_agree"),
           round(col("n_agree") / lit(nBands), 4).as("j_est"),
           round(col("jx"), 4).as("j_exact"),

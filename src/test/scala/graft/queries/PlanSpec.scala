@@ -1106,10 +1106,41 @@ class PlanSpec extends SparkSpec {
 
   test("d19: calibration keeps d02's scale shapes — map-side signatures " +
       "(no shingle explode before the band join), equi-joins only") {
-    val p = plan("d19")
+    // d19 reads the shared checkpoint (its own plan explains as a bare
+    // Scan ExistingRDD), so the scale shapes live in the pre-checkpoint
+    // calibration pipeline — the same frame d02/d07 materialize
+    val p = DedupQueries.minhashPairsForPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("minhash_sig") || p.contains("MinHashSig"), p.take(3000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("d19 reuses d02's shared materialization — no second minhash " +
+      "pipeline run, no new cached blocks") {
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    DedupQueries.releaseShared(spark, "minhash")
+    val base = sc.getPersistentRDDs.keySet
+    SparkEntry.queries("d02")(spark, sf).collect()
+    val pairBlocks = sc.getPersistentRDDs.keySet -- base
+    assert(pairBlocks.nonEmpty, "d02 must materialize the shared checkpoint")
+    val d19 = SparkEntry.queries("d19")(spark, sf)
+    // the calibration audit is a projection over the checkpoint: its plan
+    // must be the RDD scan, not a rebuilt signature/band/verify pipeline
+    val p = d19.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") && !p.contains("minhash_sig"),
+      p.take(3000))
+    d19.collect()
+    assert((sc.getPersistentRDDs.keySet -- base) == pairBlocks,
+      "d19 must not register new blocks — it reads d02's checkpoint")
+    // and the audit is a SUPERSET of the verified pairs: every d02 pair
+    // appears with j_exact >= 0.5
+    val verified = SparkEntry.queries("d02")(spark, sf).count()
+    val auditHigh = d19.filter(col("j_exact") >= 0.5).count()
+    assert(auditHigh == verified,
+      s"audit >=0.5 rows ($auditHigh) must equal d02's verified pairs ($verified)")
+    DedupQueries.releaseShared(spark, "minhash")
   }
 
   test("w12: curriculum deciles rank (qb)-partitioned against a broadcast " +

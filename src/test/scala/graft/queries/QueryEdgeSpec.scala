@@ -426,7 +426,10 @@ class QueryEdgeSpec extends SparkSpec {
       Row(2L, "x y 46711", "en", "s", 9L),
       Row(3L, "completely different tokens here", "en", "s", 32L))
     val dir = miniDir("documents", rows, schema)
-    val out = SparkEntry.queries("d19")(spark, dir).collect()
+    // d19 reads the shared calibration checkpoint (r20) — release the
+    // mini-dir entry after so this test leaves no cached blocks behind
+    val out = try SparkEntry.queries("d19")(spark, dir).collect()
+    finally DedupQueries.releaseShared(spark, "minhash")
     val pair = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(pair.length == 1, out.mkString("\n"))
     val r = pair.head
