@@ -711,18 +711,14 @@ object DedupQueries {
     // next to its exact shingle Jaccard and the absolute error. This is
     // the query that tells you whether 6 bands over-recall (wasted verify
     // work) or under-recall (missed dups) BEFORE a 100 TB run commits to
-    // a geometry. Same scale shapes as d02: map-side codegen signatures,
-    // band equi-join candidates, exact verify priced by candidate density
-    // — the only addition is keeping the band-agreement count instead of
-    // discarding it. Estimate-only pairs (band minima collide, zero
-    // shared shingles) surface with j_exact 0, not as absent rows.
+    // a geometry. The calibration signal (n_agree, i, ca, cb) IS the
+    // shared checkpoint's content, so this is a projection over the
+    // materialization d02/d07 already paid for — before r20 it re-ran
+    // the whole signature/band/verify pipeline (2.19 s, the suite's
+    // second most expensive query) for zero new scans' worth of signal.
+    // Estimate-only pairs (band minima collide, zero shared shingles)
+    // arrive as i = 0 rows and surface with j_exact 0, not absent rows.
     "d19" -> { (s, dir) =>
-      // r20: the calibration signal (n_agree, i, ca, cb) IS the shared
-      // checkpoint's content — d19 no longer re-runs the signature/band/
-      // verify pipeline d02 already materialized (it was the suite's
-      // second most expensive query for zero new scans). Estimate-only
-      // pairs (band minima collide, zero shared shingles) arrive as
-      // i = 0 rows and surface with j_exact 0, exactly as before.
       calibrationCheckpoint(s, dir)
         .withColumn("jx",
           col("i").cast("double") / (col("ca") + col("cb") - col("i")))
