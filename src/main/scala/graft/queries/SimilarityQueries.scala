@@ -308,19 +308,72 @@ object SimilarityQueries {
           math.max(lshBits,
             (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) / 2)
         }
-      val eb = e
-        .withColumn("bucket", VectorFns.signBucket(col("embedding"), bits))
+      // `spark.graft.s08.tables = T` (default 1): OR-amplified multi-table
+      // geometry — d11's recall treatment, productized for the graph. The
+      // r20 recall probe measured the single-table graph harvesting ~1/3
+      // of the >=0.9-cosine edges at the law's bits (every vector still
+      // gets its k edges; bucket density, not starvation, is the trade);
+      // consumers needing near-complete NEIGHBOR recall collide in ANY of
+      // T disjoint dim slices instead. Candidate work scales ~T x at
+      // equal bits — a recall/cost knob, not a free lunch — and the dim
+      // budget is hard: T*bits <= 64 disjoint slice dims.
+      val tables = s.conf.getOption("spark.graft.s08.tables").map { v =>
+        val t = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.s08.tables must be an integer (got '$v')")
+        }
+        require(t >= 1, s"spark.graft.s08.tables must be >= 1 (got $t)")
+        require(t * bits <= 64,
+          s"spark.graft.s08.tables x bits must fit the 64-dim embedding's " +
+            s"disjoint slices ($t x $bits = ${t * bits} > 64); lower " +
+            "spark.graft.s08.bits or tables")
+        t
+      }.getOrElse(1)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(round(col("cs"), 6).desc, col("nbr"))
-      eb.as("x").join(eb.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
-          VectorFns.cosine(col("x.embedding"), col("y.embedding")).as("cs"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("vec_id"), col("nbr"), round(col("cs"), 4).as("cosine"),
-          col("rank"))
+      if (tables == 1) {
+        val eb = e
+          .withColumn("bucket", VectorFns.signBucket(col("embedding"), bits))
+        eb.as("x").join(eb.as("y"),
+            col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
+            VectorFns.cosine(col("x.embedding"), col("y.embedding")).as("cs"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("vec_id"), col("nbr"), round(col("cs"), 4).as("cosine"),
+            col("rank"))
+      } else {
+        // Multi-table path carries IDS ONLY through the candidate join
+        // (d11's shape): exploding T (tbl, bkt) rows per vector with the
+        // 64-float payload attached would shuffle the corpus T times
+        // over; instead candidates dedup to distinct (vec_id, nbr) —
+        // a vector pair co-bucketing in several tables is ONE candidate —
+        // and the payload re-joins by id for the exact cosine. Table t
+        // buckets on dims [t*bits, (t+1)*bits): table 0 IS the
+        // single-table geometry, so the candidate set (and therefore
+        // per-rank neighbor quality) is a superset of tables=1.
+        val tabbed = e.select(col("vec_id"),
+          explode(array((0 until tables).map { t =>
+            struct(lit(t).as("tbl"),
+              VectorFns.signBucketSlice(col("embedding"), t * bits, bits)
+                .as("bkt"))
+          }: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        val cand = tabbed.as("x").join(tabbed.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id"), col("embedding").as("xe")), "vec_id")
+          .join(e.select(col("vec_id").as("nbr"), col("embedding").as("ye")), "nbr")
+          .withColumn("cs", VectorFns.cosine(col("xe"), col("ye")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("vec_id"), col("nbr"), round(col("cs"), 4).as("cosine"),
+            col("rank"))
+      }
     })
 
   val oracle: Map[String, String] = Map(

@@ -1068,6 +1068,27 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("s08 multi-table: the candidate join carries ids, not embedding " +
+      "payloads (d11's shape) — no product, payload re-joins by id") {
+    spark.conf.set("spark.graft.s08.tables", "4")
+    try {
+      val p = plan("s08")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      // the (tbl, bkt) self-join's input Projects must not output the
+      // embedding column — exploding T tables with a 64-float payload
+      // would shuffle the corpus T times over (the d11 test's invariant)
+      val afterJoin = p.linesIterator
+        .dropWhile(l => !(l.contains("Join") && l.contains("bkt"))).toSeq
+      assert(afterJoin.nonEmpty, p.take(3000))
+      val inputProjects = afterJoin.tail
+        .filter(_.contains("Project [")).take(2)
+      assert(inputProjects.nonEmpty &&
+        inputProjects.forall(!_.contains("embedding")),
+        s"candidate join inputs carry embeddings:\n${inputProjects.mkString("\n")}")
+    } finally spark.conf.unset("spark.graft.s08.tables")
+  }
+
   test("w11: mixture fill windows within (source, hash-chunk) like w07 — " +
       "never source alone — and the per-source budget frame broadcasts") {
     val p = plan("w11")

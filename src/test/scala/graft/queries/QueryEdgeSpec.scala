@@ -442,6 +442,58 @@ class QueryEdgeSpec extends SparkSpec {
       out.mkString("\n"))
   }
 
+  test("s08 multi-table: a neighbor invisible to table 0 (slice-0 signs " +
+      "disagree) is recovered when a later table's slice agrees; the conf " +
+      "validates its geometry loudly") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    // bits=2: table 0 buckets on dims 0-1, table 1 on dims 2-3.
+    // v1/v2 disagree in every dim-0/1 sign (different table-0 buckets)
+    // but share dims 2-3 signs — only table 1 can pair them. v1/v3 agree
+    // on dims 0-1 and disagree on 2-3: the single-table edge.
+    val rows = Seq(
+      Row(1L, Seq(1f, 1f, 1f, 1f), 0),
+      Row(2L, Seq(-1f, -1f, 1f, 1f), 0),
+      Row(3L, Seq(1f, 1f, -1f, -1f), 0))
+    val dir = miniDir("embeddings", rows, schema)
+    spark.conf.set("spark.graft.s08.bits", "2")
+    try {
+      val single = SparkEntry.queries("s08")(spark, dir).collect()
+      val nbrsOf1 = single.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+      assert(nbrsOf1 == Set(3L),
+        s"tables=1 must see only the table-0 bucket mate: $nbrsOf1")
+      assert(!single.exists(_.getLong(0) == 2L),
+        "v2 is alone in its table-0 bucket — no edges at tables=1")
+      spark.conf.set("spark.graft.s08.tables", "2")
+      val multi = SparkEntry.queries("s08")(spark, dir).collect()
+      val mNbrsOf1 = multi.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+      assert(mNbrsOf1 == Set(2L, 3L),
+        s"tables=2 must add the table-1 edge: $mNbrsOf1")
+      // superset property: per-vector candidates only grow, so every
+      // single-table edge survives and ranks stay contiguous from 1
+      val m1 = multi.filter(_.getLong(0) == 1L).map(_.getInt(3)).sorted
+      assert(m1.toSeq == (1 to m1.length), m1.mkString(","))
+      // geometry guard: 40 tables x 2 bits = 80 > 64 dims must refuse
+      // with the conf key in the message
+      spark.conf.set("spark.graft.s08.tables", "40")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("s08")(spark, dir)
+      }
+      assert(e.getMessage.contains("spark.graft.s08"), e.getMessage)
+      spark.conf.set("spark.graft.s08.tables", "oops")
+      val e2 = intercept[IllegalArgumentException] {
+        SparkEntry.queries("s08")(spark, dir)
+      }
+      assert(e2.getMessage.contains("spark.graft.s08.tables"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.s08.bits")
+      spark.conf.unset("spark.graft.s08.tables")
+    }
+  }
+
   test("s06: a duplicate seed vector empties one cluster (tie-break to the " +
       "lower cid) and the empty cluster is absent from the output") {
     val schema = StructType(Seq(
