@@ -344,31 +344,42 @@ object SimilarityQueries {
           .select(col("vec_id"), col("nbr"), round(col("cs"), 4).as("cosine"),
             col("rank"))
       } else {
-        // Multi-table path carries IDS ONLY through the candidate join
-        // (d11's shape): exploding T (tbl, bkt) rows per vector with the
-        // 64-float payload attached would shuffle the corpus T times
-        // over; instead candidates dedup to distinct (vec_id, nbr) —
-        // a vector pair co-bucketing in several tables is ONE candidate —
-        // and the payload re-joins by id for the exact cosine. Table t
-        // buckets on dims [t*bits, (t+1)*bits): table 0 IS the
-        // single-table geometry, so the candidate set (and therefore
-        // per-rank neighbor quality) is a superset of tables=1.
-        val tabbed = e.select(col("vec_id"),
-          explode(array((0 until tables).map { t =>
-            struct(lit(t).as("tbl"),
-              VectorFns.signBucketSlice(col("embedding"), t * bits, bits)
-                .as("bkt"))
-          }: _*)).as("tb"))
-          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-        val cand = tabbed.as("x").join(tabbed.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
-              col("x.vec_id") =!= col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
-          .distinct()
-        cand
-          .join(e.select(col("vec_id"), col("embedding").as("xe")), "vec_id")
-          .join(e.select(col("vec_id").as("nbr"), col("embedding").as("ye")), "nbr")
-          .withColumn("cs", VectorFns.cosine(col("xe"), col("ye")))
+        // Per-table top-k FIRST, then merge — EXACT, and the only shape
+        // that scales: a final top-k edge must be a within-table top-k
+        // edge of every table that produced it (any k mates outranking
+        // it in its own table are themselves union candidates and
+        // outrank it there too), so each table runs the single-table
+        // plan — payload through the bucket join because the top-k
+        // prune needs the cosine, WindowGroupLimit cutting MAP-SIDE
+        // before the vec_id exchange — and only <= T·k·n pruned rows
+        // reach the dedup + final re-rank. The obvious alternative
+        // (union all tables' candidates, distinct(), rank once)
+        // materializes Σ_t Σ_b n_b² raw candidate pairs through one
+        // exchange with no prune below it — measured running the ×100
+        // probe host out of spill space at the 9-bit x 2-table geometry
+        // before producing a row. d11 carries ids-only instead because
+        // it VERIFIES every candidate (threshold, no top-k): nothing
+        // there can prune below the join, so stripping payload is its
+        // only lever; s08's per-vector cut is the stronger one and it
+        // needs cs in place. Table t buckets on dims
+        // [t*bits, (t+1)*bits): table 0 IS the single-table geometry,
+        // so the final candidate set is a strict superset of tables=1.
+        // A pair co-bucketing in several tables arrives once per table
+        // with the same cs — max() collapses it before the final rank.
+        val perTable = (0 until tables).map { t =>
+          val eb = e.withColumn("bucket",
+            VectorFns.signBucketSlice(col("embedding"), t * bits, bits))
+          eb.as("x").join(eb.as("y"),
+              col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") =!= col("y.vec_id"))
+            .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
+              VectorFns.cosine(col("x.embedding"), col("y.embedding")).as("cs"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("vec_id"), col("nbr"), col("cs"))
+        }
+        perTable.reduce(_.union(_))
+          .groupBy(col("vec_id"), col("nbr")).agg(max(col("cs")).as("cs"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col("vec_id"), col("nbr"), round(col("cs"), 4).as("cosine"),

@@ -68,8 +68,16 @@ object S08RecallProbe {
       nTruth.map { case (nm, c) => s"$nm:$c" }.mkString(" "))
 
     for (b <- bitsList) {
-      if (b == "auto") spark.conf.unset("spark.graft.s08.bits")
-      else spark.conf.set("spark.graft.s08.bits", b)
+      // "9" = single table at 9 bits; "9x4" = 4 OR-amplified tables
+      // (spark.graft.s08.tables) of 9 bits each; "auto" = the law
+      val (bitsSpec, effT) = b.trim.split('x') match {
+        case Array(bb, tt) => (bb, tt.toInt)
+        case Array(bb) => (bb, 1)
+      }
+      if (bitsSpec == "auto") spark.conf.unset("spark.graft.s08.bits")
+      else spark.conf.set("spark.graft.s08.bits", bitsSpec)
+      if (effT == 1) spark.conf.unset("spark.graft.s08.tables")
+      else spark.conf.set("spark.graft.s08.tables", effT.toString)
       val t0 = System.nanoTime()
       val g = SparkEntry.queries("s08")(spark, probeDir)
         .select(col("vec_id"), col("nbr")).localCheckpoint()
@@ -82,18 +90,24 @@ object S08RecallProbe {
           .distinct().as("h"),
         Seq("vec_a", "vec_b"), "left_semi")
       val hits = bands.map { case (nm, c) => nm -> hitExpr.filter(c).count() }
-      val effBits = if (b == "auto") lawBits else b.trim.toInt
-      val model = (cs: Double) =>
-        math.pow(1.0 - math.acos(cs) / math.Pi, effBits.toDouble)
+      val effBits = if (bitsSpec == "auto") lawBits else bitsSpec.toInt
+      // OR-amplified collision model: candidate iff the pair agrees in
+      // ANY of the T disjoint slices — 1-(1-p^bits)^T (upper bound; the
+      // fixed-dim slices are not independent hyperplanes, see r20 notes)
+      val model = (cs: Double) => {
+        val p = math.pow(1.0 - math.acos(cs) / math.Pi, effBits.toDouble)
+        1.0 - math.pow(1.0 - p, effT.toDouble)
+      }
       val rec = hits.zip(nTruth).map { case ((nm, h), (_, t)) =>
         f"$nm:${if (t == 0) 0.0 else h.toDouble / t}%6.4f"
       }.mkString(" ")
-      println(f"[probe] bits=$b%-5s (eff $effBits%2d) edges=$nEdges%9d " +
+      println(f"[probe] bits=$b%-7s (eff $effBits%2d x$effT) edges=$nEdges%9d " +
         f"wall=$sec%6.1f s recall $rec " +
-        f"model(p^bits) s=${model(0.95)}%6.4f m=${model(0.85)}%6.4f")
+        f"model s=${model(0.95)}%6.4f m=${model(0.85)}%6.4f")
       g.unpersist()
     }
     spark.conf.unset("spark.graft.s08.bits")
+    spark.conf.unset("spark.graft.s08.tables")
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
     }
