@@ -121,170 +121,171 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.140,
-    "q16" -> 0.101,
-    "q30" -> 0.084,
-    "t08" -> 0.317,
-    "d01" -> 0.182,
-    "d06" -> 0.148)
+    "q02" -> 0.132,
+    "q16" -> 0.093,
+    "q30" -> 0.080,
+    "t08" -> 0.324,
+    "d01" -> 0.195,
+    "d06" -> 0.153)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs
-    * on this container (round 19 binary, ALL 135 queries: four quiet
-    * full-suite runs A–D on the shipping code, all contaminated:false
-    * by their own canaries. The round-19 code changes are plan-neutral
-    * at bench defaults — the d04 salt conf is off, so the extract/
-    * short-circuit paths never build — yet every pin re-derives on the
-    * binary that runs it, per the standing ritual. Derivation in
-    * BENCH_NOTES.md, re-derivable via scripts/derive_pins.py). The
-    * derivation runs' own environment probes ride beside the pins so
-    * later drift is attributable (verdict r10 #5): totals
-    * 69.65/64.57/61.62/63.09 s, cpu_ref 0.055/0.047/0.048/0.048, mt_x
-    * 1.6/2.1/2.8/2.3, canary_max 1.2/1.1/1.2/1.1 — the quietest close
-    * bracket in the project's history; pin sum 58.42 s (r18: 66.37 —
-    * the container epoch is simply faster, every family moved together).
-    * Evidence: bench/r19/. Min-of-runs is the least-contaminated
-    * estimate of the clean floor, which biases totalRatio slightly ≥1
-    * on a genuinely clean run — the 1.5× threshold absorbs that.
-    * Refresh each round: the pins are container-epoch-specific and
-    * drift erodes the threshold's meaning.
+    * on this container (round 20 binary, ALL 135 queries: twelve
+    * full-suite close runs A–L on the shipping code — the first batch
+    * landed in a warm window (canary 1.2–1.5, totals 71–88 s), so two
+    * more batches ran until the machine quieted; runs I–L (canary
+    * 1.02–1.14, totals 57.96–63.09 s) supply most mins. Min-of-runs
+    * makes extra warm runs harmless — they can only fail to lower a
+    * pin. Derivation in BENCH_NOTES.md, re-derivable via
+    * scripts/derive_pins.py over bench/r20/close_r20_*.json). The
+    * derivation runs' own environment probes ride in the capture files
+    * so later drift is attributable (verdict r10 #5); one run (E) is
+    * contaminated:true by its own canaries and contributes accordingly
+    * nothing to the floor. Pin sum 53.60 s (r19: 58.42) — ~2.1 s of the
+    * drop is the d19 calibration audit now reading the shared minhash
+    * checkpoint instead of re-running the pipeline; the rest is the
+    * quiet bracket. Min-of-runs is the least-contaminated estimate of
+    * the clean floor, which biases totalRatio slightly ≥1 on a
+    * genuinely clean run — the 1.5× threshold absorbs that. Refresh
+    * each round: the pins are container-epoch-specific and drift
+    * erodes the threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.403,
-    "c02" -> 0.428,
-    "d01" -> 0.182,
-    "d02" -> 2.324,
-    "d03" -> 0.155,
-    "d04" -> 0.995,
-    "d05" -> 0.464,
-    "d06" -> 0.148,
-    "d07" -> 0.742,
-    "d08" -> 0.507,
-    "d09" -> 0.511,
-    "d10" -> 0.594,
-    "d11" -> 0.642,
-    "d12" -> 0.859,
-    "d13" -> 0.184,
-    "d14" -> 0.407,
-    "d15" -> 0.808,
-    "d16" -> 0.688,
-    "d17" -> 0.882,
-    "d18" -> 0.765,
-    "d19" -> 2.083,
-    "d20" -> 1.352,
-    "d21" -> 0.743,
-    "m01" -> 0.093,
-    "m02" -> 0.122,
-    "m03" -> 0.720,
-    "m04" -> 0.700,
-    "m05" -> 1.913,
-    "m06" -> 0.240,
-    "m07" -> 0.141,
-    "m08" -> 0.728,
-    "m09" -> 0.380,
-    "p01" -> 0.408,
-    "p02" -> 0.168,
-    "p03" -> 0.208,
-    "p04" -> 0.134,
-    "p05" -> 0.238,
-    "p06" -> 0.365,
-    "p07" -> 0.400,
-    "p08" -> 0.883,
-    "p09" -> 0.124,
-    "q01" -> 0.214,
-    "q02" -> 0.140,
-    "q03" -> 0.465,
-    "q04" -> 0.425,
-    "q05" -> 0.634,
-    "q06" -> 0.130,
-    "q07" -> 0.202,
-    "q08" -> 0.310,
-    "q09" -> 0.160,
-    "q10" -> 0.267,
-    "q11" -> 0.168,
-    "q12" -> 0.743,
-    "q13" -> 0.593,
-    "q14" -> 0.127,
-    "q15" -> 0.139,
-    "q16" -> 0.101,
-    "q17" -> 0.249,
-    "q18" -> 0.368,
-    "q19" -> 0.190,
-    "q20" -> 0.197,
-    "q21" -> 0.307,
-    "q22" -> 0.195,
-    "q23" -> 0.200,
-    "q24" -> 0.288,
-    "q25" -> 0.878,
-    "q26" -> 0.275,
-    "q27" -> 0.301,
-    "q28" -> 0.153,
-    "q29" -> 0.171,
-    "q30" -> 0.084,
-    "q31" -> 0.313,
-    "q32" -> 0.629,
-    "q33" -> 0.704,
-    "q34" -> 0.300,
-    "q35" -> 0.261,
-    "q36" -> 0.318,
-    "q37" -> 0.146,
-    "q38" -> 0.774,
-    "q39" -> 0.603,
-    "q40" -> 0.340,
-    "q41" -> 0.314,
-    "q42" -> 0.252,
+    "c01" -> 1.346,
+    "c02" -> 0.450,
+    "d01" -> 0.195,
+    "d02" -> 2.199,
+    "d03" -> 0.126,
+    "d04" -> 1.017,
+    "d05" -> 0.428,
+    "d06" -> 0.153,
+    "d07" -> 0.807,
+    "d08" -> 0.505,
+    "d09" -> 0.548,
+    "d10" -> 0.578,
+    "d11" -> 0.669,
+    "d12" -> 0.798,
+    "d13" -> 0.194,
+    "d14" -> 0.432,
+    "d15" -> 0.855,
+    "d16" -> 0.605,
+    "d17" -> 0.841,
+    "d18" -> 0.632,
+    "d19" -> 0.038,
+    "d20" -> 1.141,
+    "d21" -> 0.610,
+    "m01" -> 0.081,
+    "m02" -> 0.105,
+    "m03" -> 0.626,
+    "m04" -> 0.610,
+    "m05" -> 1.657,
+    "m06" -> 0.234,
+    "m07" -> 0.130,
+    "m08" -> 0.726,
+    "m09" -> 0.392,
+    "p01" -> 0.398,
+    "p02" -> 0.173,
+    "p03" -> 0.192,
+    "p04" -> 0.130,
+    "p05" -> 0.214,
+    "p06" -> 0.291,
+    "p07" -> 0.409,
+    "p08" -> 0.828,
+    "p09" -> 0.113,
+    "q01" -> 0.200,
+    "q02" -> 0.132,
+    "q03" -> 0.414,
+    "q04" -> 0.369,
+    "q05" -> 0.566,
+    "q06" -> 0.114,
+    "q07" -> 0.180,
+    "q08" -> 0.315,
+    "q09" -> 0.165,
+    "q10" -> 0.246,
+    "q11" -> 0.164,
+    "q12" -> 0.721,
+    "q13" -> 0.474,
+    "q14" -> 0.133,
+    "q15" -> 0.141,
+    "q16" -> 0.093,
+    "q17" -> 0.253,
+    "q18" -> 0.356,
+    "q19" -> 0.186,
+    "q20" -> 0.187,
+    "q21" -> 0.295,
+    "q22" -> 0.185,
+    "q23" -> 0.198,
+    "q24" -> 0.292,
+    "q25" -> 0.865,
+    "q26" -> 0.266,
+    "q27" -> 0.258,
+    "q28" -> 0.144,
+    "q29" -> 0.163,
+    "q30" -> 0.080,
+    "q31" -> 0.289,
+    "q32" -> 0.641,
+    "q33" -> 0.671,
+    "q34" -> 0.313,
+    "q35" -> 0.260,
+    "q36" -> 0.288,
+    "q37" -> 0.138,
+    "q38" -> 0.770,
+    "q39" -> 0.622,
+    "q40" -> 0.353,
+    "q41" -> 0.304,
+    "q42" -> 0.248,
     "q43" -> 0.224,
-    "q44" -> 1.502,
-    "q45" -> 0.531,
-    "q46" -> 0.317,
-    "q47" -> 0.365,
-    "s01" -> 0.235,
-    "s02" -> 0.221,
-    "s03" -> 0.457,
-    "s04" -> 0.371,
-    "s05" -> 0.231,
-    "s06" -> 0.420,
-    "s07" -> 0.399,
-    "s08" -> 0.519,
-    "s09" -> 0.748,
-    "t01" -> 0.118,
-    "t02" -> 0.236,
-    "t03" -> 0.148,
-    "t04" -> 0.272,
-    "t05" -> 0.116,
-    "t06" -> 0.127,
-    "t07" -> 0.111,
-    "t08" -> 0.317,
-    "t09" -> 0.571,
-    "t10" -> 0.949,
-    "t11" -> 0.121,
-    "t12" -> 0.152,
-    "t13" -> 0.575,
-    "t14" -> 0.724,
-    "t15" -> 0.359,
-    "t16" -> 0.315,
-    "t17" -> 0.735,
-    "w01" -> 0.071,
-    "w02" -> 0.107,
-    "w03" -> 0.116,
+    "q44" -> 1.451,
+    "q45" -> 0.483,
+    "q46" -> 0.279,
+    "q47" -> 0.322,
+    "s01" -> 0.209,
+    "s02" -> 0.193,
+    "s03" -> 0.400,
+    "s04" -> 0.351,
+    "s05" -> 0.220,
+    "s06" -> 0.397,
+    "s07" -> 0.382,
+    "s08" -> 0.448,
+    "s09" -> 0.728,
+    "t01" -> 0.110,
+    "t02" -> 0.235,
+    "t03" -> 0.138,
+    "t04" -> 0.258,
+    "t05" -> 0.119,
+    "t06" -> 0.135,
+    "t07" -> 0.116,
+    "t08" -> 0.324,
+    "t09" -> 0.543,
+    "t10" -> 0.947,
+    "t11" -> 0.119,
+    "t12" -> 0.153,
+    "t13" -> 0.600,
+    "t14" -> 0.720,
+    "t15" -> 0.352,
+    "t16" -> 0.356,
+    "t17" -> 0.755,
+    "w01" -> 0.069,
+    "w02" -> 0.097,
+    "w03" -> 0.092,
     "w04" -> 0.265,
-    "w05" -> 0.114,
-    "w06" -> 0.128,
-    "w07" -> 0.230,
-    "w08" -> 0.156,
-    "w09" -> 0.344,
-    "w10" -> 0.421,
-    "w11" -> 0.289,
-    "w12" -> 0.421,
-    "w13" -> 0.104,
-    "x01" -> 0.737,
-    "x02" -> 0.286,
-    "x03" -> 0.558,
-    "x04" -> 0.341,
-    "x05" -> 0.709,
-    "x06" -> 0.180,
-    "x07" -> 0.459,
-    "x08" -> 0.435)
+    "w05" -> 0.119,
+    "w06" -> 0.127,
+    "w07" -> 0.244,
+    "w08" -> 0.161,
+    "w09" -> 0.343,
+    "w10" -> 0.384,
+    "w11" -> 0.273,
+    "w12" -> 0.417,
+    "w13" -> 0.102,
+    "x01" -> 0.654,
+    "x02" -> 0.272,
+    "x03" -> 0.481,
+    "x04" -> 0.252,
+    "x05" -> 0.593,
+    "x06" -> 0.167,
+    "x07" -> 0.469,
+    "x08" -> 0.423)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
