@@ -121,27 +121,29 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.132,
-    "q16" -> 0.093,
+    "q02" -> 0.112,
+    "q16" -> 0.087,
     "q30" -> 0.080,
-    "t08" -> 0.324,
+    "t08" -> 0.274,
     "d01" -> 0.195,
     "d06" -> 0.153)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs
-    * on this container (round 20 binary, ALL 135 queries: twelve
-    * full-suite close runs A–L on the shipping code — the first batch
+    * on this container (round 20 binary, ALL 135 queries: thirteen
+    * full-suite close runs A–M on the shipping code — the first batch
     * landed in a warm window (canary 1.2–1.5, totals 71–88 s), so two
-    * more batches ran until the machine quieted; runs I–L (canary
-    * 1.02–1.14, totals 57.96–63.09 s) supply most mins. Min-of-runs
+    * more batches ran until the machine quieted; runs I–M (canary
+    * 1.00–1.14, totals 53.53–63.09 s; M read canary_x 1.00 at
+    * 53.53 s total, the quietest window of the project) supply most
+    * mins. Min-of-runs
     * makes extra warm runs harmless — they can only fail to lower a
     * pin. Derivation in BENCH_NOTES.md, re-derivable via
     * scripts/derive_pins.py over bench/r20/close_r20_*.json). The
     * derivation runs' own environment probes ride in the capture files
     * so later drift is attributable (verdict r10 #5); one run (E) is
     * contaminated:true by its own canaries and contributes accordingly
-    * nothing to the floor. Pin sum 53.60 s (r19: 58.42) — ~2.1 s of the
+    * nothing to the floor. Pin sum 50.50 s (r19: 58.42) — ~2.1 s of the
     * drop is the d19 calibration audit now reading the shared minhash
     * checkpoint instead of re-running the pipeline; the rest is the
     * quiet bracket. Min-of-runs is the least-contaminated estimate of
@@ -159,133 +161,133 @@ object Bench {
     "d04" -> 1.017,
     "d05" -> 0.428,
     "d06" -> 0.153,
-    "d07" -> 0.807,
-    "d08" -> 0.505,
-    "d09" -> 0.548,
-    "d10" -> 0.578,
-    "d11" -> 0.669,
-    "d12" -> 0.798,
-    "d13" -> 0.194,
-    "d14" -> 0.432,
-    "d15" -> 0.855,
-    "d16" -> 0.605,
-    "d17" -> 0.841,
+    "d07" -> 0.718,
+    "d08" -> 0.480,
+    "d09" -> 0.543,
+    "d10" -> 0.538,
+    "d11" -> 0.579,
+    "d12" -> 0.770,
+    "d13" -> 0.161,
+    "d14" -> 0.380,
+    "d15" -> 0.782,
+    "d16" -> 0.596,
+    "d17" -> 0.763,
     "d18" -> 0.632,
     "d19" -> 0.038,
     "d20" -> 1.141,
     "d21" -> 0.610,
-    "m01" -> 0.081,
+    "m01" -> 0.077,
     "m02" -> 0.105,
     "m03" -> 0.626,
-    "m04" -> 0.610,
+    "m04" -> 0.599,
     "m05" -> 1.657,
-    "m06" -> 0.234,
-    "m07" -> 0.130,
-    "m08" -> 0.726,
+    "m06" -> 0.222,
+    "m07" -> 0.118,
+    "m08" -> 0.627,
     "m09" -> 0.392,
-    "p01" -> 0.398,
-    "p02" -> 0.173,
-    "p03" -> 0.192,
-    "p04" -> 0.130,
-    "p05" -> 0.214,
+    "p01" -> 0.343,
+    "p02" -> 0.171,
+    "p03" -> 0.158,
+    "p04" -> 0.110,
+    "p05" -> 0.210,
     "p06" -> 0.291,
-    "p07" -> 0.409,
-    "p08" -> 0.828,
-    "p09" -> 0.113,
-    "q01" -> 0.200,
-    "q02" -> 0.132,
-    "q03" -> 0.414,
-    "q04" -> 0.369,
-    "q05" -> 0.566,
-    "q06" -> 0.114,
-    "q07" -> 0.180,
-    "q08" -> 0.315,
-    "q09" -> 0.165,
+    "p07" -> 0.362,
+    "p08" -> 0.696,
+    "p09" -> 0.101,
+    "q01" -> 0.176,
+    "q02" -> 0.112,
+    "q03" -> 0.383,
+    "q04" -> 0.353,
+    "q05" -> 0.543,
+    "q06" -> 0.103,
+    "q07" -> 0.171,
+    "q08" -> 0.263,
+    "q09" -> 0.152,
     "q10" -> 0.246,
-    "q11" -> 0.164,
-    "q12" -> 0.721,
-    "q13" -> 0.474,
-    "q14" -> 0.133,
-    "q15" -> 0.141,
-    "q16" -> 0.093,
-    "q17" -> 0.253,
-    "q18" -> 0.356,
-    "q19" -> 0.186,
-    "q20" -> 0.187,
-    "q21" -> 0.295,
+    "q11" -> 0.140,
+    "q12" -> 0.648,
+    "q13" -> 0.385,
+    "q14" -> 0.116,
+    "q15" -> 0.122,
+    "q16" -> 0.087,
+    "q17" -> 0.232,
+    "q18" -> 0.325,
+    "q19" -> 0.168,
+    "q20" -> 0.176,
+    "q21" -> 0.262,
     "q22" -> 0.185,
-    "q23" -> 0.198,
-    "q24" -> 0.292,
-    "q25" -> 0.865,
-    "q26" -> 0.266,
-    "q27" -> 0.258,
+    "q23" -> 0.186,
+    "q24" -> 0.276,
+    "q25" -> 0.809,
+    "q26" -> 0.237,
+    "q27" -> 0.255,
     "q28" -> 0.144,
     "q29" -> 0.163,
     "q30" -> 0.080,
     "q31" -> 0.289,
-    "q32" -> 0.641,
-    "q33" -> 0.671,
-    "q34" -> 0.313,
-    "q35" -> 0.260,
-    "q36" -> 0.288,
+    "q32" -> 0.557,
+    "q33" -> 0.597,
+    "q34" -> 0.304,
+    "q35" -> 0.227,
+    "q36" -> 0.285,
     "q37" -> 0.138,
-    "q38" -> 0.770,
-    "q39" -> 0.622,
-    "q40" -> 0.353,
-    "q41" -> 0.304,
+    "q38" -> 0.715,
+    "q39" -> 0.569,
+    "q40" -> 0.305,
+    "q41" -> 0.295,
     "q42" -> 0.248,
-    "q43" -> 0.224,
-    "q44" -> 1.451,
-    "q45" -> 0.483,
-    "q46" -> 0.279,
-    "q47" -> 0.322,
+    "q43" -> 0.195,
+    "q44" -> 1.274,
+    "q45" -> 0.445,
+    "q46" -> 0.273,
+    "q47" -> 0.300,
     "s01" -> 0.209,
-    "s02" -> 0.193,
+    "s02" -> 0.189,
     "s03" -> 0.400,
     "s04" -> 0.351,
-    "s05" -> 0.220,
+    "s05" -> 0.207,
     "s06" -> 0.397,
-    "s07" -> 0.382,
+    "s07" -> 0.331,
     "s08" -> 0.448,
-    "s09" -> 0.728,
-    "t01" -> 0.110,
+    "s09" -> 0.555,
+    "t01" -> 0.106,
     "t02" -> 0.235,
-    "t03" -> 0.138,
-    "t04" -> 0.258,
+    "t03" -> 0.130,
+    "t04" -> 0.248,
     "t05" -> 0.119,
-    "t06" -> 0.135,
-    "t07" -> 0.116,
-    "t08" -> 0.324,
-    "t09" -> 0.543,
-    "t10" -> 0.947,
-    "t11" -> 0.119,
-    "t12" -> 0.153,
+    "t06" -> 0.117,
+    "t07" -> 0.110,
+    "t08" -> 0.274,
+    "t09" -> 0.476,
+    "t10" -> 0.908,
+    "t11" -> 0.116,
+    "t12" -> 0.130,
     "t13" -> 0.600,
     "t14" -> 0.720,
-    "t15" -> 0.352,
-    "t16" -> 0.356,
-    "t17" -> 0.755,
-    "w01" -> 0.069,
-    "w02" -> 0.097,
+    "t15" -> 0.314,
+    "t16" -> 0.310,
+    "t17" -> 0.705,
+    "w01" -> 0.059,
+    "w02" -> 0.085,
     "w03" -> 0.092,
-    "w04" -> 0.265,
-    "w05" -> 0.119,
-    "w06" -> 0.127,
-    "w07" -> 0.244,
-    "w08" -> 0.161,
-    "w09" -> 0.343,
-    "w10" -> 0.384,
-    "w11" -> 0.273,
+    "w04" -> 0.230,
+    "w05" -> 0.100,
+    "w06" -> 0.116,
+    "w07" -> 0.222,
+    "w08" -> 0.155,
+    "w09" -> 0.327,
+    "w10" -> 0.370,
+    "w11" -> 0.271,
     "w12" -> 0.417,
-    "w13" -> 0.102,
-    "x01" -> 0.654,
-    "x02" -> 0.272,
+    "w13" -> 0.097,
+    "x01" -> 0.647,
+    "x02" -> 0.230,
     "x03" -> 0.481,
     "x04" -> 0.252,
     "x05" -> 0.593,
     "x06" -> 0.167,
-    "x07" -> 0.469,
-    "x08" -> 0.423)
+    "x07" -> 0.461,
+    "x08" -> 0.396)
 
   /** Elevation threshold: the r8 contaminated session showed 1.5–1.9× on
     * the canaries; clean round-to-round spread on them is well under 1.5×.
