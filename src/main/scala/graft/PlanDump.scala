@@ -157,9 +157,32 @@ object PlanDump {
       spark.conf.unset("spark.graft.d04.salt.hotMin")
       spark.conf.unset("spark.graft.d04.salt.sampleInv")
     }
+    // s08's MULTI-TABLE plan (round 20): like d04's salted plan, the
+    // recall-escape geometry a consumer actually enables is invisible at
+    // bench defaults (tables=1). The audit points: one WindowGroupLimit
+    // Partial per table BELOW the union (the per-table top-k prune — the
+    // no-prune union-then-distinct shape exhausted probe spill space),
+    // then the dedup aggregate and the final re-rank.
+    sb.append("\n# Appendix: s08 multi-table executed plan\n\n")
+    sb.append("`spark.graft.s08.tables=4` at sf0.001 (auto bits). Each\n")
+    sb.append("table runs the single-table plan — WindowGroupLimit pruning\n")
+    sb.append("to top-k map-side — and only <= T*k*n pruned rows reach the\n")
+    sb.append("union/dedup/final re-rank.\n")
+    spark.conf.set("spark.graft.s08.tables", "4")
+    try {
+      val df = SparkEntry.queries("s08")(spark, sf)
+      df.collect()
+      val ep = df.queryExecution.executedPlan.toString
+      val finalPlan = ep.split("== Initial Plan ==")(0)
+      val prunes = "WindowGroupLimit.*Partial".r.findAllIn(finalPlan).size
+      sb.append(s"\n## s08 tables=4 executed — $prunes partial " +
+        s"WindowGroupLimit prune(s)\n\n```\n")
+      sb.append(finalPlan.trim)
+      sb.append("\n```\n")
+    } finally spark.conf.unset("spark.graft.s08.tables")
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${headline.size} plans + " +
-      s"${reuseHeadliners.size} executed + d04 salted)")
+      s"${reuseHeadliners.size} executed + d04 salted + s08 tables)")
     spark.stop()
   }
 }
