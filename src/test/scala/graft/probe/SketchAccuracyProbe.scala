@@ -38,12 +38,21 @@ import graft.{SparkEntry, Tables}
   * part/supp cardinality is deliberately flat across the ladder and its
   * row is the same at every scale — printed once at the base dir).
   *
-  * Run: sbt "Test/runMain graft.probe.SketchAccuracyProbe dir1 [dir2 ...]"
+  * Run: sbt "Test/runMain graft.probe.SketchAccuracyProbe dir1 [dir2 ...] [--only=x03,x04,x07]"
+  *   --only restricts to a sketch subset (a docs-only ×1000 dir has no
+  *   amplified lineitem, and x08's R×tokens explode at 270M tokens is
+  *   the one genuinely expensive leg).
   */
 object SketchAccuracyProbe {
 
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SketchAccuracyProbe dir1 [dir2 ...]")
+  def main(rawArgs: Array[String]): Unit = {
+    val (onlyArg, args) = rawArgs.partition(_.startsWith("--only"))
+    val only: Set[String] = onlyArg.headOption
+      .map(_.stripPrefix("--only").stripPrefix("=").trim)
+      .filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("x01", "x03", "x04", "x05", "x07", "x08"))
+    require(args.nonEmpty, "usage: SketchAccuracyProbe dir1 [dir2 ...] [--only=x03,x04]")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -62,7 +71,7 @@ object SketchAccuracyProbe {
     args.zipWithIndex.foreach { case (dir, i) =>
       println(s"\n[sketch-accuracy] dir=$dir")
 
-      if (i == 0) {
+      if (i == 0 && only("x01")) {
         // x01 HLL vs exact countDistinct (flat across the ladder by
         // amplification design — base dir only)
         val exact = Tables.load(spark, dir, "lineitem")
@@ -81,6 +90,7 @@ object SketchAccuracyProbe {
       }
 
       // x03 CMS top-20 heavy hitters: overcount vs the e·N/w bound
+      if (only("x03")) {
       val x03 = q("x03", dir).collect()
       val nTokens = Tables.loadSpread(spark, dir, "documents")
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
@@ -91,9 +101,10 @@ object SketchAccuracyProbe {
       println(f"  x03 cms  N=$nTokens%d top20 overcount mean=$meanOver%.1f " +
         f"max=$maxOver%d | bound e·N/1024=$bound%.0f " +
         f"(max/bound=${maxOver / bound}%.2f, <1 expected at 98%%)")
+      }
 
       // x04 KMV distinct
-      q("x04", dir).collect().foreach { r =>
+      if (only("x04")) q("x04", dir).collect().foreach { r =>
         val est = r.getAs[Long]("est_distinct")
         val ex = r.getAs[Long]("n_exact")
         println(f"  x04 kmv  est=$est%d exact=$ex%d " +
@@ -101,7 +112,7 @@ object SketchAccuracyProbe {
       }
 
       // x05 bottom-k set ops: union + Jaccard
-      q("x05", dir).collect().foreach { r =>
+      if (only("x05")) q("x05", dir).collect().foreach { r =>
         val eu = r.getAs[Long]("est_union")
         val xu = r.getAs[Long]("n_union_exact")
         val (je, jx) = (r.getAs[Double]("jaccard_est"),
@@ -113,7 +124,7 @@ object SketchAccuracyProbe {
       }
 
       // x07 linear counting: the saturation story
-      q("x07", dir).collect().foreach { r =>
+      if (only("x07")) q("x07", dir).collect().foreach { r =>
         val occ = r.getAs[Long]("occupied")
         val ex = r.getAs[Long]("n_exact")
         val est = Option(r.get(r.fieldIndex("est_distinct")))
@@ -131,7 +142,7 @@ object SketchAccuracyProbe {
       }
 
       // x08 AMS F2 (rel_err is an output column)
-      q("x08", dir).collect().foreach { r =>
+      if (only("x08")) q("x08", dir).collect().foreach { r =>
         println(f"  x08 ams  est_f2=${r.getAs[Long]("est_f2")}%d " +
           f"exact_f2=${r.getAs[Long]("exact_f2")}%d " +
           f"rel_err=${r.getAs[Double]("rel_err")}%+.4f (theory σ=0.354)")
