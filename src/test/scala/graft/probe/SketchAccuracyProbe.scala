@@ -46,13 +46,21 @@ import graft.{SparkEntry, Tables}
 object SketchAccuracyProbe {
 
   def main(rawArgs: Array[String]): Unit = {
-    val (onlyArg, args) = rawArgs.partition(_.startsWith("--only"))
-    val only: Set[String] = onlyArg.headOption
+    val (flags, args) = rawArgs.partition(_.startsWith("--"))
+    val only: Set[String] = flags.find(_.startsWith("--only"))
       .map(_.stripPrefix("--only").stripPrefix("=").trim)
       .filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("x01", "x03", "x04", "x05", "x07", "x08"))
-    require(args.nonEmpty, "usage: SketchAccuracyProbe dir1 [dir2 ...] [--only=x03,x04]")
+    // --set spark.graft.x04.k=1024 — session confs, e.g. the geometry
+    // knobs the ladder's ceilings motivated
+    val confs = flags.filter(_.startsWith("--set")).map { f =>
+      val kv = f.stripPrefix("--set").stripPrefix("=").split("=", 2)
+      require(kv.length == 2, s"--set needs key=value: got '$f'")
+      (kv(0).trim, kv(1).trim)
+    }
+    require(args.nonEmpty,
+      "usage: SketchAccuracyProbe dir1 [dir2 ...] [--only=x03,x04] [--set=k=v ...]")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -61,6 +69,9 @@ object SketchAccuracyProbe {
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) =>
+      println(s"[sketch-accuracy] conf $k=$v"); spark.conf.set(k, v)
+    }
 
     def q(name: String, dir: String): DataFrame =
       SparkEntry.queries(name)(spark, dir)
@@ -107,8 +118,11 @@ object SketchAccuracyProbe {
       if (only("x04")) q("x04", dir).collect().foreach { r =>
         val est = r.getAs[Long]("est_distinct")
         val ex = r.getAs[Long]("n_exact")
-        println(f"  x04 kmv  est=$est%d exact=$ex%d " +
-          f"err=${pct(est.toDouble, ex.toDouble)} (theory σ=12.7%%)")
+        val k = spark.conf.getOption("spark.graft.x04.k")
+          .map(_.toInt).getOrElse(64)
+        println(f"  x04 kmv  k=$k%d est=$est%d exact=$ex%d " +
+          f"err=${pct(est.toDouble, ex.toDouble)} " +
+          f"(theory σ=${100.0 / math.sqrt(k - 2.0)}%.1f%%)")
       }
 
       // x05 bottom-k set ops: union + Jaccard
@@ -129,23 +143,27 @@ object SketchAccuracyProbe {
         val ex = r.getAs[Long]("n_exact")
         val est = Option(r.get(r.fieldIndex("est_distinct")))
           .map(_.asInstanceOf[Double])
-        val load = occ.toDouble / 4096
+        val m = spark.conf.getOption("spark.graft.x07.m")
+          .map(_.toInt).getOrElse(4096)
+        val load = occ.toDouble / m
         est match {
           case Some(e) =>
-            println(f"  x07 lc   est=$e%.0f exact=$ex%d " +
+            println(f"  x07 lc   m=$m%d est=$e%.0f exact=$ex%d " +
               f"err=${pct(e, ex.toDouble)} load=$load%.3f " +
-              "(degrades as load→1: usable ≲ m·ln m ≈ 34k)")
+              f"(degrades as load→1: usable ≲ m·ln m ≈ ${(m * math.log(m) / 1000).round}%dk)")
           case None =>
-            println(f"  x07 lc   SATURATED (occupied=4096/4096) exact=$ex%d " +
+            println(f"  x07 lc   SATURATED (occupied=$m%d/$m%d) exact=$ex%d " +
               "— the documented fixed-bitmap ceiling (NULL, never ±inf)")
         }
       }
 
       // x08 AMS F2 (rel_err is an output column)
       if (only("x08")) q("x08", dir).collect().foreach { r =>
-        println(f"  x08 ams  est_f2=${r.getAs[Long]("est_f2")}%d " +
+        val rr = r.getAs[Int]("r_rows")
+        println(f"  x08 ams  R=$rr%d est_f2=${r.getAs[Long]("est_f2")}%d " +
           f"exact_f2=${r.getAs[Long]("exact_f2")}%d " +
-          f"rel_err=${r.getAs[Double]("rel_err")}%+.4f (theory σ=0.354)")
+          f"rel_err=${r.getAs[Double]("rel_err")}%+.4f " +
+          f"(theory σ=${math.sqrt(2.0 / rr)}%.3f)")
       }
     }
     spark.stop()
