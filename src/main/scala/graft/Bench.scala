@@ -180,7 +180,7 @@ object Bench {
     "m02" -> 0.105,
     "m03" -> 0.626,
     "m04" -> 0.599,
-    "m05" -> 1.657,
+    "m05" -> 1.600,
     "m06" -> 0.222,
     "m07" -> 0.118,
     "m08" -> 0.627,
