@@ -125,13 +125,15 @@ object SketchAccuracyProbe {
           f"(theory σ=${100.0 / math.sqrt(k - 2.0)}%.1f%%)")
       }
 
-      // x05 bottom-k set ops: union + Jaccard
+      // x05 bottom-k set ops: union + Jaccard (k shared with x04)
       if (only("x05")) q("x05", dir).collect().foreach { r =>
         val eu = r.getAs[Long]("est_union")
         val xu = r.getAs[Long]("n_union_exact")
         val (je, jx) = (r.getAs[Double]("jaccard_est"),
           r.getAs[Double]("jaccard_exact"))
-        val sigma = math.sqrt(jx * (1 - jx) / 64)
+        val k5 = spark.conf.getOption("spark.graft.x04.k")
+          .map(_.toInt).getOrElse(64)
+        val sigma = math.sqrt(jx * (1 - jx) / k5)
         println(f"  x05 kmv∪ union est=$eu%d exact=$xu%d " +
           f"err=${pct(eu.toDouble, xu.toDouble)} | jaccard est=$je%.4f " +
           f"exact=$jx%.4f (theory σ=$sigma%.4f)")
