@@ -17,14 +17,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Set here (not only in GraftSession) so driver-created sessions that
-    // didn't go through our builder still read events.parquet correctly.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
-  }
+  /** Per-(session, dir, table) memo of the loaded DataFrame — PLAN reuse,
+    * never data reuse. Round-21 measurement: every `spark.read.parquet`
+    * call pays ~80–100 ms of DRIVER work (file listing + footer schema
+    * inference), and the suite re-loads the same ten immutable tables a
+    * few hundred times per bench pass — ~20% of suite wall was Catalyst/
+    * metadata, not execution (PlanCostProbe). The cached object is a lazy
+    * logical plan: every action on it still scans the parquet files, so
+    * bench/oracle runs keep computing from the inputs. The file LISTING is
+    * snapshotted at first load per session — the same semantics any caller
+    * holding a DataFrame reference already had; these test dirs are
+    * immutable for a session's lifetime. Entries are keyed on the session
+    * object, so a new session (or a different dir) re-lists.
+    */
+  private val dfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    dfMemo.computeIfAbsent((spark, sfDir, name), { _ =>
+      // Set here (not only in GraftSession) so driver-created sessions that
+      // didn't go through our builder still read events.parquet correctly.
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") normalizeEventTs(df) else df
+    })
 
   /** ts read as LongType (nanos) under nanosAsLong=true -> micros timestamp.
     * Integer division truncates exactly like DuckDB's TIMESTAMP_NS->TIMESTAMP
