@@ -64,14 +64,27 @@ object Tables {
     }
   }
 
-  /** Load with an explicit repartition: the small dimension parquet files
-    * arrive as a single input split, which would serialize any
-    * compute-heavy downstream (hashing, dot products) onto one task. The
-    * tiny shuffle buys full-cluster parallelism for the expensive part —
-    * at real scale the source has enough splits and this becomes a no-op
-    * decision. */
+  /** Load with an explicit repartition when (and ONLY when) the scan is
+    * under-split: the small dimension parquet files arrive as a single
+    * input split, which would serialize any compute-heavy downstream
+    * (hashing, dot products, codecs) onto one task; the tiny shuffle buys
+    * full-cluster parallelism for the expensive part. Round 21 makes the
+    * documented "at real scale this becomes a no-op decision" TRUE IN THE
+    * PLAN: when the scan already carries >= defaultParallelism splits the
+    * repartition node is not added at all — the unconditional form
+    * re-shuffled the ENTIRE corpus (text payloads included) at 100 TB for
+    * nothing (guide §2.4: remove shuffles outright). The split count comes
+    * from the scan's own RDD (no jobs run); memoized with the table since
+    * it is stable per (session, dir, table). */
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    load(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
+    spreadMemo.computeIfAbsent((spark, sfDir, name), { _ =>
+      val df = load(spark, sfDir, name)
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    })
 
   /** Register all tables as temp views for `spark.sql` queries. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

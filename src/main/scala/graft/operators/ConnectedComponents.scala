@@ -32,12 +32,18 @@ object ConnectedComponents {
 
   /** Resolve components over undirected edges `(src, dst)`.
     *
+    * Small inputs (≤ `spark.graft.cc.localMax` pairs, Long ids) resolve
+    * on the driver via union-find and return a local relation; larger
+    * ones run the distributed pointer-jumping loop. Same labels either
+    * way. Null edge endpoints are unsupported (no query produces them).
+    *
     * @return one row per distinct node: (`node`, `component`) where
     *         `component` is the minimum node id in its component.
     * @throws IllegalStateException if labels have not converged after
-    *         `maxIter` rounds — silently returning possibly-wrong clusters
-    *         would corrupt a dedup pass; raise `maxIter` (rounds needed
-    *         grow with log2 of the component diameter) instead.
+    *         `maxIter` rounds on the DISTRIBUTED path (the local path
+    *         always converges) — silently returning possibly-wrong
+    *         clusters would corrupt a dedup pass; raise `maxIter` (rounds
+    *         needed grow with log2 of the component diameter) instead.
     */
   def resolve(
       pairs: DataFrame,
@@ -74,6 +80,58 @@ object ConnectedComponents {
     // recompute of a long-running resolve.
     val (half, halfRdds) =
       checkpointTracked(pairs.select(col(src).as("a"), col(dst).as("b")))
+
+    // Round-21 small-graph fast path (guide §1.2/§5): the distributed loop
+    // below costs ~8–10 eager actions (2 checkpoints + a probe count per
+    // round) — ~0.9 s of fixed overhead per resolve at ANY input size,
+    // paid three times per suite (d07/d18/d21). A dedup pipeline's
+    // verified pair set is routinely orders of magnitude smaller than its
+    // corpus, so when the (already materialized) edge frame is small
+    // enough to hold on the driver, resolve it there with union-find and
+    // return a LOCAL relation — microseconds instead of seconds, and the
+    // result auto-broadcasts into downstream joins (d18's corpus join).
+    // The collect is bounded BY THE COUNT WE ALREADY HAVE, reading the
+    // just-checkpointed blocks (never re-running the upstream plan), and
+    // the gate is conf'd (`spark.graft.cc.localMax` edges, default 1M ≈
+    // tens of MB on the driver; 0 disables). Distributed semantics are
+    // preserved exactly: min-member component labels (union-find keeps
+    // the invariant root = min of set by always attaching the larger
+    // root under the smaller). Long node ids only — other types keep the
+    // distributed path so output schemas never change.
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localMax").map(_.toLong).getOrElse(1000000L)
+    val longIds = half.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nPairs = if (longIds && localMax > 0) half.count() else Long.MaxValue
+    if (nPairs <= localMax) {
+      val rows = half.collect()
+      halfRdds.foreach(_.unpersist(blocking = false))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+      }
+      val session = pairs.sparkSession
+      import session.implicits._
+      val labels = new Array[(Long, Long)](parent.size())
+      val it0 = parent.keySet().iterator()
+      var i = 0
+      while (it0.hasNext) { val n = it0.next(); labels(i) = (n, find(n)); i += 1 }
+      return labels.sortBy(_._1).toSeq.toDF("node", "component")
+    }
+
     val edges = half.union(half.select(col("b"), col("a")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
