@@ -561,30 +561,37 @@ object RelationalQueries {
     // double math follows the identical expression tree on both engines
     // and is reported rounded.
     "q44" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-      val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
-      // Pre-prune (round 15, VERDICT r14 #6): a part present in only ONE
-      // order can co-occur with any other part at most once, so no pair
-      // involving it survives the n_orders >= 2 support gate — the
-      // semi-join on n_part >= 2 parts shrinks the self-join input BEFORE
-      // the quadratic basket expansion, exact by the min(ca,cb) >=
-      // n_orders bound. At high part cardinality this is where most of
-      // the long co-order tail drops out. No broadcast() hint (round 16,
-      // VERDICT r15 #2): on a long-tail catalog the eligible-part list is
-      // nearly the whole part dimension — the exact regime the prune
-      // targets — and forcing a ~10^8-key broadcast there is an OOM; AQE
-      // sizes the build side at runtime instead (broadcast when small,
-      // shuffled join when not).
-      val liP = li.join(
-        pc.filter(col("n_part") >= 2).select(col("l_partkey")),
-        Seq("l_partkey"))
-      liP.as("a").join(liP.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"),
-          col("b.l_partkey").as("part_b"))
+      // Round-21 restructure (guide §2.3/§2.4): ONE basket aggregation
+      // replaces the old distinct + n_part>=2 eligibility prune +
+      // order-keyed self-join. collect_set per order both deduplicates
+      // (the old `.distinct()`) and co-locates each basket in one row, so
+      // the ordered pair expansion is a map-side array transform — no
+      // join, and pair work stays Σ per-order basket² exactly as before
+      // (baskets are bounded by business reality, not corpus size).
+      // Everything derives from the SAME basket exchange: pc explodes it
+      // and the order total counts its rows (count(parts), never
+      // count(1) — referencing the column keeps the subtree identical
+      // under column pruning, so both consumers read a ReusedExchange;
+      // the old plan paid 3 lineitem scans and 6 aggregation exchanges
+      // for the same numbers). The old pre-prune is subsumed exactly: a
+      // pair kept by n_orders >= 2 has both parts in >= 2 baskets by
+      // construction, and ca/cb always came from the UNpruned counts.
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      val pc = baskets
+        .select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      val tot = baskets.agg(count(col("parts")).as("n_orders_total"))
+      // parts is sorted ascending, so pairing each element with its
+      // successors yields exactly the a < b ordered pairs of the old
+      // self-join (slice is 1-based: element i pairs with i+2 onward).
+      val pairsArr = flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("a"), y.as("b")))))
+      baskets.select(explode(pairsArr).as("p"))
+        .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .join(pc.select(col("l_partkey").as("part_a"),

@@ -198,7 +198,18 @@ object TextQueries {
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+      // count(when(tf >= 1, 1)), not count(1): tf >= 1 holds for every
+      // group (it counts >= 1 rows), so the value is identical — but the
+      // predicate keeps tf REFERENCED in a form the optimizer cannot
+      // elide. With count(1) (or even count(tf), which
+      // RemoveRedundantAggregates rewrites back to a distinct) this
+      // branch's copy of the tf subtree slims to (doc_id, tok), stops
+      // being plan-identical to the join-probe branch, and the final plan
+      // paid a second tokenize + two extra aggregation exchanges
+      // re-deriving tf. With it both consumers read one ReusedExchange
+      // (guide §2.4 — share one exchange between same-keyed consumers).
+      val dfreq = tf.groupBy(col("tok"))
+        .agg(count(when(col("tf") >= 1, 1)).as("doc_freq"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok").asc)
@@ -284,8 +295,12 @@ object TextQueries {
     "t13" -> { (s, dir) =>
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      val tot = tok.agg(count(lit(1)).as("n_total"))
       val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      // Σ n_tok == count of the token stream, off the vocabulary-sized
+      // count frame instead of a third tokenize pass over the corpus
+      // (t17's nTot trick; the r21 final plan showed tot's branch paying
+      // its own Generate over the scan). cnt's exchange is reused.
+      val tot = cnt.agg(sum(col("n_tok")).as("n_total"))
       tok.join(cnt, "tok").crossJoin(broadcast(tot))
         .withColumn("nll_e4",
           floor(log(col("n_total").cast("double") / col("n_tok")) * 10000)
@@ -308,7 +323,16 @@ object TextQueries {
     // double expression tree (ps, pc, ps·ln(ps/pc)) so the floor is the
     // only rounding site.
     "t14" -> { (s, dir) =>
-      val tok = docs(s, dir)
+      // The explicit isnotnull(source) mirrors the constraint the inner
+      // joins below already infer on the st probe branch (null sources
+      // never reach the OUTPUT either way, and the documents model emits
+      // none — asserted non-null at every SF). Without it the inferred
+      // filter exists on the probe branch only, the ct/tot subtrees
+      // canonicalize differently, and the r21 final plan paid a SECOND
+      // corpus scan + tokenize + two aggregation exchanges re-deriving
+      // st for the corpus marginal (guide §2.4). With it all four
+      // consumers read one ReusedExchange.
+      val tok = docs(s, dir).filter(col("source").isNotNull)
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
       val st = tok.groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("cnt_s"))

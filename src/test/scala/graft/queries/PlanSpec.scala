@@ -1258,37 +1258,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("q44: basket self-join is keyed by l_orderkey with the single-order " +
-      "part prune applied UNDER it (AQE-sized build side, round 16 — no " +
-      "forced broadcast: the eligible-part list is unbounded on long-tail " +
-      "catalogs); the distinct-basket exchange is computed once and " +
-      "reused across both join sides; no cartesian") {
+  test("q44: ONE basket aggregation (collect_set per order) feeds pair " +
+      "expansion map-side — no self-join, the basket exchange reused by " +
+      "the pair and part-count consumers; no cartesian") {
     val df = SparkEntry.queries("q44")(spark, sf)
     df.collect()
     val ep = df.queryExecution.executedPlan.toString
-    // the round-15 pre-prune: parts with n_part < 2 are filtered before
-    // the quadratic basket expansion. Pin the FILTER, not the join
-    // strategy — AQE must stay free to pick broadcast (small list) or
-    // shuffled semi-join (long-tail catalog) by measured size.
-    assert("Filter \\(n_part#\\d+L >= 2\\)".r.findFirstIn(ep).isDefined,
-      s"pre-prune filter missing:\n${ep.take(3000)}")
+    // round-21 restructure: the baskets come from one collect_set
+    // aggregate keyed by l_orderkey (the old distinct + n_part>=2
+    // pre-prune + order-keyed self-join collapsed into it; the prune is
+    // subsumed exactly by the n_orders >= 2 support gate below)
+    assert("ObjectHashAggregate.*collect_set\\(l_partkey".r
+      .findFirstIn(ep).isDefined, s"basket aggregate missing:\n${ep.take(3000)}")
+    assert(!ep.contains("SortMergeJoin") &&
+      "Join Inner.*l_orderkey".r.findFirstIn(ep).isEmpty,
+      s"q44 must not self-join on l_orderkey any more:\n${ep.take(3000)}")
     // pair support gate above the pair aggregate
     assert("Filter \\(n_orders#\\d+L >= 2\\)".r.findFirstIn(ep).isDefined,
       ep.take(3000))
-    // one distinct-basket subtree, reused for side b / ca / cb — the
-    // self-join must not re-scan and re-distinct lineitem per consumer
+    // the basket exchange is computed once and reused (pair expansion +
+    // part counts); the totals branch legally prunes to a bare
+    // l_orderkey distinct-count scan (the optimizer rewrites
+    // count(parts) over the grouped frame to it — a narrower shuffle
+    // than rereading the fat basket exchange)
     assert(ep.contains("ReusedExchange"),
-      s"distinct-basket exchange re-derived per consumer:\n${ep.take(3000)}")
+      s"basket exchange re-derived per consumer:\n${ep.take(3000)}")
     // count scans in the FINAL plan only — AdaptiveSparkPlan.toString
     // appends the pre-reuse "== Initial Plan ==" section, which legally
-    // repeats the scan per consumer. Three scans is the designed shape:
-    // basket frame (reused for both self-join sides), part counts
-    // (reused for prune/ca/cb), and the 1-row totals branch, which
-    // prunes to the single l_orderkey column — cheaper as its own
-    // column-pruned scan than forced through the 2-column distinct
-    // exchange. Four+ means a consumer lost its reuse.
+    // repeats the scan per consumer. Two scans is the designed shape:
+    // the basket frame (reused for pairs and part counts) and the
+    // column-pruned totals branch. Three+ means a consumer lost reuse.
     val finalPlan = ep.split("== Initial Plan ==")(0)
-    assert("FileScan parquet".r.findAllIn(finalPlan).size <= 3,
+    assert("FileScan parquet".r.findAllIn(finalPlan).size <= 2,
       "a q44 consumer re-scanned lineitem instead of reusing its exchange")
     // the only nested loop is the 1-row totals cross; never a cartesian
     assert(!ep.contains("CartesianProduct"), ep.take(3000))
