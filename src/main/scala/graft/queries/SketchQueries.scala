@@ -164,10 +164,18 @@ object SketchQueries {
       val toks = Tables.loadSpread(s, dir, "documents")
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
-      val cms = toks
-        .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      // Round 21 (guide §2.3/§2.4): the sketch rows are Σ-decomposable per
+      // token — bucket count = Σ exact_count over the tokens hashing
+      // there — so the CMS builds off the VOCABULARY-sized count frame
+      // (ReusedExchange with the exact branch) instead of re-tokenizing
+      // the corpus and exploding the raw stream ×CmsDepth. Same sketch
+      // bit-for-bit; the ×4 explode now multiplies vocab rows, not corpus
+      // rows, and one whole tokenize pass is gone.
+      val cms = exact
+        .select(col("tok"), col("exact_count"),
+          explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
         .groupBy(col("j"), cmsBucket(col("j"), col("tok")).as("bucket"))
-        .agg(count(lit(1)).as("bcount"))
+        .agg(sum(col("exact_count")).as("bcount"))
       val top20 = exact.orderBy(col("exact_count").desc, col("tok").asc).limit(20)
       top20
         .select(col("tok"), col("exact_count"),
@@ -283,17 +291,24 @@ object SketchQueries {
     // switches to x01/x04, whose σ is size-independent.
     "x07" -> { (s, dir) =>
       val m = geomConf(s, "spark.graft.x07.m", 4096, 2)
+      // Round 21 (guide §2.4): ONE distinct-hash frame, ONE aggregate for
+      // both outputs — pmod is deterministic, so the occupied-bucket set
+      // of the distinct hashes IS the occupied-bucket set of the raw
+      // stream, and countDistinct(pmod(h)) rides the same pass that
+      // counts the exact reference. Before, occupancy and the exact
+      // branch each paid their own corpus tokenize + md5 pass (two
+      // Generates in the final plan); separate branches over a shared
+      // distinct frame don't survive the optimizer either
+      // (RemoveRedundantAggregates collapses stacked distincts per
+      // branch, un-sharing them) — the single two-function aggregate
+      // cannot be split, so the corpus is tokenized exactly once.
       val occ = Tables.loadSpread(s, dir, "documents")
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
-        .select(pmod(graft.functions.TextFns.md5Hash32(col("tok")),
-          lit(m.toLong)).as("bucket"))
-        .distinct()
-        .agg(count(lit(1)).as("occupied"))
-      val ex = Tables.loadSpread(s, dir, "documents")
-        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
         .select(graft.functions.TextFns.md5Hash32(col("tok")).as("h"))
-        .distinct().agg(count(lit(1)).as("n_exact"))
-      occ.crossJoin(ex).select(
+        .distinct()
+        .agg(count(lit(1)).as("n_exact"),
+          countDistinct(pmod(col("h"), lit(m.toLong))).as("occupied"))
+      occ.select(
         lit(m).as("m"), col("occupied"),
         when(col("occupied") < m,
           round(lit(m.toDouble) *

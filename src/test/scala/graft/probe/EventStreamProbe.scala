@@ -42,6 +42,10 @@ object EventStreamProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // retain every micro-batch's progress: the default 100 silently
+      // under-counts batches/stateRows/lateDrops when user-supplied
+      // nFiles/filesPerTrigger exceed 100 micro-batches (ADVICE r20)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -52,8 +52,9 @@ object SketchAccuracyProbe {
       .filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("x01", "x03", "x04", "x05", "x07", "x08"))
-    // --set spark.graft.x04.k=1024 — session confs, e.g. the geometry
-    // knobs the ladder's ceilings motivated
+    // --set=spark.graft.x04.k=1024 — session confs, e.g. the geometry
+    // knobs the ladder's ceilings motivated (the '='-joined form only:
+    // a space-separated value would land in the dirs list, ADVICE r20)
     val confs = flags.filter(_.startsWith("--set")).map { f =>
       val kv = f.stripPrefix("--set").stripPrefix("=").split("=", 2)
       require(kv.length == 2, s"--set needs key=value: got '$f'")

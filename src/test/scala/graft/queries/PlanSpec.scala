@@ -354,6 +354,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("x03: the CMS builds off the vocabulary-sized exact-count frame — " +
+      "the corpus is tokenized exactly once and the count exchange is " +
+      "reused (round 21: bucket counts are Σ exact_count per bucket)") {
+    val df = SparkEntry.queries("x03")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    val finalPlan = ep.split("== Initial Plan ==")(0)
+    // ONE tokenize explode; the other Generates are the tiny 0..3 row-
+    // index explodes over vocab/top-20 frames
+    assert("explode\\(split\\(trim\\(text".r.findAllIn(finalPlan).size == 1,
+      s"x03 re-tokenized the corpus:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"exact-count exchange re-derived for the sketch:\n${finalPlan.take(3000)}")
+  }
+
+  test("x07: linear counting computes occupancy and the exact reference " +
+      "in ONE aggregate over one distinct-hash pass — the corpus is " +
+      "tokenized exactly once (round 21)") {
+    val df = SparkEntry.queries("x07")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    val finalPlan = ep.split("== Initial Plan ==")(0)
+    assert("explode\\(split\\(trim\\(text".r.findAllIn(finalPlan).size == 1,
+      s"x07 re-tokenized the corpus:\n${finalPlan.take(3000)}")
+    assert(!finalPlan.contains("NestedLoopJoin") &&
+      !finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
+  }
+
   test("x04: KMV k-cut is TakeOrderedAndProject over the distinct-hash " +
       "shuffle; the two 1-row aggregates never form a corpus product") {
     val p = plan("x04")
