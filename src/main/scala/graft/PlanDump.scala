@@ -28,7 +28,7 @@ object PlanDump {
     "d10" -> "window explode + exact-dedup hash agg, map-side combine",
     "t10" -> "tf agg feeds df agg; hint-free vocab join + one doc-key window",
     "s05" -> "int8 quantization map-side; integer dot against broadcast queries",
-    "x03" -> "fixed-size CMS agg + TakeOrderedAndProject exact top-20 probe",
+    "x03" -> "CMS off the vocab count frame (one tokenize, r21) + TakeOrderedAndProject exact top-20 probe",
     "d11" -> "multi-table sign-LSH: id-only candidate equi-join, payload re-join verify",
     "d12" -> "bloom prefilter as three broadcast left-semi probes above the scan",
     "w04" -> "two-phase prefix sum: (source, chunk) window + offset repair over the chunk spine",
@@ -53,7 +53,7 @@ object PlanDump {
     "s08" -> "k-NN graph: bucket-keyed self-join, WindowGroupLimit top-k, auto-sized geometry",
     "w11" -> "mixture fill: per-source broadcast budgets over the w07 chunked prefix sum",
     "q41" -> "cohort retention: two hash aggs + broadcast cohort dimension",
-    "q44" -> "basket affinity: order-keyed pair expansion, single-order part prune AQE-sized, distinct-basket exchange reused",
+    "q44" -> "basket affinity: one collect_set basket agg, map-side pair expansion, basket exchange reused (r21)",
     "d18" -> "dedup manifest: corpus left join against resolved clusters",
     "t14" -> "source KL drift: one (source,tok) agg feeds both marginals",
     "q45" -> "Pareto share: banded value-domain spine, bucket-parallel rank/prefix, integer-cent gate",
