@@ -248,8 +248,27 @@ object SketchQueries {
         .select(col("source"),
           graft.functions.TextFns.md5Hash32(col("tok")).as("h"))
         .distinct()
-      def mink(src: String) = hashes.filter(col("source") === src)
-        .select(col("h")).orderBy(col("h")).limit(k)
+      // Round 21 (guide §2.4): BOTH per-source bottom-k sketches come from
+      // one window over the shared distinct frame. The per-source
+      // `filter(...).orderBy(h).limit(k)` form let the planner push each
+      // source filter below the distinct, un-sharing the subtrees — the
+      // final plan paid THREE corpus tokenize+md5 passes (ka, kb, exact).
+      // A row_number cut per source is the identical set (h is distinct
+      // within a source, so the order is total), runs on the
+      // vocabulary-sized frame, and leaves one shared exchange the exact
+      // branch reuses: 3 tokenizes → 1. The downstream source picks wear
+      // the d04 pushdown barrier: a bare `source === src` predicate is on
+      // the window's PARTITION key, so PushDownPredicates would slide it
+      // below the window (and then below the distinct, and into the
+      // scan), re-splitting the shared subtree per consumer — exactly the
+      // un-sharing this rewrite removes. The barrier pins each pick to
+      // the ≤2k-row window output; value semantics are the predicate's,
+      // verbatim.
+      val wk = hashes.withColumn("rn",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rn") <= k)
+      def mink(src: String) = wk.filter(graft.functions.PushdownBarrierF
+        .pushdownBarrier(col("source") === src)).select(col("h"))
       val ka = mink("src0")
       val kb = mink("src1")
       val ku = ka.union(kb).distinct().orderBy(col("h")).limit(k)
@@ -259,9 +278,16 @@ object SketchQueries {
         .join(kb, Seq("h"), "left_semi")
         .agg(count(lit(1)).as("n_inter"))
       val sk = ku.agg(count(lit(1)).as("k_obs"), max(col("h")).as("h_k"))
+      // sum(when...), not max(when...): over the DISTINCT (source, h)
+      // frame both say "h present in src", but max is duplicate-
+      // insensitive, so RemoveRedundantAggregates merges the distinct
+      // away and this branch re-tokenizes the corpus on its own;
+      // duplicate-sensitive sum forces the shared distinct to stay and
+      // the branch reads the window branch's ReusedExchange instead
+      // (each sum is 0/1 exactly because the input is distinct).
       val exact = hashes.groupBy(col("h"))
-        .agg(max(when(col("source") === "src0", 1).otherwise(0)).as("in_a"),
-          max(when(col("source") === "src1", 1).otherwise(0)).as("in_b"))
+        .agg(sum(when(col("source") === "src0", 1).otherwise(0)).as("in_a"),
+          sum(when(col("source") === "src1", 1).otherwise(0)).as("in_b"))
         .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
           .otherwise(0L)).as("n_inter_exact"),
           count(lit(1)).as("n_union_exact"))

@@ -382,6 +382,19 @@ class PlanSpec extends SparkSpec {
       !finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
   }
 
+  test("x05: both per-source bottom-k sketches AND the exact branch read " +
+      "ONE distinct (source,h) pass — the corpus is tokenized exactly " +
+      "once (round 21: window k-cut + barrier-pinned source picks + " +
+      "duplicate-sensitive exact sums)") {
+    val df = SparkEntry.queries("x05")(spark, sf)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    val finalPlan = ep.split("== Initial Plan ==")(0)
+    assert("explode\\(split\\(trim\\(text".r.findAllIn(finalPlan).size == 1,
+      s"x05 re-tokenized the corpus:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
+  }
+
   test("x04: KMV k-cut is TakeOrderedAndProject over the distinct-hash " +
       "shuffle; the two 1-row aggregates never form a corpus product") {
     val p = plan("x04")
