@@ -35,7 +35,9 @@ object ConnectedComponents {
     * Small inputs (≤ `spark.graft.cc.localMax` pairs, Long ids) resolve
     * on the driver via union-find and return a local relation; larger
     * ones run the distributed pointer-jumping loop. Same labels either
-    * way. Null edge endpoints are unsupported (no query produces them).
+    * way. Null edge endpoints are unsupported (no query produces them);
+    * the local path throws on one rather than silently diverging from
+    * what the distributed joins would do.
     *
     * @return one row per distinct node: (`node`, `component`) where
     *         `component` is the minimum node id in its component.
@@ -115,13 +117,20 @@ object ConnectedComponents {
         r
       }
       rows.foreach { row =>
-        if (!row.isNullAt(0) && !row.isNullAt(1)) {
-          val a = row.getLong(0); val b = row.getLong(1)
-          parent.putIfAbsent(a, a)
-          parent.putIfAbsent(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        // Loud, not silent: the distributed path would carry null-endpoint
+        // rows through its joins differently, so quietly skipping them here
+        // could diverge the two paths on an input the contract already
+        // declares unsupported (no query produces them — see scaladoc).
+        if (row.isNullAt(0) || row.isNullAt(1)) {
+          throw new IllegalArgumentException(
+            "connected components: null edge endpoint in pairs input — " +
+              "null node ids are unsupported; filter them out upstream")
         }
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
       val session = pairs.sparkSession
       import session.implicits._

@@ -133,7 +133,18 @@ object DedupQueries {
     * rows that were already computed and then thrown away — candidate
     * density, not corpus size, bounds the frame in both variants.
     */
-  private def calibrationPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The BAND-JOIN candidate frame: one row per LSH candidate pair
+    * (doc_a < doc_b) with both distinct-shingle counts and the
+    * band-agreement count. Split out of [[calibrationPairs]] in round 22
+    * so the verify pipeline can consume a MATERIALIZED copy: the r21
+    * final plan recomputed this whole subtree (scan + map-side signatures
+    * + band self-join + pair aggregation) FOUR times — once for the final
+    * left join and once per union leg of the candidate-id set on each
+    * shd side — 12 documents scans for one calibration build (the
+    * column-pruning un-sharing trap: every consumer prunes a different
+    * column set, so no two subtrees canonicalize equal and ReusedExchange
+    * never fires; plans/r22/d02_before.txt). */
+  private[queries] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
     val sigw = docs
       .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
@@ -147,12 +158,31 @@ object DedupQueries {
     // same shuffle the .distinct() this replaced already paid — a hash
     // aggregate on the pair key either way; the count is free and it is
     // the entire calibration signal)
-    val cand = sig.as("a").join(sig.as("b"),
+    // Grouped on the PAIR KEY alone (r22): ca/cb are functionally
+    // determined by their doc id, so max() re-reads the same value and
+    // the aggregate's output partitioning is hashpartitioning(doc_a,
+    // doc_b) — exactly what the final cand↔inter join downstream needs.
+    // The old 4-column grouping forced one extra full re-exchange of the
+    // candidate frame between the aggregation and that join
+    // (plans/r22/d02_before.txt exchanges 21→25).
+    sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.c").as("ca"), col("b.c").as("cb"))
-      .agg(count(lit(1)).as("n_agree"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(max(col("a.c")).as("ca"), max(col("b.c")).as("cb"),
+        count(lit(1)).as("n_agree"))
+  }
+
+  /** The verify half of the calibration build: exact shared-shingle
+    * counts for the candidate pairs in `cand`. `cand` is passed in so the
+    * shipped path ([[calibrationCheckpoint]]) can hand over the
+    * MATERIALIZED candidate frame — every consumer below (the id set, the
+    * final left join) then reads its blocks instead of re-running the
+    * band pipeline — while plan inspection ([[minhashPairsForPlan]])
+    * passes the raw frame and sees the full pipeline. */
+  private[queries] def calibrationPairs(s: SparkSession, dir: String,
+                                        cand: DataFrame): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
     // Exact verify on candidate docs only (left-semi prune first), via the
     // inverted-index shape: join shingles on the shingle itself and count
     // shared ones per doc pair, THEN restrict to candidate pairs. The
@@ -177,8 +207,14 @@ object DedupQueries {
     // sort. Exact-Jaccard semantics need every shared shingle, so a
     // frequency cap would change results; the plain join stands until a
     // corpus shows m well past 10k per shingle.
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // Both pair endpoints from ONE read of the candidate frame: the old
+    // union-of-two-projections form gave the frame two consumers with
+    // different column sets, which is exactly what kept re-running the
+    // band pipeline per leg before the r22 materialization (and even over
+    // blocks it would read them twice).
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val shd = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
@@ -203,9 +239,12 @@ object DedupQueries {
   /** The pre-checkpoint pair-generation frame, exposed for plan
     * inspection only (PlanDump, plan tests): the d02/d07/d19 queries read
     * the shared localCheckpoint, whose explain is a bare `Scan
-    * ExistingRDD` — this is the REAL minhash plan behind it. */
+    * ExistingRDD` — this is the REAL minhash plan behind it (with the
+    * candidate frame inlined rather than materialized, so the full band
+    * pipeline stays visible; the SHIPPED build materializes it once, see
+    * [[calibrationCheckpoint]]). */
   def minhashPairsForPlan(s: SparkSession, dir: String): DataFrame =
-    calibrationPairs(s, dir)
+    calibrationPairs(s, dir, candidatePairs(s, dir))
 
   /** One shared-checkpoint registry entry. `rdds` is the RDD-registry
     * diff that tracks localCheckpoint blocks (they register with the
@@ -347,8 +386,19 @@ object DedupQueries {
     * cannot force a full pipeline re-run ([[sharedCheckpoint]]).
     * The checkpoint build cost lands on whichever consumer runs first.
     */
-  private def calibrationCheckpoint(s: SparkSession, dir: String): DataFrame =
-    sharedCheckpoint(s, dir, "minhash")(calibrationPairs(s, dir))
+  private def calibrationCheckpoint(s: SparkSession, dir: String): DataFrame = {
+    // Round 22: the candidate frame is materialized ONCE (its own nested
+    // registry entry, released together with "minhash" — releaseShared
+    // treats "minhash/cand" as a child tag) and the verify pipeline's
+    // three consumers read its blocks. Before, the final plan re-ran the
+    // whole band pipeline four times / 12 documents scans per build
+    // (plans/r22/d02_{before,after}.txt); at 100 TB each re-run is two
+    // extra corpus passes. Built OUTSIDE the "minhash" computeIfAbsent:
+    // nesting computeIfAbsent calls on one ConcurrentHashMap may deadlock
+    // or throw on same-bin recursion by contract.
+    val cand = sharedCheckpoint(s, dir, "minhash/cand")(candidatePairs(s, dir))
+    sharedCheckpoint(s, dir, "minhash")(calibrationPairs(s, dir, cand))
+  }
 
   /** The production view of [[calibrationCheckpoint]]: exact shingle
     * Jaccard attached, filtered to the verified >= 0.5 near-dup pairs.
@@ -363,7 +413,13 @@ object DedupQueries {
 
   /** Drop every shared checkpoint held for session `s`; with `tag`, only
     * that subplan's (Bench's per-query reset uses tags so resetting d15
-    * cannot evict d02/d07's pairs mid-suite, and vice versa).
+    * cannot evict d02/d07's pairs mid-suite, and vice versa). A tag
+    * releases its CHILD tags too — `tag/child` entries are nested
+    * materializations of the same build (round 22: "minhash/cand" holds
+    * the band-join candidate frame the "minhash" build consumes), so a
+    * caller resetting "minhash" must drop both or the next build would
+    * silently reuse the inner frame — which for Bench's per-run reset
+    * would be result caching across timed runs.
     *
     * Release is COMPLETE per entry: localCheckpoint blocks unpersist via
     * the RDD registry diff; the reliable path's cached upstream Dataset
@@ -386,7 +442,8 @@ object DedupQueries {
     val it = pairCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if ((e.getKey._1 eq s) && (tag.isEmpty || e.getKey._3 == tag)) {
+      if ((e.getKey._1 eq s) && (tag.isEmpty || e.getKey._3 == tag ||
+          e.getKey._3.startsWith(tag + "/"))) {
         val sp = e.getValue
         sp.rdds.foreach(_.unpersist(blocking = false))
         sp.persisted.foreach(_.unpersist(blocking = false))
@@ -1411,28 +1468,67 @@ object DedupQueries {
       // contract — and both engines' oracles would agree on the omission,
       // so the gate could never catch it
       val h = coalesce(md5(col("text")), lit("<null>"))
-      val base = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          size(TextFns.tokens(col("text"))).as("n_tokens"), h.as("h"))
       val alphaRatio =
         (length(col("text")) -
           length(regexp_replace(col("text"), "[a-z]", ""))).cast("double") /
           length(col("text"))
-      val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
       val contam = evalOverlap(s, dir)
         .select(col("doc_id")).distinct()
         .withColumn("contam", lit(1))
-      base.join(keep, Seq("h"))
+      // Round-22 keeper A/B (VERDICT r21 #4; guide §2.4 "share one
+      // exchange" vs §6 "narrow the scan"). Two value-identical keeper
+      // attachments, conf-picked:
+      //  - "window" (default, the r22 measured winner): EVERY verdict
+      //    input is derived MAP-SIDE into a narrow row (~60 B: id, lang,
+      //    token count, hash, two gate booleans — the text column never
+      //    survives the scan), then keeper = min(doc_id) over a window
+      //    partitioned by h. ONE corpus scan and ONE narrow exchange.
+      //    At 100 TB the old join form degrades structurally: `keep` is
+      //    one row per DISTINCT hash (corpus-sized, cannot broadcast), so
+      //    the join re-shuffles full text rows by h AND pays a second
+      //    corpus scan+md5 for the keeper aggregate. Measured
+      //    (C01AbProbe, interleaved min-of-N): ×10 rung (500k docs)
+      //    window 4.03 s vs join 6.19 s (−35%); sf0.1 window 1.11 s vs
+      //    join 1.48 s (−25%).
+      //  - "join": the r21-and-earlier groupBy+join form, kept as the
+      //    measured control.
+      val mode = s.conf.getOption("spark.graft.c01.keeper").getOrElse("window")
+      def verdictOut(withKeeper: DataFrame): DataFrame = withKeeper
         .join(contam, Seq("doc_id"), "left")
         .withColumn("verdict",
-          when(col("text").isNull, "empty")
+          when(col("no_text"), "empty")
             .when(col("n_tokens") < 5, "too_short")
             .when(col("lang") =!= "en", "lang")
-            .when(alphaRatio < 0.7, "low_quality")
+            .when(col("alpha_low"), "low_quality")
             .when(col("doc_id") =!= col("keeper"), "duplicate")
             .when(col("contam").isNotNull, "contaminated")
             .otherwise("kept"))
         .select(col("doc_id"), col("verdict"))
+      mode match {
+        case "window" =>
+          val base = Tables.loadSpread(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(TextFns.tokens(col("text"))).as("n_tokens"), h.as("h"),
+              // gate inputs precomputed BEFORE the exchange so the window
+              // shuffles ~60 B/row, never the document body. Null text →
+              // null gate values, exactly what the inline expressions
+              // produced — and the when-chain's 'empty' arm catches those
+              // rows first either way.
+              col("text").isNull.as("no_text"),
+              (alphaRatio < 0.7).as("alpha_low"))
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+          verdictOut(base.withColumn("keeper", min(col("doc_id")).over(w)))
+        case "join" =>
+          val base = Tables.loadSpread(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(TextFns.tokens(col("text"))).as("n_tokens"), h.as("h"),
+              col("text").isNull.as("no_text"),
+              (alphaRatio < 0.7).as("alpha_low"))
+          val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+          verdictOut(base.join(keep, Seq("h")))
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.c01.keeper must be window|join (got '$other')")
+      }
     })
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"

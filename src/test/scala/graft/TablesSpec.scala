@@ -60,4 +60,16 @@ class TablesSpec extends SparkSpec {
       spark.conf.unset("spark.sql.files.maxPartitionBytes")
     }
   }
+
+  test("data-model invariant: documents.source is never null (t14's " +
+      "shared isnotnull(source) filter is value-identical ONLY under " +
+      "this invariant — r21 VERDICT asked for a contract, not a comment)") {
+    import org.apache.spark.sql.functions.col
+    for (sfd <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = Tables.load(spark, sfd, "documents")
+        .filter(col("source").isNull).count()
+      assert(n == 0, s"$sfd has $n null documents.source rows — t14's " +
+        "pre-filter would change the corpus marginal on this data")
+    }
+  }
 }

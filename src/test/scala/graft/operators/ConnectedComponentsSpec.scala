@@ -114,6 +114,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.localMax")
   }
 
+  test("null edge endpoints fail loudly on the local path (r22: the " +
+      "contract says unsupported — silent skipping could diverge from " +
+      "what the distributed joins would do)") {
+    val rows = Seq((Option(1L), Option(2L)), (Option(3L), Option.empty[Long]))
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.resolve(rows.toDF("a", "b"), "a", "b").collect()
+    }
+    assert(e.getMessage.contains("null edge endpoint"))
+  }
+
   test("non-Long id types keep the distributed path (output schema must " +
       "never change with input size)") {
     val pairs = Seq((1, 2), (2, 3)).toDF("a", "b") // IntegerType

@@ -249,6 +249,18 @@ class PlanSpec extends SparkSpec {
         s"(at $joinAt)\n" + p.take(2000))
   }
 
+  test("c01 (r22): keeper comes from a window over ONE narrow exchange — " +
+      "every gate input is derived map-side and the text column never " +
+      "crosses a shuffle (the join form re-scanned the corpus and, past " +
+      "broadcast size, re-shuffled full text rows by hash)") {
+    val p = plan("c01")
+    assert("windowspecdefinition\\(h#\\d+".r.findFirstIn(p).isDefined,
+      "keeper must be a window partitioned by the content hash\n" + p.take(3000))
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exch.nonEmpty && !exch.contains("text#"), exch)
+  }
+
   test("d13: incremental dedup anti-joins a hash-only history projection " +
       "— never a product, and history carries no payload columns") {
     val p = plan("d13")
@@ -1174,6 +1186,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig") || p.contains("MinHashSig"), p.take(3000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("d02 build (r22): the verify half consumes the MATERIALIZED " +
+      "candidate frame — the signature/band pipeline is never re-run " +
+      "below it (was 4 re-runs / 12 documents scans in the r21 plan)") {
+    DedupQueries.releaseShared(spark, "minhash")
+    val cand = DedupQueries.sharedCheckpoint(spark, sf, "minhash/cand")(
+      DedupQueries.candidatePairs(spark, sf))
+    val p = DedupQueries.calibrationPairs(spark, sf, cand)
+      .queryExecution.executedPlan.toString
+    // no signature recompute anywhere in the verify half...
+    assert(!p.contains("minhash_sig") && !p.contains("MinHashSig"),
+      p.take(3000))
+    // ...its candidate inputs are block scans...
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    // ...and the only parquet work left is the shd shingle explode
+    // (2 scan nodes pre-AQE: the self-join's two sides; ReusedExchange
+    // collapses them at execution when the planner keeps the SMJ)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"verify half should scan documents at most " +
+      s"twice, saw $scans:\n${p.take(3000)}")
+    DedupQueries.releaseShared(spark, "minhash")
+  }
+
+  test("releaseShared drops child tags with their parent (r22: the " +
+      "minhash build nests its candidate materialization under " +
+      "minhash/cand — a reset that left the child behind would hand the " +
+      "next build a cached candidate frame)") {
+    val one = spark.range(1).toDF("x")
+    def entry(tag: String) =
+      DedupQueries.sharedCheckpoint(spark, "/tmp/relspec", tag)(one)
+    val p1 = entry("par"); val c1 = entry("par/kid"); val s1 = entry("parX")
+    DedupQueries.releaseShared(spark, "par")
+    assert(entry("par") ne p1, "parent entry must be evicted")
+    assert(entry("par/kid") ne c1, "child entry must be evicted with parent")
+    assert(entry("parX") eq s1,
+      "sibling whose tag merely starts with the prefix must survive")
+    DedupQueries.releaseShared(spark, "par")
+    DedupQueries.releaseShared(spark, "parX")
   }
 
   test("d19 reuses d02's shared materialization — no second minhash " +
