@@ -564,10 +564,23 @@ object DedupQueries {
             s"$key must be an integer: got '$v'")
         }
       }
-    val plain = sh.as("a").join(sh.as("b"),
+    // Round 22: when the shingle frame carries a per-doc count column
+    // `c`, it is aggregated through (max re-reads the constant-per-doc
+    // value) so the caller gets ca/cb WITHOUT a separate count pass —
+    // d04's old shape paid a second full corpus scan + signature kernel
+    // just to rebuild the counts, then two joins to attach them. The
+    // carry costs 8 bytes per exploded row on the exchange both join
+    // sides already share; probe frames without `c` keep the bare
+    // (doc_a, doc_b, i) contract.
+    val carry = sh.columns.contains("c")
+    def pairAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      if (carry)
+        grouped.agg(count(lit(1)).as("i"),
+          max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
+      else grouped.agg(count(lit(1)).as("i"))
+    val plain = pairAgg(sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
     intConf("spark.graft.d04.salt") match {
       case None => plain
       case Some(nSalts) =>
@@ -678,11 +691,10 @@ object DedupQueries {
             "spark.graft.d04.salt.barrier must be one of expr|observe|none" +
               s" (got '$other')")
         }
-        a.as("a").join(x.as("b"),
+        pairAgg(a.as("a").join(x.as("b"),
             col("a.s") === col("b.s") && col("a.__salt") === col("b.__salt") &&
               col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
     }
   }
 
@@ -879,26 +891,41 @@ object DedupQueries {
     // ~0.02 at 2×10⁸ distinct shingles, and the DuckDB oracle computes
     // the identical hash, so parity is exact even IF one collides.
     "d04" -> { (s, dir) =>
+      // Round 22: the per-doc distinct-shingle count rides THROUGH the
+      // explode as a constant column (`c`, 8 B per exploded row on the
+      // exchange both self-join sides already share) and coShinglePairs
+      // aggregates it back out as ca/cb. The r21 shape derived the counts
+      // from a SECOND full corpus scan + the signature kernel
+      // (MinHashSigF slot 0 — value-parity with size-of-distinct is that
+      // spec's property) and paid two joins to attach them; at 100 TB
+      // that was a whole extra corpus pass for numbers the explode
+      // already knew. Docs with zero shingles explode to nothing and
+      // can't appear in a pair — exactly the rows the old sig-isNotNull
+      // filter dropped. Plan: 2 scans + 3 joins → 1 scan + 1 join
+      // (plans/r22/d04_{before,after}.txt); d20's d04 leg inherits it.
+      // The barrier is load-bearing: size() and explode() both consume
+      // `sarr`, and CollapseProject would otherwise inline the whole
+      // shingle pipeline into EACH consumer (plus the explode's inferred
+      // size>0 filter) — measured 5.2 s vs 0.45 s for this frame alone at
+      // sf0.1 (D04Piece). Wrapped nondeterministic, the array
+      // materializes once per row in its own Project and every consumer
+      // reads the attribute; exchange reuse across the self-join sides
+      // still fires (structural canonical equality, same precedent as
+      // the salt filter below).
       def shingleize(docs: DataFrame): DataFrame = docs
         .select(col("doc_id"),
-          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-        .select(col("doc_id"), TextFns.md5Hash60(col("s")).as("s"))
+          graft.functions.PushdownBarrierF.pushdownBarrier(
+            array_distinct(TextFns.shingles(col("text"), shingleK))).as("sarr"))
+        .select(col("doc_id"), size(col("sarr")).as("c"),
+          explode(col("sarr")).as("sraw"))
+        .select(col("doc_id"), col("c"), TextFns.md5Hash60(col("sraw")).as("s"))
       val sh = shingleize(Tables.loadSpread(s, dir, "documents"))
-      // distinct-shingle count map-side (MinHashSigF slot 0) — the groupBy
-      // form re-shuffled the exploded frame just to count it; value parity
-      // with count-over-explode is MinHashSigFSpec's property
-      val cnt = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("doc_id"), col("sig").getItem(0).as("c"))
       // salted hot detection reads the persisted 1/sampleInv extract when
       // spark.graft.d04.salt.sampleDir points at one — same shingleize as
       // the corpus frame, so sampled keys are identical by construction
       val inter = coShinglePairs(s, sh,
         graft.sources.SampleExtract.detectionDocs(s).map(shingleize))
       inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
         .withColumn("jaccard", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))

@@ -566,6 +566,18 @@ class PlanSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("d04 (r22): per-doc shingle counts ride the exploded frame — no " +
+      "second corpus scan through the signature kernel and no count " +
+      "joins (the barrier keeps the shingle array single-evaluated; " +
+      "D04Piece measured the collapsed form 8x slower)") {
+    val p = plan("d04")
+    assert(!p.contains("minhash_sig"),
+      "d04 must not rebuild counts via the signature kernel\n" + p.take(3000))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, // the self-join's two sides pre-AQE; reuse at exec
+      s"expected at most 2 documents scans, saw $scans\n" + p.take(3000))
+  }
+
   test("d04 salted skew escape: off by default; spark.graft.d04.salt " +
       "routes hot shingles through an exact salted join, output unchanged") {
     // default plan is the plain inverted-index equi-join — salting costs
