@@ -85,12 +85,21 @@ object DedupQueries {
     * never drift between the two oracle-gated call sites.
     */
   private def evalOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.loadSpread(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
+    // r22: the doc_id slice filters now sit EXPLICITLY below the shingle
+    // projection (same row pruning the optimizer used to achieve by
+    // pushing them there), and the array gets the d04 barrier so the
+    // explode's inferred size>0 filter reads the materialized column
+    // instead of re-deriving the whole shingle pipeline per row
+    // (the D04Piece CollapseProject finding).
+    def sh(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-    val bench = sh.filter(col("doc_id") % 97 === 0)
+        graft.functions.PushdownBarrierF.pushdownBarrier(
+          array_distinct(TextFns.shingles(col("text"), shingleK))).as("sarr"))
+      .select(col("doc_id"), explode(col("sarr")).as("s"))
+    val bench = sh(docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("bench_id"), col("s"))
-    sh.filter(col("doc_id") % 97 =!= 0)
+    sh(docs.filter(col("doc_id") % 97 =!= 0))
       .join(bench, Seq("s"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -146,8 +155,16 @@ object DedupQueries {
     * never fires; plans/r22/d02_before.txt). */
   private[queries] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
+    // r22 barrier: the signature array feeds SEVEN getItem reads (count
+    // slot + six band minima) plus the null gate — CollapseProject would
+    // otherwise inline the whole signature kernel into every reference
+    // and hash each document's shingle set many times over (the
+    // D04Piece finding; d02 construction 2.04 → 1.09 s at sf0.1 from
+    // this line alone, PlanCostProbe min-of-5).
     val sigw = docs
-      .select(col("doc_id"), TextFns.minhashSig(col("text")).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.PushdownBarrierF.pushdownBarrier(
+          TextFns.minhashSig(col("text"))).as("sig"))
       // null = no 3-shingles: the rows the explode form never emitted
       .filter(col("sig").isNotNull)
     val sig = sigw.select(col("doc_id"), col("sig").getItem(0).as("c"),
@@ -215,9 +232,15 @@ object DedupQueries {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
+    // r22: barrier so the explode's inferred size>0 filter reads the
+    // materialized array instead of re-deriving the shingle pipeline per
+    // candidate row (the d04/D04Piece CollapseProject finding). Nothing
+    // needs to push below this project — the semi-join prune sits under it.
     val shd = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
+        graft.functions.PushdownBarrierF.pushdownBarrier(
+          array_distinct(TextFns.shingles(col("text"), shingleK))).as("sarr"))
+      .select(col("doc_id"), explode(col("sarr")).as("s"))
     val inter0 = shd.as("a").join(shd.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -475,7 +498,12 @@ object DedupQueries {
     * sign-overflow BIGINT/LongType in the oracle's pow/%-arithmetic. */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(s, dir, "documents")
-      .select(col("doc_id"), TextFns.simhash64Native(col("text")).as("sh"))
+      // r22 barrier: hi and lo are two getItem reads of the same array —
+      // unbarriered, CollapseProject inlines the simhash kernel into each
+      // and every document is token-hashed twice (the D04Piece finding)
+      .select(col("doc_id"),
+        graft.functions.PushdownBarrierF.pushdownBarrier(
+          TextFns.simhash64Native(col("text"))).as("sh"))
       .select(col("doc_id"), col("sh").getItem(0).as("simhash_hi"),
         col("sh").getItem(1).as("simhash_lo"))
 
@@ -959,12 +987,16 @@ object DedupQueries {
         .when(bucket < 95, "val").otherwise(lit("test"))
       val base = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), split.as("split"), col("text"))
-      val sh = base.select(col("doc_id"), col("split"),
-        explode(array_distinct(TextFns.shingles(col("text"), shingleK)))
-          .as("s"))
-      val held = sh.filter(col("split") =!= "train")
+      // r22: split filters below the barrier'd shingle array (the
+      // evalOverlap/d12 shape) — one shingle evaluation per surviving row
+      def shx(d: DataFrame): DataFrame = d
+        .select(col("doc_id"),
+          graft.functions.PushdownBarrierF.pushdownBarrier(
+            array_distinct(TextFns.shingles(col("text"), shingleK))).as("sarr"))
+        .select(col("doc_id"), explode(col("sarr")).as("s"))
+      val held = shx(base.filter(col("split") =!= "train"))
         .select(col("s"), col("doc_id").as("held_id"))
-      val leaks = sh.filter(col("split") === "train").join(held, Seq("s"))
+      val leaks = shx(base.filter(col("split") === "train")).join(held, Seq("s"))
         .groupBy(col("doc_id"), col("held_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
@@ -1238,15 +1270,22 @@ object DedupQueries {
       val nHash = 3
       def pos(j: Int, shingle: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         pmod(xxhash64(lit(j), shingle), lit(m))
-      val sh = Tables.loadSpread(s, dir, "documents")
+      // r22: explicit slice filters below the barrier'd shingle array —
+      // same shape change as evalOverlap (one shingle evaluation per row;
+      // the inferred explode filter reads the materialized column)
+      val docsAll = Tables.loadSpread(s, dir, "documents")
+      def shx(d: DataFrame): DataFrame = d
         .select(col("doc_id"),
-          explode(array_distinct(TextFns.shingles(col("text"), shingleK))).as("s"))
-      val bench = sh.filter(col("doc_id") % 97 === 0)
+          graft.functions.PushdownBarrierF.pushdownBarrier(
+            array_distinct(TextFns.shingles(col("text"), shingleK))).as("sarr"))
+        .select(col("doc_id"), explode(col("sarr")).as("s"))
+      val bench = shx(docsAll.filter(col("doc_id") % 97 === 0))
         .select(col("doc_id").as("bench_id"), col("s"))
       val bloom = bench
         .select(explode(array((0 until nHash).map(j => pos(j, col("s"))): _*)).as("p"))
         .distinct()
-      val survivors = (0 until nHash).foldLeft(sh.filter(col("doc_id") % 97 =!= 0)) {
+      val survivors = (0 until nHash).foldLeft(
+          shx(docsAll.filter(col("doc_id") % 97 =!= 0))) {
         (df, j) => df.join(broadcast(bloom), pos(j, col("s")) === col("p"), "left_semi")
       }
       survivors.join(bench, Seq("s"))
@@ -1333,9 +1372,18 @@ object DedupQueries {
       // sequences, since 0*131 + h1 = h1 (parity probe-pinned).
       // sequence(1, size-7) would be DESCENDING for short docs (the m07
       // lesson) — guard to an empty gram list below n tokens.
+      // r22: barrier on the per-token hash array — the gram expression
+      // below reads `hs` three ways (the length gate, the sequence bound,
+      // the slices) and the explode's inferred filter adds a fourth;
+      // without the barrier CollapseProject inlines the md5-transform
+      // into every reference and the whole tokenize+hash pipeline runs
+      // multiple times per row (the d04/D04Piece finding: 5.2 s vs
+      // 0.45 s for that query's equivalent frame). Measured: d15
+      // 1.24 s → 1.03 s total at sf0.1 (PlanCostProbe min-of-5).
       val grams = docs
         .select(col("doc_id"),
-          transform(col("toks"), t => TextFns.md5Hash32(t)).as("hs"))
+          graft.functions.PushdownBarrierF.pushdownBarrier(
+            transform(col("toks"), t => TextFns.md5Hash32(t))).as("hs"))
         .select(col("doc_id"),
           explode(when(size(col("hs")) >= n,
             expr(s"transform(sequence(1, size(hs) - ${n - 1}), " +
