@@ -121,172 +121,171 @@ object Bench {
     * string-CPU (t08) and shuffle (d01/d06).
     */
   val CanaryCleanSf01: Map[String, Double] = Map(
-    "q02" -> 0.111,
-    "q16" -> 0.058,
-    "q30" -> 0.050,
-    "t08" -> 0.278,
-    "d01" -> 0.193,
-    "d06" -> 0.120)
+    "q02" -> 0.105,
+    "q16" -> 0.072,
+    "q30" -> 0.054,
+    "t08" -> 0.314,
+    "d01" -> 0.202,
+    "d06" -> 0.108)
 
   /** Clean per-query sf0.1 medians for the whole-suite total-canary —
     * the min of the per-query medians over quiet-window full-suite runs
-    * on this container (round 21 binary, ALL 135 queries: six close runs
-    * G–L on the final r21 code, every one contaminated:false by its own
-    * canaries, totals 59.0–69.5 s; re-derivable via
-    * scripts/derive_pins.py over bench/r21/close_r21_*.json, asserted by
+    * on this container (round 22 binary, ALL 135 queries: six close runs
+    * A–F on the final r22 code, five of six contaminated:false by their
+    * own canaries, totals 63.0–71.6 s; re-derivable via
+    * scripts/derive_pins.py over bench/r22/close_r22_*.json, asserted by
     * scripts/check_pins.py). Min-of-runs makes extra warm runs harmless —
     * they can only fail to lower a pin. The derivation runs' own
     * environment probes ride in the capture files so later drift is
-    * attributable (verdict r10 #5). Pin sum 54.37 s vs r20's 50.50: the
-    * round-21 restructures cut the optimized queries far below their r20
-    * pins (d07 0.72→0.23, d18 0.63→0.25, m05 1.60→0.62, q32 0.56→0.24,
-    * d21 0.61→0.36, x03 0.48→0.50-at-a-warmer-epoch, …) but the WHOLE
-    * r21 epoch ran warmer than r20's record bracket (mt_x 1.7–5.5 on
-    * every capture; r20's quietest runs saw ~1.0–1.4), which sets the
-    * other ~110 queries' floors a few % higher — an environment fact the
-    * capture files document, not a code regression (the six changed
-    * query families all measure BELOW r20 pins even in this epoch).
+    * attributable (verdict r10 #5). Pin sum 54.43 s vs r21's 54.37 —
+    * read per-query, not as a total: the r22-restructured paths dropped
+    * hard even through a warm epoch (d02 2.89→2.14, d08 0.56→0.33,
+    * d04 1.18→0.98, d09 0.71→0.58, d20 1.50→1.40) while the untouched
+    * floors drifted a median +3% because the whole r22 close bracket ran
+    * warm again (mt_x 1.9–5.9; the capture files hold the probes). c01/
+    * d12/d15/d17 read pin-flat despite probe wins — their probe windows
+    * were warm and the honest cross-epoch credit is the pin delta.
     * Min-of-runs is the least-contaminated estimate of the clean floor,
     * which biases totalRatio slightly ≥1 on a genuinely clean run — the
     * 1.5× threshold absorbs that. Refresh each round: the pins are
     * container-epoch-specific and drift erodes the threshold's meaning.
     */
   val CleanMediansSf01: Map[String, Double] = Map(
-    "c01" -> 1.509,
-    "c02" -> 0.398,
-    "d01" -> 0.193,
-    "d02" -> 2.888,
-    "d03" -> 0.108,
-    "d04" -> 1.177,
-    "d05" -> 0.498,
-    "d06" -> 0.120,
-    "d07" -> 0.234,
-    "d08" -> 0.560,
-    "d09" -> 0.710,
-    "d10" -> 0.714,
-    "d11" -> 0.787,
-    "d12" -> 1.125,
-    "d13" -> 0.196,
-    "d14" -> 0.511,
-    "d15" -> 1.136,
-    "d16" -> 0.896,
-    "d17" -> 1.137,
-    "d18" -> 0.252,
-    "d19" -> 0.036,
-    "d20" -> 1.497,
-    "d21" -> 0.364,
+    "c01" -> 1.449,
+    "c02" -> 0.420,
+    "d01" -> 0.202,
+    "d02" -> 2.140,
+    "d03" -> 0.103,
+    "d04" -> 0.980,
+    "d05" -> 0.427,
+    "d06" -> 0.108,
+    "d07" -> 0.211,
+    "d08" -> 0.328,
+    "d09" -> 0.581,
+    "d10" -> 0.666,
+    "d11" -> 0.777,
+    "d12" -> 1.178,
+    "d13" -> 0.200,
+    "d14" -> 0.474,
+    "d15" -> 1.173,
+    "d16" -> 0.891,
+    "d17" -> 1.204,
+    "d18" -> 0.249,
+    "d19" -> 0.043,
+    "d20" -> 1.402,
+    "d21" -> 0.335,
     "m01" -> 0.051,
-    "m02" -> 0.087,
-    "m03" -> 0.321,
-    "m04" -> 0.272,
-    "m05" -> 0.616,
-    "m06" -> 0.211,
-    "m07" -> 0.106,
-    "m08" -> 0.382,
-    "m09" -> 0.488,
-    "p01" -> 0.408,
-    "p02" -> 0.156,
-    "p03" -> 0.176,
-    "p04" -> 0.102,
-    "p05" -> 0.204,
-    "p06" -> 0.357,
-    "p07" -> 0.368,
-    "p08" -> 0.830,
-    "p09" -> 0.079,
-    "q01" -> 0.211,
-    "q02" -> 0.111,
-    "q03" -> 0.316,
-    "q04" -> 0.407,
-    "q05" -> 0.312,
-    "q06" -> 0.102,
-    "q07" -> 0.150,
-    "q08" -> 0.310,
-    "q09" -> 0.140,
-    "q10" -> 0.217,
-    "q11" -> 0.150,
-    "q12" -> 0.314,
-    "q13" -> 0.499,
-    "q14" -> 0.097,
+    "m02" -> 0.091,
+    "m03" -> 0.317,
+    "m04" -> 0.288,
+    "m05" -> 0.612,
+    "m06" -> 0.278,
+    "m07" -> 0.125,
+    "m08" -> 0.450,
+    "m09" -> 0.548,
+    "p01" -> 0.400,
+    "p02" -> 0.181,
+    "p03" -> 0.170,
+    "p04" -> 0.094,
+    "p05" -> 0.194,
+    "p06" -> 0.368,
+    "p07" -> 0.426,
+    "p08" -> 0.999,
+    "p09" -> 0.110,
+    "q01" -> 0.226,
+    "q02" -> 0.105,
+    "q03" -> 0.358,
+    "q04" -> 0.417,
+    "q05" -> 0.332,
+    "q06" -> 0.107,
+    "q07" -> 0.156,
+    "q08" -> 0.326,
+    "q09" -> 0.148,
+    "q10" -> 0.261,
+    "q11" -> 0.160,
+    "q12" -> 0.321,
+    "q13" -> 0.523,
+    "q14" -> 0.104,
     "q15" -> 0.115,
-    "q16" -> 0.058,
-    "q17" -> 0.289,
-    "q18" -> 0.365,
-    "q19" -> 0.124,
-    "q20" -> 0.203,
-    "q21" -> 0.297,
-    "q22" -> 0.159,
-    "q23" -> 0.172,
-    "q24" -> 0.296,
-    "q25" -> 1.028,
-    "q26" -> 0.232,
-    "q27" -> 0.235,
-    "q28" -> 0.162,
-    "q29" -> 0.155,
-    "q30" -> 0.050,
-    "q31" -> 0.365,
+    "q16" -> 0.072,
+    "q17" -> 0.279,
+    "q18" -> 0.335,
+    "q19" -> 0.125,
+    "q20" -> 0.183,
+    "q21" -> 0.312,
+    "q22" -> 0.171,
+    "q23" -> 0.182,
+    "q24" -> 0.305,
+    "q25" -> 1.062,
+    "q26" -> 0.266,
+    "q27" -> 0.236,
+    "q28" -> 0.133,
+    "q29" -> 0.166,
+    "q30" -> 0.054,
+    "q31" -> 0.335,
     "q32" -> 0.241,
-    "q33" -> 0.763,
-    "q34" -> 0.291,
-    "q35" -> 0.279,
-    "q36" -> 0.314,
-    "q37" -> 0.126,
-    "q38" -> 0.789,
-    "q39" -> 0.879,
-    "q40" -> 0.361,
-    "q41" -> 0.341,
+    "q33" -> 0.773,
+    "q34" -> 0.320,
+    "q35" -> 0.270,
+    "q36" -> 0.311,
+    "q37" -> 0.139,
+    "q38" -> 0.816,
+    "q39" -> 0.837,
+    "q40" -> 0.405,
+    "q41" -> 0.315,
     "q42" -> 0.254,
-    "q43" -> 0.208,
-    "q44" -> 1.271,
-    "q45" -> 0.578,
-    "q46" -> 0.321,
-    "q47" -> 0.364,
-    "s01" -> 0.285,
-    "s02" -> 0.252,
-    "s03" -> 0.607,
-    "s04" -> 0.471,
-    "s05" -> 0.288,
-    "s06" -> 0.540,
-    "s07" -> 0.468,
-    "s08" -> 0.656,
-    "s09" -> 0.930,
-    "t01" -> 0.101,
-    "t02" -> 0.247,
-    "t03" -> 0.138,
-    "t04" -> 0.257,
-    "t05" -> 0.111,
-    "t06" -> 0.121,
-    "t07" -> 0.118,
-    "t08" -> 0.278,
-    "t09" -> 0.637,
-    "t10" -> 0.896,
-    "t11" -> 0.105,
-    "t12" -> 0.130,
-    "t13" -> 0.697,
-    "t14" -> 0.750,
-    "t15" -> 0.441,
-    "t16" -> 0.436,
-    "t17" -> 0.989,
+    "q43" -> 0.229,
+    "q44" -> 1.513,
+    "q45" -> 0.638,
+    "q46" -> 0.303,
+    "q47" -> 0.346,
+    "s01" -> 0.238,
+    "s02" -> 0.199,
+    "s03" -> 0.522,
+    "s04" -> 0.381,
+    "s05" -> 0.325,
+    "s06" -> 0.526,
+    "s07" -> 0.498,
+    "s08" -> 0.674,
+    "s09" -> 0.818,
+    "t01" -> 0.098,
+    "t02" -> 0.287,
+    "t03" -> 0.143,
+    "t04" -> 0.287,
+    "t05" -> 0.115,
+    "t06" -> 0.135,
+    "t07" -> 0.109,
+    "t08" -> 0.314,
+    "t09" -> 0.684,
+    "t10" -> 0.974,
+    "t11" -> 0.115,
+    "t12" -> 0.158,
+    "t13" -> 0.695,
+    "t14" -> 0.707,
+    "t15" -> 0.504,
+    "t16" -> 0.483,
+    "t17" -> 1.049,
     "w01" -> 0.034,
-    "w02" -> 0.077,
-    "w03" -> 0.086,
-    "w04" -> 0.255,
+    "w02" -> 0.081,
+    "w03" -> 0.097,
+    "w04" -> 0.254,
     "w05" -> 0.096,
-    "w06" -> 0.122,
-    "w07" -> 0.275,
-    "w08" -> 0.142,
-    "w09" -> 0.342,
-    "w10" -> 0.347,
-    "w11" -> 0.305,
-    "w12" -> 0.428,
-    "w13" -> 0.080,
-    "x01" -> 0.612,
-    "x02" -> 0.274,
-    "x03" -> 0.500,
-    "x04" -> 0.431,
-    "x05" -> 0.672,
-    "x06" -> 0.139,
-    "x07" -> 0.393,
-    "x08" -> 0.533)
+    "w06" -> 0.140,
+    "w07" -> 0.288,
+    "w08" -> 0.158,
+    "w09" -> 0.401,
+    "w10" -> 0.440,
+    "w11" -> 0.404,
+    "w12" -> 0.489,
+    "w13" -> 0.087,
+    "x01" -> 0.655,
+    "x02" -> 0.254,
+    "x03" -> 0.445,
+    "x04" -> 0.391,
+    "x05" -> 0.702,
+    "x06" -> 0.146,
+    "x07" -> 0.408,
+    "x08" -> 0.592)
 
   /** Round-21 anti-contamination re-measure (VERDICT r20 #1, guide §1):
     * two consecutive official records landed in degraded windows — r19's

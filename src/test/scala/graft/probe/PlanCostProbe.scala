@@ -26,14 +26,25 @@ object PlanCostProbe {
     val dir = args(0)
     val only = args.lift(1).map(_.r)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // optional 4th arg: k=v,k=v session confs applied before any query
+    // construction (r22: used to A/B AQE coalescing settings)
+    val confs = args.lift(3).toSeq.flatMap(_.split(',')).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
+    // PLANCOST_CPUS mirrors the bench's $SPARK_GRAFT_CPUS knob (r22: used
+    // to localize the 8c-beats-32c de-scaling of the s-family)
+    val cpus = sys.env.getOrElse("PLANCOST_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    if (confs.nonEmpty) println(s"[plancost] confs: ${confs.mkString(" ")}")
+    if (cpus != 32) println(s"[plancost] cpus: $cpus")
 
     val resetBefore: Map[String, () => Unit] = Map(
       "d02" -> (() => DedupQueries.releaseShared(spark, "minhash")),
